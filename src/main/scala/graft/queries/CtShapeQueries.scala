@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's 8 endpoint query shapes (SURVEY §2/§3, api/app.py:92-272)
+  * realized over the driver's `events` table, which is the testdata analog of
+  * `cert_domains` (ts + key + payload, per FIXTURES.md §B).
+  *
+  * Shape mapping (reference file:line → here):
+  *  - /domain point lookup + latest-100   api/app.py:95       → ctDomainLookup
+  *  - /subdomains group-by max(ts)        api/app.py:112-114  → ctSubdomains
+  *  - /recent time-window distinct        api/app.py:123-127  → ctRecent
+  *  - /tld LIKE + group + top-k           api/app.py:146-153  → ctTldTopk
+  *  - /stats multi-aggregate pass         api/app.py:184-193  → ctStats (exact) + ctStatsApprox (A4 sketch)
+  *  - count()                             README.md:167       → ctCount
+  *  - /stream incremental tail            api/app.py:258-262  → ctStreamTail
+  *  - claimed fingerprint dedup           README.md:19        → ctDedupLatest (row_number window)
+  *
+  * Determinism: "now"/"today" are fixed literals inside the data's range
+  * (events span 2024-01-01..2024-01-30), every ORDER BY..LIMIT carries a
+  * full tiebreaker (FIXTURES.md oracle rules 1-2).
+  */
+object CtShapeQueries {
+
+  private val NOW = "2024-01-30 12:00:00" // parameterized "now" (SURVEY §7.4)
+
+  /** /domain/<name>: equality filter → latest-100 top-k.
+    * Catalyst plans Sort+Limit as TakeOrderedAndProjectExec (no full sort). */
+  def ctDomainLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === lit("click"))
+      .orderBy(col("ts").desc, col("event_id"))
+      .limit(100)
+
+  /** /subdomains/<base>: filter → groupBy max(ts) → ordered enumeration. */
+  def ctSubdomains(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === lit("purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_seen"))
+      .orderBy(col("user_id"))
+
+  /** /recent/<base>: conjunctive filter with time lookback → GROUP BY as
+    * distinct (Catalyst rewrites both to the same Aggregate). */
+  def ctRecent(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === lit("view") &&
+        col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-29 12:00:00")))
+      .select(col("user_id")).distinct()
+      .orderBy(col("user_id"))
+
+  /** /tld/<tld>: LIKE suffix match → group max → top-k by recency. */
+  def ctTldTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("props").like("%9}"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_seen"))
+      .orderBy(col("last_seen").desc, col("user_id"))
+      .limit(50)
+
+  /** /stats?date=: one-pass 5-fold aggregate over a single day.
+    * Exact count(DISTINCT) here for the oracle; the approximate variant
+    * (reference uniqCombined, api/app.py:187-188) is ctStatsApprox. */
+  def ctStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-15")))
+      .agg(
+        count(lit(1)).as("total"),
+        countDistinct(col("user_id")).as("users"),
+        countDistinct(col("event_type")).as("types"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"))
+
+  /** A4 uniqCombined analog: HyperLogLog++ sketch. Sketches differ across
+    * engines, so no SQL oracle (rows-only check); CtShapeSpec asserts the
+    * estimate is within ±5% of exact (SURVEY §5.2). */
+  def ctStatsApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_type")).as("approx_types"))
+
+  /** Total table count (README.md:167). */
+  def ctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(count(lit(1)).as("total"))
+
+  /** /stream: incremental tail scan — ts > cursor, ascending, batch cap.
+    * Uses ts >= boundary-safe tiebreaker ordering (fixes the reference's
+    * boundary bug, SURVEY §2.10 ST4). */
+  def ctStreamTail(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") > lit(java.sql.Timestamp.valueOf(NOW)))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(100)
+
+  /** Claimed fingerprint dedup (README.md:19) done properly at scale:
+    * keep the latest row per (user_id, event_type) via a ranking window —
+    * the Window.partitionBy+row_number pattern from SURVEY §2.5. */
+  def ctDedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts").as("last_ts"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_domain_lookup" -> (ctDomainLookup _),
+    "ct_subdomains" -> (ctSubdomains _),
+    "ct_recent" -> (ctRecent _),
+    "ct_tld_topk" -> (ctTldTopk _),
+    "ct_stats" -> (ctStats _),
+    "ct_stats_approx" -> (ctStatsApprox _),
+    "ct_count" -> (ctCount _),
+    "ct_stream_tail" -> (ctStreamTail _),
+    "ct_dedup_latest" -> (ctDedupLatest _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ct_domain_lookup" ->
+      """SELECT * FROM events WHERE event_type = 'click'
+        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+    "ct_subdomains" ->
+      """SELECT user_id, max(ts) AS last_seen FROM events
+        |WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ct_recent" ->
+      """SELECT user_id FROM events
+        |WHERE event_type = 'view' AND ts > TIMESTAMP '2024-01-29 12:00:00'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ct_tld_topk" ->
+      """SELECT user_id, max(ts) AS last_seen FROM events
+        |WHERE props LIKE '%9}' GROUP BY user_id
+        |ORDER BY last_seen DESC, user_id LIMIT 50""".stripMargin,
+    "ct_stats" ->
+      """SELECT count(*) AS total,
+        |  count(DISTINCT user_id) AS users,
+        |  count(DISTINCT event_type) AS types,
+        |  min(ts) AS first_seen, max(ts) AS last_seen
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin,
+    "ct_count" -> "SELECT count(*) AS total FROM events",
+    "ct_stream_tail" ->
+      s"""SELECT * FROM events WHERE ts > TIMESTAMP '$NOW'
+         |ORDER BY ts, event_id LIMIT 100""".stripMargin,
+    "ct_dedup_latest" ->
+      """SELECT user_id, event_type, ts AS last_ts, event_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+    // ct_stats_approx: intentionally no oracle — engine-specific HLL sketch.
+  )
+}

@@ -1,10 +1,15 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Relational coverage queries over the driver testdata (SURVEY §2, §7.6).
+  *
+  * The reference itself has no joins/windows/set-ops (SURVEY §2.3/§2.5/§2.7);
+  * these queries declare the beyond-reference surface Spark gives for free,
+  * exercised so the oracle gate pins their semantics.
   *
   * Determinism rules (FIXTURES.md): no wall clock (fixed literals), every
   * ORDER BY carries a full tiebreaker, money aggregates are computed on
@@ -13,10 +18,12 @@ import graft.Tables
   */
 object RelationalQueries {
 
+  /** Exact decimal view of a double money column. */
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+
   /** Exact decimal sum of a double column, returned as double.
     * Partial/final aggregation order then cannot perturb low bits. */
-  private def dsum(c: String): org.apache.spark.sql.Column =
-    sum(col(c).cast("decimal(18,2)")).cast("double")
+  private def dsum(c: String): Column = sum(dec(c)).cast("double")
 
   /** TPC-H Q1 pricing summary shape: scan → filter → hash agg (partial+final)
     * → sort. Maps reference ops P5/A1/A6 (api/app.py:184-193) onto lineitem. */
@@ -27,12 +34,181 @@ object RelationalQueries {
       .agg(
         dsum("l_quantity").as("sum_qty"),
         dsum("l_extendedprice").as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** Star-schema join with broadcast dims: orders ⋈ customer ⋈ nation.
+    * nation/customer are small → explicit broadcast() keeps the big fact
+    * side shuffle-free (100 TB rule: never shuffle the fact table to join
+    * a dimension that fits in memory). */
+  def q2JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Fact-to-fact equi-join (lineitem ⋈ orders) → agg. At scale this is the
+    * shuffle-heavy case: both sides hash-partition on the join key and AQE
+    * handles skew; here we let Catalyst pick (sort-merge or broadcast). */
+  def q3JoinLarge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-semi join (EXISTS): customers having a big order. */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(400000.0))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Ranking window: top-3 orders per customer (row_number ≤ 3). */
+  def q6WindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long")) // match DuckDB's BIGINT row_number
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running-total window: cumulative quantity per supplier over ship time.
+    * Decimal accumulator → identical values under any engine's window
+    * evaluation strategy. */
+  def q7WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("running_qty", sum(dec("l_quantity")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** UNION (distinct) of two key sets. */
+  def q8Union(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  /** INTERSECT of customer vs supplier nations. */
+  def q9Intersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** EXCEPT: nations with customers but no suppliers. */
+  def q10Except(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** ROLLUP aggregation (beyond-reference grouping sets). NULL grouping
+    * cells are coalesced to 'ALL' so row identity is total-order stable. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject (no full sort). */
+  def q12Topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(10)
+
+  /** DISTINCT enumeration. */
+  def q13Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment")).distinct()
+      .orderBy(col("c_mktsegment"))
+
+  /** Generator/explode (reference G1, ct_ingestor.py:189-203): token
+    * frequency via explode(split(text)) → hash agg → top-k. */
+  def q14ExplodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= lit(""))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+
+  /** Day-grain time rollup (reference F3 toDate, api/app.py:177). */
+  def q15EventsPerDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+      .orderBy(col("day"))
+
+  /** Scalar-subquery shape: parts priced above the global mean. The mean is
+    * compared in exact decimal arithmetic (price*cnt > total) so both
+    * engines agree on boundary rows. */
+  def q16AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val stats = part.agg(
+      sum(dec("p_retailprice")).as("total"), count(lit(1)).as("cnt"))
+    part.crossJoin(broadcast(stats))
+      .filter(dec("p_retailprice") * col("cnt") > col("total"))
+      .select(col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_join_broadcast" -> (q2JoinBroadcast _),
+    "q3_join_large" -> (q3JoinLarge _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_window_topn" -> (q6WindowTopn _),
+    "q7_window_running" -> (q7WindowRunning _),
+    "q8_union" -> (q8Union _),
+    "q9_intersect" -> (q9Intersect _),
+    "q10_except" -> (q10Except _),
+    "q11_rollup" -> (q11Rollup _),
+    "q12_topk" -> (q12Topk _),
+    "q13_distinct" -> (q13Distinct _),
+    "q14_explode_tokens" -> (q14ExplodeTokens _),
+    "q15_events_per_day" -> (q15EventsPerDay _),
+    "q16_above_avg" -> (q16AboveAvg _)
+  )
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -45,11 +221,88 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
-  )
-
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+    "q2_join_broadcast" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_join_large" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q7_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 20
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q8_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q9_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q10_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q12_topk" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+    "q13_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q14_explode_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q15_events_per_day" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
+    "q16_above_avg" ->
+      """SELECT p_partkey, p_retailprice
+        |FROM part CROSS JOIN (
+        |  SELECT sum(CAST(p_retailprice AS DECIMAL(18,2))) AS total, count(*) AS cnt
+        |  FROM part) s
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) * cnt > total
+        |ORDER BY p_partkey""".stripMargin
   )
 }

@@ -71,6 +71,12 @@ def main():
         if exact:
             print(f"OK    {name}: {len(got)} rows exact")
             continue
+        if list(got.dtypes) != list(want.dtypes):
+            pairs = {c: (str(got[c].dtype), str(want[c].dtype))
+                     for c in got.columns if got[c].dtype != want[c].dtype}
+            print(f"WARN  {name}: dtype mismatch (schema check may fail): {pairs}")
+            failures += 1
+            continue
         # cell-level diff with float tolerance
         bad = []
         for c in got.columns:
