@@ -1,0 +1,69 @@
+package graft.ct
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.sql.Timestamp
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Micro-batch ingestion driver — the v0 port of the reference's per-log
+  * worker loop (/root/reference/ingestion/ct_ingestor.py:150-230, SURVEY
+  * §7.2 step 5).
+  *
+  * The reference runs one OS process per CT log (S6, :240-247); here each
+  * log's batch becomes a Spark job whose parse/explode work is distributed
+  * across executors, so per-log parallelism comes from tasks instead of
+  * processes. Offsets are plain per-log files written AFTER a successful
+  * append (S5, :169,224-226) — at-least-once, made effectively exactly-once
+  * by the pipeline's (fingerprint, domain) dedup plus `Compact.dedupe`.
+  *
+  * The entry source is pluggable: production would wrap the CT HTTP API
+  * (get-sth/get-entries, S3-S4); tests inject fixtures (zero-egress).
+  */
+object Ingestor {
+
+  val BatchSize = 512 // reference BATCH_SIZE, ct_ingestor.py:25
+
+  /** S3 + S4: tree size high-watermark and contiguous entry fetch. */
+  trait EntrySource {
+    def treeSize(log: LogList.CtLog): Long
+    def fetchEntries(log: LogList.CtLog, start: Long, endInclusive: Long): Seq[RawEntry]
+  }
+
+  final class FileOffsets(dir: String) {
+    Files.createDirectories(Paths.get(dir))
+    private def p(name: String) = Paths.get(dir, s"${name.replace(' ', '_')}.offset")
+    def read(name: String): Long =
+      if (Files.exists(p(name))) new String(Files.readAllBytes(p(name))).trim.toLong else 0L
+    def write(name: String, v: Long): Unit =
+      Files.write(p(name), v.toString.getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+  }
+
+  /** Ingest every admitted log up to its current tree size (frozen-log
+    * boundedness S8: a frozen log is done once the offset reaches the
+    * size; usable logs are re-polled by the caller on its trigger cadence).
+    * Returns rows appended. `ingestTs` parameterizes the wall clock. */
+  def runOnce(spark: SparkSession, logs: Seq[LogList.CtLog], source: EntrySource,
+      storePath: String, offsets: FileOffsets, ingestTs: Timestamp,
+      batchSize: Int = BatchSize): Long = {
+    import spark.implicits._
+    var appended = 0L
+    logs.foreach { lg =>
+      val name = lg.name.replace(' ', '_')
+      var idx = offsets.read(name)
+      val size = source.treeSize(lg)
+      while (idx < size) {
+        val end = math.min(idx + batchSize, size - 1)
+        val entries = source.fetchEntries(lg, idx, end)
+        if (entries.nonEmpty) {
+          val df = IngestPipeline.certDomains(spark.createDataset(entries), ingestTs)
+          CertStore.write(df, storePath, SaveMode.Append)
+          appended += df.count()
+        }
+        idx = end + 1
+        offsets.write(name, idx) // after successful append → at-least-once
+      }
+    }
+    appended
+  }
+}
