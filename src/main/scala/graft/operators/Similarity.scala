@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceKnn` — exact cosine top-k: one broadcast of the query
+  *    vector, a codegen'd map over all vectors, a TakeOrdered top-k. The
+  *    correctness baseline, and at 100 TB still the right shape for a
+  *    single query (scan-bound, embarrassingly parallel, no index).
+  *  - `lshKnn` — random-hyperplane LSH: vectors are bucketed by sign bits
+  *    (map-side, no shuffle); a query probes only its bucket. At scale the
+  *    bucket id becomes the partition key so a probe touches one partition
+  *    instead of the full table (IVF-style cell routing).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against the vector with id `queryId`. */
+  def bruteForceKnn(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", V.cosine(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Vectors annotated with their LSH bucket. */
+  def withBucket(embeddings: DataFrame, nPlanes: Int = 8): DataFrame =
+    embeddings.withColumn("bucket", V.lshBucket(col("embedding"), nPlanes))
+
+  /** LSH-bucketed ANN: top-k by cosine *within the query's bucket*. */
+  def lshKnn(embeddings: DataFrame, queryId: Long, k: Int = 10, nPlanes: Int = 4): DataFrame = {
+    val bucketed = withBucket(embeddings, nPlanes)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("q_bucket"))
+      .withColumn("cos_sim", V.cosine(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

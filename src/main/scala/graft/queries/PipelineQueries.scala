@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Declared queries for the training-data pipeline operators (dedup family,
+  * similarity search, text analysis, multimodal plumbing) over the
+  * `documents` / `embeddings` tables, with DuckDB oracle SQL.
+  *
+  * Every hash these queries use is portable arithmetic (TextFunctions), so
+  * the oracle reproduces signatures/fingerprints bit-for-bit; all floating
+  * point goes through exact int arithmetic or identical left-to-right
+  * double folds, so doubles are bit-identical too. The oracle SQL for the
+  * hashing ops is *generated here* from the same constants as the Spark
+  * side — one source of truth, no drift.
+  */
+object PipelineQueries {
+
+  // ---- DuckDB SQL builders (mirror TextFunctions/VectorFunctions) ----
+
+  private val P = T.HashMod.toString
+
+  /** Polynomial rolling hash of a string expression. */
+  private def dPoly(v: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($v, ''), pc -> ascii(pc)::BIGINT)), (pa, px) -> (pa*31 + px) % $P)"
+
+  private def dTokens(v: String): String = s"string_split($v, ' ')"
+
+  /** Word k-shingles over a token-list expression. */
+  private def dShingles(t: String, k: Int): String =
+    s"list_transform(range(len($t) - ${k - 1}), shi -> array_to_string(($t)[shi+1:shi+$k], ' '))"
+
+  /** MinHash signature over a shingle-list expression. */
+  private def dMinhashSig(shs: String): String =
+    s"list_transform(range(${T.MinhashK}), mj -> list_reduce(list_prepend(${Long.MaxValue}::BIGINT, " +
+    s"list_transform(list_distinct($shs), ms -> ((31*mj + 1251) * ${dPoly("ms")} + 17*mj + 7397) % $P)), (ma, mx) -> least(ma, mx)))"
+
+  /** Left-fold double dot product of two list expressions. */
+  private def dDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len($a)), di -> ($a)[di+1]::DOUBLE * ($b)[di+1]::DOUBLE)), (da, dx) -> da + dx)"
+
+  private def dCos(a: String, b: String): String =
+    s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
+
+  /** Random-hyperplane LSH bucket of a list expression (VectorFunctions
+    * plane formula: w_j[i] = ((31i + 73j) mod 13) - 6). */
+  private def dLshBucket(v: String, nPlanes: Int = 4): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range($nPlanes), lj -> CASE WHEN " +
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len($v)), li -> ($v)[li+1]::DOUBLE * (((31*li + 73*lj) % 13) - 6)::DOUBLE)), (ha, hx) -> ha + hx)" +
+    s" > 0 THEN (1::BIGINT << lj) ELSE 0::BIGINT END)), (ba, bx) -> ba + bx)"
+
+  /** SimHash per doc, group-by formulation (avoids triple-nested lambdas). */
+  private val dSimhashCte: String =
+    s"""tok AS (SELECT doc_id, unnest(${dTokens("text")}) AS tk FROM documents),
+       |ph AS (SELECT doc_id, ${dPoly("tk")} AS x FROM tok),
+       |bits AS (SELECT doc_id, br.r AS b, sum(CASE WHEN (x >> br.r) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM ph, range(${T.SimhashBits}) br(r) GROUP BY doc_id, br.r),
+       |sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       |        FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTEs for n-gram Jaccard pairs at threshold 0.5. */
+  private val dJaccardCtes: String =
+    s"""sh AS (SELECT doc_id, unnest(list_distinct(${dShingles(dTokens("text"), 3)})) AS sh FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inters AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT i, j, inter, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+       |          FROM inters JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |          WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5)""".stripMargin
+
+  // ---- declared queries ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(T.tokens(col("text")))).cast("long").as("n_uniq_tokens"),
+        col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "doc_quality" -> ((s, d) => {
+      val t = T.tokens(col("text"))
+      val nTok = size(t).cast("long")
+      val sumLen = aggregate(transform(t, x => length(x).cast("long")), lit(0L), (a, b) => a + b)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (size(array_distinct(t)).cast("long") / nTok).as("uniq_ratio"),
+        (sumLen / nTok).as("avg_token_len"),
+        (T.stopwordHits(col("text"), T.stopwords.toMap.apply("en")).cast("long") / nTok).as("stop_ratio"),
+        (nTok.between(30, 2000) &&
+          (size(array_distinct(t)).cast("long") / nTok) > 0.2).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_langid" -> ((s, d) => {
+      val scores = T.stopwords.sortBy(_._1).map { case (code, set) =>
+        T.stopwordHits(col("text"), set).cast("long").as(s"s_$code")
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id") +: scores :+ T.langId(col("text")).as("predicted"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("md5_hash"),
+        T.polyHash(col("text")).as("poly_hash"),
+        T.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+
+    "dedup_ngram_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), k = 3, threshold = 0.5)),
+
+    "dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), k = 3).orderBy(col("doc_id"))),
+
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), k = 3, threshold = 0.5)),
+
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 1)),
+
+    "dedup_embedding_pairs" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)),
+
+    "emb_knn" -> ((s, d) =>
+      Similarity.bruteForceKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
+
+    "emb_knn_lsh" -> ((s, d) =>
+      Similarity.lshKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
+
+    "emb_norms" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        V.norm2(col("embedding")).as("norm2"),
+        size(col("embedding")).cast("long").as("n_dims"))
+        .orderBy(col("vec_id"))),
+
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(s, Tables.documents(s, d)).toDF().orderBy(col("doc_id")))
+  )
+
+  // ---- oracle SQL ----
+
+  def oracleSql: Map[String, String] = Map(
+    "doc_token_stats" ->
+      s"""SELECT doc_id, len(${dTokens("text")})::BIGINT AS n_tokens,
+         |  len(list_distinct(${dTokens("text")}))::BIGINT AS n_uniq_tokens, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_quality" -> {
+      val nTok = s"len(${dTokens("text")})::BIGINT"
+      val nUniq = s"len(list_distinct(${dTokens("text")}))::BIGINT"
+      val sumLen = s"list_reduce(list_prepend(0::BIGINT, list_transform(${dTokens("text")}, at -> length(at)::BIGINT)), (aa, ax) -> aa + ax)"
+      val stops = T.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      val nStop = s"len(list_filter(${dTokens("lower(text)")}, qt -> qt IN ($stops)))::BIGINT"
+      s"""SELECT doc_id, $nTok AS n_tokens,
+         |  $nUniq / $nTok AS uniq_ratio,
+         |  $sumLen / $nTok AS avg_token_len,
+         |  $nStop / $nTok AS stop_ratio,
+         |  ($nTok BETWEEN 30 AND 2000) AND ($nUniq / $nTok > 0.2) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_langid" -> {
+      val langs = T.stopwords.sortBy(_._1)
+      val scoreCols = langs.map { case (code, set) =>
+        val words = set.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(${dTokens("lower(text)")}, qt -> qt IN ($words)))::BIGINT AS s_$code"
+      }.mkString(",\n  ")
+      // first-maximal-in-alphabetical-order (mirrors TextFunctions.langId fold)
+      val codes = langs.map(_._1)
+      val caseArms = codes.init.zipWithIndex.map { case (c, idx) =>
+        val rest = codes.drop(idx + 1).map(o => s"s_$c >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$c'"
+      }.mkString("\n    ")
+      s"""SELECT doc_id, s_${codes.mkString(", s_")},
+         |  CASE $caseArms ELSE '${codes.last}' END AS predicted
+         |FROM (SELECT doc_id, $scoreCols FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_fingerprint" ->
+      s"""WITH $dSimhashCte
+         |SELECT d.doc_id, md5(d.text) AS md5_hash, ${dPoly("d.text")} AS poly_hash, sim.simhash
+         |FROM documents d JOIN sim ON d.doc_id = sim.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_pairs" ->
+      s"""WITH $dJaccardCtes
+         |SELECT i, j, inter, jaccard FROM pairs ORDER BY i, j""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""SELECT doc_id, ${dMinhashSig(dShingles(dTokens("text"), 3))} AS sig
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" -> {
+      val r = T.MinhashK / T.MinhashBands
+      s"""WITH $dJaccardCtes,
+         |sig AS (SELECT doc_id, ${dMinhashSig(dShingles(dTokens("text"), 3))} AS sig FROM documents),
+         |bands AS (SELECT doc_id, bj.r AS band_idx, array_to_string(sig[bj.r*$r+1:bj.r*$r+$r], '-') AS band_val
+         |          FROM sig, range(${T.MinhashBands}) bj(r)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b
+         |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT p.i, p.j, p.inter, p.jaccard FROM pairs p
+         |WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = p.i AND c.j = p.j)
+         |ORDER BY p.i, p.j""".stripMargin
+    },
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $dSimhashCte
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY i, j""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      s"""SELECT a.vec_id AS i, b.vec_id AS j, ${dCos("a.embedding", "b.embedding")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${dCos("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY i, j""".stripMargin,
+
+    "emb_knn" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${dCos("embedding", "qe")} AS cos_sim
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "emb_knn_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, label, embedding, ${dLshBucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qe, bucket AS qb FROM bk WHERE vec_id = 0)
+         |SELECT vec_id, label, bucket, ${dCos("embedding", "qe")} AS cos_sim
+         |FROM bk, q WHERE vec_id <> 0 AND bucket = qb
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "emb_norms" ->
+      s"""SELECT vec_id, label, ${dDot("embedding", "embedding")} AS norm2,
+         |  len(embedding)::BIGINT AS n_dims
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS sha256,
+        |  (octet_length(encode(text)) % 640 + 16)::BIGINT AS width,
+        |  ((octet_length(encode(text)) * 7) % 480 + 16)::BIGINT AS height,
+        |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001"))
+  private lazy val embs = Tables.embeddings(spark, sf("sf0.001"))
+
+  test("polyHash matches a reference implementation on sample strings") {
+    def ref(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % T.HashMod)
+    val got = Seq("", "a", "spark graft", "hello world hello")
+      .toDF("s").select(T.polyHash(col("s"))).as[Long].collect()
+    assert(got.toSeq == Seq("", "a", "spark graft", "hello world hello").map(ref))
+  }
+
+  test("shingles: sliding k-grams, short docs empty") {
+    val got = Seq("a b c d", "a b").toDF("text")
+      .select(T.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("minhash signature: similar docs share more hash minima than dissimilar") {
+    val sigs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away slowly"),
+      (3L, "completely different text about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), T.minhashSig(T.shingles(col("text"), 3)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def overlap(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(overlap(sigs(1L), sigs(2L)) > overlap(sigs(1L), sigs(3L)))
+  }
+
+  test("minhash-LSH pairs find all planted near-dups (recall vs exact jaccard)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact, s"LSH candidates must cover every >=0.5 pair (missed ${exact -- lsh})")
+  }
+
+  test("near-dup pairs are simhash-close; exact dedup keeps every unique text") {
+    val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect()
+    val dists = pairs.map { case (i, j) =>
+      java.lang.Long.bitCount(sims(i) ^ sims(j)) }
+    assert(dists.forall(_ <= 6), s"near-dup simhash distances: ${dists.toSeq}")
+    assert(Dedup.exact(docs).count() == docs.count()) // no exact dups planted
+  }
+
+  test("cosine: exact on known vectors; knn ranks the data deterministically") {
+    val c = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)), (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b").select(V.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(c(0) == 1.0 && c(1) == 0.0)
+    val knn = Similarity.bruteForceKnn(embs, 0L, 5).collect()
+    assert(knn.length == 5)
+    val cs = knn.map(_.getAs[Double]("cos_sim"))
+    assert(cs.sameElements(cs.sorted.reverse), "descending by cosine")
+  }
+
+  test("LSH knn returns a subset of brute-force ordering within the bucket") {
+    val r = Similarity.lshKnn(embs, 0L, 10, 4).collect()
+    // 4 planes over 500 vecs → buckets are populated; result must be non-empty
+    assert(r.nonEmpty)
+    val buckets = r.map(_.getAs[Long]("bucket")).distinct
+    assert(buckets.length == 1, "all results share the query's bucket")
+  }
+
+  test("multimodal decode: deterministic stub meta over binary payloads") {
+    val m = Multimodal.decodeMeta(spark, docs).collect()
+    assert(m.length == docs.count())
+    m.foreach { r =>
+      assert(r.sha256.length == 64)
+      assert(r.width >= 16 && r.width < 656 && r.height >= 16 && r.n_frames >= 1)
+    }
+    // deterministic: same input → same meta
+    val m2 = Multimodal.decodeMeta(spark, docs).collect()
+    assert(m.sortBy(_.doc_id).toSeq == m2.sortBy(_.doc_id).toSeq)
+  }
+
+  test("langId is deterministic and total (every doc gets a code)") {
+    val langs = docs.select(T.langId(col("text"))).as[String].collect()
+    assert(langs.forall(T.stopwords.map(_._1).toSet))
+  }
+}
