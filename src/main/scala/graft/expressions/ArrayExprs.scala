@@ -1,0 +1,164 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.TextFunctions
+
+/** Native Catalyst expressions for the engine's hash/vector hot paths.
+  *
+  * Why these exist: Spark's higher-order functions (`transform`/`aggregate`)
+  * evaluate their lambda once per array ELEMENT through the interpreter —
+  * fine for a projection over 5k rows, ruinous inside an O(n²) pair join or
+  * a 30-bit × n-token fold (measured ~µs per element). Each expression here
+  * is the same arithmetic as its HOF twin in
+  * TextFunctions/VectorFunctions — bit-identical results, same DuckDB
+  * oracle — as a tight JVM loop over ArrayData (tier (b) of the
+  * custom-operator preference order; the scalar semantics don't warrant a
+  * full LogicalPlan/Strategy).
+  */
+
+/** Left-fold dot product of two array<double> columns (index order, exact
+  * IEEE parity with `aggregate(zip_with(a,b,*),0.0,+)`). Codegen'd: this
+  * sits inside pairwise joins evaluating millions of times. */
+case class DotDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Portable polynomial rolling hash of a string: fold over code points,
+  * acc = (acc*31 + cp) mod 1e9+7 (TextFunctions.polyHash semantics). */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.polyHash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ArrayExprs.polyHash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 30-bit SimHash over an array<long> of token hashes
+  * (TextFunctions.simhashFromHashes semantics, one pass, native). */
+case class Simhash30(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.simhash30(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ArrayExprs.simhash30($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature over an array<long> of shingle hashes: for j <
+  * MinhashK, min over the array of ((31j+1251)·x + 17j+7397) mod 1e9+7.
+  * (min over a multiset equals min over its distinct set, so this matches
+  * the array_distinct-based HOF and oracle definitions exactly.) */
+case class MinhashSig(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.minhashSig(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ArrayExprs.minhashSig($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static helpers invoked from generated code (and reusable from eval). */
+object ArrayExprs {
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % TextFunctions.HashMod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def simhash30(hs: ArrayData): Long = {
+    val bits = TextFunctions.SimhashBits
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val x = hs.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((x >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def minhashSig(hs: ArrayData): ArrayData = {
+    val k = TextFunctions.MinhashK
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val x = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = ((31L * j + 1251L) * x + 17L * j + 7397L) % TextFunctions.HashMod
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  // Column-level entry points (Spark 4: Column <-> Expression bridging via
+  // the graftbridge shim over the private[sql] ExpressionUtils)
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def dot_double(a: Column, b: Column): Column = column(DotDouble(expression(a), expression(b)))
+  def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
+  def simhash30(c: Column): Column = column(Simhash30(expression(c)))
+  def minhash_sig(c: Column): Column = column(MinhashSig(expression(c)))
+}

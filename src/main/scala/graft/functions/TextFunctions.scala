@@ -34,12 +34,10 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Portable polynomial rolling hash of a string:
-    * fold over code points, acc = (acc*31 + cp) mod 1e9+7. */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % HashMod)
+    * fold over code points, acc = (acc*31 + cp) mod 1e9+7.
+    * Native expression (graft.expressions.PolyHash) — the HOF formulation
+    * (aggregate over split(s,"")) pays interpreter dispatch per character. */
+  def polyHash(s: Column): Column = graft.expressions.ArrayExprs.poly_hash(s)
 
   /** Word k-shingles: sliding windows of k tokens joined by a space.
     * Short documents (< k tokens) yield an empty array. */
@@ -51,14 +49,31 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature (array of MinhashK longs) over the *distinct*
-    * shingle set — the per-document half of MinHash-LSH dedup. */
-  def minhashSig(shinglesCol: Column): Column = {
-    val phs = transform(array_distinct(shinglesCol), s => polyHash(s))
-    transform(sequence(lit(0), lit(MinhashK - 1)), j =>
-      aggregate(phs, lit(Long.MaxValue),
-        (m, x) => least(m, ((lit(31L) * j + lit(1251L)) * x + lit(17L) * j + lit(7397L)) % HashMod)))
+  /** Per-token polynomial hashes — the shared intermediate for MinHash and
+    * SimHash. Materialize this ONCE as a column before fanning out into
+    * per-hash-function aggregates: Catalyst does not CSE lambda
+    * subexpressions, so inlining it into k branches recomputes it k times. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => polyHash(t))
+
+  /** k-shingle hashes combined from token hashes (no shingle strings are
+    * ever materialized): sh_i = fold of (acc*8191 + th) mod HashMod over
+    * the window's token hashes. */
+  def shingleHashes(tokenHashesCol: Column, k: Int): Column = {
+    def win(i: Column): Column =
+      (0 until k).map(o => element_at(tokenHashesCol, i + lit(o + 1)))
+        .reduceLeft((acc, th) => (acc * 8191L + th) % HashMod)
+    when(size(tokenHashesCol) >= k,
+      transform(sequence(lit(0), size(tokenHashesCol) - k), i => win(i)))
+      .otherwise(array().cast("array<long>"))
   }
+
+  /** MinHash signature (array of MinhashK longs) over a shingle-hash array
+    * (see shingleHashes). Native one-pass expression; min over the multiset
+    * equals min over the distinct set, so values match the
+    * array_distinct-based oracle definition exactly. */
+  def minhashSigFromHashes(shingleHashesCol: Column): Column =
+    graft.expressions.ArrayExprs.minhash_sig(shingleHashesCol)
 
   /** LSH band values for a MinHash signature: MinhashBands strings, each
     * the dash-joined slice of r = MinhashK/MinhashBands signature rows.
@@ -71,18 +86,10 @@ object TextFunctions {
 
   /** 30-bit SimHash over the token *multiset* (duplicates weigh in, as in
     * Charikar's scheme): bit b is set iff the sum of ±1 votes from each
-    * token's hash bit b is positive. */
-  def simhash(text: Column): Column = {
-    val phs = transform(tokens(text), t => polyHash(t))
-    aggregate(
-      transform(sequence(lit(0), lit(SimhashBits - 1)), b =>
-        when(
-          aggregate(phs, lit(0L), (acc, x) =>
-            acc + when(pmod(floor(x / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1L, lit(1L))
-              .otherwise(lit(-1L))) > 0,
-          pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+    * token's hash bit b is positive. `phs` is a tokenHashes column.
+    * Native one-pass expression (30 × n interpreted lambda steps otherwise). */
+  def simhashFromHashes(phs: Column): Column =
+    graft.expressions.ArrayExprs.simhash30(phs)
 
   /** Per-language stopword marker sets for the n-gram/stopword language-ID
     * heuristic. Small on purpose — the mechanism (score per language, argmax

@@ -18,8 +18,11 @@ object VectorFunctions {
   /** Left-fold sum of an array<double>. */
   def fsum(a: Column): Column = aggregate(a, lit(0.0), (acc, v) => acc + v)
 
+  /** Native codegen'd dot product (graft.expressions.DotDouble): identical
+    * left-to-right fold as aggregate(zip_with(a,b,*),0.0,+), without per-
+    * element interpreter dispatch — this runs per PAIR in O(n²) dedup. */
   def dot(a: Column, b: Column): Column =
-    fsum(zip_with(asD(a), asD(b), (x, y) => x * y))
+    graft.expressions.ArrayExprs.dot_double(asD(a), asD(b))
 
   def norm2(a: Column): Column = dot(a, a)
 

@@ -52,10 +52,14 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Per-document MinHash signature (MinhashK portable hashes). */
+  /** Per-document MinHash signature (MinhashK portable hashes). Token and
+    * shingle hashes are materialized as intermediate columns so each is
+    * computed exactly once per document (Catalyst does not CSE lambda
+    * subexpressions across the MinhashK aggregate branches). */
   def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-      T.minhashSig(T.shingles(col("text"), k)).as("sig"))
+    docs.select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"), T.shingleHashes(col("ths"), k).as("shs"))
+      .select(col("doc_id"), T.minhashSigFromHashes(col("shs")).as("sig"))
 
   /** MinHash-LSH dedup: band-join candidates, then exact-Jaccard verify.
     * Returns verified pairs ≥ threshold (a subset of ngramJaccardPairs
@@ -74,27 +78,49 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Per-document SimHash fingerprint. */
+  /** Per-document SimHash fingerprint (token hashes materialized once). */
   def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), T.simhash(col("text")).as("simhash"))
+    docs.select(col("doc_id"), T.tokenHashes(col("text")).as("phs"))
+      .select(col("doc_id"), T.simhashFromHashes(col("phs")).as("simhash"))
 
-  /** Pairs whose SimHash Hamming distance ≤ maxDist. The pairwise compare
-    * is a broadcast nested loop on fingerprints only (8 bytes/doc); the
-    * scale path blocks on fingerprint prefixes first. */
+  /** Pairs whose SimHash Hamming distance ≤ 1, exactly — via the pigeonhole
+    * band trick: two fingerprints within distance 1 agree on their upper or
+    * lower 15 bits, so two hash equi-joins (one per half) produce a
+    * candidate superset with zero recall loss, and the cheap bit_count
+    * filter verifies. No O(n²) nested-loop compare; the band value is the
+    * shuffle key, which is how this runs on 10^10 documents.
+    * (For maxDist = d generally: split into d+1 bands.) */
   def simhashPairs(docs: DataFrame, maxDist: Int = 1): DataFrame = {
+    require(maxDist <= 1, "band split implemented for maxDist <= 1")
     val s = simhashes(docs)
-    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+    val half = T.SimhashBits / 2
+    def bandJoin(band: Column => Column): DataFrame = {
+      val withBand = s.withColumn("band", band(col("simhash")))
+      withBand.as("a").join(withBand.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+    }
+    val lo = bandJoin(sh => pmod(sh, lit(1L << half)))
+    val hi = bandJoin(sh => floor(sh / lit(1L << half)).cast("long"))
+    lo.union(hi).distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxDist)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
+      .select(col("i"), col("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
   }
 
-  /** Embedding near-duplicates: pairs with cosine ≥ threshold, exact. */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.45): DataFrame =
-    embeddings.as("a").join(embeddings.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", V.cosine(col("a.embedding"), col("b.embedding")))
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold, exact.
+    * Norms are precomputed per row (not per pair) — bit-identical value
+    * (same IEEE ops, just reused), 3× fewer array folds on the O(n²) side. */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(V.norm2(col("embedding"))).as("nrm"))
+    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        V.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos_sim") >= threshold)
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), col("cos_sim"))
       .orderBy(col("i"), col("j"))
+  }
 }

@@ -17,13 +17,17 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
-  /** Exact top-k by cosine against the vector with id `queryId`. */
+  /** Exact top-k by cosine against the vector with id `queryId`.
+    * The query's norm rides along in the broadcast row so each scan row
+    * pays one dot + one own-norm fold (identical IEEE ops to the naive
+    * cosine, just reused). */
   def bruteForceKnn(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
+      .select(col("embedding").as("q_emb"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
     embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos_sim", V.cosine(col("embedding"), col("q_emb")))
+      .withColumn("cos_sim",
+        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -37,11 +41,13 @@ object Similarity {
   def lshKnn(embeddings: DataFrame, queryId: Long, k: Int = 10, nPlanes: Int = 4): DataFrame = {
     val bucketed = withBucket(embeddings, nPlanes)
     val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"),
+        sqrt(V.norm2(col("embedding"))).as("q_nrm"))
     bucketed.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .filter(col("bucket") === col("q_bucket"))
-      .withColumn("cos_sim", V.cosine(col("embedding"), col("q_emb")))
+      .withColumn("cos_sim",
+        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)

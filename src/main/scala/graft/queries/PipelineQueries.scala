@@ -33,10 +33,29 @@ object PipelineQueries {
   private def dShingles(t: String, k: Int): String =
     s"list_transform(range(len($t) - ${k - 1}), shi -> array_to_string(($t)[shi+1:shi+$k], ' '))"
 
-  /** MinHash signature over a shingle-list expression. */
+  /** Per-token polynomial hashes (mirror of TextFunctions.tokenHashes). */
+  private def dTokenHashes(text: String): String =
+    s"list_transform(${dTokens(text)}, tk2 -> ${dPoly("tk2")})"
+
+  /** Shingle hashes combined from a token-hash list expression `ths`
+    * (mirror of TextFunctions.shingleHashes). */
+  private def dShingleHashes(ths: String, k: Int): String = {
+    val combined = (0 until k).map(o => s"($ths)[si+${o + 1}]")
+      .reduceLeft((acc, th) => s"(($acc * 8191 + $th) % $P)")
+    s"list_transform(range(len($ths) - ${k - 1}), si -> $combined)"
+  }
+
+  /** MinHash signature over a shingle-hash list expression. */
   private def dMinhashSig(shs: String): String =
     s"list_transform(range(${T.MinhashK}), mj -> list_reduce(list_prepend(${Long.MaxValue}::BIGINT, " +
-    s"list_transform(list_distinct($shs), ms -> ((31*mj + 1251) * ${dPoly("ms")} + 17*mj + 7397) % $P)), (ma, mx) -> least(ma, mx)))"
+    s"list_transform(list_distinct($shs), ms -> ((31*mj + 1251) * ms + 17*mj + 7397) % $P)), (ma, mx) -> least(ma, mx)))"
+
+  /** CTEs producing per-doc MinHash signatures (token hashes → shingle
+    * hashes → signature; same staging as Dedup.minhashSignatures). */
+  private val dSigCtes: String =
+    s"""ths AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
+       |shs AS (SELECT doc_id, ${dShingleHashes("ths", 3)} AS shs FROM ths),
+       |sig AS (SELECT doc_id, ${dMinhashSig("shs")} AS sig FROM shs)""".stripMargin
 
   /** Left-fold double dot product of two list expressions. */
   private def dDot(a: String, b: String): String =
@@ -107,11 +126,13 @@ object PipelineQueries {
     }),
 
     "doc_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        md5(col("text")).as("md5_hash"),
-        T.polyHash(col("text")).as("poly_hash"),
-        T.simhash(col("text")).as("simhash"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), T.tokenHashes(col("text")).as("phs"))
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("md5_hash"),
+          T.polyHash(col("text")).as("poly_hash"),
+          T.simhashFromHashes(col("phs")).as("simhash"))
         .orderBy(col("doc_id"))),
 
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -202,13 +223,13 @@ object PipelineQueries {
          |SELECT i, j, inter, jaccard FROM pairs ORDER BY i, j""".stripMargin,
 
     "dedup_minhash_sig" ->
-      s"""SELECT doc_id, ${dMinhashSig(dShingles(dTokens("text"), 3))} AS sig
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH $dSigCtes
+         |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" -> {
       val r = T.MinhashK / T.MinhashBands
       s"""WITH $dJaccardCtes,
-         |sig AS (SELECT doc_id, ${dMinhashSig(dShingles(dTokens("text"), 3))} AS sig FROM documents),
+         |$dSigCtes,
          |bands AS (SELECT doc_id, bj.r AS band_idx, array_to_string(sig[bj.r*$r+1:bj.r*$r+$r], '-') AS band_val
          |          FROM sig, range(${T.MinhashBands}) bj(r)),
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b

@@ -32,7 +32,8 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog and runs away slowly"),
       (3L, "completely different text about spark query engines and shuffles")
     ).toDF("doc_id", "text")
-      .select(col("doc_id"), T.minhashSig(T.shingles(col("text"), 3)).as("sig"))
+      .select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"), T.minhashSigFromHashes(T.shingleHashes(col("ths"), 3)).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     def overlap(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
     assert(overlap(sigs(1L), sigs(2L)) > overlap(sigs(1L), sigs(3L)))
