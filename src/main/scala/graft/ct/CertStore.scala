@@ -89,12 +89,13 @@ object CertStore {
   }
 
   /** Human-readable byte size, reference semantics (api/app.py:211-219):
-    * base 1024, two decimals. */
+    * base 1024, two decimals, no separator, 0 → "0B". */
   def humanBytes(n: Long): String = {
+    if (n == 0) return "0B"
     val units = Seq("B", "KB", "MB", "GB", "TB", "PB")
     var v = n.toDouble
     var i = 0
     while (v >= 1024.0 && i < units.length - 1) { v /= 1024.0; i += 1 }
-    f"$v%.2f ${units(i)}"
+    f"$v%.2f${units(i)}"
   }
 }

@@ -1,0 +1,156 @@
+package graft.ct
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.{Date, Timestamp}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The reference's REST surface (/root/reference/api/app.py) served over
+  * the Spark engine — dependency-free via the JDK's HttpServer.
+  *
+  * Response shapes follow the reference: list-of-row-lists for /domain,
+  * /subdomains, /recent, /tld (Flask jsonify of result_rows), a
+  * column-name dict for /stats, {bytes, human_readable} for /size, an SSE
+  * stream for /stream, and the route table at /.
+  *
+  * Deviations (documented): timestamps render as ISO-8601 UTC (the
+  * reference's Flask renders RFC 822); /stream advances its cursor with
+  * the boundary-safe `ts >=` + last-key dedup fix (SURVEY §2.10 ST4)
+  * instead of the lossy `ts >`; rate limiting (off by default in the
+  * reference) is not ported.
+  *
+  * Serving is driver-side: each request runs a DataFrame query whose scan
+  * prunes partitions/row-groups by the request predicate (SURVEY §4) and
+  * collects only the bounded result (every endpoint is LIMITed or
+  * single-row by shape).
+  */
+class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
+    port: Int = 0, now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+
+  private val http = HttpServer.create(new InetSocketAddress(port), 0)
+  @volatile private var streaming = true
+
+  def boundPort: Int = http.getAddress.getPort
+
+  // ---- JSON rendering (tiny, dependency-free) ----
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(ZoneOffset.UTC)
+
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString } + "\""
+    case t: Timestamp => jval(tsFmt.format(Instant.ofEpochMilli(t.getTime)))
+    case d: Date => jval(d.toString)
+    case s: scala.collection.Seq[_] => s.map(jval).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => jval(String.valueOf(k)) + ":" + jval(x) }.mkString("{", ",", "}")
+    case b: Boolean => b.toString
+    case n => n.toString
+  }
+
+  private def rowsAsLists(df: DataFrame): String =
+    df.collect().map(r => jval(r.toSeq)).mkString("[", ",", "]")
+
+  private def rowAsDict(r: Row): String =
+    jval(r.schema.fieldNames.map(f => f -> r.getAs[Any](f)).toMap)
+
+  private def send(ex: HttpExchange, code: Int, body: String,
+      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handle(path: String, ex: HttpExchange): Unit = {
+    val parts = path.stripPrefix("/").split("/", 2)
+    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val params = query.split("&").filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    (parts(0), parts.lift(1)) match {
+      case ("", None) =>
+        val routes = Seq("/", "/domain/<name>", "/subdomains/<base>", "/recent/<base>",
+          "/tld/<tld>", "/stats", "/size", "/stream")
+        send(ex, 200, jval(routes.map(r => Map("url" -> r))))
+      case ("domain", Some(name)) =>
+        send(ex, 200, rowsAsLists(CtQueries.domainLookup(table(), name)))
+      case ("subdomains", Some(base)) =>
+        send(ex, 200, rowsAsLists(CtQueries.subdomains(table(), base)))
+      case ("recent", Some(base)) =>
+        send(ex, 200, rowsAsLists(CtQueries.recent(table(), base, now())))
+      case ("tld", Some(tld)) =>
+        val limit = params.get("limit").flatMap(s => s.toIntOption).getOrElse(100)
+        send(ex, 200, rowsAsLists(CtQueries.tldTopk(table(), tld, limit)))
+      case ("stats", None) =>
+        params.get("date") match {
+          case Some(d) if scala.util.Try(Date.valueOf(d)).isFailure =>
+            send(ex, 400, jval(Map("error" -> "Invalid date format. Use YYYY-MM-DD")))
+          case dOpt =>
+            val date = dOpt.map(Date.valueOf)
+              .getOrElse(new Date(now().getTime)) // today() default, app.py:181
+            val rows = CtQueries.stats(table(), date).collect()
+            if (rows.isEmpty) send(ex, 200, "{}")
+            else send(ex, 200, rowAsDict(rows(0)).dropRight(1) +
+              s""","date":${jval(dOpt.getOrElse("today"))}}""")
+        }
+      case ("size", None) =>
+        val b = CertStore.sizeBytes(spark, storePath)
+        send(ex, 200, jval(Map("bytes" -> b, "human_readable" -> CertStore.humanBytes(b))))
+      case ("stream", None) =>
+        // SSE: poll loop with boundary-safe cursor (2 s cadence, app.py:272)
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        var cursor: Option[Timestamp] = None
+        var seen = Set.empty[String] // (fingerprint,domain) at the cursor ts
+        try {
+          while (streaming) {
+            val base = cursor.map(c => CtQueries.streamTail(table(), c))
+              .getOrElse(table().orderBy(org.apache.spark.sql.functions.col("ts"),
+                org.apache.spark.sql.functions.col("fingerprint"),
+                org.apache.spark.sql.functions.col("domain")).limit(100))
+            val rows = base.collect()
+              .filterNot(r => seen.contains(r.getAs[String]("fingerprint") + "|" + r.getAs[String]("domain")))
+            if (rows.nonEmpty) {
+              rows.foreach { r =>
+                out.write(s"data: ${jval(r.toSeq)}\n\n".getBytes(UTF_8))
+              }
+              out.flush()
+              val maxTs = rows.map(_.getAs[Timestamp]("ts")).max((a: Timestamp, b: Timestamp) => a.compareTo(b))
+              cursor = Some(maxTs)
+              seen = rows.filter(_.getAs[Timestamp]("ts") == maxTs)
+                .map(r => r.getAs[String]("fingerprint") + "|" + r.getAs[String]("domain")).toSet
+            }
+            Thread.sleep(2000)
+          }
+        } catch { case _: Throwable => /* client closed */ }
+        finally ex.close()
+      case _ => send(ex, 404, jval(Map("error" -> "not found")))
+    }
+  }
+
+  def start(): Server = {
+    http.createContext("/", (ex: HttpExchange) =>
+      try handle(ex.getRequestURI.getPath, ex)
+      catch { case e: Throwable =>
+        try send(ex, 500, jval(Map("error" -> String.valueOf(e.getMessage))))
+        catch { case _: Throwable => () }
+      })
+    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    http.start()
+    this
+  }
+
+  def stop(): Unit = {
+    streaming = false
+    http.stop(0)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over an event stream (ts, key, payload) —
+  * the unbounded view of the engine's data (SURVEY §2.10). The reference's
+  * streaming surface is a poll loop (ST4, ported in ct.StreamTail); these
+  * extend it with the windowed/stateful operations a real deployment of the
+  * same data model needs, all on the micro-batch engine with checkpointed
+  * exactly-once file sources.
+  *
+  * At scale: windowed aggregation state is partitioned by (window, key)
+  * across executors; the watermark bounds state size (late rows beyond it
+  * are dropped); mapGroupsWithState shuffles once per batch on the key.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Unbounded read of an events directory (new Parquet files = new data). */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(path)
+
+  /** Tumbling-window per-type stats with a watermark: append-mode output,
+    * closed windows only; rows later than the watermark are dropped and
+    * their window's state is freed (ST3/ST5). */
+  def windowedStats(events: DataFrame, window: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
+      last_ts: Timestamp)
+
+  /** Stateful running per-user aggregate via mapGroupsWithState (ST6-style
+    * custom state, update mode): state persists across micro-batches in the
+    * checkpointed state store. */
+  def runningUserAggs(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0, new Timestamp(0L)))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserAgg(userId, acc.n_events + 1, acc.total_value + e.value,
+              if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming frame to a named in-memory table and
+    * process everything currently available (test/dev helper). */
+  def runToMemory(df: DataFrame, name: String, checkpoint: String,
+      mode: OutputMode = OutputMode.Append()): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

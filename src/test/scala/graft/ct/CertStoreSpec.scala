@@ -71,8 +71,8 @@ class CertStoreSpec extends SparkSpec {
     CertStore.write(fixture("2024-01", 5).toDF(), dir, SaveMode.Overwrite)
     assert(CertStore.sizeBytes(spark, dir) > 0)
     assert(CertStore.sizeBytes(spark, dir + "/nope") == 0)
-    assert(CertStore.humanBytes(0) == "0.00 B")
-    assert(CertStore.humanBytes(1536) == "1.50 KB")
-    assert(CertStore.humanBytes(5L * 1024 * 1024 * 1024) == "5.00 GB")
+    assert(CertStore.humanBytes(0) == "0B")
+    assert(CertStore.humanBytes(1536) == "1.50KB")
+    assert(CertStore.humanBytes(5L * 1024 * 1024 * 1024) == "5.00GB")
   }
 }

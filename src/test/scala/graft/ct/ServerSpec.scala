@@ -1,0 +1,96 @@
+package graft.ct
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SaveMode
+import graft.SparkSpec
+
+class ServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val storeDir = {
+    val dir = Files.createTempDirectory("server-store").toString
+    val rows = Seq(
+      CertDomain(ts("2024-01-15 10:00:00"), "a.example.com", "example.com", "f" * 64,
+        "CN=CA", "CN=a", Seq("a.example.com"), ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00"), "log1"),
+      CertDomain(ts("2024-01-15 11:00:00"), "b.example.com", "example.com", "e" * 64,
+        "CN=CA", "CN=b", Seq("b.example.com"), ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00"), "log1"))
+    CertStore.write(rows.toDF(), dir, SaveMode.Overwrite)
+    dir
+  }
+
+  private lazy val server = new Server(spark, () => CertStore.read(spark, storeDir),
+    storeDir, port = 0, now = () => ts("2024-01-15 12:00:00")).start()
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("/ lists routes") {
+    val (code, body) = get("/")
+    assert(code == 200 && body.contains("/domain/<name>") && body.contains("/stream"))
+  }
+
+  test("/domain returns latest-first row lists") {
+    val (code, body) = get("/domain/a.example.com")
+    assert(code == 200)
+    assert(body.startsWith("[[") && body.contains("a.example.com"))
+    assert(!body.contains("b.example.com"))
+  }
+
+  test("/subdomains and /recent enumerate the base domain") {
+    val (_, subs) = get("/subdomains/example.com")
+    assert(subs.contains("a.example.com") && subs.contains("b.example.com"))
+    val (_, rec) = get("/recent/example.com") // both rows within 24h of fixed now
+    assert(rec.contains("a.example.com") && rec.contains("b.example.com"))
+  }
+
+  test("/tld applies LIKE suffix and limit clamp") {
+    val (_, all) = get("/tld/com")
+    assert(all.contains("a.example.com") && all.contains("b.example.com"))
+    val (_, one) = get("/tld/com?limit=1")
+    assert(one.contains("b.example.com") && !one.contains("a.example.com")) // most recent first
+    val (_, clamped) = get("/tld/com?limit=99999") // clamps to 1000, still 200
+    assert(clamped.contains("a.example.com"))
+  }
+
+  test("/stats returns a column dict; bad date is a 400") {
+    val (code, body) = get("/stats?date=2024-01-15")
+    assert(code == 200)
+    assert(body.contains("\"total\":2") && body.contains("\"date\":\"2024-01-15\""))
+    assert(get("/stats?date=nope")._1 == 400)
+  }
+
+  test("/size reports store bytes in reference format") {
+    val (code, body) = get("/size")
+    assert(code == 200)
+    assert(body.contains("\"bytes\":") && body.contains("\"human_readable\":"))
+    assert("\"bytes\":(\\d+)".r.findFirstMatchIn(body).get.group(1).toLong > 0)
+  }
+
+  test("/stream emits SSE frames for existing rows") {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${server.boundPort}/stream")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("").startsWith("text/event-stream"))
+    val buf = new Array[Byte](8192)
+    val n = resp.body().read(buf) // first chunk: the replayed table
+    val chunk = new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+    assert(chunk.contains("data: ") && chunk.contains("a.example.com"))
+    resp.body().close()
+  }
+
+  test("unknown route is 404") {
+    assert(get("/nope")._1 == 404)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams.Event
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def writeBatch(dir: String, rows: Seq[Event]): Unit =
+    rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+
+  test("windowed aggregation closes windows as the watermark advances; late rows dropped") {
+    val dir = Files.createTempDirectory("events-in").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+
+    writeBatch(dir, Seq(
+      Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:05:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 00:12:00"), 1, "view", 3.0)))
+
+    val q = EventStreams.runToMemory(
+      EventStreams.windowedStats(EventStreams.readEvents(spark, dir),
+        window = "10 minutes", watermark = "10 minutes"),
+      "win_out", ckpt)
+    q.processAllAvailable()
+    // watermark so far: 00:12 - 10m = 00:02 → first window [00:00,00:10) not closed yet
+    assert(spark.table("win_out").count() == 0)
+
+    // advance event time far enough to close both earlier windows
+    writeBatch(dir, Seq(Event(4, ts("2024-01-01 01:00:00"), 3, "click", 4.0)))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select("win_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 00:10:00"), "view", 1L, 3.0)))
+
+    // a row far behind the watermark must be dropped, not re-open its window
+    writeBatch(dir, Seq(Event(5, ts("2024-01-01 00:01:30"), 9, "click", 100.0)))
+    q.processAllAvailable()
+    assert(spark.table("win_out").count() == rows.size)
+    q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user state across micro-batches") {
+    val dir = Files.createTempDirectory("events-in2").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+
+    writeBatch(dir, Seq(
+      Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 00:00:02"), 1, "view", 2.5),
+      Event(3, ts("2024-01-01 00:00:03"), 2, "click", 10.0)))
+
+    val q = EventStreams.runToMemory(
+      EventStreams.runningUserAggs(spark,
+        EventStreams.readEvents(spark, dir)).toDF(),
+      "user_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+
+    writeBatch(dir, Seq(Event(4, ts("2024-01-01 00:01:00"), 1, "click", 6.0)))
+    q.processAllAvailable()
+
+    // latest state per user: user 1 saw 3 events across two batches
+    assert(spark.table("user_out").filter($"user_id" === 1 && $"n_events" === 3
+      && $"total_value" === 10.0).count() == 1)
+    assert(spark.table("user_out").filter($"user_id" === 2 && $"n_events" === 1).count() == 1)
+    q.stop()
+  }
+}
