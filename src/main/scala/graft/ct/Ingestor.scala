@@ -66,4 +66,30 @@ object Ingestor {
     }
     appended
   }
+
+  /** Long-running ingest loop with the reference's error handling (S9,
+    * ct_ingestor.py:228-230): any failure logs, sleeps `backoffMs`, and
+    * retries; when caught up, sleeps `pollMs` before re-polling (S7).
+    * `rounds` bounds the loop for tests/bounded deployments
+    * (Int.MaxValue = run forever). */
+  def runLoop(spark: SparkSession, logs: Seq[LogList.CtLog], source: EntrySource,
+      storePath: String, offsets: FileOffsets, ingestTs: () => Timestamp,
+      rounds: Int, pollMs: Long = 5000L, backoffMs: Long = 5000L,
+      batchSize: Int = BatchSize): Long = {
+    var total = 0L
+    var i = 0
+    while (i < rounds) {
+      try {
+        val n = runOnce(spark, logs, source, storePath, offsets, ingestTs(), batchSize)
+        total += n
+        if (n == 0 && i < rounds - 1) Thread.sleep(pollMs)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[ingest] error: ${e.getMessage}; retrying in ${backoffMs}ms")
+          if (i < rounds - 1) Thread.sleep(backoffMs)
+      }
+      i += 1
+    }
+    total
+  }
 }

@@ -28,7 +28,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * single-row by shape).
   */
 class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
-    port: Int = 0, now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    port: Int = 0, now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    allowedIps: Option[Set[String]] = None) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   @volatile private var streaming = true
@@ -70,7 +71,33 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
     ex.close()
   }
 
+  /** P13 allowlist (reference app.py:27-53): if a non-empty allowlist is
+    * configured, the first X-Forwarded-For hop (falling back to the remote
+    * address) must be in it; everything else is a 403. */
+  private def ipAllowed(ex: HttpExchange): Boolean = allowedIps match {
+    case None => true
+    case Some(ips) =>
+      val raw = Option(ex.getRequestHeaders.getFirst("X-Forwarded-For"))
+        .getOrElse(ex.getRemoteAddress.getAddress.getHostAddress)
+      val firstHop = raw.split(",")(0).trim
+      ips.contains(firstHop)
+  }
+
+  /** Parse the reference's ips.txt format: one IP per line, blanks and
+    * #-comments skipped; an empty result disables the filter. */
+  def this(spark: SparkSession, table: () => DataFrame, storePath: String,
+      port: Int, now: () => Timestamp, ipsFile: java.nio.file.Path) =
+    this(spark, table, storePath, port, now,
+      allowedIps = {
+        if (java.nio.file.Files.exists(ipsFile)) {
+          val ips = scala.io.Source.fromFile(ipsFile.toFile).getLines()
+            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+          if (ips.nonEmpty) Some(ips) else None
+        } else None
+      })
+
   private def handle(path: String, ex: HttpExchange): Unit = {
+    if (!ipAllowed(ex)) { send(ex, 403, jval(Map("error" -> "Access denied"))); return }
     val parts = path.stripPrefix("/").split("/", 2)
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     val params = query.split("&").filter(_.contains("="))

@@ -191,7 +191,17 @@ object RelationalQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** JSON payload extraction (reference F15 surface generalized to the
+    * query layer): parse events.props, aggregate an extracted field. */
+  def q17Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_json" -> (q17Json _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_join_large" -> (q3JoinLarge _),
@@ -223,6 +233,11 @@ object RelationalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q17_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q2_join_broadcast" ->
       """SELECT n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

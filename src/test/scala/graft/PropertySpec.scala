@@ -1,0 +1,54 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.ct.{CertStore, PublicSuffix}
+import graft.expressions.ArrayExprs
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based invariants (SURVEY §5.2) for the pure engine functions. */
+object PropertySpec extends Properties("graft") {
+
+  private val label = Gen.choose(1, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val domain = Gen.choose(1, 5).flatMap(n =>
+    Gen.listOfN(n, label).map(_.mkString(".")))
+
+  property("baseDomain idempotent, non-empty suffix of input") = forAll(domain) { d =>
+    val b = PublicSuffix.baseDomain(d)
+    PublicSuffix.baseDomain(b) == b && d.toLowerCase.endsWith(b) && b.nonEmpty
+  }
+
+  property("baseDomain keeps registrable label for known gTLDs") =
+    forAll(Gen.choose(1, 4), label) { (n, base) =>
+      val d = (List.fill(n)("sub") :+ base :+ "com").mkString(".")
+      PublicSuffix.baseDomain(d) == s"$base.com"
+    }
+
+  property("polyHash in [0, HashMod), deterministic, matches fold definition") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val h = ArrayExprs.polyHash(UTF8String.fromString(s))
+      val expected = s.codePoints().toArray.foldLeft(0L)(
+        (a, c) => (a * 31 + c) % graft.functions.TextFunctions.HashMod)
+      h >= 0 && h < graft.functions.TextFunctions.HashMod && h == expected
+    }
+
+  property("humanBytes parses back within 1% for n >= 1KiB") =
+    forAll(Gen.choose(1024L, 1L << 50)) { n =>
+      val s = CertStore.humanBytes(n)
+      val units = Map("B" -> 1d, "KB" -> math.pow(1024, 1), "MB" -> math.pow(1024, 2),
+        "GB" -> math.pow(1024, 3), "TB" -> math.pow(1024, 4), "PB" -> math.pow(1024, 5))
+      val (num, unit) = s.span(c => c.isDigit || c == '.')
+      val back = num.toDouble * units(unit)
+      math.abs(back - n) / n.toDouble < 0.01
+    }
+
+  property("ingest dedup: replaying the same entries never adds rows") = {
+    // pure-function view of the dedup grain: (fingerprint, domain) set union
+    forAll(Gen.listOf(Gen.zip(Gen.identifier, domain))) { pairs =>
+      val once = pairs.toSet
+      val twice = (pairs ++ pairs).toSet
+      once == twice
+    }
+  }
+}

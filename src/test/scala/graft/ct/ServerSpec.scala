@@ -93,4 +93,21 @@ class ServerSpec extends SparkSpec {
   test("unknown route is 404") {
     assert(get("/nope")._1 == 404)
   }
+
+  test("IP allowlist denies unlisted clients, honors first X-Forwarded-For hop (P13)") {
+    val restricted = new Server(spark, () => CertStore.read(spark, storeDir), storeDir,
+      port = 0, now = () => ts("2024-01-15 12:00:00"),
+      allowedIps = Some(Set("10.1.2.3"))).start()
+    try {
+      def getWith(headers: Seq[(String, String)]): Int = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${restricted.boundPort}/"))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(getWith(Nil) == 403) // loopback not in list
+      assert(getWith(Seq("X-Forwarded-For" -> "10.1.2.3, 192.168.0.1")) == 200)
+      assert(getWith(Seq("X-Forwarded-For" -> "192.168.0.1, 10.1.2.3")) == 403)
+    } finally restricted.stop()
+  }
 }
