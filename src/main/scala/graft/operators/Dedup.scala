@@ -61,9 +61,12 @@ object Dedup {
       .select(col("doc_id"), T.shingleHashes(col("ths"), k).as("shs"))
       .select(col("doc_id"), T.minhashSigFromHashes(col("shs")).as("sig"))
 
-  /** MinHash-LSH dedup: band-join candidates, then exact-Jaccard verify.
-    * Returns verified pairs ≥ threshold (a subset of ngramJaccardPairs
-    * limited to LSH candidates — the recall/cost tradeoff of LSH). */
+  /** MinHash-LSH dedup: band-join candidates, then exact-Jaccard verify —
+    * but Jaccard is computed ONLY for candidate pairs (shingle rows are
+    * semi-joined down to candidate docs first), which is the entire point
+    * of LSH at scale: verification cost follows the candidate count, not
+    * the corpus pair count. Returns verified pairs ≥ threshold (subset of
+    * ngramJaccardPairs limited to LSH candidates). */
   def minhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val bands = minhashSignatures(docs, k)
       .select(col("doc_id"), posexplode(T.minhashBands(col("sig"))).as(Seq("band_idx", "band_val")))
@@ -73,8 +76,22 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    ngramJaccardPairs(docs, k, threshold).as("p")
-      .join(candidates.as("c"), Seq("i", "j"), "left_semi")
+
+    val candDocs = candidates.select(col("i").as("doc_id"))
+      .union(candidates.select(col("j"))).distinct()
+    val sh = shingleRows(docs, k)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("i") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("jaccard", col("inter") / (col("na.n") + col("nb.n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("inter"), col("jaccard"))
       .orderBy(col("i"), col("j"))
   }
 

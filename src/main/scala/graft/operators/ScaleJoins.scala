@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join shapes for hostile data distributions at 100 TB.
+  *
+  *  - `saltedEquiJoin`: when one side's join key is heavily skewed (the
+  *    CT analog: a CDN's base_domain holding 10% of all rows), a plain
+  *    shuffle join sends the hot key to one task. Salting splits each hot
+  *    key into `nSalts` subkeys: the large side gets a deterministic salt
+  *    per row, the small side is exploded `nSalts`× so every subkey still
+  *    matches. Result set identical to the plain join; the hot partition
+  *    is `nSalts`× smaller. (AQE's skew-join handles moderate skew
+  *    automatically; salting is the explicit tool for pathological keys.)
+  *
+  *  - `writeBucketed`/`bucketedJoin`: pre-shuffle both tables into the
+  *    same bucket layout on the join key so repeated joins are
+  *    co-located — no Exchange in the plan, the MergeTree-sort-key analog
+  *    for join-heavy workloads.
+  */
+object ScaleJoins {
+
+  /** Equi-join `left` (large, possibly skewed) with `right` (small enough
+    * to replicate `nSalts`×) on `key`. Deterministic: the salt is a hash
+    * of the whole left row, not rand(). */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+      nSalts: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(nSalts)))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a table bucketed+sorted by `key` into the session catalog (the
+    * managed-table variant of CertStore's sort-on-write). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table) // managed, under spark.sql.warehouse.dir
+
+  /** Join two identically-bucketed catalog tables on their bucket key —
+    * planner sees compatible output partitioning on both sides and elides
+    * the shuffle. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}
