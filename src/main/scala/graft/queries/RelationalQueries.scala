@@ -200,8 +200,92 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Navigation window functions: previous/next order per customer. */
+  def q18WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** rank/dense_rank with ties (integral quantities). */
+  def q19WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Numeric RANGE frame: peers within 5 quantity units contribute. */
+  def q20RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rangeBetween(-5, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        sum(dec("l_quantity")).over(w).cast("double").as("range_sum"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** CUBE grouping sets (all four combinations). */
+  def q21Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum("l_extendedprice").as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Distinct aggregate per group. */
+  def q23DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Conditional aggregation (pivot-style CASE sums). */
+  def q24CondAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", dec("l_quantity")).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("qty_returned"),
+        sum(when(col("l_returnflag") =!= "R", dec("l_quantity")).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("qty_kept"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      .orderBy(col("l_linestatus"))
+
+  /** Array element access + order-independent aggregates over embeddings. */
+  def q25ArrayOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(element_at(col("embedding"), 1).cast("double")).as("min_e0"),
+        max(element_at(col("embedding"), 1).cast("double")).as("max_e0"),
+        max(size(col("embedding"))).cast("long").as("dims"))
+      .orderBy(col("label"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_json" -> (q17Json _),
+    "q18_window_nav" -> (q18WindowNav _),
+    "q19_window_rank" -> (q19WindowRank _),
+    "q20_range_frame" -> (q20RangeFrame _),
+    "q21_cube" -> (q21Cube _),
+    "q23_distinct_agg" -> (q23DistinctAgg _),
+    "q24_cond_agg" -> (q24CondAgg _),
+    "q25_array_ops" -> (q25ArrayOps _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_join_large" -> (q3JoinLarge _),
@@ -238,6 +322,48 @@ object RelationalQueries {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q19_window_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+    "q20_range_frame" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_returnflag ORDER BY l_quantity
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+    "q21_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q23_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_cond_agg" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_returned,
+        |  CAST(sum(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_kept,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q25_array_ops" ->
+      """SELECT label, count(*) AS n,
+        |  min(embedding[1]::DOUBLE) AS min_e0, max(embedding[1]::DOUBLE) AS max_e0,
+        |  CAST(max(len(embedding)) AS BIGINT) AS dims
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q2_join_broadcast" ->
       """SELECT n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
