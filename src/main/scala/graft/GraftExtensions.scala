@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{DotDouble, MinhashSig, PolyHash, Simhash30}
+
+/** SparkSessionExtensions registration: exposes the engine's native
+  * expressions to SQL, so `spark.sql("SELECT poly_hash(text) ...")` works
+  * alongside the Column API. Activate with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[PolyHash].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> ((args: Seq[Expression]) => PolyHash(args.head)),
+    "simhash30" -> ((args: Seq[Expression]) => Simhash30(args.head)),
+    "minhash_sig" -> ((args: Seq[Expression]) => MinhashSig(args.head)),
+    "dot_double" -> ((args: Seq[Expression]) => DotDouble(args(0), args(1))))
+
+  /** Register on an already-running session (withExtensions only applies at
+    * session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

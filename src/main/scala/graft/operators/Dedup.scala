@@ -131,13 +131,15 @@ object Dedup {
     * Norms are precomputed per row (not per pair) — bit-identical value
     * (same IEEE ops, just reused), 3× fewer array folds on the O(n²) side. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+    val withNorm = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"),
       sqrt(V.norm2(col("embedding"))).as("nrm"))
     withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim",
-        V.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      // project to narrow rows immediately: the 2×64-double arrays must not
+      // ride through millions of intermediate pair rows
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (V.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), col("cos_sim"))
       .orderBy(col("i"), col("j"))
   }
 }

@@ -109,7 +109,25 @@ object CtShapeQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Ingest-pipeline throughput probe (S4-S10, ct_ingestor.py:180-221):
+    * run N synthetic CT leaves through decode → X.509 parse → explode →
+    * normalize → dedup. No oracle (binary fixture input, rows-only check);
+    * exists so BENCH carries an ingest rows/sec signal. N scales with the
+    * bench SF dir. */
+  def ctIngestPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = if (dir.endsWith("sf0.1")) 20000L else 2000L
+    val leaf = graft.ct.DemoFixture.leafB64
+    val raw = spark.range(n).select(
+      lit("Bench Log").as("log_name"),
+      col("id").as("entry_index"),
+      lit(leaf).as("leaf_input")).as[graft.ct.RawEntry]
+    graft.ct.IngestPipeline.certDomains(raw,
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_ingest_pipeline" -> (ctIngestPipeline _),
     "ct_domain_lookup" -> (ctDomainLookup _),
     "ct_subdomains" -> (ctSubdomains _),
     "ct_recent" -> (ctRecent _),
