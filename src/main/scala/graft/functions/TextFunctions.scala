@@ -68,6 +68,21 @@ object TextFunctions {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** 60-bit shingle identifiers: two independent polynomial combines of the
+    * window's token hashes (multipliers 8191 and 8209), packed as
+    * h1·HashMod + h2. Used as the equi-join key for exact Jaccard — 8-byte
+    * shuffle keys instead of shingle strings, with collision probability
+    * ~n²/2^60 (negligible below ~10^8 distinct shingles per corpus). */
+  def shingleIds(tokenHashesCol: Column, k: Int): Column = {
+    def fold(mult: Long, i: Column): Column =
+      (0 until k).map(o => element_at(tokenHashesCol, i + lit(o + 1)))
+        .reduceLeft((acc, th) => (acc * mult + th) % HashMod)
+    when(size(tokenHashesCol) >= k,
+      transform(sequence(lit(0), size(tokenHashesCol) - k),
+        i => fold(8191L, i) * HashMod + fold(8209L, i)))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** MinHash signature (array of MinhashK longs) over a shingle-hash array
     * (see shingleHashes). Native one-pass expression; min over the multiset
     * equals min over the distinct set, so values match the

@@ -27,12 +27,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct k-shingles per document, exploded to (doc_id, shingle) grain.
-    * At scale, add a frequency cap on ubiquitous shingles before the join
-    * (classic skew guard) — omitted here to keep results exact. */
+  /** Distinct k-shingle ids per document, exploded to (doc_id, sh) grain.
+    * `sh` is the 60-bit packed shingle id (TextFunctions.shingleIds): the
+    * join/shuffle key is 8 bytes, not a string. At scale, add a frequency
+    * cap on ubiquitous shingles before the join (classic skew guard) —
+    * omitted here to keep results exact. */
   private def shingleRows(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(T.shingles(col("text"), k))).as("sh"))
+    docs.select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"),
+        explode(array_distinct(T.shingleIds(col("ths"), k))).as("sh"))
 
   /** Document pairs with k-shingle Jaccard ≥ threshold.
     * inter/|A∪B| computed from exact bigint counts → deterministic double. */

@@ -29,10 +29,6 @@ object PipelineQueries {
 
   private def dTokens(v: String): String = s"string_split($v, ' ')"
 
-  /** Word k-shingles over a token-list expression. */
-  private def dShingles(t: String, k: Int): String =
-    s"list_transform(range(len($t) - ${k - 1}), shi -> array_to_string(($t)[shi+1:shi+$k], ' '))"
-
   /** Per-token polynomial hashes (mirror of TextFunctions.tokenHashes). */
   private def dTokenHashes(text: String): String =
     s"list_transform(${dTokens(text)}, tk2 -> ${dPoly("tk2")})"
@@ -80,9 +76,18 @@ object PipelineQueries {
        |sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
        |        FROM bits GROUP BY doc_id)""".stripMargin
 
-  /** Shared CTEs for n-gram Jaccard pairs at threshold 0.5. */
+  /** 60-bit packed shingle ids (mirror of TextFunctions.shingleIds). */
+  private def dShingleIds(ths: String, k: Int): String = {
+    def fold(mult: Int) = (0 until k).map(o => s"($ths)[si+${o + 1}]")
+      .reduceLeft((acc, th) => s"(($acc * $mult + $th) % $P)")
+    s"list_transform(range(len($ths) - ${k - 1}), si -> ${fold(8191)} * $P + ${fold(8209)})"
+  }
+
+  /** Shared CTEs for n-gram Jaccard pairs at threshold 0.5 (join on the
+    * 8-byte shingle id, as the Spark side does). */
   private val dJaccardCtes: String =
-    s"""sh AS (SELECT doc_id, unnest(list_distinct(${dShingles(dTokens("text"), 3)})) AS sh FROM documents),
+    s"""jths AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM jths),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inters AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
        |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
