@@ -277,8 +277,51 @@ object RelationalQueries {
         max(size(col("embedding"))).cast("long").as("dims"))
       .orderBy(col("label"))
 
+  /** Gap-based sessionization via the built-in session_window: events of a
+    * user belong to one session while consecutive gaps stay under 30 min.
+    * s_end is normalized back to the last event time (session_window.end
+    * is last event + gap). Oracle = classic gaps-and-islands SQL; the
+    * boundary is aligned (a gap of exactly 30 min starts a new session on
+    * both sides). */
+  def q26Sessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("s_start"),
+        expr("sw.end - INTERVAL 30 MINUTES").as("s_end"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  /** DataFrame pivot API (wide conditional aggregation). */
+  def q27Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec("l_quantity")).cast("double"))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  /** SQL entry path: the same engine surface through spark.sql over
+    * registered views (TPC-H Q4 shape with a decorrelated EXISTS). */
+  def q28Sql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders_v
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem_v
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_json" -> (q17Json _),
+    "q26_sessions" -> (q26Sessions _),
+    "q27_pivot" -> (q27Pivot _),
+    "q28_sql" -> (q28Sql _),
     "q18_window_nav" -> (q18WindowNav _),
     "q19_window_rank" -> (q19WindowRank _),
     "q20_range_frame" -> (q20RangeFrame _),
@@ -322,6 +365,35 @@ object RelationalQueries {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_sql" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q26_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS s_start, max(ts) AS s_end, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
     "q18_window_nav" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  lag(o_orderkey, 1) OVER w AS prev_key,
