@@ -322,6 +322,14 @@ object RelationalQueries {
     "q26_sessions" -> (q26Sessions _),
     "q27_pivot" -> (q27Pivot _),
     "q28_sql" -> (q28Sql _),
+    "q29_percentile" -> ((s: SparkSession, dir: String) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          expr("percentile(l_discount, 0.25)").as("p25_disc"))
+        .orderBy(col("l_returnflag"))),
     "q18_window_nav" -> (q18WindowNav _),
     "q19_window_rank" -> (q19WindowRank _),
     "q20_range_frame" -> (q20RangeFrame _),
@@ -378,6 +386,14 @@ object RelationalQueries {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Spark's exact interpolated percentile and DuckDB's quantile_cont share
+    // the same linear-interpolation definition → bit-identical doubles.
+    "q29_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  quantile_cont(l_discount, 0.25) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q26_sessions" ->
       """WITH d AS (
         |  SELECT user_id, event_id, ts, value,
