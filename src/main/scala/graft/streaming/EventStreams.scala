@@ -42,6 +42,20 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming gap-based sessionization: the unbounded form of the batch
+    * q26_sessions query. session_window merges events whose gaps stay under
+    * `gap`; the watermark closes sessions (append mode emits only finalized
+    * sessions, state for closed sessions is freed). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n"), col("sum_value"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double,

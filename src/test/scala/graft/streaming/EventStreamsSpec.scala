@@ -49,6 +49,30 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sessionization finalizes sessions once the watermark passes the gap") {
+    val dir = Files.createTempDirectory("events-sess").toString
+    val ckpt = Files.createTempDirectory("ckpt-sess").toString
+
+    // user 1: two events 5 min apart (one session), then a 2h gap
+    writeBatch(dir, Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:05:00"), 1, "click", 2.0)))
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionStats(EventStreams.readEvents(spark, dir),
+        gap = "30 minutes", watermark = "10 minutes"),
+      "sess_out", ckpt)
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // session still open
+
+    writeBatch(dir, Seq(Event(3, ts("2024-01-01 02:00:00"), 1, "view", 5.0)))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .select("user_id", "s_start", "n", "sum_value")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    assert(rows == Set((1L, ts("2024-01-01 00:00:00"), 2L, 3.0)))
+    q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user state across micro-batches") {
     val dir = Files.createTempDirectory("events-in2").toString
     val ckpt = Files.createTempDirectory("ckpt2").toString
