@@ -111,9 +111,11 @@ object CtShapeQueries {
 
   /** Ingest-pipeline throughput probe (S4-S10, ct_ingestor.py:180-221):
     * run N synthetic CT leaves through decode → X.509 parse → explode →
-    * normalize → dedup. No oracle (binary fixture input, rows-only check);
-    * exists so BENCH carries an ingest rows/sec signal. N scales with the
-    * bench SF dir. */
+    * normalize → dedup. The declared output flattens `san` to a
+    * comma-joined string (the harness canonicalizer cannot sort array
+    * cells) and is checked against a literal oracle stating the fixture
+    * cert's known-good parse — a real X.509-parse correctness gate, not
+    * rows-only. N scales with the bench SF dir for the rows/sec signal. */
   def ctIngestPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = if (dir.endsWith("sf0.1")) 20000L else 2000L
@@ -124,6 +126,8 @@ object CtShapeQueries {
       lit(leaf).as("leaf_input")).as[graft.ct.RawEntry]
     graft.ct.IngestPipeline.certDomains(raw,
       java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      .withColumn("san", concat_ws(",", col("san")))
+      .orderBy(col("domain"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -140,6 +144,26 @@ object CtShapeQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Known-good parse of the demo fixture certificate (DemoFixture.certB64):
+    // every leaf is identical, so after the (fingerprint, domain) dedup the
+    // pipeline must emit exactly one row per SAN domain with these values.
+    // Verifies admission, DER slice, X.509 fields, SHA-256, PSL base_domain
+    // and log-name normalization end to end.
+    "ct_ingest_pipeline" -> {
+      val fp = "9de4760c08330536f9bbedb7c3d15b12f1794ee60a807dcd3ab933800a1eb7df"
+      val dn = "CN=Example.COM,O=Graft Test,C=RS"
+      val san = "api.example.org,example.com,www.example.com"
+      def row(domain: String, base: String) =
+        s"(TIMESTAMP '2024-01-15 00:00:00', '$domain', '$base', '$fp', '$dn', '$dn', " +
+        s"'$san', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2033-12-29 00:00:00', 'Bench_Log')"
+      s"""SELECT * FROM (VALUES
+         |  ${row("api.example.org", "example.org")},
+         |  ${row("example.com", "example.com")},
+         |  ${row("www.example.com", "example.com")})
+         |AS t(ts, domain, base_domain, fingerprint, issuer, subject, san,
+         |     not_before, not_after, log_name)
+         |ORDER BY domain""".stripMargin
+    },
     "ct_domain_lookup" ->
       """SELECT * FROM events WHERE event_type = 'click'
         |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,

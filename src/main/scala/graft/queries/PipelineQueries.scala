@@ -145,8 +145,12 @@ object PipelineQueries {
     "dedup_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), k = 3, threshold = 0.5)),
 
+    // sig is declared dash-joined (not array<long>): the harness canonicalizes
+    // result columns with pandas sort_values, which cannot order ndarray cells.
     "dedup_minhash_sig" -> ((s, d) =>
-      Dedup.minhashSignatures(Tables.documents(s, d), k = 3).orderBy(col("doc_id"))),
+      Dedup.minhashSignatures(Tables.documents(s, d), k = 3)
+        .select(col("doc_id"), concat_ws("-", col("sig")).as("sig"))
+        .orderBy(col("doc_id"))),
 
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), k = 3, threshold = 0.5)),
@@ -229,7 +233,7 @@ object PipelineQueries {
 
     "dedup_minhash_sig" ->
       s"""WITH $dSigCtes
-         |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, array_to_string(sig, '-') AS sig FROM sig ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" -> {
       val r = T.MinhashK / T.MinhashBands
