@@ -29,8 +29,14 @@ import org.apache.spark.sql.functions.udf
   */
 object CertParser extends Serializable {
 
+  /** Diagnostic: parseLeaf invocations in this JVM (per-executor under a
+    * cluster). Tests assert ingest evaluates each entry exactly once —
+    * i.e. the batch is not re-parsed just to count appended rows. */
+  val parseInvocations = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Parse a decoded leaf; null on non-admitted or unparseable input. */
   def parseLeaf(leaf: Array[Byte]): CertInfo = {
+    parseInvocations.incrementAndGet()
     try {
       if (leaf == null || leaf.length < 15) return null
       if (leaf(0) != 0) return null // admission: timestamped X.509 only

@@ -61,10 +61,16 @@ object CertStore {
       base.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     } else base
-    merged
-      .repartition(col(partitionCol))
+    // Repartition keeps one task per month (hash on the partition column)
+    // so every monthly dir compacts in parallel; filesPerMonth > 1 adds a
+    // deterministic fingerprint-hash split WITHIN each month. A global
+    // coalesce here would funnel the whole store through one task.
+    val parts =
+      if (filesPerMonth <= 1) merged.repartition(col(partitionCol))
+      else merged.repartition(col(partitionCol),
+        pmod(hash(col("fingerprint")), lit(filesPerMonth)))
+    parts
       .sortWithinPartitions("base_domain", "domain", "fingerprint")
-      .coalesce(math.max(filesPerMonth, 1))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(dest)

@@ -53,6 +53,27 @@ class CtHttpSource(client: HttpClient = CtHttpSource.defaultClient)
       throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
     resp.body()
   }
+
+  /** S1 with the reference's daily disk cache (ct_ingestor.py:49-72):
+    * if `cacheFile` exists and is younger than `ttl`, serve it without any
+    * network call; otherwise fetch and overwrite the cache. No stale
+    * fallback on fetch failure — reference parity (a failed refresh
+    * propagates, the retry loop handles it). `now` is injectable for
+    * deterministic TTL tests. */
+  def fetchLogListCached(url: String, cacheFile: java.nio.file.Path,
+      ttl: Duration = Duration.ofHours(24),
+      now: () => java.time.Instant = () => java.time.Instant.now()): String = {
+    import java.nio.file.Files
+    val fresh = Files.exists(cacheFile) &&
+      Files.getLastModifiedTime(cacheFile).toInstant.plus(ttl).isAfter(now())
+    if (fresh) new String(Files.readAllBytes(cacheFile), java.nio.charset.StandardCharsets.UTF_8)
+    else {
+      val body = fetchLogList(url)
+      Option(cacheFile.getParent).foreach(Files.createDirectories(_))
+      Files.write(cacheFile, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      body
+    }
+  }
 }
 
 object CtHttpSource {

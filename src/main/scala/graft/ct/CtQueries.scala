@@ -85,4 +85,25 @@ object CtQueries {
     certDomains.filter(col("ts") >= lit(lastTs))
       .orderBy(col("ts"), col("fingerprint"), col("domain"))
       .limit(batch)
+
+  /** Keyset-paginated /stream poll step: resume STRICTLY after the last
+    * emitted (ts, fingerprint, domain) key. Unlike a bare `ts >=` cursor
+    * with client-side dedup, this makes progress even when more than one
+    * batch of rows shares a single timestamp (the normal case — a whole
+    * ingest poll lands on one ingestTs), so delivery is loss-free.
+    * The redundant `ts >= last` conjunct is pushed into the Parquet scan
+    * (partition pruning + row-group min/max) — the tuple OR alone would
+    * not prune. */
+  def streamTailAfter(certDomains: DataFrame, lastTs: Timestamp,
+      lastFingerprint: String, lastDomain: String, batch: Int = 100): DataFrame = {
+    val afterKey =
+      col("ts") > lit(lastTs) ||
+        (col("ts") === lit(lastTs) &&
+          (col("fingerprint") > lit(lastFingerprint) ||
+            (col("fingerprint") === lit(lastFingerprint) && col("domain") > lit(lastDomain))))
+    certDomains
+      .filter(col("ts") >= lit(lastTs) && afterKey)
+      .orderBy(col("ts"), col("fingerprint"), col("domain"))
+      .limit(batch)
+  }
 }

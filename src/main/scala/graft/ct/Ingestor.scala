@@ -56,9 +56,15 @@ object Ingestor {
         val end = math.min(idx + batchSize, size - 1)
         val entries = source.fetchEntries(lg, idx, end)
         if (entries.nonEmpty) {
+          // Observation piggybacks the row count on the write action itself,
+          // so the parse→explode→dedup pipeline (incl. the X.509 UDF) runs
+          // exactly once per batch — a separate df.count() would re-run it.
+          val obs = new org.apache.spark.sql.Observation()
           val df = IngestPipeline.certDomains(spark.createDataset(entries), ingestTs)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
           CertStore.write(df, storePath, SaveMode.Append)
-          appended += df.count()
+          appended += obs.get("rows").asInstanceOf[Long]
         }
         idx = end + 1
         offsets.write(name, idx) // after successful append → at-least-once

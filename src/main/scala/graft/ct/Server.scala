@@ -17,22 +17,35 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * stream for /stream, and the route table at /.
   *
   * Deviations (documented): timestamps render as ISO-8601 UTC (the
-  * reference's Flask renders RFC 822); /stream advances its cursor with
-  * the boundary-safe `ts >=` + last-key dedup fix (SURVEY §2.10 ST4)
-  * instead of the lossy `ts >`; rate limiting (off by default in the
+  * reference's Flask renders RFC 822); /stream advances a keyset cursor on
+  * the full (ts, fingerprint, domain) sort key (SURVEY §2.10 ST4) instead
+  * of the reference's lossy `ts >` — loss-free even when many batches of
+  * rows share one timestamp; rate limiting (off by default in the
   * reference) is not ported.
+  *
+  * The reference trusts X-Forwarded-For for the IP allowlist because it
+  * assumes a trusted reverse proxy (app.py:47). Served directly that header
+  * is client-controlled spoofing, so honoring it is opt-in here via
+  * `trustProxy` (default false = socket address only).
   *
   * Serving is driver-side: each request runs a DataFrame query whose scan
   * prunes partitions/row-groups by the request predicate (SURVEY §4) and
   * collects only the bounded result (every endpoint is LIMITed or
-  * single-row by shape).
+  * single-row by shape). /stream connections are long-lived poll loops, so
+  * they run on their own unbounded executor (capped by `maxStreams`, excess
+  * rejected 503) and never starve the request pool.
   */
 class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
     port: Int = 0, now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-    allowedIps: Option[Set[String]] = None) {
+    allowedIps: Option[Set[String]] = None, trustProxy: Boolean = false,
+    streamBatch: Int = 100, streamPollMs: Long = 2000L, maxStreams: Int = 64) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   @volatile private var streaming = true
+  private val activeStreams = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val streamPool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-sse"); t.setDaemon(true); t
+  })
 
   def boundPort: Int = http.getAddress.getPort
 
@@ -72,13 +85,17 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
   }
 
   /** P13 allowlist (reference app.py:27-53): if a non-empty allowlist is
-    * configured, the first X-Forwarded-For hop (falling back to the remote
-    * address) must be in it; everything else is a 403. */
+    * configured, the client IP must be in it; everything else is a 403.
+    * The first X-Forwarded-For hop is honored only behind a trusted proxy
+    * (`trustProxy`); otherwise the socket address is authoritative. */
   private def ipAllowed(ex: HttpExchange): Boolean = allowedIps match {
     case None => true
     case Some(ips) =>
-      val raw = Option(ex.getRequestHeaders.getFirst("X-Forwarded-For"))
-        .getOrElse(ex.getRemoteAddress.getAddress.getHostAddress)
+      val raw =
+        if (trustProxy)
+          Option(ex.getRequestHeaders.getFirst("X-Forwarded-For"))
+            .getOrElse(ex.getRemoteAddress.getAddress.getHostAddress)
+        else ex.getRemoteAddress.getAddress.getHostAddress
       val firstHop = raw.split(",")(0).trim
       ips.contains(firstHop)
   }
@@ -132,34 +149,46 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
         val b = CertStore.sizeBytes(spark, storePath)
         send(ex, 200, jval(Map("bytes" -> b, "human_readable" -> CertStore.humanBytes(b))))
       case ("stream", None) =>
-        // SSE: poll loop with boundary-safe cursor (2 s cadence, app.py:272)
-        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-        ex.sendResponseHeaders(200, 0)
-        val out = ex.getResponseBody
-        var cursor: Option[Timestamp] = None
-        var seen = Set.empty[String] // (fingerprint,domain) at the cursor ts
-        try {
-          while (streaming) {
-            val base = cursor.map(c => CtQueries.streamTail(table(), c))
-              .getOrElse(table().orderBy(org.apache.spark.sql.functions.col("ts"),
-                org.apache.spark.sql.functions.col("fingerprint"),
-                org.apache.spark.sql.functions.col("domain")).limit(100))
-            val rows = base.collect()
-              .filterNot(r => seen.contains(r.getAs[String]("fingerprint") + "|" + r.getAs[String]("domain")))
-            if (rows.nonEmpty) {
-              rows.foreach { r =>
-                out.write(s"data: ${jval(r.toSeq)}\n\n".getBytes(UTF_8))
+        // SSE poll loop (2 s cadence, app.py:272) with a keyset cursor on
+        // the full (ts, fingerprint, domain) sort key: each poll resumes
+        // STRICTLY after the last emitted row, so >batch rows sharing one
+        // timestamp drain over successive polls instead of livelocking.
+        // Long-lived: runs on the dedicated stream pool, never a request
+        // thread; excess concurrent streams are rejected, not queued.
+        if (activeStreams.incrementAndGet() > maxStreams) {
+          activeStreams.decrementAndGet()
+          send(ex, 503, jval(Map("error" -> "too many streams")))
+        } else streamPool.execute { () =>
+          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+          try {
+            ex.sendResponseHeaders(200, 0)
+            val out = ex.getResponseBody
+            var cursor: Option[(Timestamp, String, String)] = None
+            while (streaming) {
+              val base = cursor match {
+                case Some((t, f, dm)) =>
+                  CtQueries.streamTailAfter(table(), t, f, dm, streamBatch)
+                case None =>
+                  table().orderBy(org.apache.spark.sql.functions.col("ts"),
+                    org.apache.spark.sql.functions.col("fingerprint"),
+                    org.apache.spark.sql.functions.col("domain")).limit(streamBatch)
               }
-              out.flush()
-              val maxTs = rows.map(_.getAs[Timestamp]("ts")).max((a: Timestamp, b: Timestamp) => a.compareTo(b))
-              cursor = Some(maxTs)
-              seen = rows.filter(_.getAs[Timestamp]("ts") == maxTs)
-                .map(r => r.getAs[String]("fingerprint") + "|" + r.getAs[String]("domain")).toSet
+              val rows = base.collect() // sorted (ts, fingerprint, domain)
+              if (rows.nonEmpty) {
+                rows.foreach { r =>
+                  out.write(s"data: ${jval(r.toSeq)}\n\n".getBytes(UTF_8))
+                }
+                out.flush()
+                val last = rows.last
+                cursor = Some((last.getAs[Timestamp]("ts"),
+                  last.getAs[String]("fingerprint"), last.getAs[String]("domain")))
+              }
+              // full batch ⇒ backlog: drain immediately, only idle-sleep when caught up
+              if (rows.length < streamBatch) Thread.sleep(streamPollMs)
             }
-            Thread.sleep(2000)
-          }
-        } catch { case _: Throwable => /* client closed */ }
-        finally ex.close()
+          } catch { case _: Throwable => /* client closed */ }
+          finally { activeStreams.decrementAndGet(); ex.close() }
+        }
       case _ => send(ex, 404, jval(Map("error" -> "not found")))
     }
   }
@@ -179,5 +208,6 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
   def stop(): Unit = {
     streaming = false
     http.stop(0)
+    streamPool.shutdownNow()
   }
 }

@@ -54,6 +54,34 @@ class CtHttpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("log-list fetch serves from the daily disk cache within the TTL (S1)") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val http = HttpServer.create(new InetSocketAddress(0), 0)
+    http.createContext("/", ex => {
+      hits.incrementAndGet()
+      val b = """{"operators": []}""".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    http.start()
+    try {
+      val url = s"http://127.0.0.1:${http.getAddress.getPort}/log_list.json"
+      val cache = java.nio.file.Files.createTempDirectory("loglist")
+        .resolve("cache").resolve("log_list.json")
+      val src = new CtHttpSource()
+      assert(src.fetchLogListCached(url, cache).contains("operators"))
+      assert(hits.get() == 1)
+      assert(src.fetchLogListCached(url, cache).contains("operators"))
+      assert(hits.get() == 1) // second call within TTL: no network hit
+      // age the cache past the TTL → refetch
+      java.nio.file.Files.setLastModifiedTime(cache,
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.now().minus(java.time.Duration.ofHours(25))))
+      assert(src.fetchLogListCached(url, cache).contains("operators"))
+      assert(hits.get() == 2)
+    } finally http.stop(0)
+  }
+
   test("ingest loop retries through transient source failures (S9)") {
     withStub { (url, makeFail) =>
       val spark = graft.SparkSpec.session

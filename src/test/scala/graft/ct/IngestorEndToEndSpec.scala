@@ -55,4 +55,23 @@ class IngestorEndToEndSpec extends graft.SparkSpec {
     assert(subs.map(_.getAs[String]("domain")).contains("www.example.com"))
     assert(CertStore.sizeBytes(spark, store) > 0)
   }
+
+  test("ingest evaluates the X.509 parse exactly once per entry") {
+    val logs = LogList.parse(logListJson, Instant.parse("2024-01-15T00:00:00Z"))
+    val store = Files.createTempDirectory("store-once").toString
+    val offsets = new Ingestor.FileOffsets(Files.createTempDirectory("off-once").toString)
+    val source = new Ingestor.EntrySource {
+      def treeSize(log: LogList.CtLog): Long = 3L
+      def fetchEntries(log: LogList.CtLog, start: Long, end: Long): Seq[RawEntry] =
+        (start to end).map(i => RawEntry(log.name, i, Fixtures.leafB64()))
+    }
+    CertParser.parseInvocations.set(0)
+    val n = Ingestor.runOnce(spark, logs, source, store, offsets,
+      Timestamp.valueOf("2024-01-15 00:00:00"), batchSize = 2)
+    assert(n > 0)
+    // 2 admitted logs × 3 entries: a count() action after the write would
+    // double this to 12 by re-running the whole parse pipeline.
+    assert(CertParser.parseInvocations.get() == 6L,
+      s"expected 6 parse calls, got ${CertParser.parseInvocations.get()}")
+  }
 }

@@ -94,20 +94,66 @@ class ServerSpec extends SparkSpec {
     assert(get("/nope")._1 == 404)
   }
 
-  test("IP allowlist denies unlisted clients, honors first X-Forwarded-For hop (P13)") {
+  private def getWith(srv: Server, headers: Seq[(String, String)]): Int = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.boundPort}/"))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+  }
+
+  test("IP allowlist behind trustProxy honors first X-Forwarded-For hop (P13)") {
     val restricted = new Server(spark, () => CertStore.read(spark, storeDir), storeDir,
       port = 0, now = () => ts("2024-01-15 12:00:00"),
-      allowedIps = Some(Set("10.1.2.3"))).start()
+      allowedIps = Some(Set("10.1.2.3")), trustProxy = true).start()
     try {
-      def getWith(headers: Seq[(String, String)]): Int = {
-        val b = HttpRequest.newBuilder(
-          URI.create(s"http://127.0.0.1:${restricted.boundPort}/"))
-        headers.foreach { case (k, v) => b.header(k, v) }
-        client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString()).statusCode()
-      }
-      assert(getWith(Nil) == 403) // loopback not in list
-      assert(getWith(Seq("X-Forwarded-For" -> "10.1.2.3, 192.168.0.1")) == 200)
-      assert(getWith(Seq("X-Forwarded-For" -> "192.168.0.1, 10.1.2.3")) == 403)
+      assert(getWith(restricted, Nil) == 403) // loopback not in list
+      assert(getWith(restricted, Seq("X-Forwarded-For" -> "10.1.2.3, 192.168.0.1")) == 200)
+      assert(getWith(restricted, Seq("X-Forwarded-For" -> "192.168.0.1, 10.1.2.3")) == 403)
     } finally restricted.stop()
+  }
+
+  test("IP allowlist served directly ignores the spoofable X-Forwarded-For header") {
+    val direct = new Server(spark, () => CertStore.read(spark, storeDir), storeDir,
+      port = 0, now = () => ts("2024-01-15 12:00:00"),
+      allowedIps = Some(Set("10.1.2.3"))).start()
+    try assert(getWith(direct, Seq("X-Forwarded-For" -> "10.1.2.3")) == 403)
+    finally direct.stop()
+    val loopback = new Server(spark, () => CertStore.read(spark, storeDir), storeDir,
+      port = 0, now = () => ts("2024-01-15 12:00:00"),
+      allowedIps = Some(Set("127.0.0.1"))).start()
+    try assert(getWith(loopback, Nil) == 200)
+    finally loopback.stop()
+  }
+
+  test("/stream drains more same-timestamp rows than one batch (keyset cursor, no livelock)") {
+    val dir = Files.createTempDirectory("server-stream").toString
+    val t0 = ts("2024-01-15 10:00:00")
+    val rows = (0 until 5).map { i =>
+      CertDomain(t0, s"d$i.example.com", "example.com", i.toString * 64,
+        "CN=CA", s"CN=d$i", Seq(s"d$i.example.com"),
+        ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00"), "log1")
+    }
+    CertStore.write(rows.toDF(), dir, SaveMode.Overwrite)
+    // batch 2 < 5 rows at one ts: the old ts>=cursor + seen-set scheme
+    // re-reads the same first batch forever; the keyset cursor must not.
+    val srv = new Server(spark, () => CertStore.read(spark, dir), dir,
+      port = 0, now = () => ts("2024-01-15 12:00:00"),
+      streamBatch = 2, streamPollMs = 50).start()
+    try {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.boundPort}/stream")).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.statusCode() == 200)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      val sb = new StringBuilder
+      val buf = new Array[Byte](8192)
+      val in = resp.body()
+      def allSeen = (0 until 5).forall(i => sb.toString.contains(s"d$i.example.com"))
+      while (!allSeen && System.nanoTime() < deadline) {
+        val n = in.read(buf)
+        if (n > 0) sb.append(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      in.close()
+      assert(allSeen, s"stream stalled before delivering all rows; got:\n$sb")
+    } finally srv.stop()
   }
 }
