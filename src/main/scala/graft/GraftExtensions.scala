@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotDouble, MinhashSig, PolyHash, Simhash30}
+import graft.expressions.{DotDouble, LshBands, MinhashSig, PolyHash, Simhash30}
 
 /** SparkSessionExtensions registration: exposes the engine's native
   * expressions to SQL, so `spark.sql("SELECT poly_hash(text) ...")` works
@@ -24,7 +24,11 @@ object GraftExtensions {
     "poly_hash" -> ((args: Seq[Expression]) => PolyHash(args.head)),
     "simhash30" -> ((args: Seq[Expression]) => Simhash30(args.head)),
     "minhash_sig" -> ((args: Seq[Expression]) => MinhashSig(args.head)),
-    "dot_double" -> ((args: Seq[Expression]) => DotDouble(args(0), args(1))))
+    "dot_double" -> ((args: Seq[Expression]) => DotDouble(args(0), args(1))),
+    // plane/band counts must be literals: they shape the generated loop
+    "lsh_bands" -> ((args: Seq[Expression]) => LshBands(args(0),
+      args(1).eval().asInstanceOf[Number].intValue(),
+      args(2).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-running session (withExtensions only applies at
     * session construction). */

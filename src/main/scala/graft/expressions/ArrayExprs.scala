@@ -102,6 +102,28 @@ case class MinhashSig(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Multi-band random-hyperplane LSH buckets over an array<double> vector:
+  * nBands bucket ids, band b's bit j set iff dot(v, w_{b·nPlanes+j}) > 0.
+  * Plane components are a deterministic integer LCG over (plane, dim) —
+  * ((g·len + i)·1103515245 + 12345) mod 2039 − 1019 — so the DuckDB oracle
+  * reproduces buckets exactly, and distinct (b, j) give genuinely distinct
+  * hyperplanes (the earlier mod-13 phase formula had only 13). One pass
+  * over nBands·nPlanes·dims multiplies, native: as a HOF this is the
+  * per-element interpreter cost the bench flagged on emb_knn_lsh. */
+case class LshBands(child: Expression, nPlanes: Int, nBands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.lshBands(v.asInstanceOf[ArrayData], nPlanes, nBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ArrayExprs.lshBands($c, $nPlanes, $nBands)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Static helpers invoked from generated code (and reusable from eval). */
 object ArrayExprs {
   def polyHash(s: UTF8String): Long = {
@@ -154,6 +176,31 @@ object ArrayExprs {
     new GenericArrayData(mins)
   }
 
+  def lshBands(v: ArrayData, nPlanes: Int, nBands: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val g = b.toLong * nPlanes + j
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val w = ((g * n + i) * 1103515245L + 12345L) % 2039L - 1019L
+          dot += v.getDouble(i) * w
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // Column-level entry points (Spark 4: Column <-> Expression bridging via
   // the graftbridge shim over the private[sql] ExpressionUtils)
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -161,4 +208,6 @@ object ArrayExprs {
   def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
   def simhash30(c: Column): Column = column(Simhash30(expression(c)))
   def minhash_sig(c: Column): Column = column(MinhashSig(expression(c)))
+  def lsh_bands(v: Column, nPlanes: Int, nBands: Int): Column =
+    column(LshBands(expression(v), nPlanes, nBands))
 }

@@ -29,22 +29,19 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
-  /** Random-hyperplane LSH bucket (j = 0 until nPlanes): bit j set iff
-    * dot(v, w_j) > 0, with deterministic integer plane components
-    * w_j[i] = ((31·i + 73·j) mod 13) − 6. Vectors in the same bucket are
-    * ANN candidates; at scale the bucket id is the shuffle/cluster key. */
-  def lshBucket(v: Column, nPlanes: Int = 8): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), j =>
-        when(planeDot(v, j) > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+  /** Multi-band random-hyperplane LSH buckets: array of nBands bucket ids,
+    * band b's bit j set iff dot(v, w_{b·nPlanes+j}) > 0, plane components
+    * w_g[i] = ((g·len + i)·1103515245 + 12345) mod 2039 − 1019 (integer
+    * LCG — deterministic, mirrored by the oracle SQL, and every (band,
+    * plane) index is a genuinely distinct hyperplane). Native codegen'd
+    * expression: bucketing runs once per row over nBands·nPlanes·dims
+    * multiplies, which an interpreted HOF pays per-element dispatch for. */
+  def lshBands(v: Column, nPlanes: Int, nBands: Int): Column =
+    graft.expressions.ArrayExprs.lsh_bands(asD(v), nPlanes, nBands)
 
-  /** dot(v, plane_j) where plane components are derived arithmetically
-    * from (i, j) — no materialized plane matrix, same formula in the
-    * oracle SQL. */
-  private def planeDot(v: Column, j: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), size(v) - 1), i =>
-        element_at(asD(v), i + 1) * (pmod(lit(31L) * i + lit(73L) * j, lit(13L)) - lit(6L)).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Single-band LSH bucket (band 0 of lshBands). Vectors in the same
+    * bucket are ANN candidates; at scale the bucket id is the
+    * shuffle/cluster key. */
+  def lshBucket(v: Column, nPlanes: Int = 8): Column =
+    element_at(lshBands(v, nPlanes, 1), 1)
 }

@@ -130,10 +130,13 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Embedding near-duplicates: pairs with cosine ≥ threshold, exact.
+  /** Embedding near-duplicates, all-pairs: pairs with cosine ≥ threshold.
+    * VERIFICATION-GRADE ONLY — the plan is a BroadcastNestedLoopJoin, O(n²)
+    * pair evaluations; use it as the recall oracle in tests, never as the
+    * declared dedup (that is [[embeddingNearDupsExact]], same output).
     * Norms are precomputed per row (not per pair) — bit-identical value
     * (same IEEE ops, just reused), 3× fewer array folds on the O(n²) side. */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+  def embeddingNearDupsAllPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
     val withNorm = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"),
       sqrt(V.norm2(col("embedding"))).as("nrm"))
@@ -142,6 +145,136 @@ object Dedup {
       // ride through millions of intermediate pair rows
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         (V.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Embedding near-duplicates, EXACT, without an all-pairs plan: identical
+    * output to [[embeddingNearDupsAllPairs]] (100 % recall by construction),
+    * but candidates come from an IVF-style cell-pair equi-join instead of a
+    * BroadcastNestedLoopJoin.
+    *
+    * Shape: (1) bucket every vector into one of ≤ 2^nPlanes hyperplane
+    * cells (map-side, native LshBands); (2) aggregate per-cell centroid and
+    * max angular radius — a BOUNDED aggregate (cells × dims rows), the same
+    * runtime-statistics economics as AQE, which is why collecting it on the
+    * driver is sound; (3) prune cell PAIRS with the triangle inequality:
+    * any x∈A, y∈B satisfies angle(x,y) ≥ angle(cA,cB) − rA − rB, so a cell
+    * pair whose lower bound exceeds arccos(threshold) provably contains no
+    * qualifying pair (a 1e-6 rad margin absorbs fp noise in the statistics,
+    * keeping pruning strictly conservative); (4) join vectors to surviving
+    * cell pairs — broadcast hash join on the cell id, narrow (id, cell)
+    * rows only; (5) exact-verify candidate pairs with the same IEEE cosine
+    * fold as the all-pairs op (vectors re-joined by vec_id, so wide arrays
+    * never ride the candidate explosion).
+    *
+    * At 100 TB: pruning power tracks how clustered the corpus is — real
+    * embedding corpora are heavily clustered, and pruned cell pairs cost
+    * nothing downstream. Worst case (uniform vectors, loose threshold) the
+    * candidate set degenerates toward all pairs, but it arrives through
+    * shuffle-partitionable hash joins that AQE can split, never a nested
+    * loop. Driver-side pruning is sized by require(nPlanes ≤ 12) — beyond
+    * that, step (3) itself becomes a (tiny) distributed centroid join. */
+  def embeddingNearDupsExact(embeddings: DataFrame, threshold: Double = 0.45,
+      nPlanes: Int = 8): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 12,
+      "driver-side cell-pair pruning is sized for <= 2^12 cells")
+    val spark = embeddings.sparkSession
+    def clip(x: Double) = math.max(-1.0, math.min(1.0, x))
+
+    val withB = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"),
+      sqrt(V.norm2(col("embedding"))).as("nrm"),
+      V.lshBucket(col("embedding"), nPlanes).as("cell"))
+
+    // (2) bounded cell statistics: centroid of unit vectors, then max angle
+    val centSums = withB
+      .select(col("cell"), posexplode(transform(col("embedding"), x => x / col("nrm")))
+        .as(Seq("dim", "u")))
+      .groupBy("cell", "dim").agg(sum("u").as("s"))
+      .collect()
+      .groupBy(_.getAs[Long]("cell")).map { case (cell, rows) =>
+        val arr = new Array[Double](rows.map(_.getAs[Int]("dim")).max + 1)
+        rows.foreach(r => arr(r.getAs[Int]("dim")) = r.getAs[Double]("s"))
+        val n = math.sqrt(arr.map(x => x * x).sum)
+        cell -> arr.map(_ / n)
+      }
+    val centDf = spark.createDataFrame(centSums.toSeq.map { case (c, v) => (c, v.toSeq) })
+      .toDF("cell", "cent")
+    val radii = withB.join(broadcast(centDf), "cell")
+      .select(col("cell"), (V.dot(col("embedding"), col("cent")) / col("nrm")).as("cosc"))
+      .groupBy("cell").agg(min("cosc").as("mincos"))
+      .collect()
+      .map(r => r.getAs[Long]("cell") -> math.acos(clip(r.getAs[Double]("mincos"))))
+      .toMap
+
+    // (3) exact cell-pair pruning (ordered pairs ca <= cb, each pair once)
+    val thetaT = math.acos(clip(threshold))
+    val cells = centSums.keys.toSeq.sorted
+    val kept = for {
+      ai <- cells.indices
+      bi <- ai until cells.size
+      a = cells(ai); b = cells(bi)
+      ang = math.acos(clip(centSums(a).zip(centSums(b)).map { case (x, y) => x * y }.sum))
+      if ang - radii(a) - radii(b) <= thetaT + 1e-6
+    } yield (a, b)
+    val cellPairs = spark.createDataFrame(kept).toDF("ca", "cb")
+
+    // (4) candidate generation on narrow (vec_id, cell) rows
+    val keys = withB.select(col("vec_id"), col("cell"))
+    val cand = keys.select(col("vec_id").as("ida"), col("cell").as("ca"))
+      .join(broadcast(cellPairs), Seq("ca"))
+      .join(keys.select(col("vec_id").as("idb"), col("cell").as("cb")), Seq("cb"))
+      .filter(col("ca") < col("cb") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("i"), greatest(col("ida"), col("idb")).as("j"))
+
+    // (5) exact verify — same IEEE fold as the all-pairs op, bit-identical
+    cand
+      .join(withB.as("va"), col("i") === col("va.vec_id"))
+      .join(withB.as("vb"), col("j") === col("vb.vec_id"))
+      .select(col("i"), col("j"),
+        (V.dot(col("va.embedding"), col("vb.embedding")) / (col("va.nrm") * col("vb.nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Embedding near-duplicates via multi-band hyperplane LSH — the
+    * APPROXIMATE scale path: band-explode (map-side, native LshBands) →
+    * equi-join on (band, bucket) for candidates → exact cosine verify on
+    * candidates only. Verification cost tracks the candidate count — the
+    * same economics as [[minhashPairs]].
+    *
+    * Recall is tunable, not exact: a pair at angle θ collides in one
+    * p-plane band with probability (1 − θ/π)^p, and in ≥ 1 of B bands with
+    * 1 − (1 − (1−θ/π)^p)^B. The defaults (p=3, B=32) were MEASURED on the
+    * synthetic testdata, whose planted pairs sit at cosine 0.45–0.60
+    * (θ ≈ 53–63°, per-plane agreement only ~0.65–0.70): they catch
+    * 142/144 pairs at sf0.1 and all pairs at sf0.01/sf0.001. No sign-LSH
+    * configuration reaches 100 % at this threshold (p=3, B=512 still
+    * misses 1 of 144 while generating 100× all-pairs candidates — swept
+    * empirically), which is why the DECLARED exact dedup is
+    * [[embeddingNearDupsExact]] and this operator is the knob for the
+    * near-dup regime: at a production dedup threshold (cosine ≥ 0.9,
+    * per-plane agreement 0.857) p = 16–20 gives ≥ 2^16 buckets per band
+    * and B ≈ 60 bands a < 1e-4 miss rate — sub-quadratic candidates with
+    * scale-safe band cardinality. */
+  def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double = 0.45,
+      nPlanes: Int = 3, nBands: Int = 32): DataFrame = {
+    val withNorm = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"),
+      sqrt(V.norm2(col("embedding"))).as("nrm"))
+    val bands = withNorm.select(col("vec_id"),
+      posexplode(V.lshBands(col("embedding"), nPlanes, nBands)).as(Seq("band_idx", "bucket")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    cand
+      .join(withNorm.as("va"), col("i") === col("va.vec_id"))
+      .join(withNorm.as("vb"), col("j") === col("vb.vec_id"))
+      .select(col("i"), col("j"),
+        (V.dot(col("va.embedding"), col("vb.embedding")) / (col("va.nrm") * col("vb.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("i"), col("j"))
   }

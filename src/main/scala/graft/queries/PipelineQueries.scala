@@ -60,12 +60,19 @@ object PipelineQueries {
   private def dCos(a: String, b: String): String =
     s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
 
-  /** Random-hyperplane LSH bucket of a list expression (VectorFunctions
-    * plane formula: w_j[i] = ((31i + 73j) mod 13) - 6). */
+  /** Multi-band random-hyperplane LSH buckets of a list expression
+    * (LshBands plane formula: w_g[i] = ((g·len + i)·1103515245 + 12345)
+    * mod 2039 − 1019, g = band·nPlanes + plane). */
+  private def dLshBands(v: String, nPlanes: Int, nBands: Int): String =
+    s"list_transform(range($nBands), zb -> list_reduce(list_prepend(0::BIGINT, " +
+    s"list_transform(range($nPlanes), zj -> CASE WHEN " +
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len($v)), zi -> " +
+    s"($v)[zi+1]::DOUBLE * ((((zb*$nPlanes + zj)*len($v) + zi) * 1103515245::BIGINT + 12345) % 2039 - 1019)::DOUBLE)), " +
+    s"(za, zx) -> za + zx) > 0 THEN (1::BIGINT << zj) ELSE 0::BIGINT END)), (zc, zd) -> zc + zd))"
+
+  /** Single-band LSH bucket (band 0 of dLshBands — VectorFunctions.lshBucket). */
   private def dLshBucket(v: String, nPlanes: Int = 4): String =
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(range($nPlanes), lj -> CASE WHEN " +
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len($v)), li -> ($v)[li+1]::DOUBLE * (((31*li + 73*lj) % 13) - 6)::DOUBLE)), (ha, hx) -> ha + hx)" +
-    s" > 0 THEN (1::BIGINT << lj) ELSE 0::BIGINT END)), (ba, bx) -> ba + bx)"
+    s"(${dLshBands(v, nPlanes, 1)})[1]"
 
   /** SimHash per doc, group-by formulation (avoids triple-nested lambdas). */
   private val dSimhashCte: String =
@@ -158,8 +165,13 @@ object PipelineQueries {
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 1)),
 
+    // exact (identical output to the all-pairs oracle SQL) but planned as
+    // IVF cell-pair equi-joins — no BroadcastNestedLoopJoin at any scale
     "dedup_embedding_pairs" -> ((s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)),
+      Dedup.embeddingNearDupsExact(Tables.embeddings(s, d), threshold = 0.45)),
+
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d), threshold = 0.45)),
 
     "emb_knn" -> ((s, d) =>
       Similarity.bruteForceKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
@@ -256,10 +268,22 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY i, j""".stripMargin,
 
+    // the Spark side prunes with an exact triangle-inequality bound, so the
+    // all-pairs SQL IS the correct oracle — a green row proves exactness
     "dedup_embedding_pairs" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j, ${dCos("a.embedding", "b.embedding")} AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${dCos("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY i, j""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH lbk AS (SELECT vec_id, ${dLshBands("embedding", 3, 32)} AS bands FROM embeddings),
+         |lbnd AS (SELECT vec_id, wr.r AS band_idx, bands[wr.r+1] AS bucket FROM lbk, range(32) wr(r)),
+         |lcand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j FROM lbnd a JOIN lbnd b
+         |          ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT c.i, c.j, ${dCos("ea.embedding", "eb.embedding")} AS cos_sim
+         |FROM lcand c JOIN embeddings ea ON c.i = ea.vec_id JOIN embeddings eb ON c.j = eb.vec_id
+         |WHERE ${dCos("ea.embedding", "eb.embedding")} >= 0.45
          |ORDER BY i, j""".stripMargin,
 
     "emb_knn" ->
