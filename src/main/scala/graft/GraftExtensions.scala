@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotDouble, LshBands, MinhashSig, PolyHash, Simhash30}
+import graft.expressions.{DotDouble, LshBands, MinhashSig, PolyHash, Simhash62}
 
 /** SparkSessionExtensions registration: exposes the engine's native
   * expressions to SQL, so `spark.sql("SELECT poly_hash(text) ...")` works
@@ -22,7 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "poly_hash" -> ((args: Seq[Expression]) => PolyHash(args.head)),
-    "simhash30" -> ((args: Seq[Expression]) => Simhash30(args.head)),
+    "simhash62" -> ((args: Seq[Expression]) => Simhash62(args.head)),
     "minhash_sig" -> ((args: Seq[Expression]) => MinhashSig(args.head)),
     "dot_double" -> ((args: Seq[Expression]) => DotDouble(args(0), args(1))),
     // plane/band counts must be literals: they shape the generated loop

@@ -70,17 +70,25 @@ case class PolyHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** 30-bit SimHash over an array<long> of token hashes
-  * (TextFunctions.simhashFromHashes semantics, one pass, native). */
-case class Simhash30(child: Expression)
+/** 62-bit SimHash over an array<long> of token hashes
+  * (TextFunctions.simhashFromHashes semantics, one pass, native).
+  *
+  * The portable polynomial hash carries only ~30 usable bits (mod 1e9+7),
+  * so each token hash is remixed into two independent 31-bit hashes —
+  * xa = (x·8191 + 127) mod (2³¹−1), xb = (x·8209 + 257) mod (2³¹−1) —
+  * whose bits vote for the fingerprint's lower/upper 31 bits. 62 bits keep
+  * the value a positive long in both engines, and give pigeonhole bands of
+  * 31 bits (maxDist 1) or ~15–16 bits (maxDist 3) — a 30-bit fingerprint's
+  * 15-bit halves cap at 32 768 band values, quadratic at web scale. */
+case class Simhash62(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any =
-    ArrayExprs.simhash30(v.asInstanceOf[ArrayData])
+    ArrayExprs.simhash62(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.ArrayExprs.simhash30($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ArrayExprs.simhash62($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -138,23 +146,25 @@ object ArrayExprs {
     acc
   }
 
-  def simhash30(hs: ArrayData): Long = {
-    val bits = TextFunctions.SimhashBits
-    val votes = new Array[Int](bits)
+  def simhash62(hs: ArrayData): Long = {
+    val votes = new Array[Int](62)
     var i = 0
     val n = hs.numElements()
     while (i < n) {
       val x = hs.getLong(i)
+      val xa = (x * 8191L + 127L) % 2147483647L
+      val xb = (x * 8209L + 257L) % 2147483647L
       var b = 0
-      while (b < bits) {
-        if (((x >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      while (b < 31) {
+        if (((xa >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((xb >> b) & 1L) == 1L) votes(31 + b) += 1 else votes(31 + b) -= 1
         b += 1
       }
       i += 1
     }
     var out = 0L
     var b = 0
-    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 62) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
@@ -206,7 +216,7 @@ object ArrayExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def dot_double(a: Column, b: Column): Column = column(DotDouble(expression(a), expression(b)))
   def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
-  def simhash30(c: Column): Column = column(Simhash30(expression(c)))
+  def simhash62(c: Column): Column = column(Simhash62(expression(c)))
   def minhash_sig(c: Column): Column = column(MinhashSig(expression(c)))
   def lsh_bands(v: Column, nPlanes: Int, nBands: Int): Column =
     column(LshBands(expression(v), nPlanes, nBands))

@@ -25,8 +25,11 @@ object TextFunctions {
   val MinhashK = 8
   val MinhashBands = 4 // 4 bands × 2 rows
 
-  /** SimHash width: 30 bits (all below HashMod). */
-  val SimhashBits = 30
+  /** SimHash width: 62 bits — two 31-bit halves voted by independent
+    * remixes of each token hash (Simhash62). Wide enough that pigeonhole
+    * bands stay ≥ 2^15–2^31 values (scale-safe shuffle keys); still a
+    * positive BIGINT in the oracle. */
+  val SimhashBits = 62
 
   /** Whitespace tokenization; documents.text is single-space joined. */
   def tokens(text: Column): Column = split(text, " ")
@@ -99,12 +102,12 @@ object TextFunctions {
       b => concat_ws("-", slice(sig, b * lit(r) + lit(1), lit(r))))
   }
 
-  /** 30-bit SimHash over the token *multiset* (duplicates weigh in, as in
+  /** 62-bit SimHash over the token *multiset* (duplicates weigh in, as in
     * Charikar's scheme): bit b is set iff the sum of ±1 votes from each
-    * token's hash bit b is positive. `phs` is a tokenHashes column.
-    * Native one-pass expression (30 × n interpreted lambda steps otherwise). */
+    * token's remixed hash bit b is positive. `phs` is a tokenHashes column.
+    * Native one-pass expression (62 × n interpreted lambda steps otherwise). */
   def simhashFromHashes(phs: Column): Column =
-    graft.expressions.ArrayExprs.simhash30(phs)
+    graft.expressions.ArrayExprs.simhash62(phs)
 
   /** Per-language stopword marker sets for the n-gram/stopword language-ID
     * heuristic. Small on purpose — the mechanism (score per language, argmax

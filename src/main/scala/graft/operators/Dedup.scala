@@ -103,27 +103,37 @@ object Dedup {
     docs.select(col("doc_id"), T.tokenHashes(col("text")).as("phs"))
       .select(col("doc_id"), T.simhashFromHashes(col("phs")).as("simhash"))
 
-  /** Pairs whose SimHash Hamming distance ≤ 1, exactly — via the pigeonhole
-    * band trick: two fingerprints within distance 1 agree on their upper or
-    * lower 15 bits, so two hash equi-joins (one per half) produce a
-    * candidate superset with zero recall loss, and the cheap bit_count
-    * filter verifies. No O(n²) nested-loop compare; the band value is the
-    * shuffle key, which is how this runs on 10^10 documents.
-    * (For maxDist = d generally: split into d+1 bands.) */
+  /** Pairs whose 62-bit SimHash Hamming distance ≤ maxDist, exactly — via
+    * the pigeonhole band trick: fingerprints within distance d agree on at
+    * least one of d+1 disjoint bit bands, so band equi-joins produce a
+    * candidate superset with ZERO recall loss, and the cheap bit_count
+    * filter verifies. No O(n²) nested-loop compare; (band_idx, band_val)
+    * is the shuffle key, which is how this runs on 10^10 documents.
+    *
+    * Band cardinality is the scale knob: maxDist 1 → two 31-bit bands
+    * (2^31 values — never a hot key); maxDist 3 → four 15/16-bit bands
+    * (≥ 2^15; workable to ~10^8 docs, beyond that prefer a wider
+    * fingerprint or two-stage banding). The old 30-bit fingerprint capped
+    * halves at 2^15 values, quadratic at web scale — hence 62 bits. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 1): DataFrame = {
-    require(maxDist <= 1, "band split implemented for maxDist <= 1")
+    require(maxDist >= 0 && maxDist <= 7, "band split supports maxDist <= 7")
+    val bits = T.SimhashBits
+    val nBands = maxDist + 1
+    // band b covers `width` bits starting at its offset; first (bits mod
+    // nBands) bands get the extra bit
+    val widths = Seq.tabulate(nBands)(b => bits / nBands + (if (b < bits % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val s = simhashes(docs)
-    val half = T.SimhashBits / 2
-    def bandJoin(band: Column => Column): DataFrame = {
-      val withBand = s.withColumn("band", band(col("simhash")))
-      withBand.as("a").join(withBand.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-    }
-    val lo = bandJoin(sh => pmod(sh, lit(1L << half)))
-    val hi = bandJoin(sh => floor(sh / lit(1L << half)).cast("long"))
-    lo.union(hi).distinct()
+    val bandCols = Seq.tabulate(nBands)(b =>
+      shiftright(col("simhash"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1L)))
+    val bands = s.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("i"), col("j"), col("hamming"))

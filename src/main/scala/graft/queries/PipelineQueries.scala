@@ -74,12 +74,16 @@ object PipelineQueries {
   private def dLshBucket(v: String, nPlanes: Int = 4): String =
     s"(${dLshBands(v, nPlanes, 1)})[1]"
 
-  /** SimHash per doc, group-by formulation (avoids triple-nested lambdas). */
+  /** 62-bit SimHash per doc, group-by formulation (avoids triple-nested
+    * lambdas). Lower 31 fingerprint bits are voted by remix xa, upper 31 by
+    * xb — the Simhash62 expression's exact arithmetic. */
   private val dSimhashCte: String =
     s"""tok AS (SELECT doc_id, unnest(${dTokens("text")}) AS tk FROM documents),
        |ph AS (SELECT doc_id, ${dPoly("tk")} AS x FROM tok),
-       |bits AS (SELECT doc_id, br.r AS b, sum(CASE WHEN (x >> br.r) & 1 = 1 THEN 1 ELSE -1 END) AS s
-       |         FROM ph, range(${T.SimhashBits}) br(r) GROUP BY doc_id, br.r),
+       |ph2 AS (SELECT doc_id, (x * 8191 + 127) % 2147483647 AS xa, (x * 8209 + 257) % 2147483647 AS xb FROM ph),
+       |bits AS (SELECT doc_id, br.r AS b,
+       |         sum(CASE WHEN (CASE WHEN br.r < 31 THEN xa >> br.r ELSE xb >> (br.r - 31) END) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM ph2, range(${T.SimhashBits}) br(r) GROUP BY doc_id, br.r),
        |sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
        |        FROM bits GROUP BY doc_id)""".stripMargin
 

@@ -54,8 +54,22 @@ class PipelineOpsSpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect()
     val dists = pairs.map { case (i, j) =>
       java.lang.Long.bitCount(sims(i) ^ sims(j)) }
-    assert(dists.forall(_ <= 6), s"near-dup simhash distances: ${dists.toSeq}")
+    // 62-bit fingerprints: planted >=0.5-jaccard pairs measure 0..8 apart,
+    // far under the ~31 expected of unrelated docs sharing a vocabulary
+    assert(dists.forall(_ <= 12), s"near-dup simhash distances: ${dists.toSeq}")
     assert(Dedup.exact(docs).count() == docs.count()) // no exact dups planted
+  }
+
+  test("simhash band split is pigeonhole-exact at wider distances (maxDist 3)") {
+    val sims = Dedup.simhashes(docs).as[(Long, Long)].collect()
+    val expect = (for {
+      a <- sims; b <- sims if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= 3
+    } yield (a._1, b._1, d.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, s"banded join must equal brute force (diff ${got.diff(expect) ++ expect.diff(got)})")
+    assert(expect.nonEmpty, "testdata should contain simhash-close pairs at dist <= 3")
   }
 
   test("cosine: exact on known vectors; knn ranks the data deterministically") {
