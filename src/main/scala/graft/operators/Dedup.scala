@@ -29,30 +29,64 @@ object Dedup {
 
   /** Distinct k-shingle ids per document, exploded to (doc_id, sh) grain.
     * `sh` is the 60-bit packed shingle id (TextFunctions.shingleIds): the
-    * join/shuffle key is 8 bytes, not a string. At scale, add a frequency
-    * cap on ubiquitous shingles before the join (classic skew guard) —
-    * omitted here to keep results exact. */
+    * join/shuffle key is 8 bytes, not a string. */
   private def shingleRows(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
       .select(col("doc_id"),
         explode(array_distinct(T.shingleIds(col("ths"), k))).as("sh"))
 
-  /** Document pairs with k-shingle Jaccard ≥ threshold.
-    * inter/|A∪B| computed from exact bigint counts → deterministic double. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(docs, k)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
+  /** Exact-Jaccard verification of candidate (i, j) pairs against FULL
+    * shingle sets: shingle rows are semi-joined down to candidate docs, so
+    * cost tracks the candidate count, and the intersection/union counts are
+    * over every shingle — a candidate-generation filter upstream cannot
+    * change the reported jaccard. inter/|A∪B| from exact bigint counts →
+    * deterministic double. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val candDocs = candidates.select(col("i").as("doc_id"))
+      .union(candidates.select(col("j"))).distinct()
+    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(candSh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(candSh.as("sb"), col("j") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
-      .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+      .join(sizes.as("na"), col("i") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("jaccard", col("inter") / (col("na.n") + col("nb.n") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("inter"), col("jaccard"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Document pairs with k-shingle Jaccard ≥ threshold, via candidate
+    * generation on the shingle equi-join plus full-set verification.
+    *
+    * Skew guard: a ubiquitous shingle (df docs carrying it) contributes
+    * df·(df−1)/2 candidate rows on ONE join key — a stop-shingle in 10 % of
+    * a 10⁹-doc corpus would be a 10¹⁶-row hot key. Shingles with document
+    * frequency above `dfCutoff` (default: max(16, 0.4 % of the corpus) —
+    * active at sf0.1, where it drops the df 21–25 tail while every
+    * qualifying pair still shares a df ≤ 10 shingle) are excluded from
+    * candidate generation ONLY; verification always uses full shingle sets,
+    * so any pair surfaced is scored exactly. The output is unchanged
+    * whenever every ≥ threshold pair shares at least one sub-cutoff
+    * shingle — guaranteed here by measurement, and overwhelmingly likely in
+    * general: a pair whose every shared shingle is ubiquitous has jaccard
+    * dominated by stop-phrases, not near-duplication. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      dfCutoff: Option[Long] = None): DataFrame = {
+    val sh = shingleRows(docs, k)
+    val cutoff = dfCutoff.getOrElse(math.max(16L, (docs.count() * 0.004).toLong))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cutoff).select("sh")
+    val candSh = sh.join(rare, Seq("sh"), "left_semi")
+    val candidates = candSh.as("a").join(candSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** Per-document MinHash signature (MinhashK portable hashes). Token and
@@ -80,22 +114,7 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    val candDocs = candidates.select(col("i").as("doc_id"))
-      .union(candidates.select(col("j"))).distinct()
-    val sh = shingleRows(docs, k)
-      .join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("i") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("j") === col("nb.doc_id"))
-      .withColumn("jaccard", col("inter") / (col("na.n") + col("nb.n") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), col("inter"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+    verifyJaccard(candidates, shingleRows(docs, k), threshold)
   }
 
   /** Per-document SimHash fingerprint (token hashes materialized once). */

@@ -48,6 +48,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh == exact, s"LSH candidates must cover every >=0.5 pair (missed ${exact -- lsh})")
   }
 
+  test("shingle df skew guard: planted hot shingle pruned, output unchanged") {
+    // 30 docs share a ubiquitous 3-gram (df 30); docs 1 & 2 are near-dups
+    // through their RARE shingles. The hot shingle alone would contribute
+    // C(30,2)=435 candidate rows on one join key.
+    val fixture = (1L to 30L).map { id =>
+      val unique =
+        if (id == 2L) "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"
+        else if (id == 1L) "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        else s"unique$id word$id token$id item$id thing$id part$id bit$id"
+      (id, s"common filler phrase here $unique")
+    }.toDF("doc_id", "text")
+    val unguarded = Dedup.ngramJaccardPairs(fixture, 3, 0.5, Some(Long.MaxValue)).collect()
+    val guarded = Dedup.ngramJaccardPairs(fixture, 3, 0.5, Some(5)).collect()
+    assert(unguarded.map(_.getAs[Long]("i")).contains(1L), "near-dup pair planted")
+    assert(guarded.map(_.toSeq).toSeq == unguarded.map(_.toSeq).toSeq,
+      "guard must not change the verified output")
+
+    // real testdata: cutoff 4 actively drops the df 5-9 tail at sf0.001,
+    // and every >=0.5 pair still shares a df<=4 shingle (measured)
+    val full = Dedup.ngramJaccardPairs(docs, 3, 0.5, Some(Long.MaxValue)).collect()
+    val active = Dedup.ngramJaccardPairs(docs, 3, 0.5, Some(4)).collect()
+    assert(active.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("near-dup pairs are simhash-close; exact dedup keeps every unique text") {
     val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
