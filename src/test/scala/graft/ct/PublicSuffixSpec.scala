@@ -33,6 +33,37 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(bd("x.www.ck") == "www.ck")
   }
 
+  test("private-section registries: hosted-platform subdomains are registrable") {
+    assert(bd("myuser.github.io") == "myuser.github.io")
+    assert(bd("a.b.myuser.github.io") == "myuser.github.io")
+    assert(bd("mysite.blogspot.com") == "mysite.blogspot.com")
+    assert(bd("app-1234.herokuapp.com") == "app-1234.herokuapp.com")
+    assert(bd("ec2-1-2-3-4.us-east-1.compute.amazonaws.com")
+      == "ec2-1-2-3-4.us-east-1.compute.amazonaws.com") // *.compute.amazonaws.com
+    // plain subdomains of the operator's own site are NOT private suffixes
+    assert(bd("www.github.com") == "github.com")
+  }
+
+  test("ccTLD families: com.sa-class second-level registries") {
+    assert(bd("www.example.com.sa") == "example.com.sa")
+    assert(bd("shop.example.com.br") == "example.com.br")
+    assert(bd("a.example.co.ke") == "example.co.ke")
+    assert(bd("x.example.ac.in") == "example.ac.in")
+  }
+
+  test("jp metro wildcards with city exceptions") {
+    assert(bd("a.b.kawasaki.jp") == "a.b.kawasaki.jp")     // *.kawasaki.jp
+    assert(bd("x.city.kawasaki.jp") == "city.kawasaki.jp") // !city.kawasaki.jp
+    assert(bd("www.example.co.jp") == "example.co.jp")
+  }
+
+  test("IDN suffixes in Unicode form") {
+    assert(bd("пример.рф") == "пример.рф")
+    assert(bd("www.пример.рф") == "пример.рф")
+    assert(bd("例え.中国") == "例え.中国")
+    assert(bd("www.example.香港") == "example.香港")
+  }
+
   test("case/dot normalization and nulls") {
     assert(bd("WWW.Example.COM") == "example.com")
     assert(bd(".example.com.") == "example.com")
