@@ -14,6 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object CtQueries {
 
+  private def monthOf(t: Timestamp): String =
+    java.time.Instant.ofEpochMilli(t.getTime).atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))
+
+  /** Partition-pruning discipline (SURVEY §4): a `ts` range predicate does
+    * not prune the store's `ts_month=` Hive partitions by itself — Catalyst
+    * cannot derive month bounds from a timestamp comparison — so every
+    * time-predicate query ALSO states the implied month range. yyyyMM
+    * strings compare correctly lexicographically. No-op for frames without
+    * the partition column (fixtures, pre-store streams). */
+  private def monthBound(df: DataFrame, from: Option[Timestamp],
+      to: Option[Timestamp]): DataFrame =
+    if (!df.columns.contains(CertStore.partitionCol)) df
+    else {
+      val lower = from.map(t => col(CertStore.partitionCol) >= monthOf(t))
+      val upper = to.map(t => col(CertStore.partitionCol) <= monthOf(t))
+      (lower ++ upper).reduceOption(_ && _).map(df.filter).getOrElse(df)
+    }
+
   /** GET /domain/<name> (app.py:95):
     * SELECT * WHERE domain=? ORDER BY ts DESC LIMIT 100.
     * Sort+Limit plans as TakeOrderedAndProjectExec — top-k, no full sort.
@@ -36,7 +55,7 @@ object CtQueries {
     * day. `now` is the parameterized reference time. */
   def recent(certDomains: DataFrame, base: String, now: Timestamp): DataFrame = {
     val dayAgo = new Timestamp(now.getTime - 24L * 3600 * 1000)
-    certDomains
+    monthBound(certDomains, Some(dayAgo), None)
       .filter(col("base_domain") === base && col("ts") > lit(dayAgo))
       .select(col("domain")).distinct()
       .orderBy(col("domain"))
@@ -61,7 +80,14 @@ object CtQueries {
     * (approx_count_distinct = Spark HLL++) vs exact count(DISTINCT) for
     * oracle checks (SURVEY §5.2). */
   def stats(certDomains: DataFrame, date: Date, approx: Boolean = true): DataFrame = {
-    val day = certDomains.filter(to_date(col("ts")) === lit(date))
+    // month derived from the calendar date itself (session tz renders both
+    // ts_month and to_date(ts) in UTC, so no epoch conversion may intervene)
+    val month = date.toLocalDate.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))
+    val bounded =
+      if (certDomains.columns.contains(CertStore.partitionCol))
+        certDomains.filter(col(CertStore.partitionCol) === month)
+      else certDomains
+    val day = bounded.filter(to_date(col("ts")) === lit(date))
     val uniq: String => org.apache.spark.sql.Column =
       if (approx) c => approx_count_distinct(col(c)) else c => countDistinct(col(c))
     day.agg(
@@ -82,7 +108,7 @@ object CtQueries {
     * a deterministic (ts, fingerprint, domain) order so the caller can
     * resume from the last emitted key without loss. */
   def streamTail(certDomains: DataFrame, lastTs: Timestamp, batch: Int = 100): DataFrame =
-    certDomains.filter(col("ts") >= lit(lastTs))
+    monthBound(certDomains, Some(lastTs), None).filter(col("ts") >= lit(lastTs))
       .orderBy(col("ts"), col("fingerprint"), col("domain"))
       .limit(batch)
 
@@ -101,7 +127,7 @@ object CtQueries {
         (col("ts") === lit(lastTs) &&
           (col("fingerprint") > lit(lastFingerprint) ||
             (col("fingerprint") === lit(lastFingerprint) && col("domain") > lit(lastDomain))))
-    certDomains
+    monthBound(certDomains, Some(lastTs), None)
       .filter(col("ts") >= lit(lastTs) && afterKey)
       .orderBy(col("ts"), col("fingerprint"), col("domain"))
       .limit(batch)

@@ -41,6 +41,31 @@ class CertStoreSpec extends SparkSpec {
     assert(one < all, s"pruned read should touch fewer files ($one vs $all)")
   }
 
+  test("time-predicate queries prune ts_month partitions at the scan (SURVEY §4)") {
+    val dir = Files.createTempDirectory("certstore").toString
+    CertStore.write(
+      (fixture("2024-01", 5) ++ fixture("2024-02", 5) ++ fixture("2024-03", 5)).toDF(),
+      dir, SaveMode.Overwrite)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }.head
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    }
+    val table = CertStore.read(spark, dir)
+    val total = scannedPartitions(table)
+    assert(total == 3)
+    val recent = CtQueries.recent(table, "example.com",
+      Timestamp.valueOf("2024-03-10 18:00:00"))
+    assert(scannedPartitions(recent) == 1, "24h lookback must touch one month")
+    assert(recent.count() == 5) // and still see that month's rows
+    val stats = CtQueries.stats(table, java.sql.Date.valueOf("2024-02-10"), approx = false)
+    assert(scannedPartitions(stats) == 1, "single-day stats must touch one month")
+    assert(stats.collect()(0).getAs[Long]("total") == 5)
+    val tail = CtQueries.streamTail(table, Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(scannedPartitions(tail) == 2, "tail from Feb must skip January")
+    assert(tail.count() == 10)
+  }
+
   test("compact rewrites into fewer files per month, same rows") {
     val dir = Files.createTempDirectory("certstore").toString
     // three appends → several small files
