@@ -1,0 +1,81 @@
+package graft.ct
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.streaming.Trigger
+import graft.ct.source.CtMicroBatchSource
+
+/** The DataSource-v2 micro-batch CT source end-to-end: admission from the
+  * log list, range-partitioned fetches, checkpointed offsets, and
+  * exactly-once resume across restarts (VERDICT r1 item 10). */
+class CtDsv2Spec extends graft.SparkSpec {
+
+  private val logListJson =
+    """{"operators":[{"logs":[
+      |{"description":"Usable Log","url":"https://l1.example/","state":{"usable":{}},
+      | "temporal_interval":{"start_inclusive":"2023-01-01T00:00:00Z","end_exclusive":"2025-01-01T00:00:00Z"}},
+      |{"description":"Frozen Log","url":"https://l2.example","state":{"frozen":{}}},
+      |{"description":"Retired Log","url":"https://l3.example","state":{"retired":{}}}
+      |]}]}""".stripMargin
+
+  private class Fixture extends Ingestor.EntrySource {
+    @volatile var size = 3L
+    val fetched = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def treeSize(log: LogList.CtLog): Long = size
+    def fetchEntries(log: LogList.CtLog, start: Long, end: Long): Seq[RawEntry] = {
+      fetched.add((log.name, start, end))
+      (start to end).map(i => RawEntry(log.name, i, Fixtures.leafB64()))
+    }
+  }
+
+  test("readStream ingest: admission, batching, checkpoint resume, exactly-once") {
+    val store = Files.createTempDirectory("dsv2-store").toString
+    val ckpt = Files.createTempDirectory("dsv2-ckpt").toString
+    val src = new Fixture
+    CtMicroBatchSource.register("fix-e2e", src)
+    val opts = Map(
+      "loglist" -> logListJson,
+      "now" -> "2024-01-15T00:00:00Z",
+      "sourcekey" -> "fix-e2e",
+      "batchsize" -> "2")
+    def runToCompletion(): Unit = {
+      val q = StreamIngest.start(spark, opts, store, ckpt,
+        () => Timestamp.valueOf("2024-01-15 00:00:00"), Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    runToCompletion()
+    // 2 admitted logs (retired dropped, S2) x 3 entries of the same cert →
+    // (fingerprint, domain) dedup leaves the 3 fixture domains
+    val afterFirst = CertStore.read(spark, store).count()
+    assert(afterFirst == 3L)
+    // ranges were chunked per batchsize and only [0, 2] was ever fetched
+    assert(fetchedRanges(src).size >= 2)
+    assert(fetchedRanges(src).forall { case (_, s, e) => s >= 0 && e <= 2 })
+
+    // no new entries → restart is a no-op (offsets resumed from checkpoint)
+    src.fetched.clear()
+    runToCompletion()
+    assert(CertStore.read(spark, store).count() == afterFirst)
+    assert(fetchedRanges(src).isEmpty, s"no-op restart must not refetch: ${fetchedRanges(src)}")
+
+    // the logs grow → only the NEW range [3, 4] is fetched after resume
+    src.size = 5L
+    runToCompletion()
+    assert(fetchedRanges(src).nonEmpty)
+    assert(fetchedRanges(src).forall { case (_, s, e) => s >= 3 && e <= 4 },
+      s"resume must fetch only new entries: ${fetchedRanges(src)}")
+    // same cert again → dedup per batch; appended rows queryable
+    val table = CertStore.read(spark, store)
+    assert(table.count() == 6L)
+    val subs = CtQueries.subdomains(table, "example.com").collect()
+    assert(subs.map(_.getAs[String]("domain")).contains("www.example.com"))
+  }
+
+  private def fetchedRanges(f: Fixture): Seq[(String, Long, Long)] = {
+    val it = f.fetched.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+}
