@@ -20,7 +20,11 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Ingestor {
 
-  val BatchSize = 512 // reference BATCH_SIZE, ct_ingestor.py:25
+  /** Reference BATCH_SIZE (ct_ingestor.py:25). NOTE: runOnce requests the
+    * range [idx, idx + BatchSize] INCLUSIVE — BatchSize+1 = 513 entries per
+    * get-entries call — faithfully reproducing the reference's off-by-one
+    * (`end = min(idx + BATCH_SIZE, size - 1)`); kept for bug-parity. */
+  val BatchSize = 512
 
   /** S3 + S4: tree size high-watermark and contiguous entry fetch. */
   trait EntrySource {
