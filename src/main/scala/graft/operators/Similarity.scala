@@ -52,4 +52,29 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Multi-probe LSH ANN: probe the query's bucket AND every bucket whose
+    * sign pattern differs by ≤ `maxFlips` bits — the standard recall
+    * recovery for hyperplane LSH (a near neighbor on the far side of one
+    * hyperplane lands one bit away). `maxFlips` = 1 scans nPlanes+1 of the
+    * 2^nPlanes cells, so candidate volume rises linearly in nPlanes while
+    * recall approaches brute force. At scale the probed cells are
+    * enumerable ((p choose ≤f) values) so a bucket-partitioned layout still
+    * serves the probe as point lookups; here it is the same broadcast-
+    * filter shape as lshKnn with a bit_count(xor) ≤ f predicate. */
+  def lshKnnMultiProbe(embeddings: DataFrame, queryId: Long, k: Int = 10,
+      nPlanes: Int = 4, maxFlips: Int = 1): DataFrame = {
+    val bucketed = withBucket(embeddings, nPlanes)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"),
+        sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxFlips)
+      .withColumn("cos_sim",
+        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+      .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -183,6 +183,9 @@ object PipelineQueries {
     "emb_knn_lsh" -> ((s, d) =>
       Similarity.lshKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
 
+    "emb_knn_lsh_mp" -> ((s, d) =>
+      Similarity.lshKnnMultiProbe(Tables.embeddings(s, d), queryId = 0L, k = 10)),
+
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
@@ -301,6 +304,13 @@ object PipelineQueries {
          |q AS (SELECT embedding AS qe, bucket AS qb FROM bk WHERE vec_id = 0)
          |SELECT vec_id, label, bucket, ${dCos("embedding", "qe")} AS cos_sim
          |FROM bk, q WHERE vec_id <> 0 AND bucket = qb
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "emb_knn_lsh_mp" ->
+      s"""WITH mbk AS (SELECT vec_id, label, embedding, ${dLshBucket("embedding")} AS bucket FROM embeddings),
+         |mq AS (SELECT embedding AS qe, bucket AS qb FROM mbk WHERE vec_id = 0)
+         |SELECT vec_id, label, bucket, ${dCos("embedding", "qe")} AS cos_sim
+         |FROM mbk, mq WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "emb_norms" ->

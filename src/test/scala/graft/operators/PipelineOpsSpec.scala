@@ -114,6 +114,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(buckets.length == 1, "all results share the query's bucket")
   }
 
+  test("multi-probe LSH knn: wider candidate set, never worse than single probe") {
+    val single = Similarity.lshKnn(embs, 0L, 10, 4).collect()
+    val multi = Similarity.lshKnnMultiProbe(embs, 0L, 10, 4, maxFlips = 1).collect()
+    val brute = Similarity.bruteForceKnn(embs, 0L, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(multi.nonEmpty)
+    // probed cells are exactly the <=1-bit neighbors of the query's bucket
+    val qBucket = single.head.getAs[Long]("bucket")
+    assert(multi.forall(r =>
+      java.lang.Long.bitCount(r.getAs[Long]("bucket") ^ qBucket) <= 1))
+    // recall vs brute force can only improve with more probes
+    def recall(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("vec_id")).count(brute)
+    assert(recall(multi) >= recall(single))
+  }
+
   test("exact embedding dedup: identical to all-pairs, but no nested-loop join") {
     val allPairs = Dedup.embeddingNearDupsAllPairs(embs, 0.45).collect()
     val pruned = Dedup.embeddingNearDupsExact(embs, 0.45)
