@@ -244,6 +244,21 @@ object RelationalQueries {
         col("sum_price"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * per-returnflag, per-linestatus, and grand-total groups in one pass —
+    * Spark plans a single Expand + hash aggregate, same as the oracle. */
+  def q22GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   /** Distinct aggregate per group. */
   def q23DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -334,6 +349,7 @@ object RelationalQueries {
     "q19_window_rank" -> (q19WindowRank _),
     "q20_range_frame" -> (q20RangeFrame _),
     "q21_cube" -> (q21Cube _),
+    "q22_grouping_sets" -> (q22GroupingSets _),
     "q23_distinct_agg" -> (q23DistinctAgg _),
     "q24_cond_agg" -> (q24CondAgg _),
     "q25_array_ops" -> (q25ArrayOps _),
@@ -436,6 +452,13 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q22_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q23_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
