@@ -237,7 +237,20 @@ object PublicSuffix extends Serializable {
   final case class Rules(
       exact: Set[String], wildcardBase: Set[String], exception: Set[String])
 
-  val rules: Rules = loadRules(embeddedRules)
+  /** Active rules: the complete `public_suffix_list.dat` is a pure data
+    * drop-in — point the `graft.psl.file` system property (or the
+    * GRAFT_PSL_FILE env var) at it and it replaces the embedded subset at
+    * class-init (ship the file to executors with --files; the PSL format's
+    * comments/blank lines are handled by loadRules). */
+  val rules: Rules = {
+    val external = sys.props.get("graft.psl.file").orElse(sys.env.get("GRAFT_PSL_FILE"))
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .map { p =>
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        try src.getLines().toList finally src.close()
+      }
+    loadRules(external.getOrElse(embeddedRules))
+  }
 
   def loadRules(lines: Seq[String]): Rules = {
     val cleaned = lines.map(_.trim.toLowerCase)

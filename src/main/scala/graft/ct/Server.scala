@@ -20,8 +20,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * reference's Flask renders RFC 822); /stream advances a keyset cursor on
   * the full (ts, fingerprint, domain) sort key (SURVEY §2.10 ST4) instead
   * of the reference's lossy `ts >` — loss-free even when many batches of
-  * rows share one timestamp; rate limiting (off by default in the
-  * reference) is not ported.
+  * rows share one timestamp; rate limiting matches the reference's
+  * flask-limiter defaults (app.py:10-11): fixed per-minute window per
+  * client IP, DISABLED by default (`rateLimitPerMin` = None), 429 with an
+  * error body when exceeded.
   *
   * The reference trusts X-Forwarded-For for the IP allowlist because it
   * assumes a trusted reverse proxy (app.py:47). Served directly that header
@@ -38,7 +40,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
     port: Int = 0, now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
     allowedIps: Option[Set[String]] = None, trustProxy: Boolean = false,
-    streamBatch: Int = 100, streamPollMs: Long = 2000L, maxStreams: Int = 64) {
+    streamBatch: Int = 100, streamPollMs: Long = 2000L, maxStreams: Int = 64,
+    rateLimitPerMin: Option[Int] = None) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   @volatile private var streaming = true
@@ -100,6 +103,23 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
       ips.contains(firstHop)
   }
 
+  /** Fixed-window per-IP rate limiter (reference flask-limiter "100 per
+    * minute", app.py:10-11; off unless `rateLimitPerMin` is set). Windows
+    * key on (ip, epochMinute); stale windows are pruned opportunistically
+    * so the map stays bounded by the active-client count. */
+  private val rateWindows = new java.util.concurrent.ConcurrentHashMap[(String, Long), java.util.concurrent.atomic.AtomicInteger]()
+
+  private def rateLimited(ex: HttpExchange): Boolean = rateLimitPerMin match {
+    case None => false
+    case Some(limit) =>
+      val ip = ex.getRemoteAddress.getAddress.getHostAddress
+      val minute = now().getTime / 60000L
+      rateWindows.keySet.removeIf(k => k._2 < minute - 1)
+      val n = rateWindows.computeIfAbsent((ip, minute),
+        _ => new java.util.concurrent.atomic.AtomicInteger(0)).incrementAndGet()
+      n > limit
+  }
+
   /** Parse the reference's ips.txt format: one IP per line, blanks and
     * #-comments skipped; an empty result disables the filter. */
   def this(spark: SparkSession, table: () => DataFrame, storePath: String,
@@ -115,6 +135,7 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
 
   private def handle(path: String, ex: HttpExchange): Unit = {
     if (!ipAllowed(ex)) { send(ex, 403, jval(Map("error" -> "Access denied"))); return }
+    if (rateLimited(ex)) { send(ex, 429, jval(Map("error" -> "rate limit exceeded"))); return }
     val parts = path.stripPrefix("/").split("/", 2)
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     val params = query.split("&").filter(_.contains("="))

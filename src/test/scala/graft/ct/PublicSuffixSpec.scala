@@ -64,6 +64,25 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(bd("www.example.香港") == "example.香港")
   }
 
+  test("full PSL file is a data drop-in via loadRules (dat format)") {
+    val dat =
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |
+        |// co.uk and friends
+        |uk
+        |co.uk
+        |*.ck
+        |!www.ck
+        |// ===BEGIN PRIVATE DOMAINS===
+        |github.io
+        |""".stripMargin
+    val r = PublicSuffix.loadRules(dat.split("\n").toSeq)
+    assert(PublicSuffix.baseDomain("a.b.example.co.uk", r) == "example.co.uk")
+    assert(PublicSuffix.baseDomain("x.user.github.io", r) == "user.github.io")
+    assert(PublicSuffix.baseDomain("x.www.ck", r) == "www.ck")
+  }
+
   test("case/dot normalization and nulls") {
     assert(bd("WWW.Example.COM") == "example.com")
     assert(bd(".example.com.") == "example.com")

@@ -124,6 +124,18 @@ class ServerSpec extends SparkSpec {
     finally loopback.stop()
   }
 
+  test("per-IP rate limit: fixed window 429s above the limit, resets next minute") {
+    @volatile var clock = ts("2024-01-15 12:00:00")
+    val limited = new Server(spark, () => CertStore.read(spark, storeDir), storeDir,
+      port = 0, now = () => clock, rateLimitPerMin = Some(3)).start()
+    try {
+      assert((1 to 3).map(_ => getWith(limited, Nil)).forall(_ == 200))
+      assert(getWith(limited, Nil) == 429) // 4th in the same minute
+      clock = ts("2024-01-15 12:01:00")    // next window
+      assert(getWith(limited, Nil) == 200)
+    } finally limited.stop()
+  }
+
   test("/stream drains more same-timestamp rows than one batch (keyset cursor, no livelock)") {
     val dir = Files.createTempDirectory("server-stream").toString
     val t0 = ts("2024-01-15 10:00:00")
