@@ -56,4 +56,42 @@ object Multimodal {
         }
       }
   }
+
+  /** Resize planning: target dimensions fitting `box`×`box` while
+    * preserving aspect ratio (the standard vision-preprocessing contract).
+    * Pure integer/floor arithmetic over the decoded metadata — the actual
+    * pixel resample belongs in the per-partition decode pass behind
+    * `decodeStub`; THIS step (what size each asset becomes, which assets
+    * can skip resampling) is the distributed planning half a 100 TB
+    * pipeline runs first, and it never touches payload bytes (column
+    * pruning keeps the scan metadata-only). */
+  def resizePlan(spark: SparkSession, docs: DataFrame, box: Long = 224): DataFrame = {
+    val meta = decodeMeta(spark, docs).toDF()
+    // scale = box / max(w, h), clamped to 1 (never upscale); floor to ints
+    val longSide = greatest(col("width"), col("height"))
+    val needs = longSide > box
+    meta.select(
+      col("doc_id"), col("width"), col("height"),
+      when(needs, floor(col("width") * box / longSide).cast("long"))
+        .otherwise(col("width")).as("out_width"),
+      when(needs, floor(col("height") * box / longSide).cast("long"))
+        .otherwise(col("height")).as("out_height"),
+      needs.as("needs_resize"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: up to `maxFrames` evenly-spaced frame indices per
+    * asset — frame i·ceil(n/maxFrames) for i = 0.. — exploded to one row
+    * per (doc_id, frame_idx). The grain a video pipeline fans out on: the
+    * decode of each sampled frame is then partition-parallel work keyed by
+    * (doc_id, frame_idx). Index selection is pure arithmetic over n_frames
+    * (oracle-checkable); the frame-bytes extraction is the codec's job
+    * behind the same stub boundary as decodeStub. */
+  def frameSample(spark: SparkSession, docs: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val meta = decodeMeta(spark, docs).toDF()
+    val stride = ceil(col("n_frames").cast("double") / maxFrames).cast("long")
+    meta.select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, stride)).as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

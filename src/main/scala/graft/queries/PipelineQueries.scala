@@ -194,7 +194,13 @@ object PipelineQueries {
         .orderBy(col("vec_id"))),
 
     "multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(s, Tables.documents(s, d)).toDF().orderBy(col("doc_id")))
+      Multimodal.decodeMeta(s, Tables.documents(s, d)).toDF().orderBy(col("doc_id"))),
+
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePlan(s, Tables.documents(s, d), box = 224)),
+
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(s, Tables.documents(s, d), maxFrames = 4))
   )
 
   // ---- oracle SQL ----
@@ -323,6 +329,25 @@ object PipelineQueries {
         |  (octet_length(encode(text)) % 640 + 16)::BIGINT AS width,
         |  ((octet_length(encode(text)) * 7) % 480 + 16)::BIGINT AS height,
         |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH mm AS (SELECT doc_id,
+        |  (octet_length(encode(text)) % 640 + 16)::BIGINT AS width,
+        |  ((octet_length(encode(text)) * 7) % 480 + 16)::BIGINT AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN greatest(width, height) > 224
+        |    THEN floor(width * 224 / greatest(width, height))::BIGINT ELSE width END AS out_width,
+        |  CASE WHEN greatest(width, height) > 224
+        |    THEN floor(height * 224 / greatest(width, height))::BIGINT ELSE height END AS out_height,
+        |  greatest(width, height) > 224 AS needs_resize
+        |FROM mm ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH mf AS (SELECT doc_id,
+        |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames FROM documents)
+        |SELECT doc_id, n_frames, unnest(range(0, n_frames, ceil(n_frames / 4.0)::BIGINT)) AS frame_idx
+        |FROM mf ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

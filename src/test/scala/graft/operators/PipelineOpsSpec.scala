@@ -163,6 +163,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m.sortBy(_.doc_id).toSeq == m2.sortBy(_.doc_id).toSeq)
   }
 
+  test("resize plan preserves aspect ratio and never upscales") {
+    val r = Multimodal.resizePlan(spark, docs, box = 224).collect()
+    assert(r.length == docs.count())
+    r.foreach { row =>
+      val (w, h) = (row.getAs[Long]("width"), row.getAs[Long]("height"))
+      val (ow, oh) = (row.getAs[Long]("out_width"), row.getAs[Long]("out_height"))
+      assert(ow <= w && oh <= h, "no upscaling")
+      if (row.getAs[Boolean]("needs_resize")) {
+        assert(math.max(ow, oh) <= 224)
+        val longSide = math.max(w, h).toDouble
+        assert(ow == math.floor(w * 224 / longSide).toLong
+          && oh == math.floor(h * 224 / longSide).toLong,
+          s"floor-scaled dims: ${w}x$h -> ${ow}x$oh")
+      } else assert(ow == w && oh == h)
+    }
+  }
+
+  test("frame sampling: <= maxFrames evenly-strided indices within range") {
+    val f = Multimodal.frameSample(spark, docs, maxFrames = 4).collect()
+    val byDoc = f.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rows) =>
+      val n = rows.head.getAs[Long]("n_frames")
+      val idx = rows.map(_.getAs[Long]("frame_idx")).sorted
+      assert(idx.length <= 4 && idx.head == 0 && idx.last < n)
+      val stride = math.ceil(n / 4.0).toLong
+      assert(idx.toSeq == (0L until n by stride).toSeq)
+    }
+  }
+
   test("langId is deterministic and total (every doc gets a code)") {
     val langs = docs.select(T.langId(col("text"))).as[String].collect()
     assert(langs.forall(T.stopwords.map(_._1).toSet))
