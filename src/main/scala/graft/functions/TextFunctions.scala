@@ -36,6 +36,20 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword tokenization: the GPT-2-style pre-tokenizer classes —
+    * letter runs, digit runs, single punctuation marks — via a regex kept
+    * deliberately portable (no lookarounds/classes that differ between
+    * Java regex and the oracle's RE2): a letter run, a digit run, or one
+    * non-alphanumeric non-space char per token. Real BPE then merges
+    * within these pre-tokens, so this count upper-bounds (and closely
+    * tracks) the trained-vocab token count — the signal length filters and
+    * cost models actually need. */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpeTokenRegex), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Portable polynomial rolling hash of a string:
     * fold over code points, acc = (acc*31 + cp) mod 1e9+7.
     * Native expression (graft.expressions.PolyHash) — the HOF formulation

@@ -114,6 +114,7 @@ object PipelineQueries {
         col("doc_id"),
         T.tokenCount(col("text")).cast("long").as("n_tokens"),
         size(array_distinct(T.tokens(col("text")))).cast("long").as("n_uniq_tokens"),
+        T.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
         col("n_chars"))
         .orderBy(col("doc_id"))),
 
@@ -208,7 +209,9 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     "doc_token_stats" ->
       s"""SELECT doc_id, len(${dTokens("text")})::BIGINT AS n_tokens,
-         |  len(list_distinct(${dTokens("text")}))::BIGINT AS n_uniq_tokens, n_chars
+         |  len(list_distinct(${dTokens("text")}))::BIGINT AS n_uniq_tokens,
+         |  len(regexp_extract_all(text, '${T.BpeTokenRegex}'))::BIGINT AS n_bpe_tokens,
+         |  n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_quality" -> {

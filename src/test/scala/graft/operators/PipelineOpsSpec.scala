@@ -19,6 +19,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("", "a", "spark graft", "hello world hello").map(ref))
   }
 
+  test("BPE-ish token count: letter runs, digit runs, single punctuation") {
+    val got = Seq("hello world", "can't stop", "a1b2", "x, y!  z", "")
+      .toDF("s").select(T.bpeTokenCount(col("s"))).as[Int].collect()
+    // "hello","world" | "can","'","t","stop" | "a","1","b","2" | "x",",","y","!","z" | none
+    assert(got.toSeq == Seq(2, 4, 4, 5, 0))
+  }
+
   test("shingles: sliding k-grams, short docs empty") {
     val got = Seq("a b c d", "a b").toDF("text")
       .select(T.shingles(col("text"), 3)).as[Seq[String]].collect()
