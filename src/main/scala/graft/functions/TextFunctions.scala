@@ -107,13 +107,18 @@ object TextFunctions {
   def minhashSigFromHashes(shingleHashesCol: Column): Column =
     graft.expressions.ArrayExprs.minhash_sig(shingleHashesCol)
 
-  /** LSH band values for a MinHash signature: MinhashBands strings, each
-    * the dash-joined slice of r = MinhashK/MinhashBands signature rows.
-    * Documents sharing any band value become dedup candidates. */
+  /** LSH band values for a MinHash signature: MinhashBands longs, band b
+    * packing its r = MinhashK/MinhashBands signature rows as
+    * s₁·HashMod + s₂ — equality of the packed value ⟺ equality of both
+    * rows, and the band join shuffles 8-byte keys instead of dash-joined
+    * strings. Documents sharing any band value become dedup candidates.
+    * (Packing two sub-2³⁰ values stays under 2⁶³; r > 2 would overflow —
+    * widen to a hash or string key if the family changes.) */
   def minhashBands(sig: Column): Column = {
     val r = MinhashK / MinhashBands
+    require(r == 2, "packed band keys are implemented for r = 2 rows/band")
     transform(sequence(lit(0), lit(MinhashBands - 1)),
-      b => concat_ws("-", slice(sig, b * lit(r) + lit(1), lit(r))))
+      b => element_at(sig, b * lit(r) + 1) * lit(HashMod) + element_at(sig, b * lit(r) + 2))
   }
 
   /** 62-bit SimHash over the token *multiset* (duplicates weigh in, as in

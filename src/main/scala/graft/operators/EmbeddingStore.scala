@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** IVF-style layout for an embedding corpus: vectors written to Parquet
+  * Hive-partitioned by their hyperplane-LSH cell, so an ANN probe reads
+  * ONE cell directory instead of the whole table — the "bucket id as the
+  * partition/cluster key" end state the in-memory `Similarity.lshKnn`
+  * documents.
+  *
+  * At 100 TB this is the difference between a query-time scan of every
+  * vector and a point lookup: the probe's cell predicate is a partition
+  * filter (proven by `EmbeddingStoreSpec` on FileSourceScanExec), and with
+  * 2^nPlanes cells each directory holds corpus/2^p vectors. Multi-probe
+  * (≤ f bit flips) stays a partition-pruned read because the probed cell
+  * values are enumerable. Cell assignment is the same deterministic
+  * LshBands family the dedup/ANN operators use, so a store written once
+  * serves all of them. */
+object EmbeddingStore {
+
+  val partitionCol = "lsh_bucket"
+
+  /** Write the corpus partitioned by LSH cell (one shuffle on the cell id,
+    * large sorted files per cell — the CertStore discipline). */
+  def write(embeddings: DataFrame, path: String, nPlanes: Int = 4,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    embeddings
+      .withColumn(partitionCol, V.lshBucket(col("embedding"), nPlanes))
+      .repartition(col(partitionCol))
+      .sortWithinPartitions("vec_id")
+      .write.mode(mode)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** ANN probe against the store: resolve the query's cell (one pruned
+    * point read), then top-k by cosine over that cell's directory only —
+    * the scan carries a `lsh_bucket =` partition filter, everything else
+    * is never opened. `maxFlips` > 0 widens to the ≤ maxFlips-bit
+    * neighbor cells (multi-probe recall recovery), still as an enumerated
+    * partition predicate via isin. */
+  def knnProbe(spark: SparkSession, path: String, queryId: Long, k: Int = 10,
+      nPlanes: Int = 4, maxFlips: Int = 0): DataFrame = {
+    val store = read(spark, path)
+    // Hive partition-dir values are type-inferred on read (often int)
+    val qBucket = store.filter(col("vec_id") === queryId)
+      .select(col(partitionCol)).head().getAs[Number](partitionCol).longValue()
+    val probed: Seq[Long] =
+      if (maxFlips <= 0) Seq(qBucket)
+      else (0L until (1L << nPlanes)).filter(b =>
+        java.lang.Long.bitCount(b ^ qBucket) <= maxFlips)
+    val q = store.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    store.filter(col(partitionCol).isin(probed: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+      .select(col("vec_id"), col("label"), col(partitionCol).as("bucket"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

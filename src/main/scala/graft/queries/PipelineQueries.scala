@@ -267,7 +267,7 @@ object PipelineQueries {
       val r = T.MinhashK / T.MinhashBands
       s"""WITH $dJaccardCtes,
          |$dSigCtes,
-         |bands AS (SELECT doc_id, bj.r AS band_idx, array_to_string(sig[bj.r*$r+1:bj.r*$r+$r], '-') AS band_val
+         |bands AS (SELECT doc_id, bj.r AS band_idx, sig[bj.r*$r+1] * $P + sig[bj.r*$r+$r] AS band_val
          |          FROM sig, range(${T.MinhashBands}) bj(r)),
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b
          |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
