@@ -138,6 +138,44 @@ object Dedup {
     verifyJaccard(candidates, shingleRows(docs, k), threshold)
   }
 
+  /** Connected components over a near-duplicate pair list: every document
+    * that appears in a pair gets its component's minimum doc_id as
+    * `cluster_id` — the canonical survivor a dedup pipeline keeps (drop
+    * rows where doc_id ≠ cluster_id).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels, until a fixpoint — the
+    * join/aggregate steps are fully distributed, the driver only runs the
+    * convergence loop (converges in O(component diameter) rounds; near-dup
+    * components are short chains in practice). `localCheckpoint` truncates
+    * the growing lineage each round — the standard Spark discipline for
+    * iterative algorithms. The fixpoint (per-node component minimum) is
+    * independent of iteration order, so the output is deterministic and a
+    * recursive-CTE oracle reproduces it exactly. */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(edges("a")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(neighborMin, labels("node") === neighborMin("a"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.as("o"), col("u.node") === col("o.node"))
+        .filter(col("u.lbl") =!= col("o.lbl")).count()
+      labels = updated
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document SimHash fingerprint (token hashes materialized once). */
   def simhashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), T.tokenHashes(col("text")).as("phs"))

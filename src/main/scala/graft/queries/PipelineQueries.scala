@@ -167,6 +167,11 @@ object PipelineQueries {
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), k = 3, threshold = 0.5)),
 
+    // cluster resolution over the >=0.5-jaccard pair list: every paired doc
+    // labeled with its component's min doc_id (the kept survivor)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.components(Dedup.ngramJaccardPairs(Tables.documents(s, d), k = 3, threshold = 0.5))),
+
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 1)),
 
@@ -262,6 +267,14 @@ object PipelineQueries {
     "dedup_minhash_sig" ->
       s"""WITH $dSigCtes
          |SELECT doc_id, array_to_string(sig, '-') AS sig FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $dJaccardCtes,
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" -> {
       val r = T.MinhashK / T.MinhashBands

@@ -79,6 +79,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(active.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
 
+  test("connected components: chains collapse to the min doc_id per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("i", "j")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    // real near-dup pairs: every clustered doc maps to a member of its pair set
+    val real = Dedup.components(Dedup.ngramJaccardPairs(docs, 3, 0.5))
+      .as[(Long, Long)].collect()
+    assert(real.nonEmpty && real.forall { case (d, c) => c <= d })
+  }
+
   test("near-dup pairs are simhash-close; exact dedup keeps every unique text") {
     val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
