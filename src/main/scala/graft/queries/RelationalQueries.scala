@@ -259,6 +259,23 @@ object RelationalQueries {
         col("sum_qty"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** As-of join (operator Spark lacks natively, graft.operators.AsofJoin):
+    * each click event picks the same user's most recent purchase at or
+    * before its timestamp — one shuffle on user_id, no range join. */
+  def q30Asof(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("p_ts"), col("event_id").as("p_event_id"))
+    graft.operators.AsofJoin.asofJoin(clicks, purchases,
+        keys = Seq("user_id"), tsCol = "ts",
+        rightPayload = Seq("p_ts", "p_event_id"),
+        rightTieBreak = Some("p_event_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Distinct aggregate per group. */
   def q23DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -351,6 +368,7 @@ object RelationalQueries {
     "q21_cube" -> (q21Cube _),
     "q22_grouping_sets" -> (q22GroupingSets _),
     "q23_distinct_agg" -> (q23DistinctAgg _),
+    "q30_asof" -> (q30Asof _),
     "q24_cond_agg" -> (q24CondAgg _),
     "q25_array_ops" -> (q25ArrayOps _),
     "q1_agg" -> (q1Agg _),
@@ -460,6 +478,15 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q30_asof" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |amatch AS (SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT max(p.ts) FROM purch p WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS p_ts
+        |  FROM clicks c)
+        |SELECT a.event_id, a.user_id, a.ts, a.p_ts,
+        |  (SELECT max(p2.event_id) FROM purch p2 WHERE p2.user_id = a.user_id AND p2.ts = a.p_ts) AS p_event_id
+        |FROM amatch a ORDER BY a.event_id""".stripMargin,
     "q23_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
