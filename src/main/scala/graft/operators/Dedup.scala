@@ -176,6 +176,16 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup pipeline's terminal step: documents minus non-canonical
+    * duplicates. A doc survives iff it is its own cluster survivor or
+    * belongs to no near-dup cluster — an anti-join on the (tiny relative
+    * to the corpus) duplicate list, so the full-width document rows are
+    * never shuffled by anything but this one semi/anti hash join. */
+  def survivors(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Per-document SimHash fingerprint (token hashes materialized once). */
   def simhashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), T.tokenHashes(col("text")).as("phs"))

@@ -19,6 +19,31 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted.count(_.getString(0) == "hot") == 1800)
   }
 
+  test("bucketed range join equals the naive inequality join, no nested loop") {
+    val points = (0L until 500L).map(i => (i, i * 7 % 1000)).toDF("id", "pt")
+    val intervals = Seq(
+      (1L, 0L, 100L), (2L, 50L, 60L), (3L, 990L, 1000L),
+      (4L, 0L, 1000L), // corpus-spanning interval still explodes to few buckets
+      (5L, 120L, 121L) // single-point interval
+    ).toDF("iv_id", "lo", "hi")
+    val naive = points.join(intervals, col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select("id", "iv_id").collect().toSet
+    val bucketed = ScaleJoins.rangeJoinBucketed(points, intervals, "pt", "lo", "hi", width = 64)
+    assert(bucketed.select("id", "iv_id").collect().toSet == naive)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed range join must be an equi-join:\n$plan")
+  }
+
+  test("dedup survivors: one doc kept per cluster, unpaired docs untouched") {
+    val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.survivors(docs, clusters).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L, 8L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf("sf0.001"))
       .select($"l_orderkey", $"l_quantity")
