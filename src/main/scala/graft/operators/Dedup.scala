@@ -164,7 +164,12 @@ object Dedup {
   def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
     val narrow = pairs.select(col("i").cast("long"), col("j").cast("long"))
-    if (narrow.count() <= maxDriverEdges) {
+    // one action decides the path AND fetches the edges: limit(bound+1)
+    // collects at most bound+1 narrow rows — a second count() pass would
+    // re-run the whole upstream pair pipeline
+    val probe = narrow.limit(
+      math.min(maxDriverEdges, Int.MaxValue - 1L).toInt + 1).collect()
+    if (probe.length <= maxDriverEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -173,7 +178,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val collected = narrow.collect()
+      val collected = probe
       collected.foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         // union by min: the smaller root stays the root, so the final
