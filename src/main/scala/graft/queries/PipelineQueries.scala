@@ -199,6 +199,24 @@ object PipelineQueries {
         size(col("embedding")).cast("long").as("n_dims"))
         .orderBy(col("vec_id"))),
 
+    // THE training-data pipeline, composed end-to-end: quality gate →
+    // exact-dedup keeper → near-dup cluster survivor. What remains is the
+    // kept corpus a pretraining run would read.
+    "pipeline_kept" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = T.tokens(col("text"))
+      val nTok = size(t).cast("long")
+      val quality = docs
+        .filter(nTok.between(30, 2000) && (size(array_distinct(t)).cast("long") / nTok) > 0.2)
+        .select(col("doc_id"))
+      val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val clusters = Dedup.components(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5))
+      Dedup.survivors(
+          quality.join(exactKeepers, Seq("doc_id"), "left_semi"), clusters)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s, Tables.documents(s, d)).toDF().orderBy(col("doc_id"))),
 
@@ -339,6 +357,22 @@ object PipelineQueries {
       s"""SELECT vec_id, label, ${dDot("embedding", "embedding")} AS norm2,
          |  len(embedding)::BIGINT AS n_dims
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "pipeline_kept" -> {
+      val nTok = s"len(${dTokens("text")})::BIGINT"
+      val nUniq = s"len(list_distinct(${dTokens("text")}))::BIGINT"
+      s"""WITH RECURSIVE $dJaccardCtes,
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id FROM documents d
+         |WHERE ($nTok BETWEEN 30 AND 2000) AND ($nUniq / $nTok > 0.2)
+         |  AND d.doc_id IN (SELECT doc_id FROM exact_keep)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS sha256,
