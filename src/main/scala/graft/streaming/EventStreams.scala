@@ -56,6 +56,20 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence of each `idCols` key wins,
+    * duplicates arriving within the watermark horizon are dropped, and —
+    * the part a bare dropDuplicates gets wrong on unbounded streams — the
+    * per-key state is FREED once the watermark passes its event time
+    * (dropDuplicatesWithinWatermark), so state size tracks the horizon,
+    * not stream history. The streaming face of Dedup.exact: an
+    * at-least-once upstream (replays, retried batches) becomes
+    * effectively-exactly-once downstream. */
+  def dedupedEvents(events: DataFrame, watermark: String = "30 minutes",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double,

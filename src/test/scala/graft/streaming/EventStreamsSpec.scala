@@ -73,6 +73,29 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark horizon") {
+    val dir = Files.createTempDirectory("events-dd").toString
+    val ckpt = Files.createTempDirectory("ckpt-dd").toString
+    writeBatch(dir, Seq(
+      Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:02:00"), 2, "click", 2.0)))
+    val q = EventStreams.runToMemory(
+      EventStreams.dedupedEvents(EventStreams.readEvents(spark, dir),
+        watermark = "30 minutes"),
+      "dd_out", ckpt)
+    q.processAllAvailable()
+    // an at-least-once upstream replays event 2 (same id, same payload) in
+    // a later micro-batch, plus a genuinely new event
+    writeBatch(dir, Seq(
+      Event(2, ts("2024-01-01 00:02:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 00:03:00"), 1, "view", 3.0)))
+    q.processAllAvailable()
+    try {
+      val ids = spark.table("dd_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"replay must be dropped, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user state across micro-batches") {
     val dir = Files.createTempDirectory("events-in2").toString
     val ckpt = Files.createTempDirectory("ckpt2").toString
