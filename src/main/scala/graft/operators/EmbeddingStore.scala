@@ -49,13 +49,37 @@ object EmbeddingStore {
     // Hive partition-dir values are type-inferred on read (often int)
     val qBucket = store.filter(col("vec_id") === queryId)
       .select(col(partitionCol)).head().getAs[Number](partitionCol).longValue()
+    val q = store.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    probeCells(store, q, qBucket, nPlanes, maxFlips, excludeId = Some(queryId), k)
+  }
+
+  /** ANN probe with an ARBITRARY query vector (the serving path — query
+    * vectors are normally not in the corpus). The cell id is the same pure
+    * LCG plane function the store was written with, computed driver-side
+    * on the one query vector; everything else is the pruned-cell read. */
+  def knnProbeVector(spark: SparkSession, path: String, query: Array[Double],
+      k: Int = 10, nPlanes: Int = 4, maxFlips: Int = 0): DataFrame = {
+    // cell id via the SAME static kernel the LshBands expression runs on
+    // executors — one driver-side call, bit-identical bucketing
+    val qBucket = graft.expressions.ArrayExprs.lshBands(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(query), nPlanes, 1).getLong(0)
+    val store = read(spark, path)
+    val qNrm = math.sqrt(query.map(x => x * x).sum)
+    import spark.implicits._
+    val q = Seq((query.toSeq, qNrm)).toDF("q_emb", "q_nrm")
+    probeCells(store, q, qBucket, nPlanes, maxFlips, excludeId = None, k)
+  }
+
+  private def probeCells(store: DataFrame, q: DataFrame, qBucket: Long,
+      nPlanes: Int, maxFlips: Int, excludeId: Option[Long], k: Int): DataFrame = {
     val probed: Seq[Long] =
       if (maxFlips <= 0) Seq(qBucket)
       else (0L until (1L << nPlanes)).filter(b =>
         java.lang.Long.bitCount(b ^ qBucket) <= maxFlips)
-    val q = store.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
-    store.filter(col(partitionCol).isin(probed: _*) && col("vec_id") =!= queryId)
+    val base = store.filter(col(partitionCol).isin(probed: _*))
+    val scoped = excludeId.map(id => base.filter(col("vec_id") =!= id)).getOrElse(base)
+    scoped
       .crossJoin(broadcast(q))
       .withColumn("cos_sim",
         V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))

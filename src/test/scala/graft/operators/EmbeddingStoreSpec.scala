@@ -37,5 +37,17 @@ class EmbeddingStoreSpec extends SparkSpec {
     val scanned = scannedPartitions(multi)
     assert(scanned > 1 && scanned <= 5, s"1-flip probe scans <= nPlanes+1 cells, got $scanned")
     assert(scanned < totalCells, "multi-probe still prunes")
+
+    // arbitrary-vector probe: querying with vec 0's own embedding finds the
+    // same neighbors (plus itself, bucketed identically) in one pruned cell
+    val qVec = embs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val byVec = EmbeddingStore.knnProbeVector(spark, dir, qVec, k = 11, nPlanes = 4)
+    assert(scannedPartitions(byVec) == 1)
+    val got = byVec.collect().map(_.getAs[Long]("vec_id"))
+    assert(got.contains(0L), "the identical stored vector is its own top hit")
+    val inMemIds = Similarity.lshKnn(embs, 0L, 10, 4).collect().map(_.getAs[Long]("vec_id"))
+    assert(got.filterNot(_ == 0L).take(inMemIds.length).toSeq == inMemIds.toSeq)
   }
 }
