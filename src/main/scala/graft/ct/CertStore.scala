@@ -32,9 +32,14 @@ object CertStore {
       .partitionBy(partitionCol)
       .parquet(path)
 
-  /** Read the table back; `ts_month` appears as a partition column. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read the table back; `ts_month` appears as a partition column. A
+    * streaming store's per-epoch directories (StreamIngest.writeEpoch)
+    * surface as an extra `epoch` partition column — an idempotency
+    * implementation detail, dropped here. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("epoch")) df.drop("epoch") else df
+  }
 
   /** Read restricted to the months a [from, to) time predicate can touch —
     * the query-construction discipline that turns `ts` predicates into

@@ -70,7 +70,13 @@ class CtHttpSource(client: HttpClient = CtHttpSource.defaultClient)
     else {
       val body = fetchLogList(url)
       Option(cacheFile.getParent).foreach(Files.createDirectories(_))
-      Files.write(cacheFile, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // write-then-atomic-rename: a crash mid-write must never leave a
+      // truncated cache that would be served as "fresh" for a whole TTL
+      val tmp = cacheFile.resolveSibling(cacheFile.getFileName.toString + ".tmp")
+      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, cacheFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       body
     }
   }

@@ -14,9 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object CtQueries {
 
-  private def monthOf(t: Timestamp): String =
-    java.time.Instant.ofEpochMilli(t.getTime).atZone(java.time.ZoneOffset.UTC)
+  /** The month literal must be rendered in the SAME zone `CertStore.write`
+    * used for `date_format(ts, "yyyyMM")` — the session timezone — or a
+    * non-UTC session would prune the wrong partition and silently lose
+    * rows near month boundaries. */
+  private def monthOf(df: DataFrame, t: Timestamp): String = {
+    val zone = java.time.ZoneId.of(
+      df.sparkSession.sessionState.conf.sessionLocalTimeZone)
+    java.time.Instant.ofEpochMilli(t.getTime).atZone(zone)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))
+  }
 
   /** Partition-pruning discipline (SURVEY §4): a `ts` range predicate does
     * not prune the store's `ts_month=` Hive partitions by itself — Catalyst
@@ -28,8 +35,8 @@ object CtQueries {
       to: Option[Timestamp]): DataFrame =
     if (!df.columns.contains(CertStore.partitionCol)) df
     else {
-      val lower = from.map(t => col(CertStore.partitionCol) >= monthOf(t))
-      val upper = to.map(t => col(CertStore.partitionCol) <= monthOf(t))
+      val lower = from.map(t => col(CertStore.partitionCol) >= monthOf(df, t))
+      val upper = to.map(t => col(CertStore.partitionCol) <= monthOf(df, t))
       (lower ++ upper).reduceOption(_ && _).map(df.filter).getOrElse(df)
     }
 
@@ -113,23 +120,30 @@ object CtQueries {
       .limit(batch)
 
   /** Keyset-paginated /stream poll step: resume STRICTLY after the last
-    * emitted (ts, fingerprint, domain) key. Unlike a bare `ts >=` cursor
-    * with client-side dedup, this makes progress even when more than one
-    * batch of rows shares a single timestamp (the normal case — a whole
-    * ingest poll lands on one ingestTs), so delivery is loss-free.
+    * emitted (ts, fingerprint, domain, log_name) key. Unlike a bare
+    * `ts >=` cursor with client-side dedup, this makes progress even when
+    * more than one batch of rows shares a single timestamp (the normal
+    * case — a whole ingest poll lands on one ingestTs), so delivery is
+    * loss-free. log_name is part of the key because it is part of the
+    * row's identity: the same cert domain observed by two logs yields two
+    * store rows identical in the other three columns, and a cursor that
+    * cannot order between them would drop one at a batch boundary.
     * The redundant `ts >= last` conjunct is pushed into the Parquet scan
     * (partition pruning + row-group min/max) — the tuple OR alone would
     * not prune. */
   def streamTailAfter(certDomains: DataFrame, lastTs: Timestamp,
-      lastFingerprint: String, lastDomain: String, batch: Int = 100): DataFrame = {
+      lastFingerprint: String, lastDomain: String, lastLogName: String,
+      batch: Int = 100): DataFrame = {
     val afterKey =
       col("ts") > lit(lastTs) ||
         (col("ts") === lit(lastTs) &&
           (col("fingerprint") > lit(lastFingerprint) ||
-            (col("fingerprint") === lit(lastFingerprint) && col("domain") > lit(lastDomain))))
+            (col("fingerprint") === lit(lastFingerprint) &&
+              (col("domain") > lit(lastDomain) ||
+                (col("domain") === lit(lastDomain) && col("log_name") > lit(lastLogName))))))
     monthBound(certDomains, Some(lastTs), None)
       .filter(col("ts") >= lit(lastTs) && afterKey)
-      .orderBy(col("ts"), col("fingerprint"), col("domain"))
+      .orderBy(col("ts"), col("fingerprint"), col("domain"), col("log_name"))
       .limit(batch)
   }
 }

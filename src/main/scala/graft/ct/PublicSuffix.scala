@@ -241,24 +241,40 @@ object PublicSuffix extends Serializable {
     * drop-in — point the `graft.psl.file` system property (or the
     * GRAFT_PSL_FILE env var) at it and it replaces the embedded subset at
     * class-init (ship the file to executors with --files; the PSL format's
-    * comments/blank lines are handled by loadRules). */
+    * comments/blank lines are handled by loadRules). A CONFIGURED path
+    * that cannot be read fails fast: silently falling back to the subset
+    * would let a typo'd path (or a missing --files) corrupt base_domain
+    * grouping without any signal. */
   val rules: Rules = {
     val external = sys.props.get("graft.psl.file").orElse(sys.env.get("GRAFT_PSL_FILE"))
-      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .map { p =>
+        require(java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)),
+          s"graft.psl.file/GRAFT_PSL_FILE points at unreadable path: $p")
         val src = scala.io.Source.fromFile(p, "UTF-8")
         try src.getLines().toList finally src.close()
       }
     loadRules(external.getOrElse(embeddedRules))
   }
 
+  /** Parse PSL lines into rule sets. Every rule is stored in BOTH its
+    * Unicode and punycode (IDN toASCII) form: the PSL ships rules as
+    * Unicode, but the domains this pipeline actually processes come from
+    * X.509 SANs, which carry the punycoded (xn--) form — rules that only
+    * matched Unicode input would be dead against real certificates. */
   def loadRules(lines: Seq[String]): Rules = {
     val cleaned = lines.map(_.trim.toLowerCase)
       .filter(l => l.nonEmpty && !l.startsWith("//"))
+    def punycode(rule: String): Option[String] =
+      try {
+        val ascii = rule.split('.')
+          .map(l => if (l == "*") l else java.net.IDN.toASCII(l)).mkString(".")
+        if (ascii != rule) Some(ascii) else None
+      } catch { case _: Throwable => None }
+    def forms(rs: Seq[String]): Set[String] = (rs ++ rs.flatMap(punycode)).toSet
     Rules(
-      exact = cleaned.filterNot(l => l.startsWith("*.") || l.startsWith("!")).toSet,
-      wildcardBase = cleaned.filter(_.startsWith("*.")).map(_.drop(2)).toSet,
-      exception = cleaned.filter(_.startsWith("!")).map(_.drop(1)).toSet)
+      exact = forms(cleaned.filterNot(l => l.startsWith("*.") || l.startsWith("!"))),
+      wildcardBase = forms(cleaned.filter(_.startsWith("*.")).map(_.drop(2))),
+      exception = forms(cleaned.filter(_.startsWith("!")).map(_.drop(1))))
   }
 
   /** Registrable domain of `d` per the PSL algorithm; null in → null out. */

@@ -18,9 +18,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *
   * Deviations (documented): timestamps render as ISO-8601 UTC (the
   * reference's Flask renders RFC 822); /stream advances a keyset cursor on
-  * the full (ts, fingerprint, domain) sort key (SURVEY §2.10 ST4) instead
-  * of the reference's lossy `ts >` — loss-free even when many batches of
-  * rows share one timestamp; rate limiting matches the reference's
+  * the full (ts, fingerprint, domain, log_name) row-identity key (SURVEY
+  * §2.10 ST4) instead of the reference's lossy `ts >` — loss-free even
+  * when many batches of rows share one timestamp or the same cert appears
+  * in several logs; rate limiting matches the reference's
   * flask-limiter defaults (app.py:10-11): fixed per-minute window per
   * client IP, DISABLED by default (`rateLimitPerMin` = None), 429 with an
   * error body when exceeded.
@@ -91,16 +92,22 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
     * configured, the client IP must be in it; everything else is a 403.
     * The first X-Forwarded-For hop is honored only behind a trusted proxy
     * (`trustProxy`); otherwise the socket address is authoritative. */
+  /** The client identity every per-IP policy keys on: behind a trusted
+    * proxy the first X-Forwarded-For hop, otherwise the socket address —
+    * shared by the allowlist AND the rate limiter so they never disagree
+    * about what "client IP" means. */
+  private def clientIp(ex: HttpExchange): String = {
+    val raw =
+      if (trustProxy)
+        Option(ex.getRequestHeaders.getFirst("X-Forwarded-For"))
+          .getOrElse(ex.getRemoteAddress.getAddress.getHostAddress)
+      else ex.getRemoteAddress.getAddress.getHostAddress
+    raw.split(",")(0).trim
+  }
+
   private def ipAllowed(ex: HttpExchange): Boolean = allowedIps match {
     case None => true
-    case Some(ips) =>
-      val raw =
-        if (trustProxy)
-          Option(ex.getRequestHeaders.getFirst("X-Forwarded-For"))
-            .getOrElse(ex.getRemoteAddress.getAddress.getHostAddress)
-        else ex.getRemoteAddress.getAddress.getHostAddress
-      val firstHop = raw.split(",")(0).trim
-      ips.contains(firstHop)
+    case Some(ips) => ips.contains(clientIp(ex))
   }
 
   /** Fixed-window per-IP rate limiter (reference flask-limiter "100 per
@@ -112,7 +119,7 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
   private def rateLimited(ex: HttpExchange): Boolean = rateLimitPerMin match {
     case None => false
     case Some(limit) =>
-      val ip = ex.getRemoteAddress.getAddress.getHostAddress
+      val ip = clientIp(ex)
       val minute = now().getTime / 60000L
       rateWindows.keySet.removeIf(k => k._2 < minute - 1)
       val n = rateWindows.computeIfAbsent((ip, minute),
@@ -184,17 +191,18 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
           try {
             ex.sendResponseHeaders(200, 0)
             val out = ex.getResponseBody
-            var cursor: Option[(Timestamp, String, String)] = None
+            var cursor: Option[(Timestamp, String, String, String)] = None
             while (streaming) {
               val base = cursor match {
-                case Some((t, f, dm)) =>
-                  CtQueries.streamTailAfter(table(), t, f, dm, streamBatch)
+                case Some((t, f, dm, lg)) =>
+                  CtQueries.streamTailAfter(table(), t, f, dm, lg, streamBatch)
                 case None =>
                   table().orderBy(org.apache.spark.sql.functions.col("ts"),
                     org.apache.spark.sql.functions.col("fingerprint"),
-                    org.apache.spark.sql.functions.col("domain")).limit(streamBatch)
+                    org.apache.spark.sql.functions.col("domain"),
+                    org.apache.spark.sql.functions.col("log_name")).limit(streamBatch)
               }
-              val rows = base.collect() // sorted (ts, fingerprint, domain)
+              val rows = base.collect() // sorted (ts, fingerprint, domain, log_name)
               if (rows.nonEmpty) {
                 rows.foreach { r =>
                   out.write(s"data: ${jval(r.toSeq)}\n\n".getBytes(UTF_8))
@@ -202,7 +210,8 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
                 out.flush()
                 val last = rows.last
                 cursor = Some((last.getAs[Timestamp]("ts"),
-                  last.getAs[String]("fingerprint"), last.getAs[String]("domain")))
+                  last.getAs[String]("fingerprint"), last.getAs[String]("domain"),
+                  last.getAs[String]("log_name")))
               }
               // full batch ⇒ backlog: drain immediately, only idle-sleep when caught up
               if (rows.length < streamBatch) Thread.sleep(streamPollMs)

@@ -6,19 +6,35 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** End-to-end streaming ingest over the DataSource-v2 CT source: readStream
   * (transport) → IngestPipeline.certDomains (parse/explode/dedup — the SAME
-  * transform as batch ingest) → CertStore.write per micro-batch.
+  * transform as batch ingest) → one idempotent store write per micro-batch.
   *
   * foreachBatch rather than the parquet streaming sink because the store
   * write is not a plain append — it month-partitions, repartitions and
-  * sorts (CertStore.write). Offsets live in the checkpoint: a replayed
-  * micro-batch refetches identical ranges and the (fingerprint, domain)
-  * dedup makes the replay idempotent — the same effectively-exactly-once
-  * contract as the v0 driver loop (Ingestor), now held by the engine.
+  * sorts (CertStore.write).
+  *
+  * Exactly-once, not just effectively: offsets live in the checkpoint and
+  * each epoch's ranges are a pure function of the offset pair, so a
+  * replayed micro-batch recomputes identical rows — and `writeEpoch` lands
+  * them in the epoch's OWN `epoch=<id>` directory with Overwrite mode, so
+  * the replay REPLACES any partial output from the crashed attempt instead
+  * of appending a duplicate (a bare Append sink re-appends when the crash
+  * falls between the write and the checkpoint commit). Readers see `epoch`
+  * as an extra partition column, which CertStore.read drops.
   *
   * `ingestTs` parameterizes the wall clock per micro-batch (determinism
   * rule, SURVEY §7.4).
   */
 object StreamIngest {
+
+  /** Idempotent per-epoch store write (exposed for direct testing of the
+    * replay contract). */
+  def writeEpoch(batch: DataFrame, storePath: String, batchId: Long,
+      ts: Timestamp): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val rows = IngestPipeline.certDomains(batch.as[RawEntry], ts)
+    CertStore.write(rows, s"$storePath/epoch=$batchId", SaveMode.Overwrite)
+  }
 
   def start(spark: SparkSession, sourceOptions: Map[String, String],
       storePath: String, checkpoint: String,
@@ -31,11 +47,8 @@ object StreamIngest {
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        import s.implicits._
-        val rows = IngestPipeline.certDomains(batch.as[RawEntry], ingestTs())
-        CertStore.write(rows, storePath, SaveMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeEpoch(batch, storePath, batchId, ingestTs())
       }
       .start()
   }

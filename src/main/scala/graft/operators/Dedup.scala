@@ -60,46 +60,59 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Document pairs with k-shingle Jaccard ≥ threshold, with a skew guard
-    * on ubiquitous shingles.
+  /** The skew-guard cutoff heuristic: max(16, 0.4 % of the corpus). At
+    * sf0.1 this actively drops the df 21–25 shingle tail while every
+    * qualifying pair still shares a df ≤ 10 shingle (measured). */
+  def autoDfCutoff(docs: DataFrame): Long =
+    math.max(16L, (docs.count() * 0.004).toLong)
+
+  /** Document pairs with k-shingle Jaccard ≥ threshold.
     *
-    * Skew guard: a ubiquitous shingle (df docs carrying it) contributes
-    * df·(df−1)/2 candidate rows on ONE join key — a stop-shingle in 10 % of
-    * a 10⁹-doc corpus would be a 10¹⁶-row hot key. Shingles with document
-    * frequency above `dfCutoff` (default: max(16, 0.4 % of the corpus) —
-    * active at sf0.1, where it drops the df 21–25 tail while every
-    * qualifying pair still shares a df ≤ 10 shingle) are excluded from the
-    * pair-generating self-join; their contribution to each surfaced pair's
-    * intersection is then ADDED BACK by joining the pair list against the
-    * hot-shingle rows alone (a bounded correction: |pairs| × hot shingles
-    * per doc, never df² — measured at parity with the unguarded join at
-    * sf0.1, where the naive candidates-then-reverify shape was 8× slower).
-    * Every surfaced pair is therefore scored on its FULL shingle sets; the
-    * output is unchanged whenever every ≥ threshold pair shares at least
-    * one sub-cutoff shingle — guaranteed here by measurement, and
-    * overwhelmingly likely in general: a pair whose every shared shingle
-    * is ubiquitous has jaccard dominated by stop-phrases, not
-    * near-duplication. */
+    * EXACT by default (dfCutoff = None): candidate pairs come straight
+    * from the shingle-id equi-join.
+    *
+    * `dfCutoff = Some(c)` arms the skew guard for hostile corpora: a
+    * ubiquitous shingle (df docs carrying it) contributes df·(df−1)/2 join
+    * rows on ONE key — a stop-shingle in 10 % of a 10⁹-doc corpus would be
+    * a 10¹⁶-row hot key. Shingles with document frequency above the cutoff
+    * are excluded from the pair-generating self-join; their contribution
+    * to each surfaced pair's intersection is ADDED BACK by joining the
+    * pair list against the hot-shingle rows alone (a bounded correction:
+    * |pairs| × hot shingles per doc, never df² — measured at parity with
+    * the unguarded join at sf0.1, where the naive candidates-then-reverify
+    * shape was 8× slower). Every surfaced pair is scored on its FULL
+    * shingle sets; the only deviation from exact output is a pair whose
+    * EVERY shared shingle is hot — jaccard dominated by stop-phrases, the
+    * pairs a near-dup pass should not surface anyway. The guard is opt-in
+    * precisely because that deviation exists: exactness is the default
+    * contract, scale hostility is the caller's call ([[autoDfCutoff]]). */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       dfCutoff: Option[Long] = None): DataFrame = {
     val sh = shingleRows(docs, k)
-    val cutoff = dfCutoff.getOrElse(math.max(16L, (docs.count() * 0.004).toLong))
-    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val rare = dfCounts.filter(col("df") <= cutoff).select("sh")
-    val hot = dfCounts.filter(col("df") > cutoff).select("sh")
-    val rareSh = sh.join(rare, Seq("sh"), "left_semi")
-    val hotSh = sh.join(broadcast(hot), Seq("sh"), "left_semi")
-    val interRare = rareSh.as("a").join(rareSh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter_rare"))
-    val interHot = interRare.select(col("i"), col("j"))
-      .join(hotSh.as("ha"), col("i") === col("ha.doc_id"))
-      .join(hotSh.as("hb"), col("j") === col("hb.doc_id") && col("ha.sh") === col("hb.sh"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter_hot"))
-    val inter = interRare.join(interHot, Seq("i", "j"), "left")
-      .select(col("i"), col("j"),
-        (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
+    val inter = dfCutoff match {
+      case None =>
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(cutoff) =>
+        val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val rare = dfCounts.filter(col("df") <= cutoff).select("sh")
+        val hot = dfCounts.filter(col("df") > cutoff).select("sh")
+        val rareSh = sh.join(rare, Seq("sh"), "left_semi")
+        val hotSh = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+        val interRare = rareSh.as("a").join(rareSh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .agg(count(lit(1)).as("inter_rare"))
+        val interHot = interRare.select(col("i"), col("j"))
+          .join(hotSh.as("ha"), col("i") === col("ha.doc_id"))
+          .join(hotSh.as("hb"), col("j") === col("hb.doc_id") && col("ha.sh") === col("hb.sh"))
+          .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter_hot"))
+        interRare.join(interHot, Seq("i", "j"), "left")
+          .select(col("i"), col("j"),
+            (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
@@ -163,13 +176,13 @@ object Dedup {
     * over; both paths compute the identical fixpoint. */
   def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // localCheckpoint materializes the (expensive) upstream pair pipeline
+    // exactly once; the path-deciding count and whichever path follows both
+    // read the checkpointed blocks instead of re-running it — and the
+    // driver never holds rows it might discard
     val narrow = pairs.select(col("i").cast("long"), col("j").cast("long"))
-    // one action decides the path AND fetches the edges: limit(bound+1)
-    // collects at most bound+1 narrow rows — a second count() pass would
-    // re-run the whole upstream pair pipeline
-    val probe = narrow.limit(
-      math.min(maxDriverEdges, Int.MaxValue - 1L).toInt + 1).collect()
-    if (probe.length <= maxDriverEdges) {
+      .localCheckpoint(true)
+    if (narrow.count() <= maxDriverEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -178,7 +191,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val collected = probe
+      val collected = narrow.collect()
       collected.foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         // union by min: the smaller root stays the root, so the final

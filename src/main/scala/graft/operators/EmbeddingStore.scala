@@ -46,11 +46,18 @@ object EmbeddingStore {
   def knnProbe(spark: SparkSession, path: String, queryId: Long, k: Int = 10,
       nPlanes: Int = 4, maxFlips: Int = 0): DataFrame = {
     val store = read(spark, path)
-    // Hive partition-dir values are type-inferred on read (often int)
-    val qBucket = store.filter(col("vec_id") === queryId)
-      .select(col(partitionCol)).head().getAs[Number](partitionCol).longValue()
-    val q = store.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    // ONE lookup fetches bucket + embedding together (a vec_id predicate
+    // cannot prune cell partitions, so this is the single unavoidable
+    // store-wide read — everything after is partition-pruned); the query
+    // side then enters the probe as a literal broadcast row, not a second
+    // store-rooted subquery. Hive partition-dir values are type-inferred
+    // on read (often int), hence the Number cast.
+    val qRow = store.filter(col("vec_id") === queryId)
+      .select(col(partitionCol), col("embedding").cast("array<double>")).head()
+    val qBucket = qRow.getAs[Number](partitionCol).longValue()
+    val qVec = qRow.getSeq[Double](1)
+    import spark.implicits._
+    val q = Seq((qVec, math.sqrt(qVec.map(x => x * x).sum))).toDF("q_emb", "q_nrm")
     probeCells(store, q, qBucket, nPlanes, maxFlips, excludeId = Some(queryId), k)
   }
 

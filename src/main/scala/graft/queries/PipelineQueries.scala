@@ -154,8 +154,13 @@ object PipelineQueries {
 
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
 
-    "dedup_ngram_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), k = 3, threshold = 0.5)),
+    // guard armed via the auto cutoff: hash-proven output-neutral on this
+    // corpus at every SF (the oracle SQL is the unguarded join)
+    "dedup_ngram_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5,
+        dfCutoff = Some(Dedup.autoDfCutoff(docs)))
+    }),
 
     // sig is declared dash-joined (not array<long>): the harness canonicalizes
     // result columns with pandas sort_values, which cannot order ndarray cells.
@@ -169,8 +174,11 @@ object PipelineQueries {
 
     // cluster resolution over the >=0.5-jaccard pair list: every paired doc
     // labeled with its component's min doc_id (the kept survivor)
-    "dedup_clusters" -> ((s, d) =>
-      Dedup.components(Dedup.ngramJaccardPairs(Tables.documents(s, d), k = 3, threshold = 0.5))),
+    "dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.components(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5,
+        dfCutoff = Some(Dedup.autoDfCutoff(docs))))
+    }),
 
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 1)),
@@ -210,7 +218,8 @@ object PipelineQueries {
         .filter(nTok.between(30, 2000) && (size(array_distinct(t)).cast("long") / nTok) > 0.2)
         .select(col("doc_id"))
       val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      val clusters = Dedup.components(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5))
+      val clusters = Dedup.components(Dedup.ngramJaccardPairs(docs, k = 3,
+        threshold = 0.5, dfCutoff = Some(Dedup.autoDfCutoff(docs))))
       Dedup.survivors(
           quality.join(exactKeepers, Seq("doc_id"), "left_semi"), clusters)
         .select(col("doc_id"))

@@ -72,6 +72,22 @@ class CtDsv2Spec extends graft.SparkSpec {
     assert(subs.map(_.getAs[String]("domain")).contains("www.example.com"))
   }
 
+  test("replayed epoch replaces its own output instead of appending (exactly-once)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("dsv2-replay").toString
+    val batch = (0L until 3L).map(i => RawEntry("Usable Log", i, Fixtures.leafB64())).toDF()
+    val t = Timestamp.valueOf("2024-01-15 00:00:00")
+    StreamIngest.writeEpoch(batch, store, batchId = 42L, ts = t)
+    val afterFirst = CertStore.read(spark, store).count()
+    assert(afterFirst == 3L)
+    // crash-between-write-and-commit replays the identical epoch
+    StreamIngest.writeEpoch(batch, store, batchId = 42L, ts = t)
+    assert(CertStore.read(spark, store).count() == afterFirst, "replay must not duplicate")
+    // a NEW epoch appends alongside
+    StreamIngest.writeEpoch(batch, store, batchId = 43L, ts = t)
+    assert(CertStore.read(spark, store).count() == afterFirst * 2)
+  }
+
   private def fetchedRanges(f: Fixture): Seq[(String, Long, Long)] = {
     val it = f.fetched.iterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]

@@ -66,7 +66,7 @@ class PipelineOpsSpec extends SparkSpec {
         else s"unique$id word$id token$id item$id thing$id part$id bit$id"
       (id, s"common filler phrase here $unique")
     }.toDF("doc_id", "text")
-    val unguarded = Dedup.ngramJaccardPairs(fixture, 3, 0.5, Some(Long.MaxValue)).collect()
+    val unguarded = Dedup.ngramJaccardPairs(fixture, 3, 0.5).collect()
     val guarded = Dedup.ngramJaccardPairs(fixture, 3, 0.5, Some(5)).collect()
     assert(unguarded.map(_.getAs[Long]("i")).contains(1L), "near-dup pair planted")
     assert(guarded.map(_.toSeq).toSeq == unguarded.map(_.toSeq).toSeq,
@@ -74,7 +74,7 @@ class PipelineOpsSpec extends SparkSpec {
 
     // real testdata: cutoff 4 actively drops the df 5-9 tail at sf0.001,
     // and every >=0.5 pair still shares a df<=4 shingle (measured)
-    val full = Dedup.ngramJaccardPairs(docs, 3, 0.5, Some(Long.MaxValue)).collect()
+    val full = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
     val active = Dedup.ngramJaccardPairs(docs, 3, 0.5, Some(4)).collect()
     assert(active.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
