@@ -64,6 +64,13 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(bd("www.example.香港") == "example.香港")
   }
 
+  test("IDN suffixes match the punycoded form X.509 SANs actually carry") {
+    // пример.рф as a certificate would present it
+    assert(bd("www.xn--e1afmkfd.xn--p1ai") == "xn--e1afmkfd.xn--p1ai")
+    assert(bd("xn--fsqu00a.xn--fiqs8s") == "xn--fsqu00a.xn--fiqs8s") // 例子.中国
+    assert(bd("a.b.example.xn--j6w193g") == "example.xn--j6w193g")   // .香港
+  }
+
   test("full PSL file is a data drop-in via loadRules (dat format)") {
     val dat =
       """// ===BEGIN ICANN DOMAINS===
