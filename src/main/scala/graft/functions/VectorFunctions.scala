@@ -44,4 +44,23 @@ object VectorFunctions {
     * shuffle/cluster key. */
   def lshBucket(v: Column, nPlanes: Int = 8): Column =
     element_at(lshBands(v, nPlanes, 1), 1)
+
+  /** Symmetric int8 scalar quantization: scale = max|v| / 127, codes =
+    * floor(v/scale + 0.5) ∈ [−127, 127] — 4× smaller than float32 at rest,
+    * the first-order storage win for a 100 TB embedding corpus (PQ/OPQ
+    * refine the same idea). floor(x + 0.5) instead of round() because the
+    * two engines' round() disagree on ties; the floor form is bit-portable.
+    * Zero vectors quantize to all-zero codes with scale 0. */
+  def quantizeScale(v: Column): Column =
+    aggregate(asD(v), lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0
+
+  def quantize8(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(asD(v), _ => lit(0L)))
+      .otherwise(transform(asD(v), x => floor(x / scale + 0.5).cast("long")))
+
+  /** Dequantized vector (codes × scale) — the lossy reconstruction ANN
+    * scans at scale; cosine against it is within ~1/255 of the exact
+    * value (spec-pinned). */
+  def dequantize8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
 }

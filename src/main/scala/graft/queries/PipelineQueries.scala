@@ -207,6 +207,23 @@ object PipelineQueries {
         size(col("embedding")).cast("long").as("n_dims"))
         .orderBy(col("vec_id"))),
 
+    // int8 scalar quantization: the 4x-at-rest storage form of the corpus.
+    // codes flattened for the harness; cosine of the dequantized vector
+    // against the original measures the information actually lost.
+    "emb_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .select(col("vec_id"), col("emb"), V.quantizeScale(col("emb")).as("scale"))
+        .select(col("vec_id"), col("emb"), col("scale"),
+          V.quantize8(col("emb"), col("scale")).as("codes"))
+        .select(
+          col("vec_id"), col("scale"),
+          concat_ws("-", col("codes")).as("codes"),
+          (V.dot(col("emb"), V.dequantize8(col("codes"), col("scale"))) /
+            (sqrt(V.norm2(col("emb"))) *
+              sqrt(V.norm2(V.dequantize8(col("codes"), col("scale")))))).as("recon_cos"))
+        .orderBy(col("vec_id"))),
+
     // THE training-data pipeline, composed end-to-end: quality gate →
     // exact-dedup keeper → near-dup cluster survivor. What remains is the
     // kept corpus a pretraining run would read.
@@ -366,6 +383,19 @@ object PipelineQueries {
       s"""SELECT vec_id, label, ${dDot("embedding", "embedding")} AS norm2,
          |  len(embedding)::BIGINT AS n_dims
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "emb_quantize" -> {
+      val scale = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, qa -> abs(qa::DOUBLE))), (qm, qx) -> greatest(qm, qx)) / 127.0"
+      val codes = "CASE WHEN scale = 0 THEN list_transform(embedding, qz -> 0::BIGINT) " +
+        "ELSE list_transform(embedding, qv -> floor(qv::DOUBLE / scale + 0.5)::BIGINT) END"
+      val recon = "list_transform(codes, qc -> qc::DOUBLE * scale)"
+      s"""WITH qs AS (SELECT vec_id, embedding, $scale AS scale FROM embeddings),
+         |qq AS (SELECT vec_id, embedding, scale, $codes AS codes FROM qs),
+         |qr AS (SELECT vec_id, scale, codes, $recon AS recon, embedding FROM qq)
+         |SELECT vec_id, scale, array_to_string(codes, '-') AS codes,
+         |  (${dDot("embedding", "recon")} / (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("recon", "recon")}))) AS recon_cos
+         |FROM qr ORDER BY vec_id""".stripMargin
+    },
 
     "pipeline_kept" -> {
       val nTok = s"len(${dTokens("text")})::BIGINT"

@@ -172,6 +172,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh == exact, s"tuned (p=3, B=32) recall on sf0.001 is 100% (missed ${exact -- lsh})")
   }
 
+  test("int8 quantization: codes bounded, reconstruction cosine near 1") {
+    val q = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("emb"), V.quantizeScale(col("emb")).as("scale"))
+      .select(col("emb"), col("scale"), V.quantize8(col("emb"), col("scale")).as("codes"))
+      .select(col("scale"), col("codes"),
+        (V.dot(col("emb"), V.dequantize8(col("codes"), col("scale"))) /
+          (sqrt(V.norm2(col("emb"))) *
+            sqrt(V.norm2(V.dequantize8(col("codes"), col("scale")))))).as("recon_cos"))
+      .collect()
+    q.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("codes").forall(c => c >= -127 && c <= 127))
+      assert(r.getAs[Double]("recon_cos") > 0.999,
+        s"int8 reconstruction should be near-lossless, got ${r.getAs[Double]("recon_cos")}")
+    }
+  }
+
   test("multimodal decode: deterministic stub meta over binary payloads") {
     val m = Multimodal.decodeMeta(spark, docs).collect()
     assert(m.length == docs.count())
