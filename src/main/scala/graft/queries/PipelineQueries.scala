@@ -207,6 +207,18 @@ object PipelineQueries {
         size(col("embedding")).cast("long").as("n_dims"))
         .orderBy(col("vec_id"))),
 
+    // deterministic 90/5/5 train/val/test assignment: hash of the doc id
+    // string, never sample() — reproducible across engines, runs, and
+    // cluster sizes, and any engine can recompute membership from the id
+    "doc_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(T.polyHash(concat(lit("split:"), col("doc_id"))), lit(100L)).as("h"))
+        .select(col("doc_id"),
+          when(col("h") < 90, "train").when(col("h") < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))),
+
     // int8 scalar quantization: the 4x-at-rest storage form of the corpus.
     // codes flattened for the harness; cosine of the dequantized vector
     // against the original measures the information actually lost.
@@ -383,6 +395,11 @@ object PipelineQueries {
       s"""SELECT vec_id, label, ${dDot("embedding", "embedding")} AS norm2,
          |  len(embedding)::BIGINT AS n_dims
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "doc_split" ->
+      s"""SELECT doc_id, CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${dPoly("'split:' || doc_id")} % 100 AS h FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
 
     "emb_quantize" -> {
       val scale = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, qa -> abs(qa::DOUBLE))), (qm, qx) -> greatest(qm, qx)) / 127.0"
