@@ -69,14 +69,19 @@ class CtHttpSource(client: HttpClient = CtHttpSource.defaultClient)
     if (fresh) new String(Files.readAllBytes(cacheFile), java.nio.charset.StandardCharsets.UTF_8)
     else {
       val body = fetchLogList(url)
-      Option(cacheFile.getParent).foreach(Files.createDirectories(_))
-      // write-then-atomic-rename: a crash mid-write must never leave a
-      // truncated cache that would be served as "fresh" for a whole TTL
-      val tmp = cacheFile.resolveSibling(cacheFile.getFileName.toString + ".tmp")
-      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, cacheFile,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val dir = Option(cacheFile.getParent).getOrElse(java.nio.file.Paths.get("."))
+      Files.createDirectories(dir)
+      // unique-temp-then-atomic-rename: a crash mid-write must never leave
+      // a truncated cache served as "fresh" for a whole TTL, and two
+      // concurrent refreshes must not race on a shared temp name (losers
+      // just replace the winner's identical content)
+      val tmp = Files.createTempFile(dir, cacheFile.getFileName.toString, ".tmp")
+      try {
+        Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.move(tmp, cacheFile,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
       body
     }
   }

@@ -19,7 +19,10 @@ object CtQueries {
     * non-UTC session would prune the wrong partition and silently lose
     * rows near month boundaries. */
   private def monthOf(df: DataFrame, t: Timestamp): String = {
-    val zone = java.time.ZoneId.of(
+    // Spark's own resolver, not ZoneId.of: Spark accepts ids like "PST"
+    // and "+8:00" that java.time alone rejects, and the rendering must
+    // match date_format's by construction
+    val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
       df.sparkSession.sessionState.conf.sessionLocalTimeZone)
     java.time.Instant.ofEpochMilli(t.getTime).atZone(zone)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))

@@ -88,15 +88,10 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
     ex.close()
   }
 
-  /** P13 allowlist (reference app.py:27-53): if a non-empty allowlist is
-    * configured, the client IP must be in it; everything else is a 403.
-    * The first X-Forwarded-For hop is honored only behind a trusted proxy
-    * (`trustProxy`); otherwise the socket address is authoritative. */
-  /** The client identity every per-IP policy keys on: behind a trusted
-    * proxy the first X-Forwarded-For hop, otherwise the socket address —
-    * shared by the allowlist AND the rate limiter so they never disagree
-    * about what "client IP" means. */
-  private def clientIp(ex: HttpExchange): String = {
+  /** Client identity for ACCESS CONTROL: behind a trusted proxy the FIRST
+    * X-Forwarded-For hop (reference parity, app.py:47 — assumes the proxy
+    * REPLACES the header), otherwise the socket address. */
+  private def clientIpForAcl(ex: HttpExchange): String = {
     val raw =
       if (trustProxy)
         Option(ex.getRequestHeaders.getFirst("X-Forwarded-For"))
@@ -105,9 +100,28 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
     raw.split(",")(0).trim
   }
 
+  /** Client identity for RATE LIMITING: behind a trusted proxy the LAST
+    * X-Forwarded-For hop — the one value the proxy itself appended, which
+    * a client cannot forge. Keying abuse control on the first hop would
+    * let any client mint a fresh window per request (and grow the window
+    * map unboundedly) by randomizing the header. */
+  private def clientIpForLimit(ex: HttpExchange): String = {
+    val raw =
+      if (trustProxy)
+        Option(ex.getRequestHeaders.getFirst("X-Forwarded-For"))
+          .getOrElse(ex.getRemoteAddress.getAddress.getHostAddress)
+      else ex.getRemoteAddress.getAddress.getHostAddress
+    val hops = raw.split(",")
+    hops(hops.length - 1).trim
+  }
+
+  /** P13 allowlist (reference app.py:27-53): if a non-empty allowlist is
+    * configured, the client IP must be in it; everything else is a 403.
+    * The X-Forwarded-For header is honored only behind a trusted proxy
+    * (`trustProxy`); otherwise the socket address is authoritative. */
   private def ipAllowed(ex: HttpExchange): Boolean = allowedIps match {
     case None => true
-    case Some(ips) => ips.contains(clientIp(ex))
+    case Some(ips) => ips.contains(clientIpForAcl(ex))
   }
 
   /** Fixed-window per-IP rate limiter (reference flask-limiter "100 per
@@ -119,7 +133,7 @@ class Server(spark: SparkSession, table: () => DataFrame, storePath: String,
   private def rateLimited(ex: HttpExchange): Boolean = rateLimitPerMin match {
     case None => false
     case Some(limit) =>
-      val ip = clientIp(ex)
+      val ip = clientIpForLimit(ex)
       val minute = now().getTime / 60000L
       rateWindows.keySet.removeIf(k => k._2 < minute - 1)
       val n = rateWindows.computeIfAbsent((ip, minute),

@@ -27,10 +27,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamIngest {
 
   /** Idempotent per-epoch store write (exposed for direct testing of the
-    * replay contract). */
+    * replay contract).
+    *
+    * Layout discipline: a streaming store is epoch-layered (`epoch=N/
+    * ts_month=M/`) for its whole life — Parquet partition discovery cannot
+    * mix directory depths, so writing epochs into a plain batch store (or
+    * vice versa) would poison every subsequent read. This is guarded, not
+    * just documented. To compact a streaming store: stop the query, then
+    * `CertStore.compact(spark, store, s"$tmp/epoch=0")` — compact's plain
+    * ts_month output lands as epoch 0 of a fresh epoch-layered store —
+    * swap directories, restart (the checkpoint keeps the CT offsets; epoch
+    * ids continue upward, so new epochs never collide with 0). */
   def writeEpoch(batch: DataFrame, storePath: String, batchId: Long,
       ts: Timestamp): Unit = {
     val s = batch.sparkSession
+    val root = new java.io.File(storePath)
+    if (root.isDirectory) {
+      val kids = Option(root.list()).getOrElse(Array.empty)
+      require(!kids.exists(_.startsWith(CertStore.partitionCol + "=")),
+        s"$storePath holds a plain (non-epoch) store layout; streaming ingest " +
+          "must write to its own epoch-layered store (see writeEpoch docs)")
+    }
     import s.implicits._
     val rows = IngestPipeline.certDomains(batch.as[RawEntry], ts)
     CertStore.write(rows, s"$storePath/epoch=$batchId", SaveMode.Overwrite)

@@ -176,12 +176,13 @@ object Dedup {
     * over; both paths compute the identical fixpoint. */
   def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
-    // localCheckpoint materializes the (expensive) upstream pair pipeline
-    // exactly once; the path-deciding count and whichever path follows both
-    // read the checkpointed blocks instead of re-running it — and the
-    // driver never holds rows it might discard
+    // persist (NOT localCheckpoint) materializes the expensive upstream
+    // pair pipeline once for the path-deciding count and whichever path
+    // follows, while KEEPING lineage — a lost executor recomputes its
+    // blocks instead of hard-failing the job, which matters in the
+    // spot/preemption regime this engine targets
     val narrow = pairs.select(col("i").cast("long"), col("j").cast("long"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (narrow.count() <= maxDriverEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -192,6 +193,7 @@ object Dedup {
         r
       }
       val collected = narrow.collect()
+      narrow.unpersist(false)
       collected.foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         // union by min: the smaller root stays the root, so the final
@@ -205,10 +207,15 @@ object Dedup {
     }
     val edges = narrow.select(col("i").as("a"), col("j").as("b"))
       .union(narrow.select(col("j").as("a"), col("i").as("b")))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    narrow.unpersist(false)
+    // per-round persist (lineage kept — recoverable from a lost executor;
+    // depth is bounded by the component diameter, small for near-dup
+    // graphs, so lineage growth never becomes the planning bottleneck
+    // that forces checkpoint truncation in long iterative jobs)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges.join(labels, edges("b") === labels("node"))
@@ -216,10 +223,11 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("node") === neighborMin("a"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = updated.as("u")
         .join(labels.as("o"), col("u.node") === col("o.node"))
         .filter(col("u.lbl") =!= col("o.lbl")).count()
+      labels.unpersist(false)
       labels = updated
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))

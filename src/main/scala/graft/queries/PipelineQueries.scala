@@ -222,18 +222,24 @@ object PipelineQueries {
     // int8 scalar quantization: the 4x-at-rest storage form of the corpus.
     // codes flattened for the harness; cosine of the dequantized vector
     // against the original measures the information actually lost.
+    // recon is materialized in its own select step: Catalyst does not CSE
+    // lambda subexpressions, so inlining dequantize8 into the three cosine
+    // branches would rebuild the vector 3x per row
     "emb_quantize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .select(col("vec_id"), col("emb"), V.quantizeScale(col("emb")).as("scale"))
         .select(col("vec_id"), col("emb"), col("scale"),
           V.quantize8(col("emb"), col("scale")).as("codes"))
+        .select(col("vec_id"), col("emb"), col("scale"), col("codes"),
+          V.dequantize8(col("codes"), col("scale")).as("recon"))
         .select(
           col("vec_id"), col("scale"),
           concat_ws("-", col("codes")).as("codes"),
-          (V.dot(col("emb"), V.dequantize8(col("codes"), col("scale"))) /
-            (sqrt(V.norm2(col("emb"))) *
-              sqrt(V.norm2(V.dequantize8(col("codes"), col("scale")))))).as("recon_cos"))
+          // scale 0 = zero vector: reconstruction is trivially perfect,
+          // and 0/0 would diverge between engines (NaN vs NULL)
+          when(col("scale") === 0.0, lit(1.0))
+            .otherwise(V.cosine(col("emb"), col("recon"))).as("recon_cos"))
         .orderBy(col("vec_id"))),
 
     // THE training-data pipeline, composed end-to-end: quality gate →
@@ -410,7 +416,8 @@ object PipelineQueries {
          |qq AS (SELECT vec_id, embedding, scale, $codes AS codes FROM qs),
          |qr AS (SELECT vec_id, scale, codes, $recon AS recon, embedding FROM qq)
          |SELECT vec_id, scale, array_to_string(codes, '-') AS codes,
-         |  (${dDot("embedding", "recon")} / (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("recon", "recon")}))) AS recon_cos
+         |  CASE WHEN scale = 0 THEN 1.0
+         |       ELSE (${dDot("embedding", "recon")} / (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("recon", "recon")}))) END AS recon_cos
          |FROM qr ORDER BY vec_id""".stripMargin
     },
 

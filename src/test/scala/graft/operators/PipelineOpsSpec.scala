@@ -176,10 +176,10 @@ class PipelineOpsSpec extends SparkSpec {
     val q = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("emb"), V.quantizeScale(col("emb")).as("scale"))
       .select(col("emb"), col("scale"), V.quantize8(col("emb"), col("scale")).as("codes"))
+      .select(col("emb"), col("scale"), col("codes"),
+        V.dequantize8(col("codes"), col("scale")).as("recon"))
       .select(col("scale"), col("codes"),
-        (V.dot(col("emb"), V.dequantize8(col("codes"), col("scale"))) /
-          (sqrt(V.norm2(col("emb"))) *
-            sqrt(V.norm2(V.dequantize8(col("codes"), col("scale")))))).as("recon_cos"))
+        V.cosine(col("emb"), col("recon")).as("recon_cos"))
       .collect()
     q.foreach { r =>
       assert(r.getAs[scala.collection.Seq[Long]]("codes").forall(c => c >= -127 && c <= 127))
