@@ -80,6 +80,23 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature extraction: a fixed-width embedding per asset. A real
+    * pipeline runs a vision/audio encoder inside the per-partition batch
+    * pass (same codec-stub boundary as decodeStub); here the features are
+    * derived deterministically from the payload's SHA-256 — byte i of the
+    * digest scaled to [0, 1] — so the plumbing (schema, fan-out grain,
+    * downstream joins to the embeddings ops) is real and oracle-checkable
+    * while the encoder itself is the documented stub. */
+  def featureExtract(spark: SparkSession, docs: DataFrame, nFeatures: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = decodeMeta(spark, docs).toDF()
+    val feats = (0 until nFeatures).map { i =>
+      (conv(substring(col("sha256"), 2 * i + 1, 2), 16, 10).cast("long") / 255.0)
+        .as(s"f$i")
+    }
+    meta.select(col("doc_id") +: feats: _*).orderBy(col("doc_id"))
+  }
+
   /** Frame sampling: up to `maxFrames` evenly-spaced frame indices per
     * asset — frame i·ceil(n/maxFrames) for i = 0.. — exploded to one row
     * per (doc_id, frame_idx). The grain a video pipeline fans out on: the

@@ -268,7 +268,10 @@ object PipelineQueries {
       Multimodal.resizePlan(s, Tables.documents(s, d), box = 224)),
 
     "multimodal_frames" -> ((s, d) =>
-      Multimodal.frameSample(s, Tables.documents(s, d), maxFrames = 4))
+      Multimodal.frameSample(s, Tables.documents(s, d), maxFrames = 4)),
+
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.featureExtract(s, Tables.documents(s, d), nFeatures = 8))
   )
 
   // ---- oracle SQL ----
@@ -461,6 +464,15 @@ object PipelineQueries {
       """WITH mf AS (SELECT doc_id,
         |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames FROM documents)
         |SELECT doc_id, n_frames, unnest(range(0, n_frames, ceil(n_frames / 4.0)::BIGINT)) AS frame_idx
-        |FROM mf ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM mf ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_features" -> {
+      val feats = (0 until 8).map { i =>
+        s"(('0x' || substr(sha256(text), ${2 * i + 1}, 2))::BIGINT / 255.0) AS f$i"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $feats
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }
