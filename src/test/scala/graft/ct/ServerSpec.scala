@@ -136,6 +136,21 @@ class ServerSpec extends SparkSpec {
     } finally limited.stop()
   }
 
+  test("proxied rate limit keys on the proxy-appended last hop, not the forgeable first") {
+    @volatile var clock = ts("2024-01-15 12:00:00")
+    val limited = new Server(spark, () => CertStore.read(spark, storeDir), storeDir,
+      port = 0, now = () => clock, trustProxy = true, rateLimitPerMin = Some(3)).start()
+    try {
+      // same real client (last hop) randomizing the first hop: windows must
+      // NOT reset — forged first hops would otherwise evade the limit
+      val codes = (1 to 4).map(i =>
+        getWith(limited, Seq("X-Forwarded-For" -> s"10.0.0.$i, 198.51.100.7")))
+      assert(codes.take(3).forall(_ == 200) && codes(3) == 429, s"got $codes")
+      // a different real client has its own window
+      assert(getWith(limited, Seq("X-Forwarded-For" -> "10.0.0.1, 198.51.100.8")) == 200)
+    } finally limited.stop()
+  }
+
   test("/stream drains more same-timestamp rows than one batch (keyset cursor, no livelock)") {
     val dir = Files.createTempDirectory("server-stream").toString
     val t0 = ts("2024-01-15 10:00:00")
