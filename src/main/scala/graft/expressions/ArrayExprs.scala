@@ -110,6 +110,27 @@ case class MinhashSig(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** k-window combine over an array<long> of token hashes, one output per
+  * sliding window: either the single-fold shingle HASH
+  * ((…(th₀·m + th₁)·m + …) mod HashMod with m = 8191) or the 60-bit packed
+  * shingle ID (two independent folds, multipliers 8191/8209, packed as
+  * h₁·HashMod + h₂). Native because this runs per WINDOW per document in
+  * the dedup family's hottest path — the HOF form pays k element_at
+  * interpreter dispatches per window. */
+case class ShingleCombine(child: Expression, k: Int, packed: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.shingleCombine(v.asInstanceOf[ArrayData], k, packed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ArrayExprs.shingleCombine($c, $k, $packed)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Multi-band random-hyperplane LSH buckets over an array<double> vector:
   * nBands bucket ids, band b's bit j set iff dot(v, w_{b·nPlanes+j}) > 0.
   * Plane components are a deterministic integer LCG over (plane, dim) —
@@ -186,6 +207,28 @@ object ArrayExprs {
     new GenericArrayData(mins)
   }
 
+  def shingleCombine(ths: ArrayData, k: Int, packed: Boolean): ArrayData = {
+    val n = ths.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val mod = TextFunctions.HashMod
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h1 = 0L
+      var h2 = 0L
+      var o = 0
+      while (o < k) {
+        val th = ths.getLong(i + o)
+        h1 = if (o == 0) th else (h1 * 8191L + th) % mod
+        if (packed) h2 = if (o == 0) th else (h2 * 8209L + th) % mod
+        o += 1
+      }
+      out(i) = if (packed) h1 * mod + h2 else h1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def lshBands(v: ArrayData, nPlanes: Int, nBands: Int): ArrayData = {
     val n = v.numElements()
     val out = new Array[Long](nBands)
@@ -220,4 +263,6 @@ object ArrayExprs {
   def minhash_sig(c: Column): Column = column(MinhashSig(expression(c)))
   def lsh_bands(v: Column, nPlanes: Int, nBands: Int): Column =
     column(LshBands(expression(v), nPlanes, nBands))
+  def shingle_combine(c: Column, k: Int, packed: Boolean): Column =
+    column(ShingleCombine(expression(c), k, packed))
 }

@@ -75,30 +75,20 @@ object TextFunctions {
 
   /** k-shingle hashes combined from token hashes (no shingle strings are
     * ever materialized): sh_i = fold of (acc*8191 + th) mod HashMod over
-    * the window's token hashes. */
-  def shingleHashes(tokenHashesCol: Column, k: Int): Column = {
-    def win(i: Column): Column =
-      (0 until k).map(o => element_at(tokenHashesCol, i + lit(o + 1)))
-        .reduceLeft((acc, th) => (acc * 8191L + th) % HashMod)
-    when(size(tokenHashesCol) >= k,
-      transform(sequence(lit(0), size(tokenHashesCol) - k), i => win(i)))
-      .otherwise(array().cast("array<long>"))
-  }
+    * the window's token hashes. Native one-pass expression — the HOF form
+    * pays k element_at interpreter dispatches per window in the dedup hot
+    * path. Short documents (< k tokens) yield an empty array. */
+  def shingleHashes(tokenHashesCol: Column, k: Int): Column =
+    graft.expressions.ArrayExprs.shingle_combine(tokenHashesCol, k, packed = false)
 
   /** 60-bit shingle identifiers: two independent polynomial combines of the
     * window's token hashes (multipliers 8191 and 8209), packed as
     * h1·HashMod + h2. Used as the equi-join key for exact Jaccard — 8-byte
     * shuffle keys instead of shingle strings, with collision probability
-    * ~n²/2^60 (negligible below ~10^8 distinct shingles per corpus). */
-  def shingleIds(tokenHashesCol: Column, k: Int): Column = {
-    def fold(mult: Long, i: Column): Column =
-      (0 until k).map(o => element_at(tokenHashesCol, i + lit(o + 1)))
-        .reduceLeft((acc, th) => (acc * mult + th) % HashMod)
-    when(size(tokenHashesCol) >= k,
-      transform(sequence(lit(0), size(tokenHashesCol) - k),
-        i => fold(8191L, i) * HashMod + fold(8209L, i)))
-      .otherwise(array().cast("array<long>"))
-  }
+    * ~n²/2^60 (negligible below ~10^8 distinct shingles per corpus).
+    * Native one-pass expression (see shingleHashes). */
+  def shingleIds(tokenHashesCol: Column, k: Int): Column =
+    graft.expressions.ArrayExprs.shingle_combine(tokenHashesCol, k, packed = true)
 
   /** MinHash signature (array of MinhashK longs) over a shingle-hash array
     * (see shingleHashes). Native one-pass expression; min over the multiset
