@@ -55,6 +55,41 @@ case class DotDouble(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product of two array<long> columns (index order) —
+  * the stage-1 scan kernel for quantized kNN: int8 code products summed in
+  * int64, evaluated once per corpus row, where an interpreted HOF would
+  * pay per-element lambda dispatch. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Portable polynomial rolling hash of a string: fold over code points,
   * acc = (acc*31 + cp) mod 1e9+7 (TextFunctions.polyHash semantics). */
 case class PolyHash(child: Expression)
@@ -258,6 +293,7 @@ object ArrayExprs {
   // the graftbridge shim over the private[sql] ExpressionUtils)
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def dot_double(a: Column, b: Column): Column = column(DotDouble(expression(a), expression(b)))
+  def dot_long(a: Column, b: Column): Column = column(DotLong(expression(a), expression(b)))
   def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
   def simhash62(c: Column): Column = column(Simhash62(expression(c)))
   def minhash_sig(c: Column): Column = column(MinhashSig(expression(c)))

@@ -77,7 +77,10 @@ object TextFunctions {
     * ever materialized): sh_i = fold of (acc*8191 + th) mod HashMod over
     * the window's token hashes. Native one-pass expression — the HOF form
     * pays k element_at interpreter dispatches per window in the dedup hot
-    * path. Short documents (< k tokens) yield an empty array. */
+    * path. Short documents (< k tokens) yield an empty array; NULL input
+    * propagates NULL (standard expression semantics — and what the DuckDB
+    * oracle's list_transform does too; the old HOF form's empty-array-on-
+    * null actually diverged from the oracle). */
   def shingleHashes(tokenHashesCol: Column, k: Int): Column =
     graft.expressions.ArrayExprs.shingle_combine(tokenHashesCol, k, packed = false)
 

@@ -63,4 +63,22 @@ object VectorFunctions {
     * value (spec-pinned). */
   def dequantize8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
+
+  /** Exact integer dot of two code arrays (native, codegen'd) — the
+    * stage-1 kernel of quantized retrieval. */
+  def dotCodes(a: Column, b: Column): Column =
+    graft.expressions.ArrayExprs.dot_long(a, b)
+
+  /** Quantization staging shared by emb_quantize and quantizedKnn: `emb`
+    * (exact double cast), `scale`, `codes` — each materialized in its OWN
+    * select step because Catalyst does not CSE lambda subexpressions, and
+    * parity-critical enough that it must exist exactly once. */
+  def withQuantized(df: org.apache.spark.sql.DataFrame,
+      embCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val others = df.columns.filterNot(_ == embCol).map(col).toSeq
+    df.select(others :+ col(embCol).cast("array<double>").as("emb"): _*)
+      .select(others :+ col("emb") :+ quantizeScale(col("emb")).as("scale"): _*)
+      .select(others :+ col("emb") :+ col("scale") :+
+        quantize8(col("emb"), col("scale")).as("codes"): _*)
+  }
 }

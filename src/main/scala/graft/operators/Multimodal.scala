@@ -29,6 +29,11 @@ case class MediaIn(doc_id: Long, content: Array[Byte])
 
 object Multimodal {
 
+  /** Feature-vector width for featureExtract; the multimodal_features
+    * oracle SQL is generated from this same constant (single source of
+    * truth, no Spark/oracle drift). */
+  val DefaultFeatures = 8
+
   /** STUB decoder — deterministic fake dimensions from payload length.
     * Replace with a real codec to productionize; signature stays. */
   def decodeStub(content: Array[Byte]): (Long, Long, Long) = {
@@ -87,8 +92,8 @@ object Multimodal {
     * digest scaled to [0, 1] — so the plumbing (schema, fan-out grain,
     * downstream joins to the embeddings ops) is real and oracle-checkable
     * while the encoder itself is the documented stub. */
-  def featureExtract(spark: SparkSession, docs: DataFrame, nFeatures: Int = 8): DataFrame = {
-    import org.apache.spark.sql.functions._
+  def featureExtract(spark: SparkSession, docs: DataFrame,
+      nFeatures: Int = Multimodal.DefaultFeatures): DataFrame = {
     val meta = decodeMeta(spark, docs).toDF()
     val feats = (0 until nFeatures).map { i =>
       (conv(substring(col("sha256"), 2 * i + 1, 2), 16, 10).cast("long") / 255.0)

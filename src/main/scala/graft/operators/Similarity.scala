@@ -63,20 +63,15 @@ object Similarity {
     * for rescoreDepth rows, not the corpus. */
   def quantizedKnn(embeddings: DataFrame, queryId: Long, k: Int = 10,
       rescoreDepth: Int = 40): DataFrame = {
-    val withQ = embeddings
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
-      .select(col("vec_id"), col("label"), col("emb"), V.quantizeScale(col("emb")).as("scale"))
-      .select(col("vec_id"), col("label"), col("emb"), col("scale"),
-        V.quantize8(col("emb"), col("scale")).as("codes"))
+    val withQ = V.withQuantized(embeddings.select(col("vec_id"), col("label"), col("embedding")))
     val q = withQ.filter(col("vec_id") === queryId)
       .select(col("codes").as("q_codes"), col("scale").as("q_scale"),
         col("emb").as("q_emb"), sqrt(V.norm2(col("emb"))).as("q_nrm"))
-    // integer code dot: sum of int8 products, exact in long arithmetic
-    val codeDot = aggregate(
-      zip_with(col("codes"), col("q_codes"), (a, b) => a * b), lit(0L), (s, x) => s + x)
     val candidates = withQ.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("approx", codeDot.cast("double") * col("scale") * col("q_scale"))
+      // integer code dot (native DotLong): exact int64, once per corpus row
+      .withColumn("approx",
+        V.dotCodes(col("codes"), col("q_codes")).cast("double") * col("scale") * col("q_scale"))
       .orderBy(col("approx").desc, col("vec_id"))
       .limit(rescoreDepth)
     candidates

@@ -229,11 +229,7 @@ object PipelineQueries {
     // lambda subexpressions, so inlining dequantize8 into the three cosine
     // branches would rebuild the vector 3x per row
     "emb_quantize" -> ((s, d) =>
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        .select(col("vec_id"), col("emb"), V.quantizeScale(col("emb")).as("scale"))
-        .select(col("vec_id"), col("emb"), col("scale"),
-          V.quantize8(col("emb"), col("scale")).as("codes"))
+      V.withQuantized(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
         .select(col("vec_id"), col("emb"), col("scale"), col("codes"),
           V.dequantize8(col("codes"), col("scale")).as("recon"))
         .select(
@@ -274,7 +270,7 @@ object PipelineQueries {
       Multimodal.frameSample(s, Tables.documents(s, d), maxFrames = 4)),
 
     "multimodal_features" -> ((s, d) =>
-      Multimodal.featureExtract(s, Tables.documents(s, d), nFeatures = 8))
+      Multimodal.featureExtract(s, Tables.documents(s, d)))
   )
 
   // ---- oracle SQL ----
@@ -486,7 +482,7 @@ object PipelineQueries {
         |FROM mf ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_features" -> {
-      val feats = (0 until 8).map { i =>
+      val feats = (0 until Multimodal.DefaultFeatures).map { i =>
         s"(('0x' || substr(sha256(text), ${2 * i + 1}, 2))::BIGINT / 255.0) AS f$i"
       }.mkString(",\n  ")
       s"""SELECT doc_id,
