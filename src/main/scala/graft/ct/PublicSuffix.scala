@@ -223,6 +223,101 @@ object PublicSuffix extends Serializable {
     "рф", "укр", "срб", "бг", "ελ", "中国", "中國", "香港", "台湾", "台灣",
     "新加坡", "한국", "ไทย", "भारत", "مصر", "السعودية", "امارات", "قطر",
     "الاردن", "عمان", "ایران",
+    // ---- remaining flat ccTLDs (islands, Africa, Caribbean) ----
+    "ac", "ag", "ai", "aw", "bb", "bf", "bi", "bj", "bm", "bs", "bz",
+    "cf", "cg", "cv", "cx", "dj", "dm", "gd", "gf", "gm", "gn", "gp",
+    "gq", "gw", "gy", "ht", "jm", "ki", "km", "kn", "ky", "lc", "lr",
+    "ls", "mf", "ml", "mp", "mq", "mr", "mv", "ne", "nf", "nr", "pm",
+    "pn", "sl", "sr", "sx", "sz", "tc", "td", "tf", "tg", "tt", "vg",
+    "vi", "wf", "yt", "bt",
+    // ---- more second-level registries ----
+    "com.bt", "edu.bt", "gov.bt", "net.bt", "org.bt",
+    "com.mv", "edu.mv", "gov.mv", "net.mv", "org.mv", "aero.mv",
+    "biz.mv", "coop.mv", "info.mv", "int.mv", "mil.mv", "museum.mv",
+    "name.mv", "pro.mv",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "asso.fr", "nom.fr", "com.fr", "gouv.fr", "tm.fr", "avocat.fr",
+    "aeroport.fr", "avoues.fr", "cci.fr", "chambagri.fr", "greta.fr",
+    "medecin.fr", "notaires.fr", "pharmacien.fr", "port.fr", "prd.fr",
+    "veterinaire.fr",
+    "ac.be", "co.ao", "ed.ao", "gv.ao", "it.ao", "og.ao", "pb.ao",
+    "com.ag", "net.ag", "org.ag", "nom.ag", "co.ag",
+    "com.bz", "net.bz", "org.bz", "edu.bz", "gov.bz",
+    "com.bs", "net.bs", "org.bs", "edu.bs", "gov.bs",
+    "com.gy", "net.gy", "co.gy", "org.gy", "edu.gy", "gov.gy",
+    "com.ht", "net.ht", "org.ht", "edu.ht", "gouv.ht", "firm.ht",
+    "shop.ht", "info.ht", "pro.ht", "adult.ht", "art.ht", "asso.ht",
+    "pol.ht", "rel.ht", "med.ht", "coop.ht", "perso.ht",
+    "com.jm", "net.jm", "org.jm", "edu.jm", "gov.jm", "mil.jm",
+    "com.tt", "net.tt", "org.tt", "edu.tt", "gov.tt", "biz.tt",
+    "co.tt", "info.tt", "name.tt", "pro.tt",
+    "com.vi", "net.vi", "org.vi", "co.vi", "k12.vi",
+    "com.sl", "net.sl", "org.sl", "edu.sl", "gov.sl",
+    "com.gn", "ac.gn", "gov.gn", "org.gn", "net.gn",
+    "com.lr", "edu.lr", "gov.lr", "org.lr", "net.lr",
+    "co.ls", "org.ls", "ac.ls", "gov.ls", "sc.ls", "net.ls",
+    "com.mw", "net.mw", "org.mw", "edu.mw", "gov.mw", "ac.mw",
+    "co.mw", "biz.mw", "coop.mw", "int.mw", "museum.mw",
+    "com.sc", "net.sc", "org.sc", "edu.sc", "gov.sc",
+    "com.mu", "net.mu", "org.mu", "co.mu", "or.mu", "ac.mu", "gov.mu",
+    "com.mg", "net.mg", "org.mg", "edu.mg", "gov.mg", "mil.mg",
+    "nom.mg", "prd.mg", "tm.mg", "co.mg",
+    "co.rw", "net.rw", "org.rw", "ac.rw", "gov.rw", "mil.rw", "coop.rw",
+    "com.sn", "net.sn", "org.sn", "edu.sn", "gouv.sn", "art.sn",
+    "univ.sn", "perso.sn",
+    "co.ci", "com.ci", "net.ci", "org.ci", "edu.ci", "ed.ci", "ac.ci",
+    "go.ci", "or.ci", "int.ci", "md.ci", "gouv.ci",
+    "com.cm", "net.cm", "co.cm", "gov.cm",
+    "com.cd", "net.cd", "org.cd", "gov.cd",
+    "com.fj", "net.fj", "org.fj", "ac.fj", "gov.fj", "mil.fj",
+    "biz.fj", "info.fj", "name.fj", "pro.fj", "school.fj",
+    "com.sb", "net.sb", "org.sb", "edu.sb", "gov.sb",
+    "com.vu", "net.vu", "org.vu", "edu.vu",
+    "gov.as", "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws",
+    "nom.ad", "tm.mc", "asso.mc",
+    // ---- more new gTLDs (2012+ rounds) ----
+    "bar", "beauty", "boo", "boutique", "build", "builders", "business",
+    "buzz", "cab", "cafe", "camera", "camp", "cards", "care", "career",
+    "casa", "center", "chat", "cheap", "church", "city", "claims",
+    "cleaning", "clinic", "clothing", "coach", "college", "community",
+    "company", "construction", "consulting", "contractors", "cool",
+    "coupons", "courses", "credit", "creditcard", "cruises", "dance",
+    "dating", "day", "deals", "delivery", "democrat", "dental", "dentist",
+    "diamonds", "diet", "direct", "discount", "doctor", "dog", "domains",
+    "earth", "energy", "engineer", "engineering", "enterprises",
+    "equipment", "events", "exchange", "exposed", "express", "fail",
+    "faith", "family", "fans", "farm", "fashion", "film", "fish",
+    "fitness", "flights", "florist", "flowers", "football", "forsale",
+    "foundation", "fund", "furniture", "futbol", "fyi", "gallery",
+    "garden", "gift", "gifts", "gives", "glass", "global", "gold",
+    "golf", "graphics", "gratis", "gripe", "guide", "guitars", "haus",
+    "health", "healthcare", "help", "hiphop", "hockey", "holdings",
+    "holiday", "homes", "horse", "hospital", "house", "how", "immo",
+    "industries", "insure", "international", "investments", "jewelry",
+    "juegos", "kaufen", "kim", "kitchen", "kiwi", "lawyer", "lease",
+    "lgbt", "lighting", "limited", "limo", "link", "loan", "loans",
+    "lol", "love", "ltd", "luxury", "makeup", "management", "market",
+    "marketing", "mba", "meme", "memorial", "men", "menu", "moda",
+    "mom", "monster", "mortgage", "motorcycles", "mov", "movie", "new",
+    "nexus", "ninja", "observer", "organic", "partners", "parts",
+    "party", "pet", "phd", "photo", "photography", "photos", "pics",
+    "pictures", "pizza", "place", "plumbing", "poker", "porn", "press",
+    "productions", "prof", "properties", "property", "protection",
+    "quest", "racing", "realty", "recipes", "rehab", "reise", "reisen",
+    "rent", "rentals", "repair", "report", "republican", "rest",
+    "restaurant", "review", "reviews", "rip", "rodeo", "rsvp", "salon",
+    "sarl", "sbs", "science", "security", "select", "sexy", "shoes",
+    "shopping", "singles", "skin", "soccer", "solar", "song", "soy",
+    "spa", "sport", "stream", "style", "sucks", "supplies", "supply",
+    "support", "surf", "surgery", "tattoo", "tax", "taxi", "tennis",
+    "theater", "theatre", "tickets", "tips", "tires", "tirol", "town",
+    "toys", "trade", "trading", "tube", "ventures", "vet", "viajes",
+    "villas", "vin", "vision", "vodka", "vote", "voyage", "wang",
+    "webcam", "wedding", "wine", "win", "work", "yoga", "zip",
+    // ---- more IDN TLDs ----
+    "қаз", "бел", "мон", "ею", "հայ", "გე", "澳門", "澳门",
+    "السودان", "المغرب", "تونس", "الجزائر", "فلسطين", "پاکستان",
+    "বাংলা", "இந்தியா", "சிங்கப்பூர்", "ලංகා",
     // ---- private-section registries (hosted platforms) ----
     "github.io", "githubusercontent.com", "gitlab.io",
     "blogspot.com", "wordpress.com", "herokuapp.com", "herokussl.com",
@@ -232,7 +327,17 @@ object PublicSuffix extends Serializable {
     "*.compute-1.amazonaws.com", "pages.dev", "workers.dev", "r2.dev",
     "fly.dev", "onrender.com", "repl.co", "glitch.me", "readthedocs.io",
     "surge.sh", "neocities.org", "fastlylb.net", "azureedge.net",
-    "cloudapp.azure.com", "trafficmanager.net", "ngrok.io")
+    "cloudapp.azure.com", "trafficmanager.net", "ngrok.io",
+    "myshopify.com", "wixsite.com", "weebly.com", "squarespace.com",
+    "duckdns.org", "dyndns.org", "no-ip.org", "no-ip.com", "ddns.net",
+    "webflow.io", "bubbleapps.io", "notion.site", "carrd.co",
+    "pythonanywhere.com", "eu.pythonanywhere.com", "streamlit.app",
+    "hf.space", "000webhostapp.com", "webhostapp.com", "wpenginepowered.com",
+    "kinsta.cloud", "pantheonsite.io", "platformsh.site", "amplifyapp.com",
+    "cloudflare-ipfs.com", "translate.goog", "cdn.ampproject.org",
+    "codeberg.page", "deno.dev", "railway.app", "up.railway.app",
+    "gitbook.io", "hashnode.dev", "substack.com", "ghost.io",
+    "myftp.org", "serveo.net", "loca.lt", "beget.app")
 
   final case class Rules(
       exact: Set[String], wildcardBase: Set[String], exception: Set[String])

@@ -121,16 +121,136 @@ object TextFunctions {
   def simhashFromHashes(phs: Column): Column =
     graft.expressions.ArrayExprs.simhash62(phs)
 
-  /** Per-language stopword marker sets for the n-gram/stopword language-ID
-    * heuristic. Small on purpose — the mechanism (score per language, argmax
-    * with deterministic tie-break) is the operator; swap in bigger tables
-    * for production accuracy. */
+  /** Per-language stopword tables for the stopword-hit language-ID
+    * heuristic and stop_ratio quality signal — standard public stopword
+    * vocabularies (~150 words per language; the zh table is the common
+    * function-word/character set), embedded because the build is
+    * zero-egress. The DuckDB oracle SQL is generated from this same
+    * constant, so growing a table can never drift parity. Words are plain
+    * lowercase tokens (no apostrophe forms — the corpus tokenizer is
+    * whitespace-based and SQL quoting stays trivial). */
   val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
-    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "ein"),
-    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "不"))
+    "en" -> Seq(
+      "the", "and", "of", "to", "a", "in", "is", "that", "it", "was",
+      "for", "on", "are", "as", "with", "his", "they", "i", "at", "be",
+      "this", "have", "from", "or", "one", "had", "by", "word", "but",
+      "not", "what", "all", "were", "we", "when", "your", "can", "said",
+      "there", "use", "an", "each", "which", "she", "do", "how", "their",
+      "if", "will", "up", "other", "about", "out", "many", "then", "them",
+      "these", "so", "some", "her", "would", "make", "like", "him",
+      "into", "time", "has", "look", "two", "more", "write", "go", "see",
+      "no", "way", "could", "people", "my", "than", "first", "been",
+      "who", "its", "now", "find", "long", "down", "day", "did", "get",
+      "come", "made", "may", "part", "over", "new", "sound", "take",
+      "only", "little", "work", "know", "place", "year", "live", "me",
+      "back", "give", "most", "very", "after", "thing", "our", "just",
+      "name", "good", "sentence", "man", "think", "say", "great",
+      "where", "help", "through", "much", "before", "line", "right",
+      "too", "mean", "old", "any", "same", "tell", "boy", "follow",
+      "came", "want", "show", "also", "around", "form", "three", "small",
+      "set", "put", "end", "does", "another", "well", "large", "must",
+      "big", "even", "such", "because", "turn", "here", "why", "ask",
+      "went", "men", "read", "need", "land", "different", "home", "us",
+      "move", "try", "kind", "hand", "picture", "again", "change", "off",
+      "play", "spell", "air", "away", "animal", "house", "point", "page",
+      "letter", "mother", "answer", "found", "study", "still", "learn",
+      "should", "america", "world"),
+    "es" -> Seq(
+      "el", "la", "de", "que", "y", "en", "los", "del", "se", "las",
+      "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+      "mas", "pero", "sus", "le", "ya", "o", "este", "si", "porque",
+      "esta", "entre", "cuando", "muy", "sin", "sobre", "tambien", "me",
+      "hasta", "hay", "donde", "quien", "desde", "todo", "nos", "durante",
+      "todos", "uno", "les", "ni", "contra", "otros", "ese", "eso",
+      "ante", "ellos", "e", "esto", "mi", "antes", "algunos", "unos",
+      "yo", "otro", "otras", "otra", "tanto", "esa", "estos",
+      "mucho", "quienes", "nada", "muchos", "cual", "poco", "ella",
+      "estar", "estas", "algunas", "algo", "nosotros", "mio", "tuyo",
+      "ellas", "sea", "ser", "son", "era", "eran", "fue", "fueron",
+      "esta", "estamos", "estan", "estaba", "estaban", "he", "ha",
+      "hemos", "han", "habia", "habian", "tengo", "tiene", "tenemos",
+      "tienen", "tenia", "tenian", "hacer", "hace", "hacen", "hacia",
+      "puede", "pueden", "podia", "podian", "debe", "deben", "asi",
+      "aqui", "alli", "ahora", "despues", "luego", "pues", "aunque",
+      "cada", "vez", "bien", "mal", "solo", "tan", "menos", "segun",
+      "decir", "dice", "dicen", "dijo", "dos", "tres", "primero",
+      "misma", "mismo", "nuevo", "nueva", "gran", "grandes", "anos",
+      "dia", "dias", "parte", "tiempo", "vida", "mundo", "casa",
+      "más", "también", "está", "están", "sí", "así", "aquí", "allí",
+      "después", "años", "día", "días", "qué", "quién", "cómo", "él",
+      "mí", "había", "habían", "tenía", "tenían", "hacía", "podía",
+      "podían", "según", "sólo"),
+    "fr" -> Seq(
+      "le", "la", "de", "et", "les", "des", "un", "une", "du", "en",
+      "au", "aux", "ce", "ces", "cette", "dans", "par", "pour", "sur",
+      "avec", "sans", "sous", "vers", "chez", "entre", "contre", "apres",
+      "avant", "depuis", "pendant", "il", "elle", "ils", "elles", "je",
+      "tu", "nous", "vous", "on", "se", "sa", "son", "ses", "leur",
+      "leurs", "mon", "ma", "mes", "ton", "ta", "tes", "notre", "votre",
+      "nos", "vos", "qui", "que", "quoi", "dont", "ou", "quand",
+      "comment", "pourquoi", "si", "ne", "pas", "plus", "moins", "tres",
+      "bien", "mal", "tout", "tous", "toute", "toutes", "autre",
+      "autres", "meme", "aussi", "encore", "deja", "toujours", "jamais",
+      "souvent", "parfois", "ici", "ailleurs", "alors", "ainsi",
+      "donc", "mais", "car", "or", "ni", "soit", "etre", "est", "sont",
+      "etait", "etaient", "fut", "furent", "sera", "seront", "suis",
+      "es", "sommes", "etes", "avoir", "ai", "as", "avons", "avez",
+      "ont", "avait", "avaient", "eut", "aura", "auront", "faire",
+      "fait", "font", "faisait", "peut", "peuvent", "pouvait", "doit",
+      "doivent", "devait", "va", "vont", "allait", "vient", "viennent",
+      "cela", "ceci", "celui", "celle", "ceux", "celles", "chaque",
+      "quelque", "quelques", "plusieurs", "certains", "certaines",
+      "beaucoup", "peu", "trop", "assez", "deux", "trois", "premier",
+      "premiere", "dernier", "derniere", "grand", "grande", "petit",
+      "petite", "nouveau", "nouvelle", "jour", "jours", "temps", "fois",
+      "annee", "annees", "monde", "vie", "homme", "femme",
+      "après", "très", "déjà", "être", "était", "étaient", "année",
+      "années", "où", "même", "première", "dernière", "été", "à"),
+    "de" -> Seq(
+      "der", "die", "und", "das", "von", "zu", "den", "ein", "eine",
+      "einer", "eines", "einem", "einen", "in", "im", "ist", "sind",
+      "war", "waren", "wird", "werden", "wurde", "wurden", "sein",
+      "seine", "seiner", "seinem", "seinen", "ihr", "ihre", "ihrer",
+      "ihrem", "ihren", "mit", "fur", "auf", "aus", "bei", "nach",
+      "uber", "unter", "vor", "durch", "gegen", "ohne", "um", "an",
+      "am", "als", "auch", "aber", "oder", "wenn", "dann", "doch",
+      "noch", "nur", "schon", "so", "sehr", "mehr", "weniger", "alle",
+      "allem", "allen", "aller", "alles", "man", "kann", "konnen",
+      "konnte", "konnten", "muss", "mussen", "musste", "mussten",
+      "soll", "sollen", "sollte", "sollten", "will", "wollen", "wollte",
+      "wollten", "darf", "durfen", "mag", "mogen", "hat", "haben",
+      "hatte", "hatten", "habe", "hast", "bin", "bist", "sich", "nicht",
+      "kein", "keine", "keiner", "keinem", "keinen", "es", "er", "sie",
+      "wir", "ich", "du", "ihnen", "ihm", "ihn", "mich", "mir", "dich",
+      "dir", "uns", "euch", "was", "wer", "wie", "wo", "warum",
+      "welche", "welcher", "welches", "dieser", "diese", "dieses",
+      "diesem", "diesen", "jeder", "jede", "jedes", "jedem", "jeden",
+      "einige", "einigen", "manche", "solche", "beim", "vom", "zum",
+      "zur", "hier", "da", "dort", "heute", "morgen", "immer", "nie",
+      "wieder", "jetzt", "dann", "also", "etwa", "etwas", "nichts",
+      "viel", "viele", "vielen", "ganz", "gut", "neue", "neuen",
+      "ersten", "zwei", "drei", "jahr", "jahre", "jahren", "zeit",
+      "tag", "welt", "leben", "mensch", "menschen", "teil",
+      "für", "über", "können", "könnte", "könnten", "müssen", "müsste",
+      "müssten", "dürfen", "mögen", "wäre", "wären", "hätte", "hätten",
+      "würde", "würden", "größte", "während", "zunächst", "außerdem"),
+    "zh" -> Seq(
+      "的", "了", "是", "在", "我", "有", "和", "不", "人", "这",
+      "他", "们", "中", "来", "上", "大", "为", "个", "国", "到",
+      "说", "时", "要", "就", "出", "会", "可", "也", "你", "对",
+      "生", "能", "而", "子", "那", "得", "于", "着", "下", "自",
+      "之", "年", "过", "发", "后", "作", "里", "用", "道", "行",
+      "所", "然", "家", "种", "事", "成", "方", "多", "经", "去",
+      "法", "学", "如", "都", "同", "现", "当", "没", "动", "面",
+      "起", "看", "定", "天", "分", "还", "进", "好", "小", "部",
+      "其", "些", "主", "样", "理", "心", "她", "本", "前", "开",
+      "但", "因", "只", "从", "想", "实", "日", "军", "者", "意",
+      "无", "力", "它", "与", "长", "把", "机", "十", "民", "第",
+      "公", "此", "已", "工", "使", "情", "明", "性", "知", "全",
+      "三", "又", "关", "点", "正", "业", "外", "将", "两", "高",
+      "间", "由", "问", "很", "最", "重", "并", "物", "手", "应",
+      "战", "向", "头", "文", "体", "政", "美", "相", "见", "被",
+      "利", "什", "二", "等", "产", "或", "新", "己", "制", "身"))
 
   /** Count of tokens belonging to `set` (lowercased input expected). */
   def stopwordHits(text: Column, set: Seq[String]): Column =

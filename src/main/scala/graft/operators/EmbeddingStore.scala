@@ -53,7 +53,10 @@ object EmbeddingStore {
     // store-rooted subquery. Hive partition-dir values are type-inferred
     // on read (often int), hence the Number cast.
     val qRow = store.filter(col("vec_id") === queryId)
-      .select(col(partitionCol), col("embedding").cast("array<double>")).head()
+      .select(col(partitionCol), col("embedding").cast("array<double>"))
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"queryId $queryId not found in embedding store at $path"))
     val qBucket = qRow.getAs[Number](partitionCol).longValue()
     val qVec = qRow.getSeq[Double](1)
     import spark.implicits._
@@ -80,10 +83,14 @@ object EmbeddingStore {
 
   private def probeCells(store: DataFrame, q: DataFrame, qBucket: Long,
       nPlanes: Int, maxFlips: Int, excludeId: Option[Long], k: Int): DataFrame = {
+    // enumerate neighbor cells combinatorially (Σ C(nPlanes, f) values, not
+    // a 2^nPlanes sweep) so multi-probe stays cheap at any plane count
+    require(maxFlips <= nPlanes, s"maxFlips $maxFlips exceeds nPlanes $nPlanes")
     val probed: Seq[Long] =
       if (maxFlips <= 0) Seq(qBucket)
-      else (0L until (1L << nPlanes)).filter(b =>
-        java.lang.Long.bitCount(b ^ qBucket) <= maxFlips)
+      else (0 to maxFlips).flatMap(f =>
+        (0 until nPlanes).combinations(f).map(bits =>
+          bits.foldLeft(qBucket)((b, i) => b ^ (1L << i))))
     val base = store.filter(col(partitionCol).isin(probed: _*))
     val scoped = excludeId.map(id => base.filter(col("vec_id") =!= id)).getOrElse(base)
     scoped

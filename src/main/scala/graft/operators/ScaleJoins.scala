@@ -63,7 +63,10 @@ object ScaleJoins {
       ptCol: String, loCol: String, hiCol: String, width: Long): DataFrame = {
     require(width > 0, "bucket width must be positive")
     val p = points.withColumn("__bucket", floor(col(ptCol) / width).cast("long"))
-    val iv = intervals.withColumn("__bucket",
+    // empty/inverted intervals (hi <= lo) can match nothing, but sequence()
+    // DESCENDS when start > stop and would explode ~(lo-hi)/width spurious
+    // candidate rows per malformed row — drop them before the explode
+    val iv = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / width).cast("long"),
         // hi is exclusive: its bucket is reached only if the interval
         // extends into it

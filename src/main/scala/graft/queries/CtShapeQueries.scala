@@ -74,14 +74,25 @@ object CtShapeQueries {
         min(col("ts")).as("first_seen"),
         max(col("ts")).as("last_seen"))
 
-  /** A4 uniqCombined analog: HyperLogLog++ sketch. Sketches differ across
-    * engines, so no SQL oracle (rows-only check); CtShapeSpec asserts the
-    * estimate is within ±5% of exact (SURVEY §5.2). */
+  /** A4 uniqCombined analog: HyperLogLog++ sketch. Sketch values differ
+    * across engines, so the estimates themselves cannot be oracle-hashed;
+    * instead the declared row carries the exact counts (oracle-computable)
+    * plus `*_within_tol` booleans asserting |approx-exact|/exact ≤ 5%.
+    * The oracle pins the booleans to true, so the HLL path is now a
+    * checked gate (the estimate must track exact), not rows-only. */
   def ctStatsApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(col("event_type")).as("approx_types"))
+        countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("event_type")).as("exact_types"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        approx_count_distinct(col("event_type"), 0.02).as("at"))
+      .select(
+        col("exact_users"), col("exact_types"),
+        (abs(col("au") - col("exact_users")).cast("double") / col("exact_users") <= 0.05)
+          .as("users_within_tol"),
+        (abs(col("at") - col("exact_types")).cast("double") / col("exact_types") <= 0.05)
+          .as("types_within_tol"))
 
   /** Total table count (README.md:167). */
   def ctCount(spark: SparkSession, dir: String): DataFrame =
@@ -193,7 +204,13 @@ object CtShapeQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
-    // ct_stats_approx: intentionally no oracle — engine-specific HLL sketch.
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // The HLL estimates are engine-specific; the checkable facts are the
+    // exact counts and that Spark's own estimate stayed within tolerance.
+    "ct_stats_approx" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT event_type) AS exact_types,
+        |  true AS users_within_tol, true AS types_within_tol
+        |FROM events""".stripMargin
   )
 }

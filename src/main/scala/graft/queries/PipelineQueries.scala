@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, EmbeddingStore, Multimodal, Similarity}
 
 /** Declared queries for the training-data pipeline operators (dedup family,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -203,6 +203,21 @@ object PipelineQueries {
     "emb_knn_quant" -> ((s, d) =>
       Similarity.quantizedKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
 
+    // the at-rest IVF layout end to end: write the corpus partitioned by
+    // LSH cell, then probe it multi-probe (Hamming ≤ 1 neighbor cells) —
+    // the scan carries a partition filter (EmbeddingStoreSpec proves the
+    // pruning); the oracle recomputes the same cells over the flat table.
+    // The store write is part of the query on purpose: bench times the
+    // full write+probe cycle, and reruns stay idempotent via Overwrite.
+    "emb_knn_store" -> ((s, d) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_emb_store_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      EmbeddingStore.write(Tables.embeddings(s, d), path, nPlanes = 4)
+      EmbeddingStore.knnProbe(s, path, queryId = 0L, k = 10, nPlanes = 4, maxFlips = 1)
+        .select(col("vec_id"), col("label"),
+          col("bucket").cast("long").as("bucket"), col("cos_sim"))
+    }),
+
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
@@ -390,6 +405,15 @@ object PipelineQueries {
          |q AS (SELECT embedding AS qe, bucket AS qb FROM bk WHERE vec_id = 0)
          |SELECT vec_id, label, bucket, ${dCos("embedding", "qe")} AS cos_sim
          |FROM bk, q WHERE vec_id <> 0 AND bucket = qb
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // identical cell family and probe set as emb_knn_lsh_mp, but the Spark
+    // side answers it from the partitioned store with a pruned read
+    "emb_knn_store" ->
+      s"""WITH sbk AS (SELECT vec_id, label, embedding, ${dLshBucket("embedding")} AS bucket FROM embeddings),
+         |sq AS (SELECT embedding AS qe, bucket AS qb FROM sbk WHERE vec_id = 0)
+         |SELECT vec_id, label, bucket, ${dCos("embedding", "qe")} AS cos_sim
+         |FROM sbk, sq WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "emb_knn_lsh_mp" ->

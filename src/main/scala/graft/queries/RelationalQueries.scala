@@ -81,10 +81,14 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no high-value order.
+    * (The testdata gives every customer at least one order, so the
+    * no-orders-at-all form returns 0 rows and proves nothing — the
+    * 450k threshold keeps the anti-join gate non-vacuous at every SF.) */
   def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(450000.0))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -129,11 +133,18 @@ object RelationalQueries {
       .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
       .orderBy(col("nationkey"))
 
-  /** EXCEPT: nations with customers but no suppliers. */
-  def q10Except(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
-      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
-      .orderBy(col("nationkey"))
+  /** EXCEPT: early customers (an order before 1996) who never placed a
+    * high-value order. (Customer-vs-supplier nation sets are identical in
+    * the testdata, so that form returned 0 rows — this one stays non-empty
+    * at every SF while exercising the same EXCEPT distinct-set semantics.) */
+  def q10Except(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .select(col("o_custkey").as("custkey")).distinct()
+      .except(o.filter(col("o_totalprice") > lit(450000.0))
+        .select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+  }
 
   /** ROLLUP aggregation (beyond-reference grouping sets). NULL grouping
     * cells are coalesced to 'ALL' so row identity is total-order stable. */
@@ -342,11 +353,43 @@ object RelationalQueries {
     spark.sql(
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders_v
-        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND EXISTS (SELECT 1 FROM lineitem_v
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Range (interval) join via graft.operators.ScaleJoins.rangeJoinBucketed:
+    * orders matched to every overlapping price tier ([t·50k, t·50k+75k) —
+    * overlapping on purpose so points hit 1-2 tiers). Planned as explode +
+    * hash EQUI-join on the bucket id, not the BroadcastNestedLoopJoin a
+    * bare inequality join gets; the oracle is the bare inequality join. */
+  def q31RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tiers = spark.range(12).select(
+      col("id").as("tier"),
+      (col("id") * 50000L).as("lo"),
+      (col("id") * 50000L + 75000L).as("hi"))
+    graft.operators.ScaleJoins.rangeJoinBucketed(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+        tiers, "o_totalprice", "lo", "hi", width = 50000L)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
+      .orderBy(col("tier"))
+  }
+
+  /** Skew-safe equi-join via graft.operators.ScaleJoins.saltedEquiJoin:
+    * lineitem ⋈ supplier on l_suppkey with the hot-key salt split. The
+    * oracle is the plain equi-join — salting must be result-neutral. */
+  def q32SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.operators.ScaleJoins.saltedEquiJoin(li, sup, "l_suppkey", nSalts = 8)
+      .groupBy(col("s_name"))
+      .agg(dsum("l_extendedprice").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("s_name"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -386,7 +429,9 @@ object RelationalQueries {
     "q13_distinct" -> (q13Distinct _),
     "q14_explode_tokens" -> (q14ExplodeTokens _),
     "q15_events_per_day" -> (q15EventsPerDay _),
-    "q16_above_avg" -> (q16AboveAvg _)
+    "q16_above_avg" -> (q16AboveAvg _),
+    "q31_range_join" -> (q31RangeJoin _),
+    "q32_salted_join" -> (q32SaltedJoin _)
   )
 
   val q1AggSql: String =
@@ -415,8 +460,8 @@ object RelationalQueries {
     "q28_sql" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -523,7 +568,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
         |ORDER BY c_custkey""".stripMargin,
     "q6_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -550,10 +596,11 @@ object RelationalQueries {
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
     "q10_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         |EXCEPT
-        |SELECT s_nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin,
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
+        |ORDER BY custkey""".stripMargin,
     "q11_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -582,6 +629,21 @@ object RelationalQueries {
         |  SELECT sum(CAST(p_retailprice AS DECIMAL(18,2))) AS total, count(*) AS cnt
         |  FROM part) s
         |WHERE CAST(p_retailprice AS DECIMAL(18,2)) * cnt > total
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    // the bare inequality join — what rangeJoinBucketed must reproduce
+    "q31_range_join" ->
+      """SELECT tier, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN (
+        |  SELECT r AS tier, r*50000 AS lo, r*50000+75000 AS hi FROM range(12) t(r)) i
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    // the plain equi-join — salting must be result-neutral
+    "q32_salted_join" ->
+      """SELECT s_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin
   )
 }

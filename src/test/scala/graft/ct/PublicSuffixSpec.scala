@@ -90,6 +90,28 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(PublicSuffix.baseDomain("x.www.ck", r) == "www.ck")
   }
 
+  test("round-3 coverage: previously-uncovered ccTLDs, registries, gTLDs, IDNs") {
+    // ccTLDs that had no rule before round 3 (fell through to the default *)
+    assert(bd("www.example.bt") == "example.bt")
+    assert(bd("shop.example.com.bt") == "example.com.bt")
+    assert(bd("a.example.gouv.ht") == "example.gouv.ht")
+    assert(bd("x.example.co.tt") == "example.co.tt")
+    // European second-level registries added in round 3
+    assert(bd("www.example.gouv.fr") == "example.gouv.fr")
+    assert(bd("a.b.example.nom.es") == "example.nom.es")
+    // new-gTLD coverage
+    assert(bd("www.example.pizza") == "example.pizza")
+    assert(bd("a.b.example.ninja") == "example.ninja")
+    // hosted-platform private registries added in round 3
+    assert(bd("shop.mystore.myshopify.com") == "mystore.myshopify.com")
+    assert(bd("a.b.myhost.duckdns.org") == "myhost.duckdns.org")
+    assert(bd("example-com.translate.goog") == "example-com.translate.goog")
+    assert(bd("docs.myproj.pantheonsite.io") == "myproj.pantheonsite.io")
+    // IDN ccTLDs added in round 3 (Unicode and punycode forms)
+    assert(bd("www.мысал.қаз") == "мысал.қаз")
+    assert(bd("www.օրինակ.հայ") == "օրինակ.հայ")
+  }
+
   test("case/dot normalization and nulls") {
     assert(bd("WWW.Example.COM") == "example.com")
     assert(bd(".example.com.") == "example.com")

@@ -243,4 +243,21 @@ class PipelineOpsSpec extends SparkSpec {
     val langs = docs.select(T.langId(col("text"))).as[String].collect()
     assert(langs.forall(T.stopwords.map(_._1).toSet))
   }
+
+  test("langId classifies real fixture paragraphs per language (r3 tables)") {
+    val fixtures = Seq(
+      "en" -> ("the quick brown fox jumps over the lazy dog and then it runs " +
+        "away into the forest because it was afraid of the people there"),
+      "es" -> ("el perro corre por la calle de la ciudad y los niños juegan en " +
+        "el parque porque el día está muy bonito según su madre"),
+      "fr" -> ("le chien court dans la rue de la ville et les enfants jouent " +
+        "dans le parc parce que le jour est très beau pour tout le monde"),
+      "de" -> ("der hund läuft durch die straße der stadt und die kinder " +
+        "spielen in dem park weil der tag sehr schön ist für alle menschen"),
+      "zh" -> "我 的 朋友 是 一个 很 好 的 人 他 在 中国 的 大 学 学 习 和 工作 了 三 年")
+    val df = fixtures.toDF("expected", "text")
+    val out = df.select(col("expected"), T.langId(col("text")).as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, langId said ${r.getString(1)}"))
+  }
 }
