@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CtShapeQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{CtShapeQueries, PipelineQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ CtShapeQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ CtShapeQueries.queries ++
+      PipelineQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ CtShapeQueries.oracleSql ++ PipelineQueries.oracleSql
+    RelationalQueries.oracleSql ++ CtShapeQueries.oracleSql ++
+      PipelineQueries.oracleSql ++ StreamingQueries.oracleSql
 }

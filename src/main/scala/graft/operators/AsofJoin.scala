@@ -31,6 +31,15 @@ object AsofJoin {
       tsCol: String, rightPayload: Seq[String],
       rightTieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    // fail fast on name collisions that would otherwise surface as
+    // duplicate output columns or ambiguous-reference analysis errors
+    val clash = rightPayload.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"rightPayload columns collide with left columns: ${clash.mkString(", ")}")
+    val internal = Set("_side", "_tie", "_r", "_asof")
+    val reserved = (leftCols ++ right.columns).toSet.intersect(internal)
+    require(reserved.isEmpty,
+      s"inputs must not carry reserved internal columns: ${reserved.mkString(", ")}")
     val payloadStruct = struct(rightPayload.map(col): _*)
     val tie = rightTieBreak.map(col).getOrElse(lit(0))
 

@@ -96,11 +96,30 @@ object Dedup {
           .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
           .agg(count(lit(1)).as("inter"))
       case Some(cutoff) =>
-        val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        val rare = dfCounts.filter(col("df") <= cutoff).select("sh")
-        val hot = dfCounts.filter(col("df") > cutoff).select("sh")
-        val rareSh = sh.join(rare, Seq("sh"), "left_semi")
-        val hotSh = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+        // The hot list is collected driver-side: it is by construction the
+        // df tail above the cutoff (stop-phrase shingles — a handful), it
+        // was going to be broadcast anyway, and collecting it (a) runs the
+        // df aggregation ONCE instead of twice (Catalyst re-executes a
+        // DataFrame branch per reference — rare/hot previously each paid
+        // it), and (b) makes the guard's reach observable: the excluded-
+        // shingle count is logged per the no-silent-caps discipline. The
+        // require() keeps an adversarial corpus from melting the driver.
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val maxHot = 1000000
+        val hotIds = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cutoff).select(col("sh"))
+          .limit(maxHot + 1).as[Long].collect()
+        require(hotIds.length <= maxHot,
+          s"skew guard: more than $maxHot shingles above df cutoff $cutoff — raise the cutoff")
+        if (hotIds.nonEmpty)
+          System.err.println(
+            s"[dedup] skew guard armed: ${hotIds.length} hot shingle(s) above df " +
+            s"cutoff $cutoff excluded from candidate generation (intersection " +
+            "contribution re-added per surfaced pair)")
+        val hotLocal = hotIds.toSeq.toDF("sh")
+        val rareSh = sh.join(broadcast(hotLocal), Seq("sh"), "left_anti")
+        val hotSh = sh.join(broadcast(hotLocal), Seq("sh"), "left_semi")
         val interRare = rareSh.as("a").join(rareSh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -160,10 +179,11 @@ object Dedup {
     * of its own label and its neighbors' labels, until a fixpoint — the
     * join/aggregate steps are fully distributed, the driver only runs the
     * convergence loop (converges in O(component diameter) rounds; near-dup
-    * components are short chains in practice). `localCheckpoint` truncates
-    * the growing lineage each round — the standard Spark discipline for
-    * iterative algorithms. The fixpoint (per-node component minimum) is
-    * independent of iteration order, so the output is deterministic and a
+    * components are short chains in practice). Parquet checkpoints every
+    * `checkpointEvery` rounds bound the lineage/plan depth for
+    * long-diameter graphs — the standard Spark discipline for iterative
+    * algorithms. The fixpoint (per-node component minimum) is independent
+    * of iteration order, so the output is deterministic and a
     * recursive-CTE oracle reproduces it exactly.
     *
     * Hybrid execution: the duplicate-pair list is orders of magnitude
@@ -174,7 +194,8 @@ object Dedup {
     * as union-find) — the same bounded-aggregate economics as collecting
     * AQE statistics. Past the bound, the distributed min-label rounds take
     * over; both paths compute the identical fixpoint. */
-  def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L): DataFrame = {
+  def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L,
+      checkpointEvery: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
     // persist (NOT localCheckpoint) materializes the expensive upstream
     // pair pipeline once for the path-deciding count and whichever path
@@ -209,29 +230,67 @@ object Dedup {
       .union(narrow.select(col("j").as("a"), col("i").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     narrow.unpersist(false)
-    // per-round persist (lineage kept — recoverable from a lost executor;
-    // depth is bounded by the component diameter, small for near-dup
-    // graphs, so lineage growth never becomes the planning bottleneck
-    // that forces checkpoint truncation in long iterative jobs)
+    componentsDistributed(spark, edges, checkpointEvery)
+  }
+
+  /** Distributed min-label rounds for past-the-driver-bound graphs.
+    *
+    * One job per round: the convergence count rides the same action as the
+    * label materialization via `observe` (the old shape re-joined old vs
+    * new labels — a second job per round). Per-round persist keeps lineage
+    * (a lost executor recomputes its blocks); every `checkpointEvery`
+    * rounds the labels are written to Parquet and re-read, truncating the
+    * lineage a long-diameter adversarial chain would otherwise grow
+    * without bound (plan depth stays O(checkpointEvery)). On exit every
+    * cached block is unpersisted and the result is returned disk-backed
+    * from the final checkpoint — repeated calls in a long-lived session
+    * accumulate nothing. */
+  private def componentsDistributed(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, checkpointEvery: Int = 10): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ckptRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_cc_${java.util.UUID.randomUUID().toString.take(8)}")
+    def rmdir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()
+    }
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("lbl", col("node")).persist(lvl)
+    var lastCkpt: Option[java.io.File] = None
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val neighborMin = edges.join(labels, edges("b") === labels("node"))
         .groupBy(edges("a")).agg(min(col("lbl")).as("nlbl"))
+      val obs = org.apache.spark.sql.Observation(s"cc_r$round")
       val updated = labels.join(neighborMin, labels("node") === neighborMin("a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("_old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = updated.as("u")
-        .join(labels.as("o"), col("u.node") === col("o.node"))
-        .filter(col("u.lbl") =!= col("o.lbl")).count()
-      labels.unpersist(false)
-      labels = updated
+        .observe(obs, sum(when(col("lbl") =!= col("_old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("node"), col("lbl"))
+      val prev = labels
+      if (round % checkpointEvery == 0) {
+        val dir = new java.io.File(ckptRoot, s"r$round")
+        updated.write.mode("overwrite").parquet(dir.getAbsolutePath)
+        labels = spark.read.parquet(dir.getAbsolutePath)
+        lastCkpt.foreach(rmdir)
+        lastCkpt = Some(dir)
+      } else {
+        labels = updated.persist(lvl)
+        labels.count()
+      }
+      prev.unpersist(false)
+      // sum() over an empty node set is null → converged trivially
+      changed = Option(obs.get("changed"))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     }
+    edges.unpersist(false)
+    val outDir = new java.io.File(ckptRoot, "final")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy(col("doc_id"))
+      .write.mode("overwrite").parquet(outDir.getAbsolutePath)
+    labels.unpersist(false)
+    lastCkpt.foreach(rmdir)
+    spark.read.parquet(outDir.getAbsolutePath).orderBy(col("doc_id"))
   }
 
   /** The dedup pipeline's terminal step: documents minus non-canonical

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real — schema, partition-parallel batch
   * processing via `mapPartitions` over a typed Dataset, deterministic
-  * output — while the media decode itself is a clearly-marked STUB
-  * (`decodeStub`): the container has no image/audio codecs, so it derives
-  * fake-but-deterministic dimensions from the payload. Swapping in a real
+  * output. The decode (`decode`) is REAL for the formats the JDK ships
+  * readers for (PNG/JPEG/GIF/BMP via `javax.imageio` — true pixel
+  * dimensions, no external codecs needed) and falls back to the
+  * clearly-marked deterministic stub (`decodeStub`) for everything else
+  * (video/audio — no codecs in this environment). Swapping in a fuller
   * decoder (JavaCV, TwelveMonkeys, an FFI codec) changes ONLY that
   * function; the distributed plumbing, batching and schema stay.
   *
@@ -35,16 +37,40 @@ object Multimodal {
   val DefaultFeatures = 8
 
   /** STUB decoder — deterministic fake dimensions from payload length.
-    * Replace with a real codec to productionize; signature stays. */
+    * The fallback for payload types the JVM cannot decode natively
+    * (video/audio — no codecs in this environment); signature stays. */
   def decodeStub(content: Array[Byte]): (Long, Long, Long) = {
     val n = content.length.toLong
     (n % 640 + 16, (n * 7) % 480 + 16, n % 30 + 1)
   }
 
-  /** Attach a binary payload column (here: the UTF-8 text bytes stand in
-    * for a media blob; a real pipeline reads binaryFile sources). */
+  /** Magic-byte sniff for the formats the JDK's built-in ImageIO readers
+    * handle (PNG, JPEG, GIF, BMP) — cheap, so non-image payloads never
+    * pay a decode attempt. */
+  private def looksLikeImage(c: Array[Byte]): Boolean =
+    c.length >= 4 && (
+      (c(0) == 0x89.toByte && c(1) == 'P' && c(2) == 'N' && c(3) == 'G') ||
+      (c(0) == 0xff.toByte && c(1) == 0xd8.toByte && c(2) == 0xff.toByte) ||
+      (c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8') ||
+      (c(0) == 'B' && c(1) == 'M'))
+
+  /** Real decode where the JVM can (ImageIO: PNG/JPEG/GIF/BMP → true
+    * width/height, single frame), deterministic stub everywhere else.
+    * Pure-JVM, no native codecs, safe on headless executors. */
+  def decode(content: Array[Byte]): (Long, Long, Long) =
+    if (looksLikeImage(content)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) decodeStub(content) // sniffed but unreadable: corrupt payload
+      else (img.getWidth.toLong, img.getHeight.toLong, 1L)
+    } else decodeStub(content)
+
+  /** Attach a binary payload column. A pre-existing `content` binary
+    * column (e.g. from a binaryFile source, or a spec injecting real
+    * image bytes) is kept; otherwise the UTF-8 text bytes stand in for a
+    * media blob. */
   def withPayload(docs: DataFrame): DataFrame =
-    docs.withColumn("content", col("text").cast("binary"))
+    if (docs.columns.contains("content")) docs
+    else docs.withColumn("content", col("text").cast("binary"))
 
   /** Batch decode: one decoder instantiation per partition (the expensive
     * part for real codecs), streaming through the rows. */
@@ -56,7 +82,7 @@ object Multimodal {
         it.map { m =>
           md.reset()
           val sha = md.digest(m.content).map(b => f"${b & 0xff}%02x").mkString
-          val (w, h, f) = decodeStub(m.content)
+          val (w, h, f) = decode(m.content)
           MediaMeta(m.doc_id, m.content.length.toLong, sha, w, h, f)
         }
       }

@@ -82,6 +82,85 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantized kNN (ADC retrieve → exact rerank): the next
+    * at-rest compression step after int8 scalar quantization — each
+    * vector becomes m sub-space codes (here 8 codes for a 64-dim vector:
+    * 8 bytes/vector at rest, 32× smaller than float32), and stage-1
+    * scoring reads ONLY codes + a per-query lookup table.
+    *
+    * Codebook: the sub-vectors of the corpus rows with vec_id < 256 — a
+    * deterministic sample-initialized codebook (k-means init without
+    * Lloyd rounds) chosen so an external engine can reproduce training,
+    * encoding, and scoring bit-for-bit; swap in iterated k-means for
+    * production recall, the plan shape does not change. Encoding is a
+    * broadcast join corpus×codebook per subspace + argmin (ties → lowest
+    * centroid id); scoring is the classic asymmetric-distance lookup:
+    * approx_cos = Σ_s dot(q_s, cb[c_s]) / √(Σ_s ‖cb[c_s]‖²), with both
+    * sums on DECIMAL so per-group aggregation order cannot perturb the
+    * candidate ranking. Stage 2 rescores `rescoreDepth` candidates with
+    * the exact float cosine.
+    *
+    * At 100 TB: the codes table is the scan (8 B/vector), the LUT is
+    * m·256 doubles broadcast per query, and full-precision vectors are
+    * fetched for rescoreDepth rows only. */
+  def pqKnn(embeddings: DataFrame, queryId: Long, k: Int = 10,
+      subspaces: Int = 8, rescoreDepth: Int = 40): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    // one row per (vector, subspace): sub = that subspace's slice
+    val m = subspaces
+    val sub = base.select(col("vec_id"), col("emb"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("dsub", (size(col("emb")) / m).cast("int"))
+      .withColumn("sub", slice(col("emb"), col("s") * col("dsub") + 1, col("dsub")))
+      .select(col("vec_id"), col("s"), col("sub"))
+    val cb = sub.filter(col("vec_id") < 256)
+      .select(col("vec_id").as("c"), col("s"), col("sub").as("csub"))
+    // encode: per (vector, subspace) the centroid with min L2 distance,
+    // left-to-right fold so the doubles are engine-portable; equal
+    // distances resolve to the lowest centroid id
+    val d2 = aggregate(
+      zip_with(col("sub"), col("csub"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val dists = sub.join(broadcast(cb), Seq("s")).withColumn("d2", d2)
+    val minD = dists.groupBy(col("vec_id"), col("s")).agg(min(col("d2")).as("md"))
+    val codes = dists.join(minD, Seq("vec_id", "s"))
+      .filter(col("d2") === col("md"))
+      .groupBy(col("vec_id"), col("s")).agg(min(col("c")).as("c"))
+    // per-query LUT: dot(q_s, centroid) and ‖centroid‖² per (s, c)
+    val qSub = sub.filter(col("vec_id") === queryId)
+      .select(col("s"), col("sub").as("qsub"))
+    val lut = cb.join(broadcast(qSub), Seq("s"))
+      .select(col("s"), col("c"),
+        aggregate(zip_with(col("csub"), col("qsub"), (c, q) => c * q),
+          lit(0.0), (acc, v) => acc + v).as("dotv"),
+        aggregate(zip_with(col("csub"), col("csub"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v).as("n2v"))
+    // stage 1: ADC score from codes alone; DECIMAL sums keep the ranking
+    // independent of aggregation order on both engines
+    val approx = codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("s", "c"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(col("dotv").cast("decimal(38,18)")).cast("double").as("adot"),
+        sum(col("n2v").cast("decimal(38,18)")).cast("double").as("an2"))
+      .select(col("vec_id"),
+        when(col("an2") === 0.0, lit(-1e300))
+          .otherwise(col("adot") / sqrt(col("an2"))).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rescoreDepth)
+    // stage 2: exact cosine over the surviving candidates only
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("emb").as("q_emb"), sqrt(V.norm2(col("emb"))).as("q_nrm"))
+    approx.join(base, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Multi-probe LSH ANN: probe the query's bucket AND every bucket whose
     * sign pattern differs by ≤ `maxFlips` bits — the standard recall
     * recovery for hyperplane LSH (a near neighbor on the far side of one

@@ -218,6 +218,13 @@ object PipelineQueries {
           col("bucket").cast("long").as("bucket"), col("cos_sim"))
     }),
 
+    // product-quantized two-stage kNN: 8 codes/vector at rest (32× smaller
+    // than float32), ADC candidate scan, exact rerank — the oracle rebuilds
+    // codebook, encoding, LUT and both stages from the same deterministic
+    // definition (sample codebook = sub-vectors of vec_id < 256)
+    "emb_knn_pq" -> ((s, d) =>
+      Similarity.pqKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
+
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
@@ -442,6 +449,46 @@ object PipelineQueries {
          |SELECT c.vec_id, c.label, ${dCos("c.embedding", "q.q_emb")} AS cos_sim
          |FROM kcand c, kquery q
          |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin
+    },
+
+    "emb_knn_pq" -> {
+      val m = 8
+      // left-to-right folds over one subspace (dsub elements)
+      def foldSub(expr: String): String =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(pdsub), pi -> $expr)), (pa, px) -> pa + px)"
+      s"""WITH pbase AS (SELECT vec_id, label,
+         |    list_transform(embedding, pe -> pe::DOUBLE) AS emb,
+         |    (len(embedding) // $m)::INT AS pdsub
+         |  FROM embeddings),
+         |psub AS (SELECT vec_id, pdsub, sr.r AS s,
+         |    emb[sr.r*pdsub+1 : sr.r*pdsub+pdsub] AS sub
+         |  FROM pbase, range($m) sr(r)),
+         |pcb AS (SELECT vec_id AS c, pdsub, s, sub AS csub FROM psub WHERE vec_id < 256),
+         |pd AS (SELECT p.vec_id, p.s, cb.c,
+         |    ${foldSub("(p.sub[pi+1] - cb.csub[pi+1]) * (p.sub[pi+1] - cb.csub[pi+1])")} AS d2
+         |  FROM psub p
+         |  JOIN (SELECT s, c, csub FROM pcb) cb ON p.s = cb.s),
+         |pmin AS (SELECT vec_id, s, min(d2) AS md FROM pd GROUP BY 1, 2),
+         |pcode AS (SELECT d.vec_id, d.s, min(d.c) AS c
+         |  FROM pd d JOIN pmin mn ON d.vec_id = mn.vec_id AND d.s = mn.s AND d.d2 = mn.md
+         |  GROUP BY 1, 2),
+         |pq AS (SELECT s, sub AS qsub, pdsub FROM psub WHERE vec_id = 0),
+         |plut AS (SELECT cb.s, cb.c,
+         |    ${foldSub("cb.csub[pi+1] * q.qsub[pi+1]")} AS dotv,
+         |    ${foldSub("cb.csub[pi+1] * cb.csub[pi+1]")} AS n2v
+         |  FROM (SELECT s, c, csub FROM pcb) cb JOIN pq q ON cb.s = q.s),
+         |papprox AS (SELECT pc.vec_id,
+         |    CAST(sum(CAST(l.dotv AS DECIMAL(38,18))) AS DOUBLE) AS adot,
+         |    CAST(sum(CAST(l.n2v AS DECIMAL(38,18))) AS DOUBLE) AS an2
+         |  FROM pcode pc JOIN plut l ON pc.s = l.s AND pc.c = l.c
+         |  WHERE pc.vec_id <> 0 GROUP BY 1),
+         |pcand AS (SELECT vec_id,
+         |    CASE WHEN an2 = 0 THEN -1e300 ELSE adot / sqrt(an2) END AS approx
+         |  FROM papprox ORDER BY approx DESC, vec_id LIMIT 40),
+         |pqq AS (SELECT emb AS q_emb FROM pbase WHERE vec_id = 0)
+         |SELECT b.vec_id, b.label, ${dCos("b.emb", "q.q_emb")} AS cos_sim
+         |FROM pcand cn JOIN pbase b ON cn.vec_id = b.vec_id, pqq q
+         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin
     },
 
     "doc_split" ->

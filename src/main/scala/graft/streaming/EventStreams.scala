@@ -30,15 +30,38 @@ object EventStreams {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(path)
 
+  /** Unbounded read of a driver-testdata events file: `ts` is stored as
+    * TIMESTAMP(NANOS), which Spark's reader rejects — read nanos as long
+    * and truncate to micros, exactly Tables.events's batch conversion (and
+    * exactly what DuckDB does loading the same file). */
+  def readTestdataEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source requires a DIRECTORY; point it at the SF
+    // dir and glob-filter down to the events file
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+  }
+
   /** Tumbling-window per-type stats with a watermark: append-mode output,
     * closed windows only; rows later than the watermark are dropped and
-    * their window's state is freed (ST3/ST5). */
+    * their window's state is freed (ST3/ST5). The sum runs on
+    * DECIMAL(18,2) and casts back to double, so the emitted value is
+    * independent of per-batch partial-aggregation order — what makes the
+    * stream_window_stats batch-parity oracle hashable. */
   def windowedStats(events: DataFrame, window: String = "10 minutes",
       watermark: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 

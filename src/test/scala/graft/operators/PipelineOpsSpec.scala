@@ -93,6 +93,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(real.nonEmpty && real.forall { case (d, c) => c <= d })
   }
 
+  test("components: 30-hop chain converges through parquet checkpoints") {
+    // a chain needs diameter rounds — with checkpointEvery = 5 the run
+    // crosses several lineage truncations; the fixpoint must be unchanged
+    // and every node must collapse to the chain head
+    val chain = (0L until 30L).map(n => (n, n + 1)).toDF("i", "j")
+    val got = Dedup.components(chain, maxDriverEdges = 0L, checkpointEvery = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 30L).map(_ -> 0L).toMap)
+  }
+
   test("near-dup pairs are simhash-close; exact dedup keeps every unique text") {
     val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
@@ -237,6 +247,44 @@ class PipelineOpsSpec extends SparkSpec {
       val stride = math.ceil(n / 4.0).toLong
       assert(idx.toSeq == (0L until n by stride).toSeq)
     }
+  }
+
+  test("pqKnn: ADC candidates + exact rerank track brute-force top-k") {
+    val exact = Similarity.bruteForceKnn(embs, 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // sample-initialized codebook (no Lloyd rounds): measured 8/10 recall
+    // at rescoreDepth 40 on the testdata — the documented trade of the
+    // cross-engine-reproducible codebook; a trained codebook or deeper
+    // rescore recovers the rest
+    val pq40 = Similarity.pqKnn(embs, 0L, k = 10, rescoreDepth = 40)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.intersect(pq40).size >= 8,
+      s"recall ${exact.intersect(pq40).size}/10 at depth 40")
+    // deeper rescore converges to exact
+    val pq200 = Similarity.pqKnn(embs, 0L, k = 10, rescoreDepth = 200)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq200 == exact, s"depth-200 rescore should be exact, got $pq200")
+  }
+
+  test("real image payloads decode to true dimensions via ImageIO") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = imageBytes(37, 23, "png")
+    val jpg = imageBytes(64, 48, "jpg")
+    val notImage = "just some text bytes".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpg), (3L, notImage)).toDF("doc_id", "content")
+    val out = Multimodal.decodeMeta(spark, df).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 37 && out(1L).height == 23 && out(1L).n_frames == 1)
+    assert(out(2L).width == 64 && out(2L).height == 48 && out(2L).n_frames == 1)
+    // non-image payloads keep the deterministic stub dimensions
+    val (sw, sh, sf) = Multimodal.decodeStub(notImage)
+    assert(out(3L).width == sw && out(3L).height == sh && out(3L).n_frames == sf)
   }
 
   test("langId is deterministic and total (every doc gets a code)") {
