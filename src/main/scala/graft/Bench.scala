@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: times every declared query at the given scale factor and
   * prints ONE JSON line for the driver.
@@ -9,8 +10,97 @@ import org.apache.spark.sql.SparkSession
   * index caching) and a timed pass, executed through the noop sink so the
   * full physical plan runs without count()'s column-pruning shortcut and
   * without any write cost.
+  *
+  * Beyond the declared queries, `skew_*` cases time the engine's skew
+  * remedies against their naive shapes on PLANTED hostile distributions
+  * (the testdata is uniform, so the guards' wins would otherwise never
+  * show up in numbers — only in plan specs):
+  *  - one shingle planted in 10% of a 20k-doc corpus: `skew_ngram_guarded`
+  *    (df-cutoff guard armed) vs `skew_ngram_unguarded` — the guard keeps
+  *    the df² hot-key explosion out of the candidate join;
+  *  - one join key holding 10% of a 20M-row fact: `skew_join_salted` vs
+  *    `skew_join_plain` (sort-merge, broadcast disabled as it would be at
+  *    100 TB dim sizes) — salting splits the hot partition nSalts ways.
+  * Inputs are pre-written to parquet OUTSIDE the timed region so the
+  * numbers isolate the join/dedup work, not row generation.
   */
 object Bench {
+
+  private def timed(build: () => DataFrame): Double = {
+    def runOnce(): Unit =
+      build().write.mode("overwrite").format("noop").save()
+    runOnce() // warmup
+    val t0 = System.nanoTime()
+    runOnce()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def run(name: String, build: () => DataFrame): (String, Double) =
+    name -> (try timed(build) catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      -1.0
+    })
+
+  private def skewCases(spark: SparkSession): Seq[(String, Double)] = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_skew_bench").getAbsolutePath
+    // ---- fixtures (written once, outside the timed region) ----
+    // docs: 12 pseudo-random filler tokens each; every 5th doc is
+    // prefixed with the same 4-token phrase → 2 shingles with df = 4000
+    // (autoDfCutoff = max(16, 0.4% · 20000) = 80, so the guard arms);
+    // unguarded, those two shingles alone contribute 2·C(4000,2) ≈ 16M
+    // candidate join rows
+    val nDocs = 20000L
+    val filler = concat_ws(" ", (0 until 12).map(i =>
+      concat(lit(s"w${i}_"),
+        pmod(col("id") * lit(2654435761L) + lit(i * 7919), lit(1000000L)))): _*)
+    spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat(
+          when(col("id") % 5 === 0, lit("the quick brown fox ")).otherwise(lit("")),
+          filler).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    // fact: 10M rows; key 0 holds 30%, the rest uniform over 100k keys
+    val nFact = 10000000L
+    spark.range(nFact).select(
+        when(col("id") % 10 < 3, lit(0L))
+          .otherwise(pmod(col("id") * lit(2654435761L), lit(100000L))).as("k"),
+        (col("id") % 1000).cast("double").as("v"))
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    spark.range(100000).select(col("id").as("k"),
+        (col("id") % 50).cast("string").as("grp"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+
+    val docs = () => spark.read.parquet(s"$dir/docs")
+    val fact = () => spark.read.parquet(s"$dir/fact")
+    val dim = () => spark.read.parquet(s"$dir/dim")
+
+    val ngram = Seq(
+      run("skew_ngram_unguarded", () =>
+        graft.operators.Dedup.ngramJaccardPairs(docs(), k = 3, threshold = 0.5)),
+      run("skew_ngram_guarded", () =>
+        graft.operators.Dedup.ngramJaccardPairs(docs(), k = 3, threshold = 0.5,
+          dfCutoff = Some(graft.operators.Dedup.autoDfCutoff(docs())))))
+
+    // a 100k-row dim would broadcast locally, hiding the skew the case
+    // exists to show — at 100 TB the dim side wouldn't fit; force the
+    // shuffle-hash join both variants would actually get (hash, not
+    // sort-merge: the global sort would otherwise dominate the timing
+    // and mask the hot partition's tail)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val join = try Seq(
+      run("skew_join_plain", () =>
+        fact().join(dim().hint("shuffle_hash"), Seq("k"))
+          .groupBy(col("grp")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))),
+      run("skew_join_salted", () =>
+        graft.operators.ScaleJoins.saltedEquiJoin(
+            fact(), dim().hint("shuffle_hash"), "k", nSalts = 8)
+          .groupBy(col("grp")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    ngram ++ join
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,23 +112,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val t = try {
-        runOnce(name) // warmup
-        val t0 = System.nanoTime()
-        runOnce(name)
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
-      }
-      name -> t
-    }
+    val declared = names.map(n => run(n, () => SparkEntry.queries(n)(spark, sfDir)))
+    val results = declared ++ skewCases(spark)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_ >= 0)
