@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * remedies against their naive shapes on PLANTED hostile distributions
   * (the testdata is uniform, so the guards' wins would otherwise never
   * show up in numbers — only in plan specs):
-  *  - one shingle planted in 10% of a 20k-doc corpus: `skew_ngram_guarded`
-  *    (df-cutoff guard armed) vs `skew_ngram_unguarded` — the guard keeps
-  *    the df² hot-key explosion out of the candidate join;
-  *  - one join key holding 10% of a 20M-row fact: `skew_join_salted` vs
-  *    `skew_join_plain` (sort-merge, broadcast disabled as it would be at
-  *    100 TB dim sizes) — salting splits the hot partition nSalts ways.
+  *  - one 4-token phrase planted in 20% of a 20k-doc corpus:
+  *    `skew_ngram_guarded` (df-cutoff guard armed) vs
+  *    `skew_ngram_unguarded` — the guard keeps the df² hot-key explosion
+  *    out of the candidate join;
+  *  - one join key holding 50% of a 20M-row fact: `skew_join_salted` vs
+  *    `skew_join_plain` (shuffle-hash, broadcast disabled as it would be
+  *    at 100 TB dim sizes) — salting splits the hot partition nSalts ways.
   * Inputs are pre-written to parquet OUTSIDE the timed region so the
   * numbers isolate the join/dedup work, not row generation.
   */
@@ -60,10 +61,12 @@ object Bench {
           when(col("id") % 5 === 0, lit("the quick brown fox ")).otherwise(lit("")),
           filler).as("text"))
       .write.mode("overwrite").parquet(s"$dir/docs")
-    // fact: 10M rows; key 0 holds 30%, the rest uniform over 100k keys
-    val nFact = 10000000L
+    // fact: 20M rows; key 0 holds 50%, the rest uniform over 100k keys —
+    // a pathological CDN-domain-style hot key: at 32 shuffle partitions
+    // the hot partition carries ~10M rows vs a ~312k average
+    val nFact = 20000000L
     spark.range(nFact).select(
-        when(col("id") % 10 < 3, lit(0L))
+        when(col("id") % 2 === 0, lit(0L))
           .otherwise(pmod(col("id") * lit(2654435761L), lit(100000L))).as("k"),
         (col("id") % 1000).cast("double").as("v"))
       .write.mode("overwrite").parquet(s"$dir/fact")
@@ -95,7 +98,7 @@ object Bench {
           .groupBy(col("grp")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))),
       run("skew_join_salted", () =>
         graft.operators.ScaleJoins.saltedEquiJoin(
-            fact(), dim().hint("shuffle_hash"), "k", nSalts = 8)
+            fact(), dim().hint("shuffle_hash"), "k", nSalts = 16)
           .groupBy(col("grp")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))))
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     ngram ++ join

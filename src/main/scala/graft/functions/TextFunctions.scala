@@ -167,7 +167,7 @@ object TextFunctions {
       "mucho", "quienes", "nada", "muchos", "cual", "poco", "ella",
       "estar", "estas", "algunas", "algo", "nosotros", "mio", "tuyo",
       "ellas", "sea", "ser", "son", "era", "eran", "fue", "fueron",
-      "esta", "estamos", "estan", "estaba", "estaban", "he", "ha",
+      "estamos", "estan", "estaba", "estaban", "he", "ha",
       "hemos", "han", "habia", "habian", "tengo", "tiene", "tenemos",
       "tienen", "tenia", "tenian", "hacer", "hace", "hacen", "hacia",
       "puede", "pueden", "podia", "podian", "debe", "deben", "asi",
@@ -227,7 +227,7 @@ object TextFunctions {
       "diesem", "diesen", "jeder", "jede", "jedes", "jedem", "jeden",
       "einige", "einigen", "manche", "solche", "beim", "vom", "zum",
       "zur", "hier", "da", "dort", "heute", "morgen", "immer", "nie",
-      "wieder", "jetzt", "dann", "also", "etwa", "etwas", "nichts",
+      "wieder", "jetzt", "also", "etwa", "etwas", "nichts",
       "viel", "viele", "vielen", "ganz", "gut", "neue", "neuen",
       "ersten", "zwei", "drei", "jahr", "jahre", "jahren", "zeit",
       "tag", "welt", "leben", "mensch", "menschen", "teil",
@@ -251,6 +251,14 @@ object TextFunctions {
       "间", "由", "问", "很", "最", "重", "并", "物", "手", "应",
       "战", "向", "头", "文", "体", "政", "美", "相", "见", "被",
       "利", "什", "二", "等", "产", "或", "新", "己", "制", "身"))
+
+  // the tables are the single source of truth for generated oracle SQL:
+  // duplicates are membership-harmless today but would diverge the two
+  // engines under any future per-entry-counting scorer — reject them
+  require(stopwords.forall { case (_, ws) => ws.distinct == ws },
+    "stopword tables must be duplicate-free: " + stopwords.collect {
+      case (c, ws) if ws.distinct != ws => s"$c: ${ws.diff(ws.distinct).mkString(",")}"
+    }.mkString("; "))
 
   /** Count of tokens belonging to `set` (lowercased input expected). */
   def stopwordHits(text: Column, set: Seq[String]): Column =

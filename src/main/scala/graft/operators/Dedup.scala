@@ -244,15 +244,19 @@ object Dedup {
     * without bound (plan depth stays O(checkpointEvery)). On exit every
     * cached block is unpersisted and the result is returned disk-backed
     * from the final checkpoint — repeated calls in a long-lived session
-    * accumulate nothing. */
+    * accumulate no cached blocks; the final-labels parquet dir (which the
+    * returned DataFrame reads from, so it cannot be deleted here) is
+    * removed by a JVM shutdown hook. */
   private def componentsDistributed(spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame, checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ckptRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_cc_${java.util.UUID.randomUUID().toString.take(8)}")
     def rmdir(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()
     }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmdir(ckptRoot)))
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node")).persist(lvl)
     var lastCkpt: Option[java.io.File] = None

@@ -46,22 +46,31 @@ object Multimodal {
 
   /** Magic-byte sniff for the formats the JDK's built-in ImageIO readers
     * handle (PNG, JPEG, GIF, BMP) — cheap, so non-image payloads never
-    * pay a decode attempt. */
+    * pay a decode attempt. The 2-byte BMP magic is also the English word
+    * "BM", so BMP additionally checks the 4 reserved header bytes (always
+    * zero in a real BMP, essentially never in text). */
   private def looksLikeImage(c: Array[Byte]): Boolean =
-    c.length >= 4 && (
+    c.length >= 10 && (
       (c(0) == 0x89.toByte && c(1) == 'P' && c(2) == 'N' && c(3) == 'G') ||
       (c(0) == 0xff.toByte && c(1) == 0xd8.toByte && c(2) == 0xff.toByte) ||
       (c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8') ||
-      (c(0) == 'B' && c(1) == 'M'))
+      (c(0) == 'B' && c(1) == 'M' &&
+        c(6) == 0 && c(7) == 0 && c(8) == 0 && c(9) == 0))
 
   /** Real decode where the JVM can (ImageIO: PNG/JPEG/GIF/BMP → true
-    * width/height, single frame), deterministic stub everywhere else.
-    * Pure-JVM, no native codecs, safe on headless executors. */
+    * width/height, single frame), deterministic stub everywhere else —
+    * including payloads that pass the sniff but fail to parse (ImageIO
+    * readers THROW on truncated/corrupt streams rather than returning
+    * null; a text payload that happens to match a magic must degrade to
+    * the stub, never kill the task). Pure-JVM, no native codecs, safe on
+    * headless executors. */
   def decode(content: Array[Byte]): (Long, Long, Long) =
     if (looksLikeImage(content)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      if (img == null) decodeStub(content) // sniffed but unreadable: corrupt payload
-      else (img.getWidth.toLong, img.getHeight.toLong, 1L)
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) decodeStub(content)
+        else (img.getWidth.toLong, img.getHeight.toLong, 1L)
+      } catch { case scala.util.control.NonFatal(_) => decodeStub(content) }
     } else decodeStub(content)
 
   /** Attach a binary payload column. A pre-existing `content` binary

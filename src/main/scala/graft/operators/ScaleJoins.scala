@@ -23,13 +23,20 @@ object ScaleJoins {
 
   /** Equi-join `left` (large, possibly skewed) with `right` (small enough
     * to replicate `nSalts`×) on `key`. Deterministic: the salt is a hash
-    * of the whole left row, not rand(). */
+    * of the whole left row, not rand(). The replicated right side carries
+    * a SHUFFLE_HASH hint: the salted regime is by definition the
+    * too-big-to-broadcast case, and without the hint Catalyst would
+    * sort-merge — paying a full sort of the large side that dwarfs the
+    * skew win. (A hint applied by the CALLER to `right` would not
+    * survive under the salt projection; hints resolve on direct join
+    * children, hence it lives here. Advisory: Spark ignores it when the
+    * build side cannot hash.) */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       nSalts: Int = 8): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(nSalts)))
     val saltedRight = right.withColumn("__salt",
-      explode(sequence(lit(0L), lit(nSalts - 1L))))
+      explode(sequence(lit(0L), lit(nSalts - 1L)))).hint("shuffle_hash")
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
 
@@ -68,9 +75,11 @@ object ScaleJoins {
     // candidate rows per malformed row — drop them before the explode
     val iv = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / width).cast("long"),
-        // hi is exclusive: its bucket is reached only if the interval
-        // extends into it
-        floor((col(hiCol) - 1) / width).cast("long"))))
+        // hi is exclusive: the last reachable bucket is ceil(hi/width)-1,
+        // which is exact for integer AND fractional bounds (floor(hi-1)
+        // would drop the final bucket when hi is fractional — a point at
+        // hi-0.5 lives in floor(hi/width) but hi-1 may not reach it)
+        (ceil(col(hiCol) / width) - 1).cast("long"))))
     p.join(iv, Seq("__bucket"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bucket")

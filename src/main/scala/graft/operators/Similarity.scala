@@ -116,17 +116,21 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("sub"))
     val cb = sub.filter(col("vec_id") < 256)
       .select(col("vec_id").as("c"), col("s"), col("sub").as("csub"))
-    // encode: per (vector, subspace) the centroid with min L2 distance,
-    // left-to-right fold so the doubles are engine-portable; equal
-    // distances resolve to the lowest centroid id
-    val d2 = aggregate(
-      zip_with(col("sub"), col("csub"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
-    val dists = sub.join(broadcast(cb), Seq("s")).withColumn("d2", d2)
-    val minD = dists.groupBy(col("vec_id"), col("s")).agg(min(col("d2")).as("md"))
-    val codes = dists.join(minD, Seq("vec_id", "s"))
-      .filter(col("d2") === col("md"))
-      .groupBy(col("vec_id"), col("s")).agg(min(col("c")).as("c"))
+    // encode: per (vector, subspace) the centroid minimizing the L2
+    // distance — scored as ‖c‖² − 2·a·c (argmin-equivalent: ‖a‖² is
+    // constant within the group), both terms native codegen'd dots with
+    // engine-portable left folds, so the n·m·K score rows never touch an
+    // interpreted lambda. Argmin as a single struct-min aggregate:
+    // lexicographic (score, c) gives the lowest centroid id on ties,
+    // partial aggregation combines map-side, and the score rows are
+    // computed ONCE (a min-join formulation would re-execute the whole
+    // encode branch: Catalyst does not CSE across DataFrame references).
+    val cb2 = cb.withColumn("n2", V.dot(col("csub"), col("csub")))
+    val codes = sub.join(broadcast(cb2), Seq("s"))
+      .withColumn("d2", col("n2") - lit(2.0) * V.dot(col("sub"), col("csub")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("c"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.c").as("c"))
     // per-query LUT: dot(q_s, centroid) and ‖centroid‖² per (s, c)
     val qSub = sub.filter(col("vec_id") === queryId)
       .select(col("s"), col("sub").as("qsub"))

@@ -464,10 +464,11 @@ object PipelineQueries {
          |    emb[sr.r*pdsub+1 : sr.r*pdsub+pdsub] AS sub
          |  FROM pbase, range($m) sr(r)),
          |pcb AS (SELECT vec_id AS c, pdsub, s, sub AS csub FROM psub WHERE vec_id < 256),
+         |pcb2 AS (SELECT c, s, csub, ${foldSub("csub[pi+1] * csub[pi+1]").replace("range(pdsub)", "range(len(csub))")} AS n2 FROM pcb),
          |pd AS (SELECT p.vec_id, p.s, cb.c,
-         |    ${foldSub("(p.sub[pi+1] - cb.csub[pi+1]) * (p.sub[pi+1] - cb.csub[pi+1])")} AS d2
+         |    cb.n2 - 2.0 * ${foldSub("p.sub[pi+1] * cb.csub[pi+1]")} AS d2
          |  FROM psub p
-         |  JOIN (SELECT s, c, csub FROM pcb) cb ON p.s = cb.s),
+         |  JOIN (SELECT s, c, csub, n2 FROM pcb2) cb ON p.s = cb.s),
          |pmin AS (SELECT vec_id, s, min(d2) AS md FROM pd GROUP BY 1, 2),
          |pcode AS (SELECT d.vec_id, d.s, min(d.c) AS c
          |  FROM pd d JOIN pmin mn ON d.vec_id = mn.vec_id AND d.s = mn.s AND d.d2 = mn.md
