@@ -62,8 +62,10 @@ object Bench {
           filler).as("text"))
       .write.mode("overwrite").parquet(s"$dir/docs")
     // fact: 20M rows; key 0 holds 50%, the rest uniform over 100k keys —
-    // a pathological CDN-domain-style hot key: at 32 shuffle partitions
-    // the hot partition carries ~10M rows vs a ~312k average
+    // a pathological CDN-domain-style hot key: at the driver's 32 shuffle
+    // partitions the hot partition carries ~10M rows vs a ~312k average
+    // (shuffle.partitions = SPARK_GRAFT_CPUS, so the ratio shrinks at
+    // smaller local settings but the hot key always dominates its task)
     val nFact = 20000000L
     spark.range(nFact).select(
         when(col("id") % 2 === 0, lit(0L))

@@ -233,6 +233,21 @@ object Dedup {
     componentsDistributed(spark, edges, checkpointEvery)
   }
 
+  private def rmdir(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()
+  }
+
+  /** Checkpoint dirs the returned DataFrames still read from — removable
+    * only at JVM exit. ONE process-level hook drains the registry, so
+    * repeated component runs add an entry here, not a hook thread each. */
+  private lazy val cleanupAtExit: java.util.Queue[java.io.File] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var f = q.poll(); while (f != null) { rmdir(f); f = q.poll() }
+    }))
+    q
+  }
+
   /** Distributed min-label rounds for past-the-driver-bound graphs.
     *
     * One job per round: the convergence count rides the same action as the
@@ -253,10 +268,7 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ckptRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_cc_${java.util.UUID.randomUUID().toString.take(8)}")
-    def rmdir(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rmdir(ckptRoot)))
+    cleanupAtExit.add(ckptRoot)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node")).persist(lvl)
     var lastCkpt: Option[java.io.File] = None

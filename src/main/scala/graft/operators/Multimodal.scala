@@ -45,17 +45,18 @@ object Multimodal {
   }
 
   /** Magic-byte sniff for the formats the JDK's built-in ImageIO readers
-    * handle (PNG, JPEG, GIF, BMP) — cheap, so non-image payloads never
-    * pay a decode attempt. The 2-byte BMP magic is also the English word
-    * "BM", so BMP additionally checks the 4 reserved header bytes (always
-    * zero in a real BMP, essentially never in text). */
+    * handle (PNG, JPEG, GIF, BMP) — cheap, so most non-image payloads
+    * never pay a decode attempt. The 2-byte BMP magic is also the English
+    * word "BM", so text CAN pass the sniff; that is safe (decode()
+    * catches the parse failure and falls back to the stub) and keeps
+    * real-but-sloppy BMPs (nonzero reserved header bytes exist in the
+    * wild) on the true-decode path. */
   private def looksLikeImage(c: Array[Byte]): Boolean =
-    c.length >= 10 && (
+    c.length >= 4 && (
       (c(0) == 0x89.toByte && c(1) == 'P' && c(2) == 'N' && c(3) == 'G') ||
       (c(0) == 0xff.toByte && c(1) == 0xd8.toByte && c(2) == 0xff.toByte) ||
       (c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8') ||
-      (c(0) == 'B' && c(1) == 'M' &&
-        c(6) == 0 && c(7) == 0 && c(8) == 0 && c(9) == 0))
+      (c(0) == 'B' && c(1) == 'M'))
 
   /** Real decode where the JVM can (ImageIO: PNG/JPEG/GIF/BMP → true
     * width/height, single frame), deterministic stub everywhere else —

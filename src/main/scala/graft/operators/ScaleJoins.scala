@@ -23,20 +23,18 @@ object ScaleJoins {
 
   /** Equi-join `left` (large, possibly skewed) with `right` (small enough
     * to replicate `nSalts`×) on `key`. Deterministic: the salt is a hash
-    * of the whole left row, not rand(). The replicated right side carries
-    * a SHUFFLE_HASH hint: the salted regime is by definition the
-    * too-big-to-broadcast case, and without the hint Catalyst would
-    * sort-merge — paying a full sort of the large side that dwarfs the
-    * skew win. (A hint applied by the CALLER to `right` would not
-    * survive under the salt projection; hints resolve on direct join
-    * children, hence it lives here. Advisory: Spark ignores it when the
-    * build side cannot hash.) */
+    * of the whole left row, not rand(). No join strategy is forced here:
+    * a small right side still auto-broadcasts, and in the genuinely
+    * too-big-to-broadcast regime the caller should pass
+    * `right.hint("shuffle_hash")` — hints propagate through the salt
+    * projection to the join (verified against Spark 4.1), and a forced
+    * sort-merge would pay a large-side sort that dwarfs the skew win. */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       nSalts: Int = 8): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(nSalts)))
     val saltedRight = right.withColumn("__salt",
-      explode(sequence(lit(0L), lit(nSalts - 1L)))).hint("shuffle_hash")
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
 

@@ -131,15 +131,15 @@ object Similarity {
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("d2"), col("c"))).as("m"))
       .select(col("vec_id"), col("s"), col("m.c").as("c"))
-    // per-query LUT: dot(q_s, centroid) and ‖centroid‖² per (s, c)
+    // per-query LUT: dot(q_s, centroid) per (s, c); the centroid norm is
+    // the SAME n2 the encode used (one formulation, no second copy to
+    // drift out of FP lockstep with the oracle)
     val qSub = sub.filter(col("vec_id") === queryId)
       .select(col("s"), col("sub").as("qsub"))
-    val lut = cb.join(broadcast(qSub), Seq("s"))
+    val lut = cb2.join(broadcast(qSub), Seq("s"))
       .select(col("s"), col("c"),
-        aggregate(zip_with(col("csub"), col("qsub"), (c, q) => c * q),
-          lit(0.0), (acc, v) => acc + v).as("dotv"),
-        aggregate(zip_with(col("csub"), col("csub"), (a, b) => a * b),
-          lit(0.0), (acc, v) => acc + v).as("n2v"))
+        V.dot(col("csub"), col("qsub")).as("dotv"),
+        col("n2").as("n2v"))
     // stage 1: ADC score from codes alone; DECIMAL sums keep the ranking
     // independent of aggregation order on both engines
     val approx = codes.filter(col("vec_id") =!= queryId)

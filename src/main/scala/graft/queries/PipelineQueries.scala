@@ -464,7 +464,7 @@ object PipelineQueries {
          |    emb[sr.r*pdsub+1 : sr.r*pdsub+pdsub] AS sub
          |  FROM pbase, range($m) sr(r)),
          |pcb AS (SELECT vec_id AS c, pdsub, s, sub AS csub FROM psub WHERE vec_id < 256),
-         |pcb2 AS (SELECT c, s, csub, ${foldSub("csub[pi+1] * csub[pi+1]").replace("range(pdsub)", "range(len(csub))")} AS n2 FROM pcb),
+         |pcb2 AS (SELECT c, s, csub, ${foldSub("csub[pi+1] * csub[pi+1]")} AS n2 FROM pcb),
          |pd AS (SELECT p.vec_id, p.s, cb.c,
          |    cb.n2 - 2.0 * ${foldSub("p.sub[pi+1] * cb.csub[pi+1]")} AS d2
          |  FROM psub p
@@ -476,8 +476,8 @@ object PipelineQueries {
          |pq AS (SELECT s, sub AS qsub, pdsub FROM psub WHERE vec_id = 0),
          |plut AS (SELECT cb.s, cb.c,
          |    ${foldSub("cb.csub[pi+1] * q.qsub[pi+1]")} AS dotv,
-         |    ${foldSub("cb.csub[pi+1] * cb.csub[pi+1]")} AS n2v
-         |  FROM (SELECT s, c, csub FROM pcb) cb JOIN pq q ON cb.s = q.s),
+         |    cb.n2 AS n2v
+         |  FROM (SELECT s, c, csub, n2 FROM pcb2) cb JOIN pq q ON cb.s = q.s),
          |papprox AS (SELECT pc.vec_id,
          |    CAST(sum(CAST(l.dotv AS DECIMAL(38,18))) AS DOUBLE) AS adot,
          |    CAST(sum(CAST(l.n2v AS DECIMAL(38,18))) AS DOUBLE) AS an2

@@ -277,14 +277,22 @@ class PipelineOpsSpec extends SparkSpec {
     val png = imageBytes(37, 23, "png")
     val jpg = imageBytes(64, 48, "jpg")
     val notImage = "just some text bytes".getBytes("UTF-8")
-    val df = Seq((1L, png), (2L, jpg), (3L, notImage)).toDF("doc_id", "content")
+    // sniff-passing but unparseable payloads: ImageIO readers THROW on
+    // these — they must degrade to the stub, not kill the task
+    val corruptPng = png.take(12) ++ "garbage garbage garbage".getBytes("UTF-8")
+    val bmText = "BMI is a measure of body mass used in medicine".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpg), (3L, notImage), (4L, corruptPng), (5L, bmText))
+      .toDF("doc_id", "content")
     val out = Multimodal.decodeMeta(spark, df).collect()
       .map(m => m.doc_id -> m).toMap
     assert(out(1L).width == 37 && out(1L).height == 23 && out(1L).n_frames == 1)
     assert(out(2L).width == 64 && out(2L).height == 48 && out(2L).n_frames == 1)
-    // non-image payloads keep the deterministic stub dimensions
-    val (sw, sh, sf) = Multimodal.decodeStub(notImage)
-    assert(out(3L).width == sw && out(3L).height == sh && out(3L).n_frames == sf)
+    // non-image and undecodable payloads keep the deterministic stub dims
+    for (payload <- Seq(3L -> notImage, 4L -> corruptPng, 5L -> bmText)) {
+      val (sw, sh, sf) = Multimodal.decodeStub(payload._2)
+      assert(out(payload._1).width == sw && out(payload._1).height == sh &&
+        out(payload._1).n_frames == sf, s"doc ${payload._1} must use the stub")
+    }
   }
 
   test("langId is deterministic and total (every doc gets a code)") {

@@ -35,6 +35,25 @@ class ScaleJoinsSpec extends SparkSpec {
       s"bucketed range join must be an equi-join:\n$plan")
   }
 
+  test("range join: fractional bounds keep the final bucket; inverted drop out") {
+    // pt = 100.5 lives in bucket 2 (width 50) and satisfies pt < hi = 100.7;
+    // the old floor((hi-1)/width) bound stopped at bucket 1 and lost it
+    val points = Seq((1L, 100.5), (2L, 99.0), (3L, 100.9)).toDF("id", "pt")
+    val intervals = Seq(
+      (10L, 0.0, 100.7),   // fractional hi crossing a bucket boundary
+      (11L, 100.0, 100.5), // fractional both ends, single bucket
+      (12L, 50.0, 50.0),   // empty interval: must contribute nothing
+      (13L, 80.0, 20.0)    // inverted interval: must contribute nothing
+    ).toDF("iv_id", "lo", "hi")
+    val naive = points.join(intervals, col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select("id", "iv_id").collect().toSet
+    val got = ScaleJoins.rangeJoinBucketed(points, intervals, "pt", "lo", "hi", width = 50)
+      .select("id", "iv_id").collect().toSet
+    assert(got == naive, s"expected $naive, got $got")
+    assert(got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 10L),
+      "the fractional-hi final-bucket row must be present")
+  }
+
   test("dedup survivors: one doc kept per cluster, unpaired docs untouched") {
     val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
