@@ -232,6 +232,19 @@ object PipelineQueries {
         size(col("embedding")).cast("long").as("n_dims"))
         .orderBy(col("vec_id"))),
 
+    // sequence packing: concat-and-chunk token offsets + context-window
+    // bins via the distributed prefix sum (range partition → local cumsum
+    // → bounded driver prefix), NOT a single-partition global window; the
+    // oracle is the plain window cumsum the operator must reproduce
+    "doc_pack" -> ((s, d) =>
+      graft.operators.Packing.packOffsets(Tables.documents(s, d), capacity = 2048L)),
+
+    // decontamination: test-split docs sharing a verbatim k-gram with the
+    // train split (same hash split as doc_split; train index = distinct
+    // 60-bit shingle ids; one equi-join, no cross product)
+    "doc_contamination" -> ((s, d) =>
+      graft.operators.Contamination.testSetOverlap(Tables.documents(s, d), k = 3)),
+
     // deterministic 90/5/5 train/val/test assignment: hash of the doc id
     // string, never sample() — reproducible across engines, runs, and
     // cluster sizes, and any engine can recompute membership from the id
@@ -491,6 +504,27 @@ object PipelineQueries {
          |FROM pcand cn JOIN pbase b ON cn.vec_id = b.vec_id, pqq q
          |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin
     },
+
+    // the single-window formulation the distributed prefix sum must equal
+    "doc_pack" ->
+      """WITH sized AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |cum AS (SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_offset
+        |  FROM sized)
+        |SELECT doc_id, n_tokens, tok_offset, CAST(tok_offset // 2048 AS BIGINT) AS bin
+        |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "doc_contamination" ->
+      s"""WITH csp AS (SELECT doc_id, text, ${dPoly("'split:' || doc_id")} % 100 AS h FROM documents),
+         |ctr0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM csp WHERE h < 90),
+         |ctr AS (SELECT DISTINCT unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM ctr0),
+         |cte0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM csp WHERE h >= 95),
+         |cte AS (SELECT doc_id, unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM cte0)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM cte t JOIN ctr ON t.sh = ctr.sh
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "doc_split" ->
       s"""SELECT doc_id, CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split

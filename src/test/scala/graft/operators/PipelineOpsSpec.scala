@@ -249,6 +249,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("packOffsets: distributed prefix sum equals the sequential layout") {
+    val got = Packing.packOffsets(docs, capacity = 512).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    var run = 0L
+    got.foreach { r =>
+      assert(r.getAs[Long]("tok_offset") == run,
+        s"doc ${r.getAs[Long]("doc_id")}: offset ${r.getAs[Long]("tok_offset")} != $run")
+      assert(r.getAs[Long]("bin") == r.getAs[Long]("tok_offset") / 512)
+      run += r.getAs[Long]("n_tokens")
+    }
+    assert(got.length == docs.count())
+  }
+
+  test("contamination: flagged docs are test-split members with shared shingles") {
+    val flagged = Contamination.testSetOverlap(docs, k = 3).collect()
+    assert(flagged.nonEmpty, "synthetic corpus should have 3-gram overlap")
+    val splits = docs.select(col("doc_id"),
+        pmod(T.polyHash(concat(lit("split:"), col("doc_id"))), lit(100L)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flagged.foreach { r =>
+      assert(splits(r.getAs[Long]("doc_id")) >= 95, "only test-split docs may be flagged")
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+  }
+
   test("pqKnn: ADC candidates + exact rerank track brute-force top-k") {
     val exact = Similarity.bruteForceKnn(embs, 0L, k = 10)
       .select("vec_id").as[Long].collect().toSet
