@@ -24,16 +24,15 @@ object Contamination {
     * one k-shingle with any train-split document; n_shared counts its
     * distinct contaminated shingles. */
   def testSetOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    // T.splitHash is the ONE definition of split membership (doc_split
+    // uses the same helper): train < 90, test >= 95. Shingle staging is
+    // Dedup.shingleRows — the same (doc_id, 60-bit sh) grain the whole
+    // dedup family joins on, not a local re-implementation.
     val withSplit = docs.select(col("doc_id"), col("text"),
-      pmod(T.polyHash(concat(lit("split:"), col("doc_id"))), lit(100L)).as("__h"))
-    def shingleRows(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), T.tokenHashes(col("text")).as("__ths"))
-        .select(col("doc_id"),
-          explode(array_distinct(T.shingleIds(col("__ths"), k))).as("sh"))
-    // same 90/5/5 hash split as doc_split: train < 90, test >= 95
-    val trainIndex = shingleRows(withSplit.filter(col("__h") < 90))
+      T.splitHash(col("doc_id")).as("__h"))
+    val trainIndex = Dedup.shingleRows(withSplit.filter(col("__h") < 90), k)
       .select(col("sh")).distinct()
-    val testSh = shingleRows(withSplit.filter(col("__h") >= 95))
+    val testSh = Dedup.shingleRows(withSplit.filter(col("__h") >= 95), k)
     testSh.join(trainIndex, Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared")) // testSh is distinct per doc

@@ -30,7 +30,7 @@ object Dedup {
   /** Distinct k-shingle ids per document, exploded to (doc_id, sh) grain.
     * `sh` is the 60-bit packed shingle id (TextFunctions.shingleIds): the
     * join/shuffle key is 8 bytes, not a string. */
-  private def shingleRows(docs: DataFrame, k: Int): DataFrame =
+  private[operators] def shingleRows(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
       .select(col("doc_id"),
         explode(array_distinct(T.shingleIds(col("ths"), k))).as("sh"))

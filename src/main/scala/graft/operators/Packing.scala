@@ -13,51 +13,72 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: a naive global `Window.orderBy(doc_id)` cumsum collapses
   * to ONE partition — unrunnable on 10^10 docs. This runs the classic
-  * distributed prefix sum instead: range-partition by doc_id, local
-  * cumsum per partition (keyed window), then add per-partition prefix
-  * offsets computed from the (numPartitions-sized, driver-collected)
-  * partition totals — one pass over the data plus a bounded driver
-  * aggregate, the same economics as collecting AQE statistics.
+  * distributed prefix sum instead: split the doc_id domain into ranges,
+  * local cumsum per range (keyed window — parallel), then add per-range
+  * prefix offsets computed from the (numRanges-sized, driver-collected)
+  * range totals — one pass over the data plus two bounded driver
+  * aggregates, the same economics as collecting AQE statistics.
   *
-  * Output is independent of the partitioning actually chosen: each doc's
-  * offset is the token count of all lower-doc_id docs, whatever partition
-  * boundaries the range sampler picked — so a plain window-cumsum SQL
-  * oracle reproduces it exactly. */
+  * Determinism: the range assignment must be a PURE FUNCTION of doc_id,
+  * because the totals pass and the output pass are separate query
+  * executions. `repartitionByRange` does NOT qualify — RangePartitioner's
+  * reservoir sampling is seeded with the RDD id, so two executions of the
+  * same plan can pick different bounds once input partitions exceed the
+  * sample size, silently corrupting the prefix offsets. Instead the cut
+  * points are collected once via Greenwald-Khanna `approxQuantile` (a
+  * deterministic summary, no RNG) and baked into the plan as literals:
+  * every execution assigns identical `__pid`s. Quantile precision only
+  * affects range BALANCE, never correctness — each doc's offset is the
+  * token count of all lower-doc_id docs under any consistent assignment,
+  * which is why a plain window-cumsum SQL oracle reproduces it exactly. */
 object Packing {
 
-  /** (doc_id, n_tokens, offset, bin) per document; `tokenCount` is the
+  /** (doc_id, n_tokens, tok_offset, bin) per document; `tokenCount` is the
     * per-doc token count column (computed from `text` by default). */
   def packOffsets(docs: DataFrame, capacity: Long,
-      tokenCount: Column = size(split(col("text"), " ")).cast("long")): DataFrame = {
+      tokenCount: Column = size(split(col("text"), " ")).cast("long"),
+      numRanges: Int = 32): DataFrame = {
     require(capacity > 0, "bin capacity must be positive")
+    require(numRanges > 0, "numRanges must be positive")
     val spark = docs.sparkSession
     val sized = docs.select(col("doc_id"), tokenCount.as("n_tokens"))
-      .repartitionByRange(col("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), spark_partition_id().as("__pid"))
-    // local cumsum within each range partition (keyed window — parallel)
-    val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = sized.withColumn("__cum", sum(col("n_tokens")).over(w))
-    // bounded driver step: one row per partition → prefix offsets. The
-    // totals pass and the main pass each execute `local` once (two data
-    // passes, no cached state left behind); that is safe because
-    // repartitionByRange's boundary sampling is seeded per partition
-    // index — re-execution over the same input reproduces the same
-    // __pid assignment bit-for-bit
-    val totals = local.groupBy(col("__pid"))
-      .agg(max(col("__cum")).as("t")) // cumsum max = partition total
+    // bounded driver step 1: deterministic doc_id cut points (≤ numRanges-1
+    // doubles). Values beyond 2^53 lose double precision here, but the
+    // comparison below is still the same function of doc_id in every pass,
+    // so only balance is affected.
+    val probs = (1 until numRanges).map(_.toDouble / numRanges).toArray
+    val bounds =
+      if (numRanges == 1) Array.empty[Double]
+      else sized.stat.approxQuantile("doc_id", probs, 0.001)
+    val pid = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("doc_id") > lit(b), 1).otherwise(0)
+    }
+    val withPid = sized.withColumn("__pid", pid)
+    // bounded driver step 2: one row per range → prefix offsets. A plain
+    // sum per range (not a cumsum max) so the totals are exact even if a
+    // caller-supplied tokenCount yields negative values.
+    val totals = withPid.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
     val prefix: Map[Int, Long] = pids.zip(
       pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
     import spark.implicits._
     val offsets = prefix.toSeq.toDF("__pid", "__offset")
+    // local cumsum within each range (keyed window — parallel); the window
+    // shuffle hashes on __pid, giving the same layout repartitionByRange
+    // would have, minus its nondeterminism
+    val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // "tok_offset", not "offset": OFFSET is a SQL reserved word and the
-    // column name is part of the cross-engine contract
-    local.join(broadcast(offsets), Seq("__pid"))
+    // column name is part of the cross-engine contract. `div` keeps the
+    // bin computation in the long domain — floor(x / y) on doubles breaks
+    // past 2^53 total tokens, which a 10^10-doc corpus exceeds.
+    withPid.withColumn("__cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(offsets), Seq("__pid"))
       .select(col("doc_id"), col("n_tokens"),
         (col("__offset") + col("__cum") - col("n_tokens")).as("tok_offset"))
-      .withColumn("bin", floor(col("tok_offset") / capacity).cast("long"))
+      .withColumn("bin", expr(s"tok_offset div ${capacity}"))
       .orderBy(col("doc_id"))
   }
 }

@@ -250,8 +250,7 @@ object PipelineQueries {
     // cluster sizes, and any engine can recompute membership from the id
     "doc_split" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          pmod(T.polyHash(concat(lit("split:"), col("doc_id"))), lit(100L)).as("h"))
+        .select(col("doc_id"), T.splitHash(col("doc_id")).as("h"))
         .select(col("doc_id"),
           when(col("h") < 90, "train").when(col("h") < 95, "val")
             .otherwise("test").as("split"))

@@ -262,11 +262,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.length == docs.count())
   }
 
+  test("packOffsets: output is identical across numRanges choices (assignment-independence)") {
+    // the invariant behind the window-cumsum oracle: the offsets do not
+    // depend on how the doc_id domain was cut into ranges
+    val one = Packing.packOffsets(docs, capacity = 512, numRanges = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val many = Packing.packOffsets(docs, capacity = 512, numRanges = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(one.sameElements(many))
+  }
+
   test("contamination: flagged docs are test-split members with shared shingles") {
     val flagged = Contamination.testSetOverlap(docs, k = 3).collect()
     assert(flagged.nonEmpty, "synthetic corpus should have 3-gram overlap")
-    val splits = docs.select(col("doc_id"),
-        pmod(T.polyHash(concat(lit("split:"), col("doc_id"))), lit(100L)).as("h"))
+    // membership re-derived through the SAME shared helper doc_split uses
+    val splits = docs.select(col("doc_id"), T.splitHash(col("doc_id")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     flagged.foreach { r =>
       assert(splits(r.getAs[Long]("doc_id")) >= 95, "only test-split docs may be flagged")
