@@ -245,6 +245,13 @@ object PipelineQueries {
     "doc_contamination" -> ((s, d) =>
       graft.operators.Contamination.testSetOverlap(Tables.documents(s, d), k = 3)),
 
+    // Gopher-style repetition filters: top-token fraction, duplicated-
+    // bigram fraction, top-bigram fraction per doc — counted at the
+    // 8-byte hash-id grain via two map-side-combinable explode→agg
+    // passes, never a per-doc O(len²) HOF mode
+    "doc_repetition" -> ((s, d) =>
+      graft.operators.Repetition.repetitionStats(Tables.documents(s, d), k = 2)),
+
     // deterministic 90/5/5 train/val/test assignment: hash of the doc id
     // string, never sample() — reproducible across engines, runs, and
     // cluster sizes, and any engine can recompute membership from the id
@@ -524,6 +531,22 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      s"""WITH rth AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
+         |rtc AS (SELECT doc_id, rt, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(ths) AS rt FROM rth) GROUP BY 1, 2),
+         |rtok AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS max_tok
+         |  FROM rtc GROUP BY 1),
+         |rgc AS (SELECT doc_id, rg, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(${dShingleIds("ths", 2)}) AS rg FROM rth) GROUP BY 1, 2),
+         |rgr AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS max_gram,
+         |    count(*) AS n_distinct FROM rgc GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens,
+         |  CAST(t.max_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
+         |  coalesce(CAST(r.n_grams - r.n_distinct AS DOUBLE) / r.n_grams, 0.0) AS dup_gram_frac,
+         |  coalesce(CAST(r.max_gram AS DOUBLE) / r.n_grams, 0.0) AS top_gram_frac
+         |FROM rtok t LEFT JOIN rgr r USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "doc_split" ->
       s"""SELECT doc_id, CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split

@@ -272,6 +272,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one.sameElements(many))
   }
 
+  test("repetitionStats: fractions match hand-computed values on a planted fixture") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a a a b"),        // tokens: a×3,b → top_token 3/4; bigrams (a,a)×2,(a,b) → dup 1/3, top 2/3
+      (2L, "x y x y x"),      // top_token 3/5; bigrams (x,y)×2,(y,x)×2 → dup 2/4, top 2/4
+      (3L, "unique"),         // 1 token, no bigrams → gram metrics 0.0
+      (4L, "p q r s")         // all distinct → top_token 1/4, dup 0, top 1/3
+    ).toDF("doc_id", "text")
+    val got = Repetition.repetitionStats(fixture, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((4L, 3.0 / 4, 1.0 / 3, 2.0 / 3)))
+    assert(got(2L) == ((5L, 3.0 / 5, 2.0 / 4, 2.0 / 4)))
+    assert(got(3L) == ((1L, 1.0, 0.0, 0.0)))
+    assert(got(4L) == ((4L, 1.0 / 4, 0.0, 1.0 / 3)))
+  }
+
   test("contamination: flagged docs are test-split members with shared shingles") {
     val flagged = Contamination.testSetOverlap(docs, k = 3).collect()
     assert(flagged.nonEmpty, "synthetic corpus should have 3-gram overlap")
