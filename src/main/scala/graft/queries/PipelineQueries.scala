@@ -245,6 +245,21 @@ object PipelineQueries {
     "doc_contamination" -> ((s, d) =>
       graft.operators.Contamination.testSetOverlap(Tables.documents(s, d), k = 3)),
 
+    // deterministic mixture control: rate-based stratified sample (pure
+    // codegen'd filter, membership a function of doc_id — never
+    // sample()'s partitioning-dependent RNG)
+    "doc_sample_rate" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedByRate(Tables.documents(s, d),
+          "doc_id", "lang", Map("en" -> 5000, "de" -> 2500), defaultBps = 1000)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
+    // fixed reproducible quota per stratum (smallest-hash rows, one keyed
+    // window parallel across strata)
+    "doc_sample_quota" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedQuota(Tables.documents(s, d),
+          "doc_id", "lang", quota = 20)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
     // Gopher-style repetition filters: top-token fraction, duplicated-
     // bigram fraction, top-bigram fraction per doc — counted at the
     // 8-byte hash-id grain via two map-side-combinable explode→agg
@@ -531,6 +546,19 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "doc_sample_rate" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ${dPoly("'sample:' || doc_id")} % 10000 AS sh FROM documents) t
+         |WHERE sh < CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 ELSE 1000 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "doc_sample_quota" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY ${dPoly("'sample:' || doc_id")} % 10000, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "doc_repetition" ->
       s"""WITH rth AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),

@@ -272,6 +272,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one.sameElements(many))
   }
 
+  test("stratified sampling: membership is the hash rule, quotas exact, both repartition-stable") {
+    import spark.implicits._
+    val rate = Sampling.stratifiedByRate(docs, "doc_id", "lang",
+      Map("en" -> 5000), defaultBps = 1000)
+    val hashes = docs.select(col("doc_id"), col("lang"),
+        pmod(T.polyHash(concat(lit("sample:"), col("doc_id"))), lit(10000L)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expectRate = hashes.collect {
+      case (id, lang, sh) if sh < (if (lang == "en") 5000 else 1000) => id
+    }.toSet
+    assert(rate.select("doc_id").as[Long].collect().toSet == expectRate)
+    // same sample from a differently-partitioned input
+    val rate13 = Sampling.stratifiedByRate(docs.repartition(13), "doc_id", "lang",
+      Map("en" -> 5000), defaultBps = 1000)
+    assert(rate13.select("doc_id").as[Long].collect().toSet == expectRate)
+
+    val quota = Sampling.stratifiedQuota(docs, "doc_id", "lang", quota = 7)
+    val perStratum = quota.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, n) => assert(perStratum(l) == math.min(7L, n)) }
+    val quota13 = Sampling.stratifiedQuota(docs.repartition(13), "doc_id", "lang", quota = 7)
+    assert(quota13.select("doc_id").as[Long].collect().toSet ==
+      quota.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("repetitionStats: fractions match hand-computed values on a planted fixture") {
     import spark.implicits._
     val fixture = Seq(
