@@ -101,6 +101,27 @@ object TextFunctions {
   def shingleIds(tokenHashesCol: Column, k: Int): Column =
     graft.expressions.ArrayExprs.shingle_combine(tokenHashesCol, k, packed = true)
 
+  /** PII patterns for the redaction pass. Deliberately restricted to
+    * regex constructs with identical semantics in Java regex and RE2
+    * (character classes, bounded quantifiers, ASCII \d and \b) so the
+    * DuckDB oracle reproduces matches exactly; no lookaround, no
+    * backreferences (RE2 has neither). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** C4-style PII redaction: emails, IPv4 addresses, and SSN-shaped ids
+    * replaced with typed placeholder tokens. Emails are scrubbed first so
+    * an address's host part cannot be half-matched by the later passes.
+    * Pure codegen'd string expressions — at 100 TB this runs in the scan
+    * stage with zero shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(SsnRe), lit("<SSN>"))
+
   /** MinHash signature (array of MinhashK longs) over a shingle-hash array
     * (see shingleHashes). Native one-pass expression; min over the multiset
     * equals min over the distinct set, so values match the

@@ -245,6 +245,34 @@ object PipelineQueries {
     "doc_contamination" -> ((s, d) =>
       graft.operators.Contamination.testSetOverlap(Tables.documents(s, d), k = 3)),
 
+    // C4-style PII redaction. The synthetic corpus carries no PII, so the
+    // query PLANTS deterministic addresses/IPs/SSNs derived from row data
+    // (varying presence: emails on 1/3 of docs, SSNs on 1/2, IPs on all)
+    // — a no-op scrub would be a vacuous green row. The gate is the
+    // portable hash of the fully scrubbed text plus per-kind match
+    // counts; scrubbing itself is pure codegen'd string work in the scan
+    // stage, zero shuffle
+    "doc_pii_scrub" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        lit(" from 10."), pmod(col("doc_id"), lit(200L)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(250L)).cast("string"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit(" ssn 123-45-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("pt"))
+        .select(col("doc_id"),
+          regexp_count(col("pt"), lit(T.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("pt"), lit(T.Ipv4Re)).cast("long").as("n_ips"),
+          regexp_count(col("pt"), lit(T.SsnRe)).cast("long").as("n_ssns"),
+          T.polyHash(T.scrubPii(col("pt"))).as("scrub_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic mixture control: rate-based stratified sample (pure
     // codegen'd filter, membership a function of doc_id — never
     // sample()'s partitioning-dependent RNG)
@@ -546,6 +574,26 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "doc_pii_scrub" ->
+      s"""WITH ppt AS (SELECT doc_id,
+         |  text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END ||
+         |  ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) ||
+         |  CASE WHEN doc_id % 2 = 0 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS pt
+         |  FROM documents),
+         |psc AS (SELECT doc_id, pt,
+         |  regexp_replace(regexp_replace(regexp_replace(pt,
+         |    '${T.EmailRe}', '<EMAIL>', 'g'),
+         |    '${T.Ipv4Re}', '<IP>', 'g'),
+         |    '${T.SsnRe}', '<SSN>', 'g') AS st
+         |  FROM ppt)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pt, '${T.EmailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(pt, '${T.Ipv4Re}'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(pt, '${T.SsnRe}'))::BIGINT AS n_ssns,
+         |  ${dPoly("st")} AS scrub_hash
+         |FROM psc ORDER BY doc_id""".stripMargin,
 
     "doc_sample_rate" ->
       s"""SELECT doc_id, lang FROM (

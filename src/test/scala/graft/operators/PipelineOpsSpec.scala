@@ -272,6 +272,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one.sameElements(many))
   }
 
+  test("scrubPii: redacts emails, IPv4s, and SSN-shaped ids; leaves clean text untouched") {
+    import spark.implicits._
+    val fixture = Seq(
+      "write to jane.doe+x@sub.example.co.uk today",
+      "server 192.168.1.254 then 8.8.8.8",
+      "id 123-45-6789 on file",
+      "nothing sensitive here 1234 5.6 ok",
+      "mixed bob@x.io at 10.0.0.1 ssn 000-11-2222"
+    ).toDF("text")
+    val got = fixture.select(T.scrubPii(col("text")).as("s")).as[String].collect()
+    assert(got(0) == "write to <EMAIL> today")
+    assert(got(1) == "server <IP> then <IP>")
+    assert(got(2) == "id <SSN> on file")
+    assert(got(3) == "nothing sensitive here 1234 5.6 ok")
+    assert(got(4) == "mixed <EMAIL> at <IP> ssn <SSN>")
+  }
+
   test("stratified sampling: membership is the hash rule, quotas exact, both repartition-stable") {
     import spark.implicits._
     val rate = Sampling.stratifiedByRate(docs, "doc_id", "lang",
