@@ -56,13 +56,17 @@ object TextFunctions {
     * (aggregate over split(s,"")) pays interpreter dispatch per character. */
   def polyHash(s: Column): Column = graft.expressions.ArrayExprs.poly_hash(s)
 
-  /** The deterministic 0–99 split hash behind the 90/5/5 train/val/test
-    * assignment (doc_split). This is THE single definition of split
-    * membership: decontamination (train < 90, test >= 95) and any other
-    * split-aware operator must use it, or its population silently drifts
-    * from the published split — real train/test leakage. */
-  def splitHash(docId: Column): Column =
-    pmod(polyHash(concat(lit("split:"), docId)), lit(100L))
+  /** The deterministic 0–99 assignment hash behind every hash-based
+    * partition of the corpus. With the default salt this is THE single
+    * definition of 90/5/5 train/val/test membership (doc_split):
+    * decontamination (train < 90, test >= 95) and any other split-aware
+    * operator must use it, or its population silently drifts from the
+    * published split — real train/test leakage. Other assignments
+    * (e.g. corpus-vs-increment fixtures) pass their own salt so they are
+    * independent of the train/test split yet share this one
+    * implementation. */
+  def splitHash(docId: Column, salt: String = "split"): Column =
+    pmod(polyHash(concat(lit(salt + ":"), docId)), lit(100L))
 
   /** Word k-shingles: sliding windows of k tokens joined by a space.
     * Short documents (< k tokens) yield an empty array. */

@@ -27,6 +27,27 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** The exact-dedup content index of a corpus: its distinct content
+    * hashes. At 100 TB this is the thing you persist (bucketed by
+    * content_hash on disk) and dedup every increment against, instead of
+    * re-deduping the whole corpus per batch. */
+  def exactIndex(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("content_hash")).distinct()
+
+  /** Incremental exact dedup: the increment rows genuinely new vs both
+    * the corpus index and the increment itself. Within-increment copies
+    * collapse first (min doc_id survives, same rule as [[exact]]), then
+    * one left_anti hash join against the index removes everything the
+    * corpus already has. Cost tracks |increment| + |index touched|; with
+    * the index bucketed by content_hash the anti-join shuffles only the
+    * (small) increment side. */
+  def incrementalExact(increment: DataFrame, index: DataFrame): DataFrame =
+    increment.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .join(index, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy(col("doc_id"))
+
   /** Distinct k-shingle ids per document, exploded to (doc_id, sh) grain.
     * `sh` is the 60-bit packed shingle id (TextFunctions.shingleIds): the
     * join/shuffle key is 8 bytes, not a string. */

@@ -245,6 +245,24 @@ object PipelineQueries {
     "doc_contamination" -> ((s, d) =>
       graft.operators.Contamination.testSetOverlap(Tables.documents(s, d), k = 3)),
 
+    // incremental exact dedup: the daily-batch shape at 100 TB — dedup
+    // the increment against the persisted corpus content index, never
+    // re-dedup the corpus. The corpus has no exact dups, so the query
+    // DERIVES an increment from a hash-chosen 20% of docs (new ids):
+    // a tenth collapse to one shared boilerplate text (within-increment
+    // dups), half keep their original text (killed by the index
+    // anti-join), the rest get genuinely new text (survivors)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inc = docs.filter(T.splitHash(col("doc_id"), "inc") >= 80)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(pmod(col("doc_id"), lit(10L)) === 1, lit("boilerplate page v2"))
+            .when(pmod(col("doc_id"), lit(2L)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      graft.operators.Dedup.incrementalExact(
+        inc, graft.operators.Dedup.exactIndex(docs))
+    }),
+
     // C4-style PII redaction. The synthetic corpus carries no PII, so the
     // query PLANTS deterministic addresses/IPs/SSNs derived from row data
     // (varying presence: emails on 1/3 of docs, SSNs on 1/2, IPs on all)
@@ -574,6 +592,23 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // the increment is built in a subquery with the original id renamed:
+    // DuckDB resolves lateral SELECT aliases, so `doc_id + 1000000 AS
+    // doc_id` would otherwise shadow the original in the CASE arms
+    "dedup_incremental" ->
+      s"""WITH inc0 AS (SELECT orig_id + 1000000 AS doc_id,
+         |    CASE WHEN orig_id % 10 = 1 THEN 'boilerplate page v2'
+         |         WHEN orig_id % 2 = 0 THEN text
+         |         ELSE text || ' v2' END AS text
+         |  FROM (SELECT doc_id AS orig_id, text FROM documents
+         |        WHERE ${dPoly("'inc:' || doc_id")} % 100 >= 80)),
+         |iidx AS (SELECT DISTINCT md5(text) AS content_hash FROM documents),
+         |incg AS (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+         |  FROM inc0 GROUP BY 1)
+         |SELECT g.doc_id, g.content_hash FROM incg g
+         |WHERE NOT EXISTS (SELECT 1 FROM iidx x WHERE x.content_hash = g.content_hash)
+         |ORDER BY g.doc_id""".stripMargin,
 
     "doc_pii_scrub" ->
       s"""WITH ppt AS (SELECT doc_id,

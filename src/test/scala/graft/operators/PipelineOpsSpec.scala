@@ -272,6 +272,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one.sameElements(many))
   }
 
+  test("incrementalExact: corpus collisions dropped, increment dups collapsed, new survives") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, "beta"),   // corpus collision → dropped
+      (11L, "delta"),  // new → survives
+      (12L, "delta"),  // within-increment dup of 11 → collapsed away
+      (13L, "epsilon") // new → survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(increment, Dedup.exactIndex(corpus))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+  }
+
   test("scrubPii: redacts emails, IPv4s, and SSN-shaped ids; leaves clean text untouched") {
     import spark.implicits._
     val fixture = Seq(
