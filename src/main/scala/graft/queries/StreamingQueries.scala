@@ -38,8 +38,28 @@ object StreamingQueries {
     spark.table(name).orderBy(col("win_start"), col("event_type"))
   }
 
+  /** EventStreams.sessionStats (30 min gap sessions, 30 min watermark)
+    * driven to completion over the events table. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val name = "ssess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = new java.io.File(
+      System.getProperty("java.io.tmpdir"), name).getAbsolutePath
+    val agg = EventStreams.sessionStats(
+      EventStreams.readTestdataEvents(spark, dir))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("s_start"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_stats" -> (streamWindowStats _))
+    "stream_window_stats" -> (streamWindowStats _),
+    "stream_sessions" -> (streamSessions _))
 
   /** Batch equivalent of the append-mode streaming emission: tumbling
     * windows (epoch-aligned, as Spark's window()), emitted iff the window
@@ -58,5 +78,33 @@ object StreamingQueries {
         |  event_type, n, sum_value
         |FROM w, m
         |WHERE win_start + INTERVAL 10 MINUTE <= wm
-        |ORDER BY win_start, event_type""".stripMargin)
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // gaps-and-islands sessionization (same break rule as q26's oracle:
+    // a gap of EXACTLY the 30 min threshold starts a new session, matching
+    // session_window's exclusive end), session end = last event + gap,
+    // emitted iff the terminal watermark passed the end
+    "stream_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS s_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sid),
+        |m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+        |             - INTERVAL 30 MINUTE AS wm FROM events)
+        |SELECT user_id, s_start, s_end, n, sum_value
+        |FROM agg, m WHERE s_end <= wm
+        |ORDER BY user_id, s_start""".stripMargin)
 }

@@ -68,14 +68,18 @@ object EventStreams {
   /** Streaming gap-based sessionization: the unbounded form of the batch
     * q26_sessions query. session_window merges events whose gaps stay under
     * `gap`; the watermark closes sessions (append mode emits only finalized
-    * sessions, state for closed sessions is freed). */
+    * sessions, state for closed sessions is freed). The sum runs on
+    * DECIMAL(18,2) like windowedStats, so emitted values are independent
+    * of per-batch accumulation order — what makes the stream_sessions
+    * batch-parity oracle hashable. */
   def sessionStats(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"),
         org.apache.spark.sql.functions.session_window(col("ts"), gap).as("sw"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("user_id"), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n"), col("sum_value"))
 
