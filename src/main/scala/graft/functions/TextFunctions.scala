@@ -56,6 +56,13 @@ object TextFunctions {
     * (aggregate over split(s,"")) pays interpreter dispatch per character. */
   def polyHash(s: Column): Column = graft.expressions.ArrayExprs.poly_hash(s)
 
+  /** The ONE implementation of salted hash-bucket assignment:
+    * hash(salt:id) mod buckets. Every deterministic partition of the
+    * corpus (splits, samples, fixtures) goes through here so the salt
+    * separator and hash can never drift between operators. */
+  def bucketHash(id: Column, salt: String, buckets: Long): Column =
+    pmod(polyHash(concat(lit(salt + ":"), id)), lit(buckets))
+
   /** The deterministic 0–99 assignment hash behind every hash-based
     * partition of the corpus. With the default salt this is THE single
     * definition of 90/5/5 train/val/test membership (doc_split):
@@ -66,7 +73,7 @@ object TextFunctions {
     * independent of the train/test split yet share this one
     * implementation. */
   def splitHash(docId: Column, salt: String = "split"): Column =
-    pmod(polyHash(concat(lit(salt + ":"), docId)), lit(100L))
+    bucketHash(docId, salt, 100L)
 
   /** Word k-shingles: sliding windows of k tokens joined by a space.
     * Short documents (< k tokens) yield an empty array. */

@@ -34,7 +34,15 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** (doc_id, n_tokens, tok_offset, bin) per document; `tokenCount` is the
-    * per-doc token count column (computed from `text` by default). */
+    * per-doc token count column (computed from `text` by default).
+    *
+    * Cost: THREE passes over the narrow (doc_id, n_tokens) projection —
+    * quantile cut points, range totals, and the output pass. Each pass
+    * recomputes the upstream plan of `docs`; if that upstream is
+    * expensive (a join or heavy filter rather than a bare scan), cache
+    * it before calling. Deliberately not persisted here: the operator
+    * would either leak the cached block past its return or unpersist a
+    * frame the caller's lazy action still needs. */
   def packOffsets(docs: DataFrame, capacity: Long,
       tokenCount: Column = size(split(col("text"), " ")).cast("long"),
       numRanges: Int = 32): DataFrame = {
@@ -55,8 +63,11 @@ object Packing {
     }
     val withPid = sized.withColumn("__pid", pid)
     // bounded driver step 2: one row per range → prefix offsets. A plain
-    // sum per range (not a cumsum max) so the totals are exact even if a
-    // caller-supplied tokenCount yields negative values.
+    // sum per range (not a cumsum max) keeps the prefix arithmetic exact
+    // even if a caller-supplied tokenCount misbehaves (e.g. negative on
+    // malformed rows); the BIN assignment below, like the oracle's `//`,
+    // assumes the non-negative offsets of real token counts — negative
+    // counts are out of contract for bins (`div` truncates toward zero).
     val totals = withPid.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

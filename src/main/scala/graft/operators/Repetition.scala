@@ -26,9 +26,11 @@ import graft.functions.{TextFunctions => T}
   * collected — per-doc mode via HOFs would be O(len²) per row and
   * codegen-hostile, while this is two standard partial-agg shuffles.
   * Documents with fewer than k tokens have no k-grams: their gram
-  * metrics are 0.0 by definition (left join + coalesce), and documents
-  * with empty text vanish from the output on both engines (explode and
-  * unnest agree on empty arrays). */
+  * metrics are 0.0 by definition (left join + coalesce). Empty text
+  * does NOT vanish — split("", " ") yields [""] in Spark and DuckDB
+  * alike, so an empty document appears as one empty token (n_tokens=1,
+  * top_token_frac=1.0); only NULL text drops out (null token hashes
+  * explode to no rows on both engines). */
 object Repetition {
 
   /** (doc_id, n_tokens, top_token_frac, dup_gram_frac, top_gram_frac)

@@ -24,7 +24,7 @@ import graft.functions.{TextFunctions => T}
 object Sampling {
 
   private def sampleHash(idCol: String, salt: String): Column =
-    pmod(T.polyHash(concat(lit(salt + ":"), col(idCol))), lit(10000L))
+    T.bucketHash(col(idCol), salt, 10000L)
 
   /** Rate-based: keep each row of stratum s with probability
     * bps(s)/10000, deterministically. Unlisted strata get `defaultBps`.

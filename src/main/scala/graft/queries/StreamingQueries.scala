@@ -19,14 +19,15 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
-  /** EventStreams.windowedStats (10 min tumbling windows, 30 min
-    * watermark) driven to completion over the events table. */
-  def streamWindowStats(spark: SparkSession, dir: String): DataFrame = {
-    val name = "swstats_" + java.util.UUID.randomUUID().toString.replace("-", "")
+  /** Drives a streaming aggregation to completion: append mode into a
+    * uniquely-named memory sink with a fresh checkpoint, AvailableNow
+    * trigger, blocking until the terminal no-data batch has flushed
+    * every window/session closed by the final watermark. */
+  private def runToCompletion(spark: SparkSession, prefix: String,
+      agg: DataFrame, order: Seq[String]): DataFrame = {
+    val name = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = new java.io.File(
       System.getProperty("java.io.tmpdir"), name).getAbsolutePath
-    val agg = EventStreams.windowedStats(
-      EventStreams.readTestdataEvents(spark, dir))
     val q = agg.writeStream
       .outputMode("append")
       .format("memory")
@@ -35,27 +36,22 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("win_start"), col("event_type"))
+    spark.table(name).orderBy(order.map(col): _*)
   }
+
+  /** EventStreams.windowedStats (10 min tumbling windows, 30 min
+    * watermark) driven to completion over the events table. */
+  def streamWindowStats(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "swstats",
+      EventStreams.windowedStats(EventStreams.readTestdataEvents(spark, dir)),
+      Seq("win_start", "event_type"))
 
   /** EventStreams.sessionStats (30 min gap sessions, 30 min watermark)
     * driven to completion over the events table. */
-  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val name = "ssess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = new java.io.File(
-      System.getProperty("java.io.tmpdir"), name).getAbsolutePath
-    val agg = EventStreams.sessionStats(
-      EventStreams.readTestdataEvents(spark, dir))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy(col("user_id"), col("s_start"))
-  }
+  def streamSessions(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "ssess",
+      EventStreams.sessionStats(EventStreams.readTestdataEvents(spark, dir)),
+      Seq("user_id", "s_start"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_stats" -> (streamWindowStats _),

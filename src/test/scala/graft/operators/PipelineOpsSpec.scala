@@ -272,6 +272,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one.sameElements(many))
   }
 
+  test("splitHash: published 90/5/5 contract pinned to independently-computed literals") {
+    // values computed outside the JVM (python: poly31 mod 1e9+7 of
+    // "split:<id>", mod 100) — an independent anchor for the split
+    // contract now that operators and tests share one helper
+    import spark.implicits._
+    val got = Seq(0L, 1L, 42L, 12345L).toDF("doc_id")
+      .select(col("doc_id"), T.splitHash(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 37L, 1L -> 38L, 42L -> 44L, 12345L -> 94L))
+  }
+
   test("incrementalExact: corpus collisions dropped, increment dups collapsed, new survives") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
