@@ -24,12 +24,12 @@ object StreamingQueries {
     * trigger, blocking until the terminal no-data batch has flushed
     * every window/session closed by the final watermark. */
   private def runToCompletion(spark: SparkSession, prefix: String,
-      agg: DataFrame, order: Seq[String]): DataFrame = {
+      agg: DataFrame, order: Seq[String], mode: String = "append"): DataFrame = {
     val name = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = new java.io.File(
       System.getProperty("java.io.tmpdir"), name).getAbsolutePath
     val q = agg.writeStream
-      .outputMode("append")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", ckpt)
@@ -53,9 +53,32 @@ object StreamingQueries {
       EventStreams.sessionStats(EventStreams.readTestdataEvents(spark, dir)),
       Seq("user_id", "s_start"))
 
+  /** EventStreams.dedupedEvents over the events table UNIONED WITH
+    * ITSELF — every event arrives exactly twice, so a vacuous pass-through
+    * can't go green: the dedup must emit each event exactly once (both
+    * copies are identical, so which "wins" is immaterial). Proves the
+    * at-least-once → effectively-exactly-once claim under the hash gate. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = EventStreams.readTestdataEvents(spark, dir)
+      .union(EventStreams.readTestdataEvents(spark, dir))
+    runToCompletion(spark, "sdedup",
+      EventStreams.dedupedEvents(doubled), Seq("event_id"))
+  }
+
+  /** EventStreams.runningUserAggs (mapGroupsWithState custom state,
+    * update mode) driven to completion: the terminal per-user state must
+    * equal the plain batch aggregate. */
+  def streamUserAggs(spark: SparkSession, dir: String): DataFrame = {
+    val agg = EventStreams.runningUserAggs(
+      spark, EventStreams.readTestdataEvents(spark, dir)).toDF()
+    runToCompletion(spark, "suagg", agg, Seq("user_id"), mode = "update")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_stats" -> (streamWindowStats _),
-    "stream_sessions" -> (streamSessions _))
+    "stream_sessions" -> (streamSessions _),
+    "stream_dedup" -> (streamDedup _),
+    "stream_user_aggs" -> (streamUserAggs _))
 
   /** Batch equivalent of the append-mode streaming emission: tumbling
     * windows (epoch-aligned, as Spark's window()), emitted iff the window
@@ -102,5 +125,19 @@ object StreamingQueries {
         |             - INTERVAL 30 MINUTE AS wm FROM events)
         |SELECT user_id, s_start, s_end, n, sum_value
         |FROM agg, m WHERE s_end <= wm
-        |ORDER BY user_id, s_start""".stripMargin)
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    // the doubled stream must collapse back to exactly the events table
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // terminal mapGroupsWithState state == the plain batch aggregate;
+    // the state's integer-cents accumulation is exactly the
+    // DECIMAL(18,2) sum
+    "stream_user_aggs" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  max(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

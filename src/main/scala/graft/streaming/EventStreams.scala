@@ -101,23 +101,49 @@ object EventStreams {
       event_type: String, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
+  /** Internal state: the value sum is EXACT integer cents (each value
+    * rounded to 2 dp HALF_UP — the same rule as Spark's double →
+    * DECIMAL(18,2) cast), so the running total is independent of the
+    * order rows reach the fold. A double accumulator would drift with
+    * iterator order (shuffle-dependent within a batch) and could never
+    * hash-match a batch oracle. */
+  // not private: Spark's encoder codegen cannot access private nested
+  // case classes ("Private member cannot be accessed")
+  case class UserState(n: Long, cents: Long, lastTsUs: Long)
+
+  // java.sql.Timestamp keeps sub-second precision in getNanos, not
+  // getTime (ms) — state tracks full epoch MICROseconds or max(ts)
+  // would silently truncate the micros the events carry
+  private def tsToMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Stateful running per-user aggregate via mapGroupsWithState (ST6-style
     * custom state, update mode): state persists across micro-batches in the
     * checkpointed state store. */
   def runningUserAggs(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
     import spark.implicits._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
     events.as[Event]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
-          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0, new Timestamp(0L)))
+      .mapGroupsWithState[UserState, UserAgg](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
           val next = batch.foldLeft(prev) { (acc, e) =>
-            UserAgg(userId, acc.n_events + 1, acc.total_value + e.value,
-              if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+            UserState(acc.n + 1, acc.cents + cents(e.value),
+              math.max(acc.lastTsUs, tsToMicros(e.ts)))
           }
           state.update(next)
-          next
+          // cents/100.0 is the nearest double to the exact decimal total —
+          // identical to CAST(DECIMAL AS DOUBLE) in any engine
+          UserAgg(userId, next.n, next.cents / 100.0, microsToTs(next.lastTsUs))
       }
   }
 
