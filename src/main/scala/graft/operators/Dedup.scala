@@ -81,6 +81,38 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** MinHash LSH band rows of a corpus: (doc_id, band_idx, band_val) —
+    * the persisted near-dup artifact at 100 TB (written once, bucketed by
+    * (band_idx, band_val) on disk, then every increment is deduped
+    * against it instead of re-banding the corpus). */
+  def bandIndex(docs: DataFrame, k: Int = 3): DataFrame =
+    minhashSignatures(docs, k)
+      .select(col("doc_id"),
+        posexplode(T.minhashBands(col("sig"))).as(Seq("band_idx", "band_val")))
+
+  /** Incremental near-dup detection — the band-index counterpart of
+    * [[incrementalExact]]: (i = increment doc, j = corpus doc, inter,
+    * jaccard) for every increment doc that lands in a band bucket with a
+    * corpus doc AND clears the EXACT k-gram jaccard threshold.
+    * Candidate generation is one hash equi-join of the increment's bands
+    * against the corpus band index (per-batch cost tracks the increment
+    * and the buckets it touches, never corpus²); verification joins only
+    * candidate docs' shingles, with the same candidate-only economics as
+    * [[minhashPairs]]. doc_ids of the two frames must be disjoint.
+    * Increment-internal near-dups are out of scope by contract — run the
+    * batch operator on the (small) increment for those. */
+  def incrementalNearDups(increment: DataFrame, corpus: DataFrame,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val candidates = bandIndex(increment, k).as("a")
+      .join(bandIndex(corpus, k).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val all = increment.select(col("doc_id"), col("text"))
+      .union(corpus.select(col("doc_id"), col("text")))
+    verifyJaccard(candidates, shingleRows(all, k), threshold)
+  }
+
   /** The skew-guard cutoff heuristic: max(16, 0.4 % of the corpus). At
     * sf0.1 this actively drops the df 21–25 shingle tail while every
     * qualifying pair still shares a df ≤ 10 shingle (measured). */

@@ -263,6 +263,24 @@ object PipelineQueries {
         inc, graft.operators.Dedup.exactIndex(docs))
     }),
 
+    // incremental NEAR-dup detection: increment bands vs the corpus band
+    // index, exact-jaccard verified. Fixture mirrors dedup_incremental:
+    // a hash-chosen 20% becomes the increment (new ids) — half near-dup
+    // copies of their corpus source (two appended tokens, jaccard ≈
+    // 0.97), half genuinely fresh short texts the verify must reject if
+    // they ever band-collide
+    "dedup_incremental_near" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inc = docs.filter(T.splitHash(col("doc_id"), "incn") >= 80)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 1,
+            concat(lit("fresh "), col("lang"), lit(" page about topic "),
+              col("doc_id").cast("string")))
+            .otherwise(concat(col("text"), lit(" tail note"))).as("text"))
+      graft.operators.Dedup.incrementalNearDups(
+        inc, docs.select(col("doc_id"), col("text")), k = 3, threshold = 0.5)
+    }),
+
     // C4-style PII redaction. The synthetic corpus carries no PII, so the
     // query PLANTS deterministic addresses/IPs/SSNs derived from row data
     // (varying presence: emails on 1/3 of docs, SSNs on 1/2, IPs on all)
@@ -592,6 +610,35 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "dedup_incremental_near" -> {
+      val r = T.MinhashK / T.MinhashBands
+      s"""WITH nin0 AS (SELECT orig_id + 1000000 AS doc_id,
+         |    CASE WHEN orig_id % 2 = 1 THEN 'fresh ' || lang || ' page about topic ' || orig_id
+         |         ELSE text || ' tail note' END AS text
+         |  FROM (SELECT doc_id AS orig_id, lang, text FROM documents
+         |        WHERE ${dPoly("'incn:' || doc_id")} % 100 >= 80)),
+         |nall AS (SELECT doc_id, text FROM nin0 UNION ALL SELECT doc_id, text FROM documents),
+         |nths AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM nall),
+         |nsh AS (SELECT doc_id, unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM nths),
+         |nsizes AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY doc_id),
+         |nshs AS (SELECT doc_id, ${dShingleHashes("ths", 3)} AS shs FROM nths),
+         |nsig AS (SELECT doc_id, ${dMinhashSig("shs")} AS sig FROM nshs),
+         |nbands AS (SELECT doc_id, nbj.r AS band_idx,
+         |           sig[nbj.r*$r+1] * $P + sig[nbj.r*$r+$r] AS band_val
+         |           FROM nsig, range(${T.MinhashBands}) nbj(r)),
+         |ncand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM nbands a JOIN nbands b
+         |          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |          AND a.doc_id >= 1000000 AND b.doc_id < 1000000),
+         |ninters AS (SELECT c.i, c.j, count(*) AS inter FROM ncand c
+         |            JOIN nsh sa ON sa.doc_id = c.i
+         |            JOIN nsh sb ON sb.doc_id = c.j AND sb.sh = sa.sh
+         |            GROUP BY 1, 2)
+         |SELECT t.i, t.j, t.inter, t.inter::DOUBLE / (na.n + nb.n - t.inter) AS jaccard
+         |FROM ninters t JOIN nsizes na ON t.i = na.doc_id JOIN nsizes nb ON t.j = nb.doc_id
+         |WHERE t.inter::DOUBLE / (na.n + nb.n - t.inter) >= 0.5
+         |ORDER BY t.i, t.j""".stripMargin
+    },
 
     // the increment is built in a subquery with the original id renamed:
     // DuckDB resolves lateral SELECT aliases, so `doc_id + 1000000 AS

@@ -272,6 +272,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one.sameElements(many))
   }
 
+  test("incrementalNearDups: near-dup increment docs pair with their corpus source only") {
+    import spark.implicits._
+    // two corpus near-dup planted pairs exist in `docs` already; build an
+    // increment of one near-copy and one unrelated doc
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val src = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).collect().head
+    val increment = Seq(
+      (9000001L, src.getString(1) + " tail note"),
+      (9000002L, "completely unrelated fresh content page")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(increment, corpus, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.exists { case (i, j, jac) =>
+      i == 9000001L && j == src.getLong(0) && jac > 0.8 })
+    assert(!got.exists(_._1 == 9000002L), "unrelated increment doc must not pair")
+  }
+
   test("splitHash: published 90/5/5 contract pinned to independently-computed literals") {
     // values computed outside the JVM (python: poly31 mod 1e9+7 of
     // "split:<id>", mod 100) — an independent anchor for the split
