@@ -94,17 +94,23 @@ object Dedup {
     * [[incrementalExact]]: (i = increment doc, j = corpus doc, inter,
     * jaccard) for every increment doc that lands in a band bucket with a
     * corpus doc AND clears the EXACT k-gram jaccard threshold.
-    * Candidate generation is one hash equi-join of the increment's bands
-    * against the corpus band index (per-batch cost tracks the increment
-    * and the buckets it touches, never corpus²); verification joins only
-    * candidate docs' shingles, with the same candidate-only economics as
-    * [[minhashPairs]]. doc_ids of the two frames must be disjoint.
+    *
+    * `corpusBands` is the PERSISTED [[bandIndex]] of the corpus — the
+    * operator never re-bands the corpus, so per-batch compute tracks the
+    * increment and the buckets it touches, never corpus². Candidate
+    * generation is one hash equi-join of the increment's bands against
+    * it; verification joins only candidate docs' shingles (same
+    * candidate-only economics as [[minhashPairs]]), so `corpus` text is
+    * touched only for the candidate docs (point reads against an
+    * id-partitioned corpus at scale). doc_ids of the two frames must be
+    * disjoint — an overlapping id merges two texts under one key and
+    * silently corrupts that id's jaccards (spec-pinned precondition).
     * Increment-internal near-dups are out of scope by contract — run the
     * batch operator on the (small) increment for those. */
-  def incrementalNearDups(increment: DataFrame, corpus: DataFrame,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def incrementalNearDups(increment: DataFrame, corpusBands: DataFrame,
+      corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val candidates = bandIndex(increment, k).as("a")
-      .join(bandIndex(corpus, k).as("b"),
+      .join(corpusBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
@@ -211,8 +217,7 @@ object Dedup {
     * the corpus pair count. Returns verified pairs ≥ threshold (subset of
     * ngramJaccardPairs limited to LSH candidates). */
   def minhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val bands = minhashSignatures(docs, k)
-      .select(col("doc_id"), posexplode(T.minhashBands(col("sig"))).as(Seq("band_idx", "band_val")))
+    val bands = bandIndex(docs, k)
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
@@ -286,7 +291,7 @@ object Dedup {
     componentsDistributed(spark, edges, checkpointEvery)
   }
 
-  private def rmdir(f: java.io.File): Unit = {
+  private[graft] def rmdir(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()
   }
 

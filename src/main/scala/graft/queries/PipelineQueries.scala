@@ -277,8 +277,13 @@ object PipelineQueries {
             concat(lit("fresh "), col("lang"), lit(" page about topic "),
               col("doc_id").cast("string")))
             .otherwise(concat(col("text"), lit(" tail note"))).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+      // the band index is built here because the oracle needs it derived
+      // from the same table at query time; in production it is the
+      // persisted artifact
       graft.operators.Dedup.incrementalNearDups(
-        inc, docs.select(col("doc_id"), col("text")), k = 3, threshold = 0.5)
+        inc, graft.operators.Dedup.bandIndex(corpus, k = 3),
+        corpus, k = 3, threshold = 0.5)
     }),
 
     // C4-style PII redaction. The synthetic corpus carries no PII, so the

@@ -35,13 +35,10 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
     // the memory sink holds the rows; the checkpoint has served its
-    // purpose — don't litter tmpdir with one dir per run
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    rm(new java.io.File(ckpt))
+    // purpose once the query terminates (or fails) — don't litter tmpdir
+    try q.awaitTermination()
+    finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
     spark.table(name).orderBy(order.map(col): _*)
   }
 

@@ -283,7 +283,10 @@ class PipelineOpsSpec extends SparkSpec {
       (9000001L, src.getString(1) + " tail note"),
       (9000002L, "completely unrelated fresh content page")
     ).toDF("doc_id", "text")
-    val got = Dedup.incrementalNearDups(increment, corpus, k = 3, threshold = 0.5)
+    assert(increment.join(corpus, Seq("doc_id"), "left_semi").isEmpty,
+      "precondition: increment and corpus ids must be disjoint")
+    val got = Dedup.incrementalNearDups(increment,
+        Dedup.bandIndex(corpus, k = 3), corpus, k = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(got.exists { case (i, j, jac) =>
       i == 9000001L && j == src.getLong(0) && jac > 0.8 })
