@@ -26,12 +26,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright. Read nanos as long (legacy conf) and truncate to
-    * microseconds — exactly what DuckDB does when it loads the same file, so
-    * oracle comparisons stay bit-identical.
+    * rejects outright — reading it requires `spark.sql.legacy.parquet.
+    * nanosAsLong=true`. This is a deliberate, DOCUMENTED session-lifetime
+    * mutation, not an oversight: the conf is consulted at SCAN time, when
+    * the (lazy) frames built here finally execute, so "restore it after
+    * building the plan" would break every frame still in flight. Set-once
+    * (idempotent guard) keeps repeated table loads from churning the conf
+    * map.
+    */
+  private[graft] def ensureNanosAsLong(s: SparkSession): Unit =
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Events with `ts` truncated to microseconds — exactly what DuckDB does
+    * when it loads the same file, so oracle comparisons stay bit-identical.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(s)
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),

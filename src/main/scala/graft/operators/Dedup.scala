@@ -114,8 +114,16 @@ object Dedup {
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-    val all = increment.select(col("doc_id"), col("text"))
-      .union(corpus.select(col("doc_id"), col("text")))
+    // Reduce the corpus to candidate docs BEFORE shingling: the semi-join
+    // inside verifyJaccard happens above the tokenize+explode, so feeding it
+    // the full corpus would tokenize every corpus document per batch. The
+    // row-level semi-join here keeps per-batch text work proportional to
+    // the candidate count (point reads against an id-partitioned corpus at
+    // scale), as the contract above promises.
+    val candJ = candidates.select(col("j").as("doc_id")).distinct()
+    val touched = corpus.select(col("doc_id"), col("text"))
+      .join(candJ, Seq("doc_id"), "left_semi")
+    val all = increment.select(col("doc_id"), col("text")).union(touched)
     verifyJaccard(candidates, shingleRows(all, k), threshold)
   }
 

@@ -83,8 +83,15 @@ object Multimodal {
     else docs.withColumn("content", col("text").cast("binary"))
 
   /** Batch decode: one decoder instantiation per partition (the expensive
-    * part for real codecs), streaming through the rows. */
-  def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+    * part for real codecs), streaming through the rows.
+    *
+    * `decoder` defaults to the real-where-possible [[decode]]; callers
+    * whose downstream contract is pinned to the stub formula (the declared
+    * oracle queries — their DuckDB SQL hardcodes [[decodeStub]]'s
+    * arithmetic) pass [[decodeStub]] explicitly, so parity never depends
+    * on "no text payload happens to parse as an image". */
+  def decodeMeta(spark: SparkSession, docs: DataFrame,
+      decoder: Array[Byte] => (Long, Long, Long) = decode): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload(docs).select(col("doc_id"), col("content")).as[MediaIn]
       .mapPartitions { it =>
@@ -92,7 +99,7 @@ object Multimodal {
         it.map { m =>
           md.reset()
           val sha = md.digest(m.content).map(b => f"${b & 0xff}%02x").mkString
-          val (w, h, f) = decode(m.content)
+          val (w, h, f) = decoder(m.content)
           MediaMeta(m.doc_id, m.content.length.toLong, sha, w, h, f)
         }
       }
@@ -106,8 +113,9 @@ object Multimodal {
     * can skip resampling) is the distributed planning half a 100 TB
     * pipeline runs first, and it never touches payload bytes (column
     * pruning keeps the scan metadata-only). */
-  def resizePlan(spark: SparkSession, docs: DataFrame, box: Long = 224): DataFrame = {
-    val meta = decodeMeta(spark, docs).toDF()
+  def resizePlan(spark: SparkSession, docs: DataFrame, box: Long = 224,
+      decoder: Array[Byte] => (Long, Long, Long) = decode): DataFrame = {
+    val meta = decodeMeta(spark, docs, decoder).toDF()
     // scale = box / max(w, h), clamped to 1 (never upscale); floor to ints
     val longSide = greatest(col("width"), col("height"))
     val needs = longSide > box
@@ -129,8 +137,9 @@ object Multimodal {
     * downstream joins to the embeddings ops) is real and oracle-checkable
     * while the encoder itself is the documented stub. */
   def featureExtract(spark: SparkSession, docs: DataFrame,
-      nFeatures: Int = Multimodal.DefaultFeatures): DataFrame = {
-    val meta = decodeMeta(spark, docs).toDF()
+      nFeatures: Int = Multimodal.DefaultFeatures,
+      decoder: Array[Byte] => (Long, Long, Long) = decode): DataFrame = {
+    val meta = decodeMeta(spark, docs, decoder).toDF()
     val feats = (0 until nFeatures).map { i =>
       (conv(substring(col("sha256"), 2 * i + 1, 2), 16, 10).cast("long") / 255.0)
         .as(s"f$i")
@@ -145,8 +154,9 @@ object Multimodal {
     * (doc_id, frame_idx). Index selection is pure arithmetic over n_frames
     * (oracle-checkable); the frame-bytes extraction is the codec's job
     * behind the same stub boundary as decodeStub. */
-  def frameSample(spark: SparkSession, docs: DataFrame, maxFrames: Int = 4): DataFrame = {
-    val meta = decodeMeta(spark, docs).toDF()
+  def frameSample(spark: SparkSession, docs: DataFrame, maxFrames: Int = 4,
+      decoder: Array[Byte] => (Long, Long, Long) = decode): DataFrame = {
+    val meta = decodeMeta(spark, docs, decoder).toDF()
     val stride = ceil(col("n_frames").cast("double") / maxFrames).cast("long")
     meta.select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, stride)).as("frame_idx"))

@@ -23,6 +23,18 @@ object PipelineQueries {
 
   private val P = T.HashMod.toString
 
+  /** Increment ids for the incremental-dedup fixtures: corpus id + 1e6,
+    * with the disjointness precondition ENFORCED — both the oracle SQL and
+    * [[graft.operators.Dedup.incrementalNearDups]]'s contract classify
+    * sides by `doc_id >= 1000000`, so a corpus that ever reaches 1e6 rows
+    * must fail loudly instead of silently merging an increment doc with
+    * its colliding corpus doc. The guard is a row-level raise_error that
+    * never fires on valid data, so the oracle needs no mirror. */
+  private def incrementId(docId: org.apache.spark.sql.Column) =
+    when(docId >= 1000000L, raise_error(lit(
+      "incremental fixture precondition violated: corpus doc_id >= 1e6 collides with increment ids")))
+      .otherwise(docId + 1000000L).as("doc_id")
+
   /** Polynomial rolling hash of a string expression. */
   private def dPoly(v: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($v, ''), pc -> ascii(pc)::BIGINT)), (pa, px) -> (pa*31 + px) % $P)"
@@ -255,7 +267,7 @@ object PipelineQueries {
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val inc = docs.filter(T.splitHash(col("doc_id"), "inc") >= 80)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select(incrementId(col("doc_id")),
           when(pmod(col("doc_id"), lit(10L)) === 1, lit("boilerplate page v2"))
             .when(pmod(col("doc_id"), lit(2L)) === 0, col("text"))
             .otherwise(concat(col("text"), lit(" v2"))).as("text"))
@@ -272,7 +284,7 @@ object PipelineQueries {
     "dedup_incremental_near" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val inc = docs.filter(T.splitHash(col("doc_id"), "incn") >= 80)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select(incrementId(col("doc_id")),
           when(pmod(col("doc_id"), lit(2L)) === 1,
             concat(lit("fresh "), col("lang"), lit(" page about topic "),
               col("doc_id").cast("string")))
@@ -385,17 +397,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the multimodal_* oracles hardcode decodeStub's arithmetic, so the
+    // declared queries pin the stub decoder explicitly — parity must not
+    // hinge on text payloads always failing the ImageIO parse. The real
+    // decode path is spec-covered (MultimodalSpec, generated PNG).
     "multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(s, Tables.documents(s, d)).toDF().orderBy(col("doc_id"))),
+      Multimodal.decodeMeta(s, Tables.documents(s, d), Multimodal.decodeStub)
+        .toDF().orderBy(col("doc_id"))),
 
     "multimodal_resize" -> ((s, d) =>
-      Multimodal.resizePlan(s, Tables.documents(s, d), box = 224)),
+      Multimodal.resizePlan(s, Tables.documents(s, d), box = 224,
+        decoder = Multimodal.decodeStub)),
 
     "multimodal_frames" -> ((s, d) =>
-      Multimodal.frameSample(s, Tables.documents(s, d), maxFrames = 4)),
+      Multimodal.frameSample(s, Tables.documents(s, d), maxFrames = 4,
+        decoder = Multimodal.decodeStub)),
 
     "multimodal_features" -> ((s, d) =>
-      Multimodal.featureExtract(s, Tables.documents(s, d)))
+      Multimodal.featureExtract(s, Tables.documents(s, d),
+        decoder = Multimodal.decodeStub))
   )
 
   // ---- oracle SQL ----

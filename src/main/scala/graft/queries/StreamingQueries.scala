@@ -39,7 +39,16 @@ object StreamingQueries {
     // purpose once the query terminates (or fails) — don't litter tmpdir
     try q.awaitTermination()
     finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
-    spark.table(name).orderBy(order.map(col): _*)
+    // Memory-sink contents are driver-resident BY DESIGN (that's the sink's
+    // contract), so collecting them adds no new scale hazard — and it lets
+    // the uniquely-named temp view be dropped immediately instead of
+    // accumulating one leaked in-memory table per run in a long-lived
+    // session (bench warmup+timed passes, correctness reruns).
+    val sunk = spark.table(name)
+    val rows = java.util.Arrays.asList(sunk.collect(): _*)
+    val out = spark.createDataFrame(rows, sunk.schema)
+    spark.catalog.dropTempView(name)
+    out.orderBy(order.map(col): _*)
   }
 
   /** EventStreams.windowedStats (10 min tumbling windows, 30 min

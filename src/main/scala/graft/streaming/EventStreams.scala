@@ -35,7 +35,7 @@ object EventStreams {
     * and truncate to micros, exactly Tables.events's batch conversion (and
     * exactly what DuckDB does loading the same file). */
   def readTestdataEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark) // documented session-lifetime conf
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
