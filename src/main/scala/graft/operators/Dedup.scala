@@ -127,6 +127,43 @@ object Dedup {
     verifyJaccard(candidates, shingleRows(all, k), threshold)
   }
 
+  /** Cross-document repeated-SPAN statistics — the span-grain face of
+    * dedup (suffix-array-style "this 3-token span also appears verbatim
+    * in another document"), the signal behind span-level train-data
+    * dedup à la Lee et al.'s substring deduplication.
+    *
+    * Unit of account is the span OCCURRENCE (every position, repeats
+    * included — unlike the distinct-shingle grain the Jaccard family
+    * uses): a doc that repeats a cross-document span 5 times has 5
+    * duplicated spans. A span occurrence is "duplicated" iff its 60-bit
+    * shingle id appears in ≥ 2 DISTINCT documents; within-doc-only
+    * repetition is doc_repetition's business, not this operator's.
+    *
+    * Scale shape: one explode to (doc_id, sh) occurrence rows, a
+    * distinct+count to build the cross-document span index (at 100 TB
+    * this index is the precomputed artifact, exactly like the exact-dedup
+    * content index), then ONE semi-join of occurrences against it. No
+    * pair generation anywhere, so a stop-phrase span in 10 % of the
+    * corpus costs its row count, never df² — this operator needs no skew
+    * guard by construction. Docs shorter than k tokens have no spans and
+    * are absent from the output (documented contract). */
+  def spanDupStats(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"), explode(T.shingleIds(col("ths"), k)).as("sh"))
+    val crossDocSpans = spans.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("sh"))
+    val perDoc = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(crossDocSpans, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio", col("n_dup_spans") / col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The skew-guard cutoff heuristic: max(16, 0.4 % of the corpus). At
     * sf0.1 this actively drops the df 21–25 shingle tail while every
     * qualifying pair still shares a df ≤ 10 shingle (measured). */

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Relevance scoring over the document corpus — the retrieval half of a
+  * training-data pipeline (query-focused corpus slicing, nearest-neighbor
+  * text retrieval for eval decontamination, quality-weighted sampling).
+  *
+  * BM25 here is expressed entirely as codegen'd column arithmetic over
+  * ONE corpus scan plus a single 1-row global-statistics aggregate that
+  * broadcasts back — no explode, no shuffle of token rows, no UDF:
+  * per-document term frequencies come from `filter()` over the token
+  * array in the scan stage. At 100 TB the heavy operand (the documents
+  * scan) is embarrassingly parallel and the only synchronization is the
+  * 1-row stats exchange.
+  *
+  * Float discipline (the hash-gate contract): term scores are derived
+  * from exact BIGINT counts (tf, df, dl, N, Σdl) through a FIXED
+  * left-to-right operation tree, mirrored token-for-token by the oracle
+  * SQL generated from the same constants — the only transcendental is
+  * ln() on identical double inputs, one per term.
+  */
+object Ranking {
+
+  /** BM25 scores for every document against a bag of query `terms`.
+    * Output: (doc_id, dl, tf_<term>..., score), ordered by doc_id; docs
+    * matching no term score exactly 0.0 (0/positive), so the output has
+    * one row per document — rank downstream with an ORDER BY score or a
+    * top-k. k1/b are the standard Robertson defaults. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = T.tokens(col("text"))
+    val tfCols = terms.map(t =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t"))
+    val base = docs.select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+
+    val withStats = base.crossJoin(broadcast(stats))
+    def d(c: String): Column = col(c).cast("double")
+    // avgdl as one division, referenced (recomputed identically) per term —
+    // the oracle SQL spells the same tree: (sum_dl / n_docs)
+    val avgdl = d("sum_dl") / d("n_docs")
+    def termScore(t: String): Column = {
+      // idf is quantized through float32: ln() is the one operation whose
+      // last ulp differs between libm implementations (observed JVM vs
+      // DuckDB at sf0.01), and a float round-trip collapses a 1-ulp double
+      // disagreement with probability 1 − 2⁻²⁹. A 7-significant-digit idf
+      // is far inside any ranking application's noise floor; everything
+      // else in the tree is exact-integer-derived double arithmetic.
+      val idf = log(lit(1.0) + (d("n_docs") - d(s"df_$t") + lit(0.5)) / (d(s"df_$t") + lit(0.5)))
+        .cast("float").cast("double")
+      val num = d(s"tf_$t") * lit(k1 + 1.0)
+      val den = d(s"tf_$t") + lit(k1) * (lit(1.0 - b) + lit(b) * d("dl") / avgdl)
+      idf * (num / den)
+    }
+    val score = terms.map(termScore).reduceLeft(_ + _)
+    withStats.select(
+        col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t")) :+ score.as("score"): _*)
+      .orderBy(col("doc_id"))
+  }
+}

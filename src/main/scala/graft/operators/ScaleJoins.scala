@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+import org.apache.spark.sql.types.BinaryType
 
 /** Join shapes for hostile data distributions at 100 TB.
   *
@@ -51,6 +55,48 @@ object ScaleJoins {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Bloom-filtered semi-join: `big` rows whose `bigKey` appears among
+    * `small`'s `smallKey`s, with a Bloom sketch of the small side's keys
+    * pushed into the big side's SCAN stage before any shuffle — the
+    * manual form of Spark's runtime row-level filtering, exposed as an
+    * operator so a pipeline can apply it where the optimizer's heuristics
+    * don't reach (e.g. the probe side arrives through a union or a
+    * custom source the runtime-filter rule won't traverse).
+    *
+    * Mechanics: the sketch is built DISTRIBUTED (BloomFilterAggregate is
+    * a partial-mergeable aggregate — each partition of `small` builds a
+    * partial sketch, only sketches merge upward), and the single final
+    * sketch (numBits/8 bytes, bounded by construction ≤ 16 MB here) is
+    * inlined as a foldable literal in a `might_contain` predicate on the
+    * big side — codegen'd, evaluated at the scan, BEFORE the shuffle.
+    * At 100 TB that is the entire point: the big side's shuffle volume
+    * drops to ~(match rate + fpp) of the table, for the price of one
+    * small-side pass and a broadcast-sized sketch. False positives are
+    * then discharged by the exact semi-join on the survivors, so the
+    * OUTPUT is bit-identical to the plain semi-join (the oracle).
+    *
+    * The driver holds only the sketch — never keys — so this stays
+    * collect-discipline-clean at any small-side cardinality that fits
+    * the sketch's false-positive budget. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "invalid bloom parameters")
+    // standard optimal sizing: m = -n·ln(p)/(ln 2)², capped at 128 Mbit
+    val numBits = math.min(
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      128L * 1024 * 1024 * 8)
+    val sketchAgg = column(new BloomFilterAggregate(
+      expression(xxhash64(col(smallKey))), Literal(expectedItems), Literal(numBits)
+    ).toAggregateExpression())
+    val sketch = small.select(sketchAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = column(BloomFilterMightContain(
+      Literal(sketch, BinaryType), expression(xxhash64(col(bigKey)))))
+    big.filter(mightContain)
+      .join(small.select(col(smallKey).as(bigKey)).distinct(),
+        Seq(bigKey), "left_semi")
+  }
 
   /** Range (interval) join: points joined to every interval containing
     * them — `points.pt` in `[intervals.lo, intervals.hi)` — WITHOUT the

@@ -35,6 +35,12 @@ object PipelineQueries {
       "incremental fixture precondition violated: corpus doc_id >= 1e6 collides with increment ids")))
       .otherwise(docId + 1000000L).as("doc_id")
 
+  /** BM25 declared-query constants — Ranking.bm25 and the oracle SQL are
+    * both driven from these values (one source of truth, no drift). */
+  private val Bm25Terms = Seq("spark", "vector", "hash")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   /** Polynomial rolling hash of a string expression. */
   private def dPoly(v: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($v, ''), pc -> ascii(pc)::BIGINT)), (pa, px) -> (pa*31 + px) % $P)"
@@ -256,6 +262,19 @@ object PipelineQueries {
     // 60-bit shingle ids; one equi-join, no cross product)
     "doc_contamination" -> ((s, d) =>
       graft.operators.Contamination.testSetOverlap(Tables.documents(s, d), k = 3)),
+
+    // span-grain cross-document dedup stats: every k-token span occurrence
+    // that also appears verbatim in another document (suffix-array-style
+    // substring dedup signal, occurrence grain — within-doc repeats of a
+    // cross-doc span all count)
+    "doc_span_dedup" -> ((s, d) =>
+      graft.operators.Dedup.spanDupStats(Tables.documents(s, d), k = 3)),
+
+    // BM25 relevance over the corpus: exact integer tf/df/dl through a
+    // fixed float tree; one scan + a broadcast 1-row stats aggregate
+    "doc_bm25" -> ((s, d) =>
+      graft.operators.Ranking.bm25(Tables.documents(s, d), Bm25Terms,
+        k1 = Bm25K1, b = Bm25B)),
 
     // incremental exact dedup: the daily-batch shape at 100 TB — dedup
     // the increment against the persisted corpus content index, never
@@ -625,6 +644,47 @@ object PipelineQueries {
         |  FROM sized)
         |SELECT doc_id, n_tokens, tok_offset, CAST(tok_offset // 2048 AS BIGINT) AS bin
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // span-occurrence grain: unnest WITHOUT list_distinct (the Jaccard
+    // family's distinct grain would undercount repeated spans); the
+    // cross-doc index is distinct-(doc,sh) → count >= 2
+    "doc_span_dedup" ->
+      s"""WITH sd0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
+         |sd AS (SELECT doc_id, unnest(${dShingleIds("ths", 3)}) AS sh FROM sd0),
+         |sdx AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sd) GROUP BY sh HAVING count(*) >= 2),
+         |sdn AS (SELECT doc_id, count(*) AS n_spans FROM sd GROUP BY doc_id),
+         |sdd AS (SELECT doc_id, count(*) AS n_dup_spans FROM sd JOIN sdx USING (sh) GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_spans, coalesce(dd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+         |  coalesce(dd.n_dup_spans, 0) / p.n_spans AS dup_ratio
+         |FROM sdn p LEFT JOIN sdd dd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // mirrors Ranking.bm25's fixed operation tree term by term; every
+    // count is exact BIGINT, the only transcendental is ln() on identical
+    // double inputs (one per query term)
+    "doc_bm25" -> {
+      val (k1, b) = (Bm25K1, Bm25B)
+      val tfDefs = Bm25Terms.map(t =>
+        s"len(list_filter(string_split(text, ' '), x -> x = '$t'))::BIGINT AS tf_$t").mkString(",\n  ")
+      val dfDefs = Bm25Terms.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t").mkString(",\n  ")
+      // idf float32 round-trip mirrors Ranking.bm25's quantization (libm
+      // ln() differs in the last ulp between engines; float collapses it)
+      val termScores = Bm25Terms.map { t =>
+        s"CAST(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)) AS FLOAT) AS DOUBLE)" +
+        s" * ((CAST(tf_$t AS DOUBLE) * ${k1 + 1.0}) / (CAST(tf_$t AS DOUBLE) + $k1 * " +
+        s"(${1.0 - b} + $b * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+      }.mkString(" + ")
+      s"""WITH bmb AS (SELECT doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS dl,
+         |  $tfDefs
+         |  FROM documents),
+         |bms AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         |  $dfDefs
+         |  FROM bmb)
+         |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+         |  $termScores AS score
+         |FROM bmb, bms ORDER BY doc_id""".stripMargin
+    },
 
     "doc_contamination" ->
       s"""WITH csp AS (SELECT doc_id, text, ${dPoly("'split:' || doc_id")} % 100 AS h FROM documents),

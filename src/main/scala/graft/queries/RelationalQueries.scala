@@ -378,6 +378,25 @@ object RelationalQueries {
       .orderBy(col("tier"))
   }
 
+  /** Bloom-filtered semi-join via graft.operators.ScaleJoins.bloomSemiJoin:
+    * lineitems belonging to high-value orders. The small side's key sketch
+    * is evaluated against the lineitem scan BEFORE any shuffle; false
+    * positives are discharged by the exact semi-join, so the oracle is the
+    * plain IN-subquery — the bloom must be result-neutral. */
+  def q33BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    graft.operators.ScaleJoins.bloomSemiJoin(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice")),
+        hi, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), dsum("l_extendedprice").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Skew-safe equi-join via graft.operators.ScaleJoins.saltedEquiJoin:
     * lineitem ⋈ supplier on l_suppkey with the hot-key salt split. The
     * oracle is the plain equi-join — salting must be result-neutral. */
@@ -431,7 +450,8 @@ object RelationalQueries {
     "q15_events_per_day" -> (q15EventsPerDay _),
     "q16_above_avg" -> (q16AboveAvg _),
     "q31_range_join" -> (q31RangeJoin _),
-    "q32_salted_join" -> (q32SaltedJoin _)
+    "q32_salted_join" -> (q32SaltedJoin _),
+    "q33_bloom_join" -> (q33BloomJoin _)
   )
 
   val q1AggSql: String =
@@ -644,6 +664,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_name ORDER BY s_name""".stripMargin
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // the plain IN-subquery semi-join — the bloom prefilter must be
+    // result-neutral (false positives discharged by the exact join)
+    "q33_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -86,11 +86,26 @@ object StreamingQueries {
     runToCompletion(spark, "suagg", agg, Seq("user_id"), mode = "update")
   }
 
+  /** EventStreams.eventPairsWithin — views within the 4 hours before
+    * each click, per user — driven to completion. Inner stream-stream
+    * interval joins emit each pair the moment both sides have arrived
+    * (the watermark only expires state), so the batch range join over the
+    * same data is a bit-exact oracle. The 4 h lookback is sized to the
+    * testdata's event density: 10 min would pair almost nothing at the
+    * gate's SFs and leave the oracle near-vacuous. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = EventStreams.readTestdataEvents(spark, dir)
+    runToCompletion(spark, "sjoin",
+      EventStreams.eventPairsWithin(ev, "click", "view", lookback = "4 hours"),
+      Seq("a_id", "b_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_stats" -> (streamWindowStats _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
-    "stream_user_aggs" -> (streamUserAggs _))
+    "stream_user_aggs" -> (streamUserAggs _),
+    "stream_join" -> (streamJoin _))
 
   /** Batch equivalent of the append-mode streaming emission: tumbling
     * windows (epoch-aligned, as Spark's window()), emitted iff the window
@@ -151,5 +166,15 @@ object StreamingQueries {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  max(ts) AS last_ts
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the batch range join the streaming interval join must reproduce
+    "stream_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+        |  a.ts AS a_ts, b.ts AS b_ts
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id
+        | AND b.ts >= a.ts - INTERVAL 4 HOUR AND b.ts <= a.ts
+        |WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -97,6 +97,32 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join (ST5/ST6 family): pair every `aType`
+    * event with the same user's `bType` events from the preceding
+    * `lookback` window (inclusive both ends) — the attribution shape
+    * ("which views preceded this click"). Both sides carry a watermark
+    * and the join condition bounds b's event time relative to a's, which
+    * is exactly what lets Spark expire join state: a buffered b row can
+    * be dropped once the a-side watermark passes b_ts + lookback. Inner
+    * join ⇒ append-mode output; every emitted pair is final, so a
+    * batch range-join over the same data is a bit-exact oracle. */
+  def eventPairsWithin(events: DataFrame, aType: String, bType: String,
+      lookback: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val a = events.filter(col("event_type") === aType)
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === bType)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $lookback") &&
+        col("b_ts") <= col("a_ts"))
+      .select(col("a_id"), col("b_id"), col("user_id"), col("a_ts"), col("b_ts"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double,

@@ -391,6 +391,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("spanDupStats: occurrence grain, cross-doc only, short docs absent") {
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta"),          // spans: abg, bgd(elta)... 2 spans
+      (2L, "alpha beta gamma omega"),          // shares span "alpha beta gamma" with 1
+      (3L, "alpha beta gamma alpha beta gamma alpha beta gamma"), // shared span ×3 + own repeats
+      (4L, "zeta eta theta iota"),             // no cross-doc span
+      (5L, "one two")                          // < k tokens: no spans, absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupStats(fixture, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 3 tokens: a b g a b g a b g → 7 spans; those equal to "alpha beta
+    // gamma" (positions 0,3,6) ARE cross-doc (docs 1,2 have it) and the
+    // rolled spans (b g a), (g a b) appear 2×/2× within doc 3 only → not
+    // cross-doc. So n_dup_spans = 3.
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((7L, 3L)))
+    assert(got(4L) == ((2L, 0L)))
+    assert(!got.contains(5L), "docs shorter than k tokens have no spans")
+  }
+
+  test("bm25: zero-match docs score 0, higher tf wins at equal length") {
+    val fixture = Seq(
+      (1L, "spark spark spark filler filler filler"),
+      (2L, "spark filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = Ranking.bm25(fixture, Seq("spark")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    assert(got(3L) == 0.0, "no query term → exactly 0.0")
+    assert(got(1L) > got(2L), "tf 3 must outscore tf 1 at equal dl")
+    assert(got(2L) > 0.0)
+  }
+
   test("pqKnn: ADC candidates + exact rerank track brute-force top-k") {
     val exact = Similarity.bruteForceKnn(embs, 0L, k = 10)
       .select("vec_id").as[Long].collect().toSet

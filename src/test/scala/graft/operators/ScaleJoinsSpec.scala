@@ -54,6 +54,28 @@ class ScaleJoinsSpec extends SparkSpec {
       "the fractional-hi final-bucket row must be present")
   }
 
+  test("bloom semi-join: result-neutral vs plain semi-join, sketch prunes pre-shuffle") {
+    // parquet-backed big side: a LocalRelation would let Catalyst evaluate
+    // the might_contain filter at optimization time and hide it from the plan
+    val bigDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bloom_spec").getAbsolutePath
+    (1L to 5000L).map(i => (i % 500, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(bigDir)
+    val big = spark.read.parquet(bigDir)
+    val small = Seq(7L, 13L, 99L).toDF("sk")
+    val plain = big.join(small.select($"sk".as("k")), Seq("k"), "left_semi")
+      .collect().toSet
+    val bloomed = ScaleJoins.bloomSemiJoin(big, small, "k", "sk",
+      expectedItems = 100L, fpp = 0.01)
+    assert(bloomed.collect().toSet == plain)
+    // the might_contain predicate must sit on the big side BELOW the join
+    // (scan-stage pruning is the operator's entire point)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"sketch filter missing from plan:\n$plan")
+    // keys 7/13/99 each appear 10× in big (i % 500) → 30 surviving rows
+    assert(bloomed.count() == 30)
+  }
+
   test("dedup survivors: one doc kept per cluster, unpaired docs untouched") {
     val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
