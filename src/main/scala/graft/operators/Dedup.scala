@@ -147,13 +147,23 @@ object Dedup {
     * corpus costs its row count, never df² — this operator needs no skew
     * guard by construction. Docs shorter than k tokens have no spans and
     * are absent from the output (documented contract). */
-  def spanDupStats(docs: DataFrame, k: Int = 3): DataFrame = {
-    val spans = docs
-      .select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
-      .select(col("doc_id"), explode(T.shingleIds(col("ths"), k)).as("sh"))
-    val crossDocSpans = spans.select(col("doc_id"), col("sh")).distinct()
+  /** Every k-token span occurrence: (doc_id, pos, sh) — pos is the
+    * 0-based token index the span starts at. */
+  private[operators] def spanOccurrences(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
+      .select(col("doc_id"),
+        posexplode(T.shingleIds(col("ths"), k)).as(Seq("pos", "sh")))
+
+  /** Shingle ids present in ≥ 2 distinct documents — the cross-document
+    * span index (the precomputable artifact at 100 TB). */
+  private[operators] def crossDocSpanIndex(spans: DataFrame): DataFrame =
+    spans.select(col("doc_id"), col("sh")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("sh"))
+
+  def spanDupStats(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spans = spanOccurrences(docs, k)
+    val crossDocSpans = crossDocSpanIndex(spans)
     val perDoc = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
     val dupPerDoc = spans.join(crossDocSpans, Seq("sh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
@@ -161,6 +171,36 @@ object Dedup {
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
       .withColumn("dup_ratio", col("n_dup_spans") / col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span-level dedup as a TRANSFORM: remove every token covered by a
+    * cross-document duplicated k-span, keeping the rest of the document —
+    * the Lee-et-al-style substring-dedup rewrite ([[spanDupStats]] is the
+    * detection half; this is the removal half). A token at index i is
+    * dropped iff some duplicated span starts at s ∈ [i−k+1, i] in its
+    * document; untouched documents pass through verbatim.
+    *
+    * Shape: the same one explode + index semi-join as the stats op, then
+    * the duplicated START POSITIONS come back to the document as one
+    * sorted int array (bounded by tokens-per-doc) and the rewrite is
+    * per-row codegen'd array work in the scan stage — filter-with-index
+    * over the token array, no second shuffle. Output: (doc_id, n_tokens,
+    * n_kept, text_scrubbed), one row per input document. */
+  def scrubDupSpans(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spans = spanOccurrences(docs, k)
+    val starts = spans.join(crossDocSpanIndex(spans), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("dup_starts"))
+    val toks = T.tokens(col("text"))
+    val ds = coalesce(col("dup_starts"), array().cast("array<int>"))
+    val kept = filter(toks, (x, i) =>
+      !exists(ds, s => s <= i && i <= s + (k - 1)))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", kept).as("text_scrubbed"))
       .orderBy(col("doc_id"))
   }
 

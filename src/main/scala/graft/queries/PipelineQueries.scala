@@ -276,6 +276,11 @@ object PipelineQueries {
       graft.operators.Ranking.bm25(Tables.documents(s, d), Bm25Terms,
         k1 = Bm25K1, b = Bm25B)),
 
+    // the removal half of span dedup: tokens covered by any cross-doc
+    // duplicated span are dropped, rewrite gated on the scrubbed text hash
+    "doc_span_scrub" -> ((s, d) =>
+      graft.operators.Dedup.scrubDupSpans(Tables.documents(s, d), k = 3)),
+
     // incremental exact dedup: the daily-batch shape at 100 TB — dedup
     // the increment against the persisted corpus content index, never
     // re-dedup the corpus. The corpus has no exact dups, so the query
@@ -657,6 +662,29 @@ object PipelineQueries {
          |SELECT p.doc_id, p.n_spans, coalesce(dd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
          |  coalesce(dd.n_dup_spans, 0) / p.n_spans AS dup_ratio
          |FROM sdn p LEFT JOIN sdd dd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // span removal: zipped unnests give (pos, sh) occurrence rows; dup
+    // start positions come back per doc as a sorted list; the rewrite is
+    // an index-aware list_filter (DuckDB lambda index is 1-BASED — the
+    // i - 1 aligns it with Spark's 0-based filter index and the 0-based
+    // span positions)
+    "doc_span_scrub" ->
+      s"""WITH sc0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
+         |sc1 AS (SELECT doc_id, ${dShingleIds("ths", 3)} AS sids FROM sc0),
+         |scp AS (SELECT doc_id, unnest(range(len(sids))) AS pos, unnest(sids) AS sh FROM sc1),
+         |scx AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM scp) GROUP BY sh HAVING count(*) >= 2),
+         |scs AS (SELECT doc_id, list(pos ORDER BY pos) AS dup_starts
+         |        FROM scp JOIN scx USING (sh) GROUP BY doc_id),
+         |scd AS (SELECT d.doc_id, d.text, coalesce(s.dup_starts, []::BIGINT[]) AS ds
+         |        FROM documents d LEFT JOIN scs s USING (doc_id)),
+         |sck AS (SELECT doc_id, text,
+         |        list_filter(string_split(text, ' '),
+         |          (x, i) -> len(list_filter(ds, sv -> sv <= i - 1 AND i - 1 <= sv + 2)) = 0) AS kept
+         |        FROM scd)
+         |SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  len(kept)::BIGINT AS n_kept,
+         |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
+         |FROM sck ORDER BY doc_id""".stripMargin,
 
     // mirrors Ranking.bm25's fixed operation tree term by term; every
     // count is exact BIGINT, the only transcendental is ln() on identical

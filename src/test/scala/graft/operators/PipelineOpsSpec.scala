@@ -412,6 +412,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.contains(5L), "docs shorter than k tokens have no spans")
   }
 
+  test("scrubDupSpans: covered tokens dropped, clean docs verbatim") {
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma omega"),
+      (3L, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+      (4L, "zeta eta theta iota"),
+      (5L, "one two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDupSpans(fixture, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((4L, 1L, "delta")))
+    assert(got(2L) == ((4L, 1L, "omega")))
+    // dup starts 0/3/6 cover every token of the tripled doc
+    assert(got(3L) == ((9L, 0L, "")))
+    assert(got(4L) == ((4L, 4L, "zeta eta theta iota")))
+    // shorter than k: no spans, passes through verbatim
+    assert(got(5L) == ((2L, 2L, "one two")))
+  }
+
   test("bm25: zero-match docs score 0, higher tf wins at equal length") {
     val fixture = Seq(
       (1L, "spark spark spark filler filler filler"),
