@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the training
+  * step behind IVF partitioning (EmbeddingStore's cells, PQ codebooks)
+  * and the classic corpus-clustering primitive (topic balancing, dedup
+  * blocking, mixture analysis).
+  *
+  * Every iteration is the canonical two-shuffle shape: assignment is a
+  * broadcast of the k centroids against the (embarrassingly parallel)
+  * vector scan with a single min-struct aggregation, and the update is
+  * one partial-aggregatable groupBy over (cluster, dim) component rows.
+  * Nothing about a vector's cluster ever sits on the driver; centroids
+  * (k·d doubles) ride the broadcast, which is exactly how k-means state
+  * should flow at 100 TB.
+  *
+  * DETERMINISM (the hash-gate contract, and worth having at scale too):
+  *  - distances are left-to-right folds over the dims, identical on both
+  *    engines — bit-exact doubles;
+  *  - argmin ties break lexicographically on (dist², cluster id) via a
+  *    struct min — no arbitrary "first seen" winner;
+  *  - centroid means sum per-component DECIMAL(18,9)-quantized values, so
+  *    the sum is independent of row order across partitions (a raw double
+  *    sum would make the result depend on task scheduling), then divide
+  *    as doubles in a fixed tree. The 1e-9 component quantization is far
+  *    below float32 input noise;
+  *  - init is the k vectors with the smallest ids — deterministic by
+  *    construction (swap in k-means|| for quality at scale; the iteration
+  *    machinery is what this operator pins down).
+  * An emptied cluster simply stops existing (no respawn heuristic), on
+  * both engines identically.
+  */
+object KMeans {
+
+  /** Squared L2 distance as a left-to-right fold over the dims; `e` may be
+    * float (promoted per element), `c` must be double. */
+  private def dist2(e: Column, c: Column): Column =
+    aggregate(
+      zip_with(e, c, (a, b) => {
+        val d = a.cast("double") - b
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Centroids → (cid, cent) with double components. */
+  private def initCentroids(embs: DataFrame, k: Int): DataFrame =
+    embs.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("cent"))
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("cid"), col("cent"))
+
+  /** One assignment pass: (vec_id, embedding, cid, d2) under `centroids`.
+    * The embedding rides inside the min-struct (ordering is decided by the
+    * distinct (d2, cid) prefix) so the shuffle key stays the 8-byte id. */
+  private def assign(embs: DataFrame, centroids: DataFrame): DataFrame =
+    embs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(dist2(col("embedding"), col("cent")).as("d2"), col("cid"),
+          col("embedding")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cid").as("cid"), col("m.d2").as("d2"))
+
+  /** Centroid update: order-independent DECIMAL component sums → double
+    * means, reassembled into dim-ordered arrays. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("v").cast("decimal(18,9)")).as("s"), count(lit(1)).as("n"))
+      .select(col("cid"), col("dim"),
+        (col("s").cast("double") / col("n").cast("double")).as("mv"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+      .select(col("cid"), transform(col("dm"), x => x.getField("mv")).as("cent"))
+
+  /** Run `iters` Lloyd iterations from the smallest-id init; returns the
+    * final assignment (vec_id, cluster, dist2), one row per vector. */
+  def lloyd(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val e = embs.select(col("vec_id"), col("embedding"))
+    var centroids = initCentroids(e, k)
+    var assigned: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      assigned = assign(e, centroids)
+      if (i < iters - 1) centroids = update(assigned)
+      i += 1
+    }
+    assigned.select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -250,6 +250,12 @@ object PipelineQueries {
         size(col("embedding")).cast("long").as("n_dims"))
         .orderBy(col("vec_id"))),
 
+    // deterministic distributed k-means (2 Lloyd iterations, smallest-id
+    // init): broadcast-assign + decimal-sum centroid update, the IVF/PQ
+    // training primitive under the hash gate
+    "emb_kmeans" -> ((s, d) =>
+      graft.operators.KMeans.lloyd(Tables.embeddings(s, d), k = 8, iters = 2)),
+
     // sequence packing: concat-and-chunk token offsets + context-window
     // bins via the distributed prefix sum (range partition → local cumsum
     // → bounded driver prefix), NOT a single-partition global window; the
@@ -581,6 +587,33 @@ object PipelineQueries {
       s"""SELECT vec_id, label, ${dDot("embedding", "embedding")} AS norm2,
          |  len(embedding)::BIGINT AS n_dims
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // two Lloyd iterations mirrored CTE-for-CTE: same left-to-right d²
+    // folds, same (d², cid) tie-break (row_number vs Spark's struct min —
+    // equivalent under the distinct (d², cid) total order), same
+    // DECIMAL(18,9) component sums → double means
+    "emb_kmeans" -> {
+      def d2(e: String, c: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len($e)), ki -> " +
+        s"(($e)[ki+1] - ($c)[ki+1]) * (($e)[ki+1] - ($c)[ki+1]))), (ka, kx) -> ka + kx)"
+      s"""WITH kme AS (SELECT vec_id, list_transform(embedding, kx -> kx::DOUBLE) AS e FROM embeddings),
+         |kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cent
+         |        FROM (SELECT vec_id, e FROM kme ORDER BY vec_id LIMIT 8)),
+         |kd1 AS (SELECT m.vec_id, m.e, c.cid, ${d2("m.e", "c.cent")} AS d2 FROM kme m, kc0 c),
+         |ka1 AS (SELECT vec_id, e, cid, d2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM kd1),
+         |km1 AS (SELECT vec_id, e, cid FROM ka1 WHERE rn = 1),
+         |kcomp AS (SELECT cid, unnest(range(len(e))) AS dim, unnest(e) AS v FROM km1),
+         |kup AS (SELECT cid, dim,
+         |        CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mv
+         |        FROM kcomp GROUP BY cid, dim),
+         |kc1 AS (SELECT cid, list(mv ORDER BY dim) AS cent FROM kup GROUP BY cid),
+         |kd2 AS (SELECT m.vec_id, c.cid, ${d2("m.e", "c.cent")} AS d2 FROM kme m, kc1 c),
+         |ka2 AS (SELECT vec_id, cid, d2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM kd2)
+         |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM ka2 WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "emb_knn_quant" -> {
       val scale = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, qa -> abs(qa::DOUBLE))), (qm, qx) -> greatest(qm, qx)) / 127.0"

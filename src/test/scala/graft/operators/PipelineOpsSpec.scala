@@ -431,6 +431,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(5L) == ((2L, 2L, "one two")))
   }
 
+  test("kmeans: planted clusters recovered, assignment repartition-stable") {
+    // 3 tight planted clusters around (0,0), (10,0), (0,10); init uses the
+    // 3 smallest ids, one seeded in each cluster
+    val pts = Seq(
+      (0L, Array(0.1f, 0.0f)), (3L, Array(-0.1f, 0.2f)), (6L, Array(0.0f, -0.2f)),
+      (1L, Array(10.1f, 0.1f)), (4L, Array(9.9f, -0.1f)), (7L, Array(10.0f, 0.2f)),
+      (2L, Array(0.1f, 10.0f)), (5L, Array(-0.2f, 9.9f)), (8L, Array(0.0f, 10.2f))
+    ).toDF("vec_id", "embedding")
+    val got = KMeans.lloyd(pts, k = 3, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 3L, 6L).map(got).distinct.size == 1)
+    assert(Seq(1L, 4L, 7L).map(got).distinct.size == 1)
+    assert(Seq(2L, 5L, 8L).map(got).distinct.size == 1)
+    assert(got.values.toSet.size == 3, "three distinct clusters survive")
+    val reparted = KMeans.lloyd(pts.repartition(7), k = 3, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reparted == got, "assignment must not depend on partitioning")
+  }
+
   test("bm25: zero-match docs score 0, higher tf wins at equal length") {
     val fixture = Seq(
       (1L, "spark spark spark filler filler filler"),
