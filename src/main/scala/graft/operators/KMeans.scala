@@ -36,7 +36,7 @@ object KMeans {
 
   /** Squared L2 distance as a left-to-right fold over the dims; `e` may be
     * float (promoted per element), `c` must be double. */
-  private def dist2(e: Column, c: Column): Column =
+  private[operators] def dist2(e: Column, c: Column): Column =
     aggregate(
       zip_with(e, c, (a, b) => {
         val d = a.cast("double") - b
@@ -78,20 +78,34 @@ object KMeans {
       .agg(sort_array(collect_list(struct(col("dim"), col("mv")))).as("dm"))
       .select(col("cid"), transform(col("dm"), x => x.getField("mv")).as("cent"))
 
-  /** Run `iters` Lloyd iterations from the smallest-id init; returns the
-    * final assignment (vec_id, cluster, dist2), one row per vector. */
-  def lloyd(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  /** The centroid table the `iters`-th assignment pass runs against:
+    * the smallest-id init refined by `iters − 1` Lloyd updates. Exposed
+    * so downstream index builds (IVF cells, PQ codebooks) can train and
+    * then route with the same centroids. */
+  def centroidsAfter(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val e = embs.select(col("vec_id"), col("embedding"))
     var centroids = initCentroids(e, k)
-    var assigned: DataFrame = null
     var i = 0
-    while (i < iters) {
-      assigned = assign(e, centroids)
-      if (i < iters - 1) centroids = update(assigned)
+    while (i < iters - 1) {
+      centroids = update(assign(e, centroids))
       i += 1
     }
-    assigned.select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+    centroids
+  }
+
+  /** Cell assignment of every vector under `centroids`:
+    * (vec_id, cid, d2). */
+  def assignCells(embs: DataFrame, centroids: DataFrame): DataFrame =
+    assign(embs.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), col("cid"), col("d2"))
+
+  /** Run `iters` Lloyd iterations from the smallest-id init; returns the
+    * final assignment (vec_id, cluster, dist2), one row per vector. */
+  def lloyd(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    assign(e, centroidsAfter(embs, k, iters))
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
       .orderBy(col("vec_id"))
   }
 }

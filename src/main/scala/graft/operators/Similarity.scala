@@ -165,6 +165,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF kNN with k-means-trained cells — the trained-index counterpart
+    * of `lshKnn`'s data-independent hyperplane cells: centroids come from
+    * [[KMeans.centroidsAfter]], every vector routes to its nearest
+    * centroid's cell, and a query scans only the `nProbe` cells whose
+    * centroids are closest to it, exact-cosine-reranking the survivors.
+    *
+    * At 100 TB this is the FAISS-style layout expressed in Spark terms:
+    * the cell id is the partition key of the vector table (EmbeddingStore
+    * writes exactly that layout), centroids (k·d doubles) broadcast, and
+    * a probe is nProbe partition point-reads + a TakeOrdered — the corpus
+    * scan only ever happens at train time. Here the routing join is the
+    * same broadcast-filter shape the other kNN variants use, so the plan
+    * stays codegen'd end to end. */
+  def ivfKnn(embeddings: DataFrame, queryId: Long, k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val cents = KMeans.centroidsAfter(embeddings, nCells, iters)
+    val cells = KMeans.assignCells(embeddings, cents)
+    val qEmb = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    // the nProbe cells whose centroids sit closest to the query (ties →
+    // lower cell id), exactly the KMeans assignment metric
+    val probeCells = cents.crossJoin(broadcast(qEmb))
+      .select(col("cid"), KMeans.dist2(col("q_emb"), col("cent")).as("qd2"))
+      .orderBy(col("qd2"), col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .join(cells.join(broadcast(probeCells), Seq("cid")), Seq("vec_id"))
+      .crossJoin(broadcast(qEmb))
+      .withColumn("cos_sim",
+        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+      .select(col("vec_id"), col("label"), col("cid").as("cell"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Multi-probe LSH ANN: probe the query's bucket AND every bucket whose
     * sign pattern differs by ≤ `maxFlips` bits — the standard recall
     * recovery for hyperplane LSH (a near neighbor on the far side of one

@@ -112,6 +112,33 @@ object PipelineQueries {
     s"list_transform(range(len($ths) - ${k - 1}), si -> ${fold(8191)} * $P + ${fold(8209)})"
   }
 
+  /** Squared-L2 left fold between two double-list expressions (mirror of
+    * KMeans.dist2). */
+  private def dD2(e: String, c: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len($e)), ki -> " +
+    s"(($e)[ki+1] - ($c)[ki+1]) * (($e)[ki+1] - ($c)[ki+1]))), (ka, kx) -> ka + kx)"
+
+  /** CTEs running two deterministic Lloyd iterations over `embeddings`
+    * (k = 8, smallest-id init): kc1 = trained centroids, ka2 = final
+    * assignment rows (vec_id, cid, d2, rn; rn = 1 is the argmin).
+    * Mirrors KMeans.{initCentroids,assign,update} stage for stage. */
+  private val dKmeansCtes: String =
+    s"""kme AS (SELECT vec_id, list_transform(embedding, kx -> kx::DOUBLE) AS e FROM embeddings),
+       |kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cent
+       |        FROM (SELECT vec_id, e FROM kme ORDER BY vec_id LIMIT 8)),
+       |kd1 AS (SELECT m.vec_id, m.e, c.cid, ${dD2("m.e", "c.cent")} AS d2 FROM kme m, kc0 c),
+       |ka1 AS (SELECT vec_id, e, cid, d2,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM kd1),
+       |km1 AS (SELECT vec_id, e, cid FROM ka1 WHERE rn = 1),
+       |kcomp AS (SELECT cid, unnest(range(len(e))) AS dim, unnest(e) AS v FROM km1),
+       |kup AS (SELECT cid, dim,
+       |        CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mv
+       |        FROM kcomp GROUP BY cid, dim),
+       |kc1 AS (SELECT cid, list(mv ORDER BY dim) AS cent FROM kup GROUP BY cid),
+       |kd2 AS (SELECT m.vec_id, c.cid, ${dD2("m.e", "c.cent")} AS d2 FROM kme m, kc1 c),
+       |ka2 AS (SELECT vec_id, cid, d2,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM kd2)""".stripMargin
+
   /** Shared CTEs for n-gram Jaccard pairs at threshold 0.5 (join on the
     * 8-byte shingle id, as the Spark side does). */
   private val dJaccardCtes: String =
@@ -255,6 +282,12 @@ object PipelineQueries {
     // training primitive under the hash gate
     "emb_kmeans" -> ((s, d) =>
       graft.operators.KMeans.lloyd(Tables.embeddings(s, d), k = 8, iters = 2)),
+
+    // IVF probe over those trained cells: route the query to its nProbe=2
+    // nearest centroids, scan only their cells, exact-cosine rerank
+    "emb_knn_ivf" -> ((s, d) =>
+      Similarity.ivfKnn(Tables.embeddings(s, d), queryId = 0L, k = 10,
+        nCells = 8, nProbe = 2, iters = 2)),
 
     // sequence packing: concat-and-chunk token offsets + context-window
     // bins via the distributed prefix sum (range partition → local cumsum
@@ -592,28 +625,28 @@ object PipelineQueries {
     // folds, same (d², cid) tie-break (row_number vs Spark's struct min —
     // equivalent under the distinct (d², cid) total order), same
     // DECIMAL(18,9) component sums → double means
-    "emb_kmeans" -> {
-      def d2(e: String, c: String) =
-        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len($e)), ki -> " +
-        s"(($e)[ki+1] - ($c)[ki+1]) * (($e)[ki+1] - ($c)[ki+1]))), (ka, kx) -> ka + kx)"
-      s"""WITH kme AS (SELECT vec_id, list_transform(embedding, kx -> kx::DOUBLE) AS e FROM embeddings),
-         |kc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cent
-         |        FROM (SELECT vec_id, e FROM kme ORDER BY vec_id LIMIT 8)),
-         |kd1 AS (SELECT m.vec_id, m.e, c.cid, ${d2("m.e", "c.cent")} AS d2 FROM kme m, kc0 c),
-         |ka1 AS (SELECT vec_id, e, cid, d2,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM kd1),
-         |km1 AS (SELECT vec_id, e, cid FROM ka1 WHERE rn = 1),
-         |kcomp AS (SELECT cid, unnest(range(len(e))) AS dim, unnest(e) AS v FROM km1),
-         |kup AS (SELECT cid, dim,
-         |        CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mv
-         |        FROM kcomp GROUP BY cid, dim),
-         |kc1 AS (SELECT cid, list(mv ORDER BY dim) AS cent FROM kup GROUP BY cid),
-         |kd2 AS (SELECT m.vec_id, c.cid, ${d2("m.e", "c.cent")} AS d2 FROM kme m, kc1 c),
-         |ka2 AS (SELECT vec_id, cid, d2,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM kd2)
+    "emb_kmeans" ->
+      s"""WITH $dKmeansCtes
          |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM ka2 WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin
-    },
+         |ORDER BY vec_id""".stripMargin,
+
+    // IVF probe over the trained cells: nProbe=2 nearest centroids to the
+    // query (same d² fold and tie-break as assignment), candidates =
+    // vectors assigned to those cells, exact-cosine rerank — the rerank
+    // is the proven emb_knn cosine shape over raw float lists
+    "emb_knn_ivf" ->
+      s"""WITH $dKmeansCtes,
+         |iqr AS (SELECT e AS qde FROM kme WHERE vec_id = 0),
+         |ipc AS (SELECT cid FROM (
+         |        SELECT c.cid, row_number() OVER (ORDER BY ${dD2("q.qde", "c.cent")}, c.cid) AS prn
+         |        FROM kc1 c, iqr q) WHERE prn <= 2),
+         |iasg AS (SELECT vec_id, cid FROM ka2 WHERE rn = 1),
+         |iqe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT b.vec_id, b.label, a.cid AS cell, ${dCos("b.embedding", "qe")} AS cos_sim
+         |FROM embeddings b JOIN iasg a ON b.vec_id = a.vec_id
+         |  JOIN ipc ON a.cid = ipc.cid, iqe
+         |WHERE b.vec_id <> 0
+         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
 
     "emb_knn_quant" -> {
       val scale = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, qa -> abs(qa::DOUBLE))), (qm, qx) -> greatest(qm, qx)) / 127.0"

@@ -450,6 +450,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted == got, "assignment must not depend on partitioning")
   }
 
+  test("ivfKnn: probing every cell equals brute force; nProbe bounds cells") {
+    val exact = Similarity.bruteForceKnn(embs, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val allCells = Similarity.ivfKnn(embs, queryId = 0L, k = 10,
+      nCells = 8, nProbe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(allCells == exact, "nProbe = nCells must reproduce brute force")
+    val probed = Similarity.ivfKnn(embs, queryId = 0L, k = 10,
+      nCells = 8, nProbe = 2).select("cell").as[Long].collect().toSet
+    assert(probed.size <= 2, "results must come from at most nProbe cells")
+  }
+
   test("bm25: zero-match docs score 0, higher tf wins at equal length") {
     val fixture = Seq(
       (1L, "spark spark spark filler filler filler"),
