@@ -632,6 +632,47 @@ object Dedup {
     * per-plane agreement 0.857) p = 16–20 gives ≥ 2^16 buckets per band
     * and B ≈ 60 bands a < 1e-4 miss rate — sub-quadratic candidates with
     * scale-safe band cardinality. */
+  /** Semantic near-duplicates, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with deterministic
+    * k-means ([[KMeans.lloyd]]), then compare pairs ONLY within a cluster —
+    * the clustering is the blocking structure that keeps the quadratic
+    * pair generation off the full corpus.
+    *
+    * Unlike [[embeddingNearDupsExact]] (exact by construction) this is the
+    * scale-default APPROXIMATE semantic dedup: a near-dup pair split across
+    * two clusters is missed, which SemDeDup accepts by design — semantic
+    * duplicates are overwhelmingly co-clustered because the clustering
+    * objective and the similarity measure are the same geometry.
+    *
+    * Plan shape: assignment is the k-means broadcast pass; the pair join is
+    * a hash EQUI-join on the cluster id (never a nested loop), so per-pair
+    * work is bounded by the largest cluster, shuffle-partitionable, and
+    * AQE-splittable. At 100 TB, k is sized so mean cluster size stays
+    * ~10³-10⁴ (SemDeDup uses k ≈ 10⁵ on billion-scale corpora): pair cost
+    * is Σ|cell|², a ~10⁴× reduction vs corpus². Wide embedding arrays ride
+    * only the (cluster-keyed, pre-pair) rows; candidate rows are narrow.
+    *
+    * Output grain: one row per same-cluster pair with cosine ≥ threshold —
+    * (cluster, i, j, cos_sim), i < j. Downstream keep-policy (drop j, keep
+    * the min-id representative, or SemDeDup's keep-farthest-from-centroid)
+    * composes via [[components]]/[[survivors]] exactly like the other pair
+    * operators. */
+  def semanticNearDups(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.45): DataFrame = {
+    val asg = KMeans.lloyd(embeddings, k, iters).select(col("vec_id"), col("cluster"))
+    val withNorm = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        sqrt(V.norm2(col("embedding"))).as("nrm"))
+      .join(asg, Seq("vec_id"))
+    withNorm.as("a").join(withNorm.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (V.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("i"), col("j"))
+  }
+
   def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double = 0.45,
       nPlanes: Int = 3, nBands: Int = 32): DataFrame = {
     val withNorm = embeddings.select(col("vec_id"),

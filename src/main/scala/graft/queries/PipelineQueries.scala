@@ -289,6 +289,20 @@ object PipelineQueries {
       Similarity.ivfKnn(Tables.embeddings(s, d), queryId = 0L, k = 10,
         nCells = 8, nProbe = 2, iters = 2)),
 
+    // CCNet-style LM quality: corpus-trained char-bigram model (broadcast,
+    // <= |alphabet|^2 rows), per-doc cross-entropy via one scan + one
+    // (doc_id, bigram)-grain aggregate; ln quantized through float32 and
+    // summed as DECIMAL so the score is bit-portable
+    "doc_perplexity" -> ((s, d) =>
+      graft.operators.LangModel.crossEntropy(Tables.documents(s, d))),
+
+    // SemDeDup-style semantic dedup: deterministic k-means clusters as the
+    // blocking structure, pairs generated by a hash equi-join on the
+    // cluster id only (never corpus²), exact cosine on the survivors
+    "dedup_semantic" -> ((s, d) =>
+      graft.operators.Dedup.semanticNearDups(Tables.embeddings(s, d),
+        k = 8, iters = 2, threshold = 0.45)),
+
     // sequence packing: concat-and-chunk token offsets + context-window
     // bins via the distributed prefix sum (range partition → local cumsum
     // → bounded driver prefix), NOT a single-partition global window; the
@@ -585,6 +599,37 @@ object PipelineQueries {
          |SELECT c.i, c.j, ${dCos("ea.embedding", "eb.embedding")} AS cos_sim
          |FROM lcand c JOIN embeddings ea ON c.i = ea.vec_id JOIN embeddings eb ON c.j = eb.vec_id
          |WHERE ${dCos("ea.embedding", "eb.embedding")} >= 0.45
+         |ORDER BY i, j""".stripMargin,
+
+    // mirror of LangModel: same bigram extraction, add-one smoothing over
+    // exact integers, ln through float32, floor(lp*1e9) nano-nat BIGINT
+    // sums (a double->DECIMAL cast would hit each engine's private
+    // rounding rule; multiply+floor is IEEE-exact on both)
+    "doc_perplexity" ->
+      """WITH lpt AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 2),
+        |lpb AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), pi -> t[pi:pi+1])) AS bg FROM lpt),
+        |lpc AS (SELECT bg, count(*)::BIGINT AS cnt FROM lpb GROUP BY bg),
+        |lpx AS (SELECT bg[1:1] AS c1, sum(cnt)::BIGINT AS ctx FROM lpc GROUP BY 1),
+        |lpv AS (SELECT count(DISTINCT bg[2:2])::BIGINT AS v FROM lpc),
+        |lpm AS (SELECT bg, floor(CAST(ln((cnt + 1)::DOUBLE / (ctx + v)::DOUBLE) AS FLOAT)::DOUBLE * 1e9)::BIGINT AS lp
+        |        FROM lpc JOIN lpx ON lpc.bg[1:1] = lpx.c1, lpv),
+        |lpd AS (SELECT doc_id, bg, count(*)::BIGINT AS n FROM lpb GROUP BY 1, 2)
+        |SELECT d.doc_id, sum(d.n)::BIGINT AS n_bigrams,
+        |  -(CAST(sum(d.n * m.lp) AS DOUBLE) / 1e9) / CAST(sum(d.n) AS DOUBLE) AS cross_entropy
+        |FROM lpd d JOIN lpm m ON d.bg = m.bg
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // same two-iteration Lloyd CTEs as emb_kmeans; the pair join is
+    // restricted to same-cluster ids, cosine is the proven dCos fold
+    "dedup_semantic" ->
+      s"""WITH $dKmeansCtes,
+         |sma AS (SELECT vec_id, cid FROM ka2 WHERE rn = 1),
+         |sme AS (SELECT e.vec_id, a.cid, e.embedding
+         |        FROM embeddings e JOIN sma a ON e.vec_id = a.vec_id)
+         |SELECT a.cid AS cluster, a.vec_id AS i, b.vec_id AS j,
+         |  ${dCos("a.embedding", "b.embedding")} AS cos_sim
+         |FROM sme a JOIN sme b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE ${dCos("a.embedding", "b.embedding")} >= 0.45
          |ORDER BY i, j""".stripMargin,
 
     "emb_knn" ->

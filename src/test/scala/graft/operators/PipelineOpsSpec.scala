@@ -182,6 +182,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh == exact, s"tuned (p=3, B=32) recall on sf0.001 is 100% (missed ${exact -- lsh})")
   }
 
+  test("semantic dedup: exactly the co-clustered near-dup pairs, equi-join plan") {
+    val sem = Dedup.semanticNearDups(embs, k = 8, iters = 2, threshold = 0.45)
+    val got = sem.select("cluster", "i", "j", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty, "planted near-dups should co-cluster under k-means")
+    // ground truth: all-pairs near-dups restricted to same-cluster pairs
+    val cl = KMeans.lloyd(embs, k = 8, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val expected = Dedup.embeddingNearDupsAllPairs(embs, 0.45)
+      .select("i", "j", "cos_sim").as[(Long, Long, Double)].collect()
+      .filter { case (i, j, _) => cl(i) == cl(j) }
+      .map { case (i, j, c) => (cl(i), i, j, c) }.toSeq.sorted
+    assert(got.sorted == expected,
+      "within-cluster pairs must match the all-pairs truth bit-for-bit")
+    // the pair join must be a cluster-keyed EQUI-join; the only nested-loop
+    // allowed is k-means' k-row centroid broadcast (assignment pass)
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert(plan.contains("Join [cluster") || plan.contains("Join [coalesce(cluster"),
+      s"pair generation must equi-join on the cluster id:\n$plan")
+  }
+
+  test("char-bigram LM: grain, discriminative scoring, broadcast model") {
+    import spark.implicits._
+    // in-corpus-looking text vs out-of-distribution gibberish: the corpus
+    // model must score the former as lower cross-entropy
+    val natural = ("the quick value table " * 10).trim
+    val gibberish = "qxz jvk wqp zzx qjx vxq " * 8
+    val fixture = Seq((0L, natural), (1L, gibberish.trim), (2L, natural + " extra"),
+      (3L, "x")).toDF("doc_id", "text")
+    val ce = LangModel.crossEntropy(fixture)
+    val rows = ce.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    // len<2 docs have no bigrams and drop out; everyone else scores
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    // n_bigrams is exactly len-1 (occurrence grain survives the agg)
+    assert(rows(0L)._1 == natural.length - 1)
+    assert(rows(0L)._2 < rows(1L)._2,
+      s"in-distribution text must score below gibberish: $rows")
+    // the model side must arrive via broadcast, never a shuffled join
+    val plan = ce.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bigram model must broadcast:\n$plan")
+  }
+
   test("quantized two-stage knn recovers the exact top-k via rescoring") {
     val brute = Similarity.bruteForceKnn(embs, 0L, 10).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
