@@ -64,4 +64,38 @@ object Ranking {
         col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t")) :+ score.as("score"): _*)
       .orderBy(col("doc_id"))
   }
+
+  /** Exact phrase search over a positional inverted index — the classic
+    * IR primitive (and the verbatim-quote detector a contamination
+    * pipeline wants beyond bag-of-k-grams).
+    *
+    * Shape: the postings list is ONE posexplode scan immediately filtered
+    * to the phrase's terms — at 100 TB the filter is what matters: the
+    * index that reaches the shuffle is |phrase terms| postings, not the
+    * corpus token stream. Each term's postings are then aligned to a
+    * common candidate START position (term i at position p ⇒ start
+    * p − i), and phrase occurrences are the m-way intersection of those
+    * start sets — (m − 1) hash equi-joins on (doc_id, start), each
+    * shuffle-partitionable; no self-cartesian, no window over the corpus.
+    * A persisted (term, doc, pos)-bucketed postings table turns every
+    * later phrase query into joins over pruned point reads — same layout
+    * economics as EmbeddingStore.
+    *
+    * Output: (doc_id, n_hits, first_pos) per document containing the
+    * phrase at least once, ordered by doc_id; positions are 0-based token
+    * offsets. Everything is exact integer arithmetic — no float anywhere. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    val postings = docs
+      .select(col("doc_id"), posexplode(T.tokens(col("text"))).as(Seq("pos", "tk")))
+      .filter(col("tk").isin(phrase.distinct: _*))
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("tk") === lit(t))
+        .select(col("doc_id"), (col("pos") - lit(i)).as("start"))
+    }
+    val hits = starts.reduceLeft((a, b) => a.join(b, Seq("doc_id", "start")))
+    hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -41,6 +41,10 @@ object PipelineQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** Phrase-search declared-query constant (query and oracle share it);
+    * chosen to occur in the testdata at every scale factor. */
+  private val PhraseTerms = Seq("scan", "slow", "fast")
+
   /** Polynomial rolling hash of a string expression. */
   private def dPoly(v: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($v, ''), pc -> ascii(pc)::BIGINT)), (pa, px) -> (pa*31 + px) % $P)"
@@ -288,6 +292,12 @@ object PipelineQueries {
     "emb_knn_ivf" -> ((s, d) =>
       Similarity.ivfKnn(Tables.embeddings(s, d), queryId = 0L, k = 10,
         nCells = 8, nProbe = 2, iters = 2)),
+
+    // exact phrase search over a positional inverted index: postings
+    // filtered to the phrase terms before any shuffle, occurrences as the
+    // m-way (doc, start)-aligned equi-join intersection — pure integers
+    "doc_phrase_search" -> ((s, d) =>
+      graft.operators.Ranking.phraseSearch(Tables.documents(s, d), PhraseTerms)),
 
     // CCNet-style LM quality: corpus-trained char-bigram model (broadcast,
     // <= |alphabet|^2 rows), per-doc cross-entropy via one scan + one
@@ -600,6 +610,23 @@ object PipelineQueries {
          |FROM lcand c JOIN embeddings ea ON c.i = ea.vec_id JOIN embeddings eb ON c.j = eb.vec_id
          |WHERE ${dCos("ea.embedding", "eb.embedding")} >= 0.45
          |ORDER BY i, j""".stripMargin,
+
+    // same positional-postings shape: token positions via range(), one
+    // aligned-start CTE per phrase term, m-way join intersection
+    "doc_phrase_search" -> {
+      val startCtes = PhraseTerms.zipWithIndex.map { case (t, i) =>
+        s"ps$i AS (SELECT doc_id, pos - $i AS start FROM psp WHERE tk = '$t')"
+      }.mkString(",\n")
+      val joins = PhraseTerms.indices.tail
+        .map(i => s"JOIN ps$i ON ps0.doc_id = ps$i.doc_id AND ps0.start = ps$i.start")
+        .mkString(" ")
+      s"""WITH pst AS (SELECT doc_id, ${dTokens("text")} AS toks FROM documents),
+         |psp AS (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tk FROM pst),
+         |$startCtes
+         |SELECT ps0.doc_id, count(*)::BIGINT AS n_hits, min(ps0.start)::BIGINT AS first_pos
+         |FROM ps0 $joins
+         |GROUP BY ps0.doc_id ORDER BY ps0.doc_id""".stripMargin
+    },
 
     // mirror of LangModel: same bigram extraction, add-one smoothing over
     // exact integers, ln through float32, floor(lp*1e9) nano-nat BIGINT

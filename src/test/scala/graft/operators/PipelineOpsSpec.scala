@@ -204,6 +204,23 @@ class PipelineOpsSpec extends SparkSpec {
       s"pair generation must equi-join on the cluster id:\n$plan")
   }
 
+  test("phrase search: exact occurrence counts, overlaps, repeated terms") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "a b c a b c a b"), // starts 0 and 3
+      (1L, "a b x c"),         // no occurrence
+      (2L, "c a b c"),         // start 1
+      (3L, "a a a")            // for phrase "a a": overlapping starts 0, 1
+    ).toDF("doc_id", "text")
+    val abc = Ranking.phraseSearch(fixture, Seq("a", "b", "c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(abc == Seq((0L, 2L, 0L), (2L, 1L, 1L)))
+    val aa = Ranking.phraseSearch(fixture, Seq("a", "a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(aa == Seq((3L, 2L, 0L)),
+      "overlapping occurrences count at occurrence grain")
+  }
+
   test("char-bigram LM: grain, discriminative scoring, broadcast model") {
     import spark.implicits._
     // in-corpus-looking text vs out-of-distribution gibberish: the corpus
