@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Token-frequency operators: exact vocabulary top-k and sketch-based
+  * heavy hitters — the vocabulary-building / frequency-analysis stages a
+  * tokenizer-training pipeline runs over the corpus first.
+  *
+  * The heavy-hitter path is the canonical two-pass sketch-then-verify
+  * shape for 100 TB:
+  *  1. per-partition Misra-Gries summaries (bounded memory: ≤ k−1
+  *     counters each, one sequential pass, no shuffle) produce a
+  *     CANDIDATE token set. Pigeonhole guarantees the union of
+  *     per-partition candidates contains every token with global count
+  *     > n/k: if c(t) > n/k = Σnₚ/k, then c_p(t) > nₚ/k in at least one
+  *     partition p, and partition-local MG(k) keeps every such token.
+  *  2. an exact recount over the candidates only (broadcast semi-join →
+  *     hash aggregate) discharges the sketch's nondeterminism: the
+  *     DECLARED output is exactly {token : count(token)·k > n}, a
+  *     deterministic set with exact counts, regardless of how partition
+  *     summaries merged. The sketch only bounds how much work pass 2
+  *     does — candidates ≤ (k−1)·#partitions, not the vocabulary.
+  * The frequency test is the exact integer comparison cnt·k > n — no
+  * division, no float, bit-portable by construction.
+  */
+object Frequency {
+
+  /** Exact token vocabulary, top `k` by (count desc, token asc) — the
+    * explode → partial-aggregated count → TakeOrdered shape; ties broken
+    * lexicographically so the cut is deterministic. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Misra-Gries summary of one iterator, capacity `k` (≤ k−1 counters).
+    * Returns surviving candidate tokens (counts are sketch-internal —
+    * they under-count and depend on arrival order, so they never leave
+    * this function). */
+  private[operators] def mgCandidates(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      if (counters.contains(t)) counters(t) += 1L
+      else if (counters.size < k - 1) counters(t) = 1L
+      else {
+        // decrement-all: drop zeroed counters
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        counters.keysIterator.foreach { key =>
+          val v = counters(key) - 1L
+          if (v == 0L) dead += key else counters(key) = v
+        }
+        dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** Heavy hitters: tokens with exact global count · k > total tokens.
+    * Candidates come from per-partition MG sketches (pass 1), the
+    * declared result from an exact recount of candidates only (pass 2) —
+    * deterministic output, sketch-bounded cost. */
+  def heavyHitters(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, "Misra-Gries needs capacity >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens: Dataset[String] =
+      docs.select(explode(T.tokens(col("text"))).as("token")).as[String]
+    val candidates = tokens.mapPartitions(it => mgCandidates(it, k))
+      .toDF("token").distinct()
+    val total = tokens.toDF("token").agg(count(lit(1)).as("n"))
+    tokens.toDF("token")
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k.toLong) > col("n"))
+      .select(col("token"), col("cnt"), col("n"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+}

@@ -293,6 +293,18 @@ object PipelineQueries {
       Similarity.ivfKnn(Tables.embeddings(s, d), queryId = 0L, k = 10,
         nCells = 8, nProbe = 2, iters = 2)),
 
+    // exact vocabulary top-k: explode -> partially-aggregated count ->
+    // TakeOrdered, deterministic (count desc, token asc) cut
+    "doc_vocab" -> ((s, d) =>
+      graft.operators.Frequency.vocabTopK(Tables.documents(s, d), k = 20)),
+
+    // heavy hitters: per-partition Misra-Gries candidate sketch (bounded
+    // memory, no shuffle) + exact recount of candidates only — the
+    // declared set {token : cnt*64 > n} is deterministic, the sketch
+    // only bounds pass-2 cost
+    "doc_heavy_hitters" -> ((s, d) =>
+      graft.operators.Frequency.heavyHitters(Tables.documents(s, d), k = 64)),
+
     // exact phrase search over a positional inverted index: postings
     // filtered to the phrase terms before any shuffle, occurrences as the
     // m-way (doc, start)-aligned equi-join intersection — pure integers
@@ -610,6 +622,20 @@ object PipelineQueries {
          |FROM lcand c JOIN embeddings ea ON c.i = ea.vec_id JOIN embeddings eb ON c.j = eb.vec_id
          |WHERE ${dCos("ea.embedding", "eb.embedding")} >= 0.45
          |ORDER BY i, j""".stripMargin,
+
+    "doc_vocab" ->
+      s"""SELECT tk AS token, count(*)::BIGINT AS cnt
+         |FROM (SELECT unnest(${dTokens("text")}) AS tk FROM documents)
+         |GROUP BY tk ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    // the sketch is Spark-side cost control only; the declared set is the
+    // exact integer predicate cnt*k > n, which plain SQL states directly
+    "doc_heavy_hitters" ->
+      s"""WITH hht AS (SELECT unnest(${dTokens("text")}) AS token FROM documents),
+         |hhn AS (SELECT count(*)::BIGINT AS n FROM hht)
+         |SELECT token, count(*)::BIGINT AS cnt, n
+         |FROM hht, hhn GROUP BY token, n HAVING count(*) * 64 > n
+         |ORDER BY cnt DESC, token""".stripMargin,
 
     // same positional-postings shape: token positions via range(), one
     // aligned-start CTE per phrase term, m-way join intersection

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FrequencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("misra-gries: every item above n/k survives a single-pass sketch") {
+    // 600 'hot' (> n/4) in a 2000-item stream arranged adversarially
+    val stream = (Seq.fill(600)("hot") ++ (0 until 1400).map(i => s"w${i % 700}"))
+    val got = Frequency.mgCandidates(stream.iterator, k = 4).toSet
+    assert(got.contains("hot"), s"guaranteed heavy item evicted: $got")
+    assert(got.size <= 3, "capacity k-1 respected")
+  }
+
+  test("heavy hitters: deterministic exact set, invariant to partitioning") {
+    val docs = Seq(
+      (0L, ("alpha " * 40 + "beta " * 20 + "rare").trim),
+      (1L, ("alpha " * 40 + "gamma " * 10 + "x y z").trim),
+      (2L, (0 until 80).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // n = 194 tokens; k = 8 -> threshold n/8 = 24.25: alpha (80) qualifies,
+    // beta (20), gamma (10), singletons don't
+    val r1 = Frequency.heavyHitters(docs, k = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r1 == Seq(("alpha", 80L, 194L)))
+    // different physical partitioning -> different MG candidates, same set
+    val r2 = Frequency.heavyHitters(docs.repartition(7), k = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r2 == r1, "declared output must not depend on partitioning")
+  }
+
+  test("vocab top-k: count-desc with lexicographic tie-break") {
+    val docs = Seq((0L, "b b a a c")).toDF("doc_id", "text")
+    val got = Frequency.vocabTopK(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L)), "ties cut lexicographically")
+  }
+}
