@@ -411,7 +411,20 @@ object RelationalQueries {
       .orderBy(col("s_name"))
   }
 
+  /** Z-order (Morton) clustering key over (user_id, event_id) — the
+    * multi-dimensional layout key `Layout.writeZOrdered` clusters files
+    * by; declared at the key grain so the interleave arithmetic itself
+    * sits under the hash gate (the file-pruning win is spec-proven in
+    * LayoutSpec, where file statistics are observable). 20 bits covers
+    * event_id at every shipped SF. */
+  def q34Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        graft.operators.Layout.zValue(col("user_id"), col("event_id"), bits = 20).as("zval"))
+      .orderBy(col("zval"), col("event_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_zorder" -> (q34Zorder _),
     "q17_json" -> (q17Json _),
     "q26_sessions" -> (q26Sessions _),
     "q27_pivot" -> (q27Pivot _),
@@ -466,6 +479,11 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // generated from the same bit-interleave loop as Layout.zValue
+    "q34_zorder" ->
+      s"""SELECT event_id, user_id,
+         |  ${graft.operators.Layout.zValueSql("user_id", "event_id", 20)} AS zval
+         |FROM events ORDER BY zval, event_id""".stripMargin,
     "q1_agg" -> q1AggSql,
     "q17_json" ->
       """SELECT event_type, count(*) AS n,
