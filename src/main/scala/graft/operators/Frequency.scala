@@ -58,6 +58,34 @@ object Frequency {
     counters.keysIterator
   }
 
+  /** TF-IDF weights against a corpus-derived vocabulary: the vocabulary
+    * is [[vocabTopK]] (deterministic cut), document frequency and idf
+    * come from the same corpus, and the output is the LONG grain
+    * (doc_id, token, tf, w) — the sparse-matrix layout a downstream
+    * trainer or indexer consumes, not a wide per-term column block.
+    *
+    * Scale shape: vocabulary and idf are bounded (top-V rows) and ride
+    * broadcasts; the corpus-side work is one explode → (doc, token)
+    * hash aggregate, partial-aggregatable map-side. idf = ln(N/df) is
+    * float32-quantized (the BM25 discipline) — every other operand is an
+    * exact integer, and tf·idf is one double multiply. */
+  def tfIdf(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val vocab = vocabTopK(docs, vocabSize).select(col("token"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        log(col("n_docs").cast("double") / col("df").cast("double"))
+          .cast("float").cast("double").as("idf"))
+    tf.join(broadcast(idf), Seq("token"))
+      .select(col("doc_id"), col("token"), col("tf"),
+        (col("tf").cast("double") * col("idf")).as("w"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
   /** Heavy hitters: tokens with exact global count · k > total tokens.
     * Candidates come from per-partition MG sketches (pass 1), the
     * declared result from an exact recount of candidates only (pass 2) —

@@ -305,6 +305,11 @@ object PipelineQueries {
     "doc_heavy_hitters" -> ((s, d) =>
       graft.operators.Frequency.heavyHitters(Tables.documents(s, d), k = 64)),
 
+    // TF-IDF at the sparse long grain against the corpus-derived top-10
+    // vocabulary; idf float32-quantized, all else exact integers
+    "doc_tfidf" -> ((s, d) =>
+      graft.operators.Frequency.tfIdf(Tables.documents(s, d), vocabSize = 10)),
+
     // exact phrase search over a positional inverted index: postings
     // filtered to the phrase terms before any shuffle, occurrences as the
     // m-way (doc, start)-aligned equi-join intersection — pure integers
@@ -627,6 +632,19 @@ object PipelineQueries {
       s"""SELECT tk AS token, count(*)::BIGINT AS cnt
          |FROM (SELECT unnest(${dTokens("text")}) AS tk FROM documents)
          |GROUP BY tk ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "doc_tfidf" ->
+      s"""WITH tft AS (SELECT doc_id, unnest(${dTokens("text")}) AS token FROM documents),
+         |tfv AS (SELECT token FROM (SELECT token, count(*) AS c FROM tft GROUP BY token
+         |        ORDER BY c DESC, token LIMIT 10)),
+         |tfc AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tft
+         |        WHERE token IN (SELECT token FROM tfv) GROUP BY 1, 2),
+         |tfn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |tfi AS (SELECT token, CAST(CAST(ln(n_docs::DOUBLE / count(*)::DOUBLE) AS FLOAT) AS DOUBLE) AS idf
+         |        FROM tfc, tfn GROUP BY token, n_docs)
+         |SELECT c.doc_id, c.token, c.tf, c.tf::DOUBLE * i.idf AS w
+         |FROM tfc c JOIN tfi i ON c.token = i.token
+         |ORDER BY c.doc_id, c.token""".stripMargin,
 
     // the sketch is Spark-side cost control only; the declared set is the
     // exact integer predicate cnt*k > n, which plain SQL states directly

@@ -31,6 +31,20 @@ class FrequencySpec extends SparkSpec {
     assert(r2 == r1, "declared output must not depend on partitioning")
   }
 
+  test("tf-idf: ubiquitous terms weigh zero, rarer terms weigh more") {
+    val docs = Seq(
+      (0L, "common common rare"),
+      (1L, "common mid"),
+      (2L, "common mid")).toDF("doc_id", "text")
+    val got = Frequency.tfIdf(docs, vocabSize = 10).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // 'common' is in all 3 docs: idf = ln(1) = 0 -> weight exactly 0
+    assert(got((0L, "common")) == (2L, 0.0))
+    // 'rare' (1 of 3 docs) outweighs 'mid' (2 of 3) at equal tf
+    assert(got((0L, "rare"))._2 > got((1L, "mid"))._2)
+    assert(got((1L, "mid")) == got((2L, "mid")), "idf is corpus-global")
+  }
+
   test("vocab top-k: count-desc with lexicographic tie-break") {
     val docs = Seq((0L, "b b a a c")).toDF("doc_id", "text")
     val got = Frequency.vocabTopK(docs, 2).collect()
