@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Byte-pair-encoding merge training over the corpus — the tokenizer-
+  * training stage of an LLM data pipeline, shaped the way production
+  * tokenizer trainers actually run at 100 TB:
+  *
+  *  - the DISTRIBUTED part is the part that scales with the corpus: one
+  *    explode → hash-aggregate pass producing the word-frequency table
+  *    (at web scale: ~10⁷ distinct words from ~10¹¹ token occurrences —
+  *    five orders of magnitude of reduction, map-side combinable);
+  *  - the MERGE LOOP runs on the driver over that BOUNDED table (guarded
+  *    by `maxVocabRows`, the same driver-economics contract as
+  *    Dedup.components' edge bound): real BPE training runs tens of
+  *    thousands of sequential, globally-dependent rounds — as Spark jobs
+  *    that is 30 000 barriers over a table that fits in one machine's
+  *    memory, which is exactly the workload the corpus-scan/vocab-loop
+  *    split exists for (HF tokenizers, SentencePiece: same design).
+  *
+  * Semantics (pinned by the oracle, which replays every round in SQL):
+  *  - words split into single characters; no end-of-word marker;
+  *  - pair statistics count every adjacent position, overlaps included,
+  *    weighted by word frequency;
+  *  - the merge chosen each round is argmax by (count desc, left asc,
+  *    right asc) — a total order, so training is deterministic;
+  *  - merges apply greedily left-to-right, non-overlapping ("aaa" under
+  *    (a,a) → ["aa","a"]).
+  */
+object Bpe {
+
+  /** (word, freq) over the whitespace token stream. */
+  def wordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(T.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Greedy left-to-right, non-overlapping application of one merge. */
+  private[operators] def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var pend: String = null
+    syms.foreach { x =>
+      if (pend == null) pend = x
+      else if (pend == l && x == r) { out += (l + r); pend = null }
+      else { out += pend; pend = x }
+    }
+    if (pend != null) out += pend
+    out.result()
+  }
+
+  /** Train `nMerges` BPE merges; returns (round, left, right, cnt) —
+    * round is 1-based, cnt the frequency-weighted adjacent-pair count
+    * that won the round. Stops early (fewer rows) if the vocabulary
+    * exhausts its pairs first. */
+  def train(docs: DataFrame, nMerges: Int,
+      maxVocabRows: Long = 5000000L): DataFrame = {
+    require(nMerges >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    val wf = wordFreqs(docs)
+    val nWords = wf.count()
+    require(nWords <= maxVocabRows,
+      s"word-frequency table has $nWords rows > maxVocabRows=$maxVocabRows: " +
+        "raise the bound or pre-prune the vocabulary (min-frequency cut)")
+    var vocab: Seq[(Vector[String], Long)] = wf.collect()
+      .map(row => (row.getString(0).map(_.toString).toVector, row.getLong(1))).toSeq
+
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, freq) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairs(k) = pairs.getOrElse(k, 0L) + freq
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = pairs.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        merges += ((round.toLong, l, r, cnt))
+        vocab = vocab.map { case (syms, freq) => (applyMerge(syms, l, r), freq) }
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "left", "right", "cnt")
+  }
+
+  /** The oracle-facing SQL replay of [[train]]: `nMerges` rounds of
+    * generated CTEs. Symbol sequences travel between rounds as
+    * chr(31)-joined strings (list accumulators cannot ride DuckDB's
+    * list_reduce, whose accumulator type is the element type), and the
+    * greedy merge is a left fold over a chr(30)-tagged pending/output
+    * string pair — both separators are outside any corpus alphabet this
+    * engine ingests (documents are tokenized on spaces; control chars
+    * never survive T.tokens of parquet text columns in the testdata).
+    * Generated from the same round structure as the Scala trainer: one
+    * source of truth for the semantics, two executions. */
+  def trainOracleSql(nMerges: Int): String = {
+    val sep = "chr(31)"  // symbol separator
+    val tag = "chr(30)"  // pending/output separator inside the fold acc
+    def pairCte(i: Int): String =
+      s"""bp${i}p AS (SELECT l, r, sum(freq)::BIGINT AS cnt FROM (
+         |  SELECT freq,
+         |    unnest(list_transform(range(len(parts) - 1), bi -> parts[bi+1])) AS l,
+         |    unnest(list_transform(range(len(parts) - 1), bi -> parts[bi+2])) AS r
+         |  FROM (SELECT freq, string_split(syms, $sep) AS parts FROM bp${i - 1}w)) GROUP BY 1, 2),
+         |bp${i}b AS (SELECT l, r, cnt FROM bp${i}p ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    def applyCte(i: Int): String =
+      s"""bp${i}a AS (SELECT word, freq,
+         |  list_reduce(list_prepend('' || $tag, string_split(w.syms, $sep)),
+         |    (acc, x) -> CASE
+         |      WHEN string_split(acc, $tag)[1] = '' THEN x || $tag || string_split(acc, $tag)[2]
+         |      WHEN string_split(acc, $tag)[1] = b.l AND x = b.r THEN
+         |        '' || $tag || (CASE WHEN string_split(acc, $tag)[2] = '' THEN b.l || b.r
+         |                       ELSE string_split(acc, $tag)[2] || $sep || b.l || b.r END)
+         |      ELSE x || $tag || (CASE WHEN string_split(acc, $tag)[2] = '' THEN string_split(acc, $tag)[1]
+         |                         ELSE string_split(acc, $tag)[2] || $sep || string_split(acc, $tag)[1] END)
+         |    END) AS acc
+         |  FROM bp${i - 1}w w, bp${i}b b),
+         |bp${i}w AS (SELECT word, freq,
+         |  CASE WHEN string_split(acc, $tag)[1] = '' THEN string_split(acc, $tag)[2]
+         |       WHEN string_split(acc, $tag)[2] = '' THEN string_split(acc, $tag)[1]
+         |       ELSE string_split(acc, $tag)[2] || $sep || string_split(acc, $tag)[1] END AS syms
+         |  FROM bp${i}a)""".stripMargin
+    val base =
+      s"""bp0w AS (SELECT word, count(*)::BIGINT AS freq,
+         |  array_to_string(list_transform(range(len(word)), ci -> word[ci+1:ci+1]), $sep) AS syms
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word)""".stripMargin
+    val rounds = (1 to nMerges).flatMap(i =>
+      Seq(pairCte(i)) ++ (if (i < nMerges) Seq(applyCte(i)) else Nil))
+    val selects = (1 to nMerges).map(i =>
+      s"""SELECT ${i}::BIGINT AS "round", l AS "left", r AS "right", cnt FROM bp${i}b""")
+    s"""WITH ${(Seq(base) ++ rounds).mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY "round"""".stripMargin
+  }
+}

@@ -305,6 +305,12 @@ object PipelineQueries {
     "doc_heavy_hitters" -> ((s, d) =>
       graft.operators.Frequency.heavyHitters(Tables.documents(s, d), k = 64)),
 
+    // BPE merge training: distributed word-frequency scan + bounded
+    // driver merge loop (the HF-tokenizers/SentencePiece split); the
+    // oracle replays all 6 rounds in generated SQL, CTE for CTE
+    "doc_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.train(Tables.documents(s, d), nMerges = 6)),
+
     // TF-IDF at the sparse long grain against the corpus-derived top-10
     // vocabulary; idf float32-quantized, all else exact integers
     "doc_tfidf" -> ((s, d) =>
@@ -632,6 +638,8 @@ object PipelineQueries {
       s"""SELECT tk AS token, count(*)::BIGINT AS cnt
          |FROM (SELECT unnest(${dTokens("text")}) AS tk FROM documents)
          |GROUP BY tk ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "doc_bpe_merges" -> graft.operators.Bpe.trainOracleSql(nMerges = 6),
 
     "doc_tfidf" ->
       s"""WITH tft AS (SELECT doc_id, unnest(${dTokens("text")}) AS token FROM documents),

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge: greedy left-to-right, non-overlapping") {
+    assert(Bpe.applyMerge(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
+    assert(Bpe.applyMerge(Vector("a", "b", "a", "b"), "a", "b") == Vector("ab", "ab"))
+    assert(Bpe.applyMerge(Vector("x"), "a", "b") == Vector("x"))
+    assert(Bpe.applyMerge(Vector("a", "b", "c"), "b", "c") == Vector("a", "bc"))
+  }
+
+  test("train: hand-checked merges on a classic corpus") {
+    // freqs: low=5, lowest=2 -> adjacent pairs weighted by word freq:
+    // (l,o)=7, (o,w)=7, (w,e)=2, (e,s)=2, (s,t)=2
+    // round 1: argmax ties (l,o) vs (o,w) at 7 -> lexicographic: (l,o)
+    // round 2: ("lo", w)=7 wins
+    // round 3: ("low", e)=2, (e,s)=2, (s,t)=2 -> ("e","s") lexicographic
+    val docs = Seq(
+      (0L, "low low low low low lowest lowest")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "l", "o", 7L),
+      (2L, "lo", "w", 7L),
+      (3L, "e", "s", 2L)))
+  }
+
+  test("train: stops early when pairs exhaust; invariant to partitioning") {
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    // round 1 merges (a,b); after that every word is a single symbol
+    val got = Bpe.train(tiny, nMerges = 5).collect()
+    assert(got.length == 1 && got.head.getString(1) == "a" && got.head.getString(2) == "b")
+
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val a = Bpe.train(docs, 3).collect().map(_.toSeq).toSeq
+    val b = Bpe.train(docs.repartition(13), 3).collect().map(_.toSeq).toSeq
+    assert(a == b, "training must not depend on physical partitioning")
+  }
+}
