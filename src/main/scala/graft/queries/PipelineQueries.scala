@@ -305,6 +305,14 @@ object PipelineQueries {
     "doc_heavy_hitters" -> ((s, d) =>
       graft.operators.Frequency.heavyHitters(Tables.documents(s, d), k = 64)),
 
+    // trainable quality classifier: logistic regression by gradient
+    // descent as pure dataflow — one corpus scan per iteration, weights
+    // chained as broadcast 1-row frames, gradients reduced as exact
+    // nano-unit BIGINT sums (partitioning-invariant)
+    "doc_quality_model" -> ((s, d) =>
+      graft.operators.Classifier.trainLogReg(Tables.documents(s, d),
+        iters = 2, lr = 0.5)),
+
     // BPE merge training: distributed word-frequency scan + bounded
     // driver merge loop (the HF-tokenizers/SentencePiece split); the
     // oracle replays all 6 rounds in generated SQL, CTE for CTE
@@ -640,6 +648,9 @@ object PipelineQueries {
          |GROUP BY tk ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "doc_bpe_merges" -> graft.operators.Bpe.trainOracleSql(nMerges = 6),
+
+    "doc_quality_model" ->
+      graft.operators.Classifier.trainOracleSql(iters = 2, lr = 0.5),
 
     "doc_tfidf" ->
       s"""WITH tft AS (SELECT doc_id, unnest(${dTokens("text")}) AS token FROM documents),
