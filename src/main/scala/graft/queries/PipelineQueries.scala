@@ -305,6 +305,12 @@ object PipelineQueries {
     "doc_heavy_hitters" -> ((s, d) =>
       graft.operators.Frequency.heavyHitters(Tables.documents(s, d), k = 64)),
 
+    // top principal direction by power iteration: one scan per step,
+    // matrix-vector product as exact nano-unit BIGINT component sums,
+    // broadcast 1-row vector state — the embedding-anisotropy primitive
+    "emb_pca" -> ((s, d) =>
+      graft.operators.Pca.topDirection(Tables.embeddings(s, d), iters = 2)),
+
     // trainable quality classifier: logistic regression by gradient
     // descent as pure dataflow — one corpus scan per iteration, weights
     // chained as broadcast 1-row frames, gradients reduced as exact
@@ -651,6 +657,30 @@ object PipelineQueries {
 
     "doc_quality_model" ->
       graft.operators.Classifier.trainOracleSql(iters = 2, lr = 0.5),
+
+    // power iteration replayed CTE-for-CTE: projection fold, nano-unit
+    // component sums, fold-based norm, unit-scale division
+    "emb_pca" -> {
+      def norm(src: String, name: String): String =
+        s"""$name AS (SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           |  list_transform(us, pq -> pq * pq)), (pa, pb) -> pa + pb)) AS nrm
+           |  FROM (SELECT list(u ORDER BY dim) AS us FROM $src))""".stripMargin
+      val iters = (1 to 2).map { i =>
+        s"""p${i}l AS (SELECT list(v ORDER BY dim) AS vv FROM p${i - 1}),
+           |p${i}d AS (SELECT e, ${dDot("e", "vv")} AS d FROM pe, p${i}l),
+           |p${i}x AS (SELECT unnest(range(len(e))) AS dim, unnest(e) AS x, d FROM p${i}d),
+           |p${i}uu AS (SELECT dim, sum(floor(x * d * 1e9)::BIGINT)::DOUBLE / 1e9 AS u
+           |  FROM p${i}x GROUP BY dim),
+           |${norm(s"p${i}uu", s"p${i}n")},
+           |p$i AS (SELECT dim, u / nrm AS v FROM p${i}uu, p${i}n)""".stripMargin
+      }
+      s"""WITH pe AS (SELECT vec_id, list_transform(embedding, px -> px::DOUBLE) AS e FROM embeddings),
+         |p0u AS (SELECT unnest(range(len(e))) AS dim, unnest(e) AS u FROM pe WHERE vec_id = 0),
+         |${norm("p0u", "p0n")},
+         |p0 AS (SELECT dim, u / nrm AS v FROM p0u, p0n),
+         |${iters.mkString(",\n")}
+         |SELECT dim::BIGINT AS dim, v FROM p2 ORDER BY dim""".stripMargin
+    },
 
     "doc_tfidf" ->
       s"""WITH tft AS (SELECT doc_id, unnest(${dTokens("text")}) AS token FROM documents),
