@@ -423,7 +423,26 @@ object RelationalQueries {
         graft.operators.Layout.zValue(col("user_id"), col("event_id"), bits = 20).as("zval"))
       .orderBy(col("zval"), col("event_id"))
 
+  /** The z-ordered store end to end: write events z-clustered on
+    * (user_id, event_id), read it back through a 2-D box predicate —
+    * the layout must be RESULT-NEUTRAL (the oracle is the same box over
+    * the flat table); the pruning win itself is proven on file
+    * statistics in LayoutSpec. Write is inside the query on purpose
+    * (idempotent via Overwrite), mirroring emb_knn_store's store gate. */
+  def q35ZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_zorder_store_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    graft.operators.Layout.writeZOrdered(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("value")),
+      path, "user_id", "event_id", bits = 20, nFiles = 16)
+    spark.read.parquet(path)
+      .filter(col("user_id").between(4, 9) && col("event_id").between(100, 900))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_zorder_scan" -> (q35ZorderScan _),
     "q34_zorder" -> (q34Zorder _),
     "q17_json" -> (q17Json _),
     "q26_sessions" -> (q26Sessions _),
@@ -479,6 +498,12 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q35_zorder_scan" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 9 AND event_id BETWEEN 100 AND 900
+        |ORDER BY event_id""".stripMargin,
+
     // generated from the same bit-interleave loop as Layout.zValue
     "q34_zorder" ->
       s"""SELECT event_id, user_id,
