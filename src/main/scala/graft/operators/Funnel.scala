@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis — the ClickHouse `windowFunnel` analog: per user, the
+  * deepest stage k such that events matching stage types 1..k occur in
+  * non-decreasing time order, all within `windowMicros` of the chain's
+  * first event. ("view → click → purchase within an hour".)
+  *
+  * Engine shape: ONE shuffle (the per-user groupBy) — events are
+  * filtered to the funnel's types at the scan (the predicate reaches the
+  * parquet scan, so the shuffle carries only relevant rows), collected
+  * per user as (ts, stage) pairs, sorted, and folded by a codegen'd HOF
+  * dynamic program. No self-joins: an N-stage funnel as interval joins
+  * is N−1 shuffles of growing chains; the fold is O(events·N) per user
+  * with an N-long accumulator.
+  *
+  * The DP is exact for the existence semantics: acc[s] = the maximum
+  * chain-start timestamp over chains reaching stage s+1 seen so far in
+  * fold order. A later start strictly dominates (larger deadline, and
+  * fold order already guarantees the next stage's event is not earlier),
+  * so keeping only the max is lossless — spec-checked against a
+  * join-chain reference, and the DuckDB oracle IS that join-chain
+  * formulation: two independent formulations, one result.
+  *
+  * Per-user event counts are bounded in practice (sessions, bots capped
+  * upstream); a pathological user is one hot key — the salting remedy
+  * applies unchanged if ever needed. */
+object Funnel {
+
+  private val NoStart = Long.MinValue
+
+  /** (user_id, funnel_stage) for every user with at least one event of a
+    * funnel type; stage 0 means present but never matched stage 1.
+    * Timestamps compare at microsecond grain (unix_micros / epoch_us —
+    * the native precision of the store, no truncation ambiguity). */
+  def windowFunnel(events: DataFrame, types: Seq[String],
+      windowMicros: Long): DataFrame = {
+    require(types.nonEmpty, "funnel needs at least one stage")
+    val n = types.size
+    val stageOf = types.zipWithIndex
+      .foldRight(lit(0): Column) { case ((t, i), els) =>
+        when(col("event_type") === lit(t), lit(i + 1)).otherwise(els)
+      }
+    val relevant = events
+      .filter(col("event_type").isin(types: _*))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), stageOf.as("s")).as("e"))
+    val folded = relevant.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"), array_repeat(lit(NoStart), n),
+          (acc, e) => {
+            val t = e.getField("t"); val s = e.getField("s")
+            transform(sequence(lit(0), lit(n - 1)), i =>
+              when(i === 0 && s === 1, greatest(element_at(acc, 1), t))
+                .when(i > 0 && s === i + 1 &&
+                    element_at(acc, i) =!= NoStart &&
+                    t <= element_at(acc, i) + lit(windowMicros),
+                  greatest(element_at(acc, i + 1), element_at(acc, i)))
+                .otherwise(element_at(acc, i + 1)))
+          }).as("acc"))
+    folded.select(col("user_id"),
+        size(filter(col("acc"), x => x =!= NoStart)).cast("long").as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+}

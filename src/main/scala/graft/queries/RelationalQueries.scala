@@ -441,7 +441,16 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** ClickHouse-windowFunnel analog: view → click → purchase within 6 h,
+    * one groupBy + codegen'd DP fold (no join chain on the engine side;
+    * the ORACLE is the join-chain formulation — two independent
+    * formulations must agree). */
+  def q36Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.windowFunnel(Tables.events(spark, dir),
+      Seq("view", "click", "purchase"), windowMicros = 21600000000L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_funnel" -> (q36Funnel _),
     "q35_zorder_scan" -> (q35ZorderScan _),
     "q34_zorder" -> (q34Zorder _),
     "q17_json" -> (q17Json _),
@@ -498,6 +507,27 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // join-chain funnel: stage-2 chains keep min(click ts) per (user, t0)
+    // — earliest second-stage event maximizes stage-3 feasibility, so the
+    // greedy min is exact; the Spark side is an unrelated DP fold
+    "q36_funnel" ->
+      """WITH ff AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |f1 AS (SELECT user_id, t AS t0 FROM ff WHERE et = 'view'),
+        |f2 AS (SELECT a.user_id, a.t0, min(b.t) AS t2 FROM f1 a JOIN ff b
+        |  ON a.user_id = b.user_id AND b.et = 'click'
+        |  AND b.t >= a.t0 AND b.t <= a.t0 + 21600000000 GROUP BY 1, 2),
+        |f3 AS (SELECT DISTINCT a.user_id FROM f2 a JOIN ff c
+        |  ON a.user_id = c.user_id AND c.et = 'purchase'
+        |  AND c.t >= a.t2 AND c.t <= a.t0 + 21600000000),
+        |fu AS (SELECT DISTINCT user_id FROM ff)
+        |SELECT fu.user_id,
+        |  (CASE WHEN fu.user_id IN (SELECT user_id FROM f3) THEN 3
+        |        WHEN fu.user_id IN (SELECT user_id FROM f2) THEN 2
+        |        WHEN fu.user_id IN (SELECT user_id FROM f1) THEN 1
+        |        ELSE 0 END)::BIGINT AS funnel_stage
+        |FROM fu ORDER BY fu.user_id""".stripMargin,
+
     "q35_zorder_scan" ->
       """SELECT event_id, user_id, "value"
         |FROM events

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def funnel(rows: Seq[(Long, Long, String)], window: Long) = {
+    val df = rows.toDF("user_id", "tus", "event_type")
+      .select(col("user_id"), timestamp_micros(col("tus")).as("ts"), col("event_type"))
+    Funnel.windowFunnel(df, Seq("view", "click", "purchase"), window).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("windowFunnel: ordering, window, restart, ties, absent stages") {
+    val got = funnel(Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),   // full chain
+      (2L, 0L, "click"), (2L, 10L, "view"),                          // wrong order
+      (3L, 0L, "view"), (3L, 200L, "click"),                         // click outside window
+      (4L, 0L, "view"), (4L, 50L, "click"), (4L, 150L, "purchase"),  // purchase too late
+      (5L, 0L, "view"), (5L, 90L, "click"), (5L, 95L, "purchase"),   // just inside
+      (6L, 0L, "purchase"),                                          // never stage 1
+      // restart: the SECOND view's chain completes inside its window
+      (7L, 0L, "view"), (7L, 150L, "click"), (7L, 100L, "view"),
+      (7L, 180L, "click"), (7L, 199L, "purchase"),
+      (8L, 0L, "view"), (8L, 0L, "click"), (8L, 0L, "purchase")      // same-ts chain
+    ), window = 100L)
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 0L, 7L -> 3L, 8L -> 3L), s"got $got")
+  }
+
+  test("windowFunnel: partitioning-invariant on the real corpus") {
+    val events = graft.Tables.events(spark, sf("sf0.001"))
+    val a = Funnel.windowFunnel(events, Seq("view", "click", "purchase"),
+      21600000000L).collect().map(_.toSeq).toSeq
+    val b = Funnel.windowFunnel(events.repartition(11), Seq("view", "click", "purchase"),
+      21600000000L).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val stages = a.map(_(1).asInstanceOf[Long]).groupBy(identity).view.mapValues(_.size)
+    assert(stages.keySet.size >= 2, s"corpus should spread across stages: $stages")
+  }
+}
