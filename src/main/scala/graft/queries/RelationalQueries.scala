@@ -449,7 +449,29 @@ object RelationalQueries {
     graft.operators.Funnel.windowFunnel(Tables.events(spark, dir),
       Seq("view", "click", "purchase"), windowMicros = 21600000000L)
 
+  /** Cohort retention matrix (the ClickHouse retention-family analytic):
+    * users cohorted by the ISO week of their first event; n_users active
+    * at week offsets 0..3. Two bounded aggregations + one equi-join on
+    * user_id — the (user, week) distinct set is the only corpus-sized
+    * intermediate, and it is map-side combinable. */
+  def q37Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val firstW = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+    val activeW = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+      .distinct()
+    activeW.join(firstW, Seq("user_id"))
+      .select(col("cohort"),
+        (datediff(col("w"), col("cohort")) / 7).cast("long").as("offset"))
+      .filter(col("offset").between(0, 3))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_retention" -> (q37Retention _),
     "q36_funnel" -> (q36Funnel _),
     "q35_zorder_scan" -> (q35ZorderScan _),
     "q34_zorder" -> (q34Zorder _),
@@ -507,6 +529,16 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q37_retention" ->
+      """WITH rf AS (SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort
+        |  FROM events GROUP BY 1),
+        |ra AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS w FROM events)
+        |SELECT f.cohort, (date_diff('day', f.cohort, a.w) // 7)::BIGINT AS "offset",
+        |  count(*)::BIGINT AS n_users
+        |FROM ra a JOIN rf f USING (user_id)
+        |WHERE date_diff('day', f.cohort, a.w) // 7 BETWEEN 0 AND 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // join-chain funnel: stage-2 chains keep min(click ts) per (user, t0)
     // — earliest second-stage event maximizes stage-3 feasibility, so the
     // greedy min is exact; the Spark side is an unrelated DP fold
