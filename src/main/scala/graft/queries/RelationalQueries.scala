@@ -470,7 +470,38 @@ object RelationalQueries {
       .orderBy(col("cohort"), col("offset"))
   }
 
+  /** Quantile-sketch gate, the ct_stats_approx treatment for
+    * approx_percentile: the sketch VALUE is merge-order-dependent and
+    * can never sit under a cross-engine hash, but its rank-error
+    * GUARANTEE (|rank(a) − φN| ≤ εN for GK with ε = 1/accuracy) is a
+    * deterministic fact — so the declared columns are the exact
+    * interpolated median plus booleans asserting the guarantee via an
+    * exact rank recount, and the oracle pins those booleans true.
+    * (rank_lo: at least (φ−ε)N values ≤ a; rank_hi: fewer than (φ+ε)N
+    * values strictly < a.) */
+  def q38QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.01 // 1 / accuracy below
+    val apx = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 100)").as("apx"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(apx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") <= col("apx"), 1L).otherwise(0L)).as("cnt_le"),
+        sum(when(col("l_quantity") < col("apx"), 1L).otherwise(0L)).as("cnt_lt"))
+      .select(col("l_returnflag"), col("med_qty"), col("n"),
+        (col("cnt_le").cast("double") >= (lit(0.5) - lit(eps)) * col("n").cast("double"))
+          .as("rank_lo"),
+        (col("cnt_lt").cast("double") < (lit(0.5) + lit(eps)) * col("n").cast("double"))
+          .as("rank_hi"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_quantile_sketch" -> (q38QuantileSketch _),
     "q37_retention" -> (q37Retention _),
     "q36_funnel" -> (q36Funnel _),
     "q35_zorder_scan" -> (q35ZorderScan _),
@@ -529,6 +560,13 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the sketch value never leaves the Spark side; the oracle pins the
+    // exact median and the guarantee booleans
+    "q38_quantile_sketch" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  count(*)::BIGINT AS n, true AS rank_lo, true AS rank_hi
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q37_retention" ->
       """WITH rf AS (SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort
         |  FROM events GROUP BY 1),
