@@ -92,4 +92,29 @@ object Packing {
       .withColumn("bin", expr(s"tok_offset div ${capacity}"))
       .orderBy(col("doc_id"))
   }
+
+  /** Overlapping token-window chunking — the RAG-indexing / long-doc
+    * splitting primitive: each document becomes ⌈n/stride⌉-ish chunks of
+    * up to `window` tokens starting every `stride` tokens (overlap =
+    * window − stride). Pure per-row explode — embarrassingly parallel,
+    * no shuffle before the output sort; chunk text is re-joined from the
+    * token slice so downstream embeds/indexes chunks directly.
+    * Start offsets are 0-based token positions; the trailing chunk is
+    * short rather than padded (both engines' slices clamp). */
+  def chunkWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window (stride > window would drop tokens)")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n") - 1, lit(stride)),
+          s => array_join(slice(col("toks"), s + 1, lit(window)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id").cast("long") * stride).as("tok_start"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

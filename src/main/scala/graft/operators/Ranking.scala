@@ -65,6 +65,47 @@ object Ranking {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion: the lexical ranking
+    * (BM25) and the dense ranking (exact cosine against a query vector)
+    * fuse as Σ 1/(k + rank) — ranks are INTEGERS from total-ordered
+    * windows, so the fused score is a fixed arithmetic tree over exact
+    * inputs, bit-portable with no float-tolerance caveats (the reason
+    * RRF is preferred here over score normalization, which would mix two
+    * incomparable float scales).
+    *
+    * Scale shape: each side is its proven sub-plan (bm25's one-scan
+    * arithmetic; the cosine scan against a broadcast query row); ranks
+    * are global windows over CORPUS-sized but NARROW (id, score) rows —
+    * at 100 TB the top-k cut happens per side before fusion (retrieve
+    * top-1000 each, fuse, re-cut), which this operator models with the
+    * final TakeOrdered. A document absent from one side contributes only
+    * the other side's term (standard RRF on a full-outer join). */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      queryId: Long, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(docs, terms)
+      .select(col("doc_id"), col("score"))
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>").as("qe"))
+    val dense = embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (graft.functions.VectorFunctions.dot(col("embedding"), col("qe")) /
+          (sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))) *
+            sqrt(graft.functions.VectorFunctions.norm2(col("qe"))))).as("cos_sim"))
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        (coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("r_lex").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("r_dense").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Exact phrase search over a positional inverted index — the classic
     * IR primitive (and the verbatim-quote detector a contamination
     * pipeline wants beyond bag-of-k-grams).

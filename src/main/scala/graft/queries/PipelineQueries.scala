@@ -45,6 +45,32 @@ object PipelineQueries {
     * chosen to occur in the testdata at every scale factor. */
   private val PhraseTerms = Seq("scan", "slow", "fast")
 
+  /** BM25 oracle SQL (shared by doc_bm25 and the hybrid-search fusion).
+    * idf float32 round-trip mirrors Ranking.bm25's quantization (libm
+    * ln() differs in the last ulp between engines; float collapses it). */
+  private lazy val dBm25Sql: String = {
+    val (k1, b) = (Bm25K1, Bm25B)
+    val tfDefs = Bm25Terms.map(t =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$t'))::BIGINT AS tf_$t").mkString(",\n  ")
+    val dfDefs = Bm25Terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t").mkString(",\n  ")
+    val termScores = Bm25Terms.map { t =>
+      s"CAST(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)) AS FLOAT) AS DOUBLE)" +
+      s" * ((CAST(tf_$t AS DOUBLE) * ${k1 + 1.0}) / (CAST(tf_$t AS DOUBLE) + $k1 * " +
+      s"(${1.0 - b} + $b * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    }.mkString(" + ")
+    s"""WITH bmb AS (SELECT doc_id,
+       |  len(string_split(text, ' '))::BIGINT AS dl,
+       |  $tfDefs
+       |  FROM documents),
+       |bms AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+       |  $dfDefs
+       |  FROM bmb)
+       |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |  $termScores AS score
+       |FROM bmb, bms ORDER BY doc_id""".stripMargin
+  }
+
   /** Polynomial rolling hash of a string expression. */
   private def dPoly(v: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($v, ''), pc -> ascii(pc)::BIGINT)), (pa, px) -> (pa*31 + px) % $P)"
@@ -310,6 +336,18 @@ object PipelineQueries {
     // broadcast 1-row vector state — the embedding-anisotropy primitive
     "emb_pca" -> ((s, d) =>
       graft.operators.Pca.topDirection(Tables.embeddings(s, d), iters = 2)),
+
+    // RAG-style overlapping token-window chunking: pure per-row explode,
+    // trailing chunk short rather than padded
+    "doc_chunks" -> ((s, d) =>
+      graft.operators.Packing.chunkWindows(Tables.documents(s, d),
+        window = 32, stride = 24)),
+
+    // hybrid retrieval: BM25 rank + dense cosine rank fused by RRF —
+    // integer ranks through a fixed arithmetic tree, no score-scale mixing
+    "doc_hybrid_search" -> ((s, d) =>
+      graft.operators.Ranking.hybridSearch(Tables.documents(s, d),
+        Tables.embeddings(s, d), Bm25Terms, queryId = 0L, k = 20)),
 
     // trainable quality classifier: logistic regression by gradient
     // descent as pure dataflow — one corpus scan per iteration, weights
@@ -920,31 +958,36 @@ object PipelineQueries {
     // mirrors Ranking.bm25's fixed operation tree term by term; every
     // count is exact BIGINT, the only transcendental is ln() on identical
     // double inputs (one per query term)
-    "doc_bm25" -> {
-      val (k1, b) = (Bm25K1, Bm25B)
-      val tfDefs = Bm25Terms.map(t =>
-        s"len(list_filter(string_split(text, ' '), x -> x = '$t'))::BIGINT AS tf_$t").mkString(",\n  ")
-      val dfDefs = Bm25Terms.map(t =>
-        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t").mkString(",\n  ")
-      // idf float32 round-trip mirrors Ranking.bm25's quantization (libm
-      // ln() differs in the last ulp between engines; float collapses it)
-      val termScores = Bm25Terms.map { t =>
-        s"CAST(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)) AS FLOAT) AS DOUBLE)" +
-        s" * ((CAST(tf_$t AS DOUBLE) * ${k1 + 1.0}) / (CAST(tf_$t AS DOUBLE) + $k1 * " +
-        s"(${1.0 - b} + $b * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
-      }.mkString(" + ")
-      s"""WITH bmb AS (SELECT doc_id,
-         |  len(string_split(text, ' '))::BIGINT AS dl,
-         |  $tfDefs
-         |  FROM documents),
-         |bms AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
-         |  $dfDefs
-         |  FROM bmb)
-         |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
-         |  $termScores AS score
-         |FROM bmb, bms ORDER BY doc_id""".stripMargin
-    },
+    "doc_bm25" -> dBm25Sql,
 
+    // zipped unnests give (chunk index, chunk text); slices clamp at the
+    // document tail on both engines
+    "doc_chunks" ->
+      s"""WITH cht AS (SELECT doc_id, ${dTokens("text")} AS toks FROM documents),
+         |chc AS (SELECT doc_id,
+         |  unnest(range(len(range(0, len(toks), 24)))) AS ci,
+         |  unnest(list_transform(range(0, len(toks), 24),
+         |    cs -> array_to_string(toks[cs+1:cs+32], ' '))) AS ct
+         |  FROM cht)
+         |SELECT doc_id, ci::BIGINT AS chunk_id, (ci * 24)::BIGINT AS tok_start,
+         |  len(string_split(ct, ' '))::BIGINT AS n_chunk_tokens, ct AS chunk_text
+         |FROM chc ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // lexical rank from the shared BM25 body, dense rank from the proven
+    // cosine shape, fused as sum(1/(60+rank)) over a full outer join
+    "doc_hybrid_search" ->
+      s"""WITH hl AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+         |  FROM ($dBm25Sql)),
+         |hq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |hd0 AS (SELECT vec_id AS doc_id, ${dCos("embedding", "qe")} AS cos_sim
+         |  FROM embeddings, hq WHERE vec_id <> 0),
+         |hd AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
+         |  FROM hd0)
+         |SELECT doc_id, r_lex, r_dense,
+         |  coalesce(1.0 / (60.0 + r_lex::DOUBLE), 0.0) +
+         |  coalesce(1.0 / (60.0 + r_dense::DOUBLE), 0.0) AS rrf
+         |FROM hl FULL OUTER JOIN hd USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "doc_contamination" ->
       s"""WITH csp AS (SELECT doc_id, text, ${dPoly("'split:' || doc_id")} % 100 AS h FROM documents),
          |ctr0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM csp WHERE h < 90),

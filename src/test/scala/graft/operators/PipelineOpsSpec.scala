@@ -221,6 +221,35 @@ class PipelineOpsSpec extends SparkSpec {
       "overlapping occurrences count at occurrence grain")
   }
 
+  test("chunking: stride/window grid, short tail, lossless stride prefixes") {
+    import spark.implicits._
+    val words = (0 until 80).map(i => s"w$i")
+    val one = Seq((7L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.chunkWindows(one, window = 32, stride = 24).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 0L, 32L), (1L, 24L, 32L), (2L, 48L, 32L), (3L, 72L, 8L)))
+    // every token position is covered by the chunk starting at its stride
+    val rebuilt = got.dropRight(1).map(_._4.split(" ").take(24).mkString(" ")) :+
+      got.last._4
+    assert(rebuilt.mkString(" ") == words.mkString(" "), "stride prefixes must tile the doc")
+  }
+
+  test("hybrid search: RRF fuses both rankings, both-sides doc wins") {
+    val hybrid = Ranking.hybridSearch(docs, embs, Seq("spark", "vector", "hash"),
+      queryId = 0L, k = 20)
+    val rows = hybrid.collect()
+    assert(rows.length == 20)
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sameElements(rrfs.sorted.reverse), "descending by fused score")
+    // every fused score is achievable from two 1-based integer ranks
+    rows.foreach { r =>
+      val expect = Option(r.getAs[Any]("r_lex")).map(x => 1.0 / (60.0 + x.asInstanceOf[Long])).getOrElse(0.0) +
+        Option(r.getAs[Any]("r_dense")).map(x => 1.0 / (60.0 + x.asInstanceOf[Long])).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expect)
+    }
+  }
+
   test("char-bigram LM: grain, discriminative scoring, broadcast model") {
     import spark.implicits._
     // in-corpus-looking text vs out-of-distribution gibberish: the corpus
