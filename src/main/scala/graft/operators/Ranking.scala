@@ -74,17 +74,19 @@ object Ranking {
     * incomparable float scales).
     *
     * Scale shape: each side is its proven sub-plan (bm25's one-scan
-    * arithmetic; the cosine scan against a broadcast query row); ranks
-    * are global windows over CORPUS-sized but NARROW (id, score) rows —
-    * at 100 TB the top-k cut happens per side before fusion (retrieve
-    * top-1000 each, fuse, re-cut), which this operator models with the
-    * final TakeOrdered. A document absent from one side contributes only
-    * the other side's term (standard RRF on a full-outer join). */
+    * arithmetic; the cosine scan against a broadcast query row), CUT to
+    * the top `depth` by a distributed TakeOrdered BEFORE any ranking
+    * window — the row_number that assigns ranks then runs over `depth`
+    * bounded rows, never the corpus (retrieve-then-fuse, the standard
+    * RRF depth semantics: a document outside a side's top-depth
+    * contributes nothing from that side). A document absent from one
+    * side contributes only the other side's term (full-outer fusion). */
   def hybridSearch(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
-      queryId: Long, k: Int = 20, rrfK: Int = 60): DataFrame = {
+      queryId: Long, k: Int = 20, rrfK: Int = 60, depth: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = bm25(docs, terms)
       .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(depth)
       .withColumn("r_lex", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
     val q = embeddings.filter(col("vec_id") === queryId)
@@ -95,6 +97,7 @@ object Ranking {
         (graft.functions.VectorFunctions.dot(col("embedding"), col("qe")) /
           (sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))) *
             sqrt(graft.functions.VectorFunctions.norm2(col("qe"))))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(depth)
       .withColumn("r_dense", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
     lex.join(dense, Seq("doc_id"), "full_outer")

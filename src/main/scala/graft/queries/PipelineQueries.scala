@@ -974,15 +974,18 @@ object PipelineQueries {
          |FROM chc ORDER BY doc_id, chunk_id""".stripMargin,
 
     // lexical rank from the shared BM25 body, dense rank from the proven
-    // cosine shape, fused as sum(1/(60+rank)) over a full outer join
+    // cosine shape, each cut to the retrieve depth (rank <= 1000 under a
+    // total order == limit-then-rank), fused as sum(1/(60+rank))
     "doc_hybrid_search" ->
-      s"""WITH hl AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      s"""WITH hl0 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
          |  FROM ($dBm25Sql)),
+         |hl AS (SELECT doc_id, r_lex FROM hl0 WHERE r_lex <= 1000),
          |hq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |hd0 AS (SELECT vec_id AS doc_id, ${dCos("embedding", "qe")} AS cos_sim
          |  FROM embeddings, hq WHERE vec_id <> 0),
-         |hd AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
-         |  FROM hd0)
+         |hd AS (SELECT doc_id, r_dense FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
+         |  FROM hd0) WHERE r_dense <= 1000)
          |SELECT doc_id, r_lex, r_dense,
          |  coalesce(1.0 / (60.0 + r_lex::DOUBLE), 0.0) +
          |  coalesce(1.0 / (60.0 + r_dense::DOUBLE), 0.0) AS rrf
