@@ -100,7 +100,19 @@ object StreamingQueries {
       Seq("a_id", "b_id"))
   }
 
+  /** EventStreams.funnelStages (mapGroupsWithState windowFunnel DP,
+    * update mode) driven to completion: the terminal per-user stage must
+    * equal the batch funnel — the oracle IS q36_funnel's join-chain
+    * formulation, shared verbatim. */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val agg = EventStreams.funnelStages(
+      spark, EventStreams.readTestdataEvents(spark, dir),
+      Seq("view", "click", "purchase"), windowMicros = 21600000000L).toDF()
+    runToCompletion(spark, "sfunnel", agg, Seq("user_id"), mode = "update")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel" -> (streamFunnel _),
     "stream_window_stats" -> (streamWindowStats _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
@@ -112,6 +124,10 @@ object StreamingQueries {
     * closed under the terminal watermark. Spark tracks event-time stats in
     * milliseconds, hence the ms floor on max(ts). */
   def oracleSql: Map[String, String] = Map(
+    // the batch funnel's join-chain oracle, verbatim — terminal streaming
+    // state and the batch DP must agree on every user
+    "stream_funnel" -> RelationalQueries.oracleSql("q36_funnel"),
+
     "stream_window_stats" ->
       """WITH w AS (
         |  SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start,

@@ -173,6 +173,46 @@ object EventStreams {
       }
   }
 
+  case class FunnelRow(user_id: Long, funnel_stage: Long)
+  case class FunnelState(starts: Seq[Long])
+
+  /** Streaming funnel (ST6-family): the windowFunnel DP as
+    * mapGroupsWithState custom state — acc[s] = max chain-start among
+    * chains at stage s+1, exactly the batch operator's accumulator, so
+    * the terminal state must hash-match the batch funnel (and therefore
+    * its join-chain oracle). Events inside a batch are sorted by
+    * (ts, stage) before folding — the DP needs time order, which the
+    * shuffled iterator does not provide; across batches the gate relies
+    * on AvailableNow's single-batch read like every other parity gate
+    * here (a production multi-batch deployment would pair this with a
+    * per-user event-time buffer flushed by watermark). */
+  def funnelStages(spark: SparkSession, events: DataFrame, types: Seq[String],
+      windowMicros: Long): Dataset[FunnelRow] = {
+    import spark.implicits._
+    val n = types.size
+    val typeIdx = types.zipWithIndex.toMap
+    val ev = events.filter(col("event_type").isin(types: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+      .as[(Long, Long, String)]
+    ev.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[(Long, Long, String)],
+            state: GroupState[FunnelState]) =>
+          val acc = state.getOption
+            .map(_.starts.toArray)
+            .getOrElse(Array.fill(n)(Long.MinValue))
+          val evs = batch.map { case (_, t, et) => (t, typeIdx(et) + 1) }
+            .toArray.sortBy(identity)
+          evs.foreach { case (t, s) =>
+            if (s == 1) acc(0) = math.max(acc(0), t)
+            else if (acc(s - 2) != Long.MinValue && t <= acc(s - 2) + windowMicros)
+              acc(s - 1) = math.max(acc(s - 1), acc(s - 2))
+          }
+          state.update(FunnelState(acc.toSeq))
+          FunnelRow(userId, acc.count(_ != Long.MinValue).toLong)
+      }
+  }
+
   /** Convenience: run a streaming frame to a named in-memory table and
     * process everything currently available (test/dev helper). */
   def runToMemory(df: DataFrame, name: String, checkpoint: String,

@@ -120,4 +120,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("user_out").filter($"user_id" === 2 && $"n_events" === 1).count() == 1)
     q.stop()
   }
+
+  test("streaming funnel terminal state equals the batch windowFunnel") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val types = Seq("view", "click", "purchase")
+    val ckpt = Files.createTempDirectory("ckpt-funnel").toString
+    val q = EventStreams.runToMemory(
+      EventStreams.funnelStages(spark,
+        EventStreams.readTestdataEvents(spark, "/root/testdata/sf0.001"),
+        types, windowMicros = 21600000000L).toDF(),
+      "funnel_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_out")
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.max($"funnel_stage").as("funnel_stage"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Funnel.windowFunnel(events, types, 21600000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "terminal streaming state must equal the batch DP")
+  }
 }
