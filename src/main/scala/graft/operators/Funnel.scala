@@ -31,6 +31,20 @@ object Funnel {
 
   private val NoStart = Long.MinValue
 
+  /** Pure-Scala mirror of the HOF fold — the property-test reference
+    * (checked against exhaustive chain enumeration in PropertySpec, and
+    * against the Column encoding in FunnelSpec). Events are (tsMicros,
+    * 1-based stage); same (ts, stage) sort, same transitions. */
+  def referenceStage(events: Seq[(Long, Int)], nStages: Int, window: Long): Int = {
+    val acc = Array.fill(nStages)(NoStart)
+    events.sorted.foreach { case (t, s) =>
+      if (s == 1) acc(0) = math.max(acc(0), t)
+      else if (s >= 2 && s <= nStages && acc(s - 2) != NoStart && t <= acc(s - 2) + window)
+        acc(s - 1) = math.max(acc(s - 1), acc(s - 2))
+    }
+    acc.count(_ != NoStart)
+  }
+
   /** (user_id, funnel_stage) for every user with at least one event of a
     * funnel type; stage 0 means present but never matched stage 1.
     * Timestamps compare at microsecond grain (unix_micros / epoch_us —

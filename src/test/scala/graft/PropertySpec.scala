@@ -43,6 +43,22 @@ object PropertySpec extends Properties("graft") {
       math.abs(back - n) / n.toDouble < 0.01
     }
 
+  property("funnel DP equals exhaustive chain enumeration") = {
+    val event = Gen.zip(Gen.choose(0L, 40L), Gen.choose(1, 3))
+    forAll(Gen.listOf(event).map(_.take(9)), Gen.choose(1L, 30L)) { (evs, window) =>
+      val sorted = evs.sorted
+      // brute force: max k with sorted indices j1<...<jk, stage(jm)=m,
+      // every chain member within window of the chain's first event
+      def chains(k: Int): Boolean =
+        sorted.indices.combinations(k).exists { idx =>
+          idx.zipWithIndex.forall { case (j, m) => sorted(j)._2 == m + 1 } &&
+            idx.forall(j => sorted(j)._1 <= sorted(idx.head)._1 + window)
+        }
+      val brute = (1 to 3).reverse.find(chains).getOrElse(0)
+      graft.operators.Funnel.referenceStage(evs, 3, window) == brute
+    }
+  }
+
   property("ingest dedup: replaying the same entries never adds rows") = {
     // pure-function view of the dedup grain: (fingerprint, domain) set union
     forAll(Gen.listOf(Gen.zip(Gen.identifier, domain))) { pairs =>

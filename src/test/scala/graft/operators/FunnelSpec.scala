@@ -30,6 +30,21 @@ class FunnelSpec extends SparkSpec {
       5L -> 3L, 6L -> 0L, 7L -> 3L, 8L -> 3L), s"got $got")
   }
 
+  test("windowFunnel: Column fold equals the pure reference on random fixtures") {
+    val rnd = new scala.util.Random(42)
+    val types = Vector("view", "click", "purchase")
+    val rows = (0L until 50L).flatMap { u =>
+      (0 until rnd.nextInt(12)).map(_ =>
+        (u, rnd.nextInt(40).toLong, types(rnd.nextInt(3))))
+    }
+    val got = funnel(rows, window = 15L)
+    val expect = rows.groupBy(_._1).map { case (u, es) =>
+      u -> Funnel.referenceStage(
+        es.map(e => (e._2, types.indexOf(e._3) + 1)), 3, 15L).toLong
+    }
+    assert(got == expect, s"diff: ${got.toSet.diff(expect.toSet)}")
+  }
+
   test("windowFunnel: partitioning-invariant on the real corpus") {
     val events = graft.Tables.events(spark, sf("sf0.001"))
     val a = Funnel.windowFunnel(events, Seq("view", "click", "purchase"),
