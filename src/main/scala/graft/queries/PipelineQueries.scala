@@ -337,6 +337,14 @@ object PipelineQueries {
     "emb_pca" -> ((s, d) =>
       graft.operators.Pca.topDirection(Tables.embeddings(s, d), iters = 2)),
 
+    // PageRank over the n-gram near-dup graph: centrality as the keeper
+    // signal beyond min-id; edge-join + per-destination nano-unit sums
+    "graph_pagerank" -> ((s, d) =>
+      graft.operators.GraphOps.pageRank(
+        graft.operators.Dedup.ngramJaccardPairs(Tables.documents(s, d),
+          k = 3, threshold = 0.5).select(col("i"), col("j")),
+        iters = 2)),
+
     // RAG-style overlapping token-window chunking: pure per-row explode,
     // trailing chunk short rather than padded
     "doc_chunks" -> ((s, d) =>
@@ -959,6 +967,26 @@ object PipelineQueries {
     // count is exact BIGINT, the only transcendental is ln() on identical
     // double inputs (one per query term)
     "doc_bm25" -> dBm25Sql,
+
+    // same jaccard-pair edges, two PageRank steps replayed: symmetrize,
+    // degree, nano-unit contribution sums, fixed-tree update
+    "graph_pagerank" -> {
+      def iter(i: Int): String =
+        s"""pgc$i AS (SELECT e.dst, sum(floor(p.pr / d.deg::DOUBLE * 1e9)::BIGINT)::BIGINT AS s
+           |  FROM pge e JOIN pg${i - 1} p ON e.src = p.id JOIN pgd d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |pg$i AS (SELECT c.dst AS id,
+           |  (1.0 - 0.85) / n::DOUBLE + 0.85 * (c.s::DOUBLE / 1e9) AS pr
+           |  FROM pgc$i c, pgn)""".stripMargin
+      s"""WITH $dJaccardCtes,
+         |pge AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |pgd AS (SELECT src, count(*)::BIGINT AS deg FROM pge GROUP BY src),
+         |pgn AS (SELECT count(*)::BIGINT AS n FROM pgd),
+         |pg0 AS (SELECT src AS id, 1.0 / n::DOUBLE AS pr FROM pgd, pgn),
+         |${iter(1)},
+         |${iter(2)}
+         |SELECT id AS doc_id, pr FROM pg2 ORDER BY doc_id""".stripMargin
+    },
 
     // zipped unnests give (chunk index, chunk text); slices clamp at the
     // document tail on both engines
