@@ -500,7 +500,54 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** NTILE quantile bucketing — the remaining window shape (q6/q7/q18-q20
+    * cover rank/running/nav/RANGE; NTILE's floor-division bucket split is
+    * its own semantics). The ORDER BY carries event_id so the ordering is
+    * total: NTILE over a tied prefix is engine-dependent otherwise. */
+  def q39Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("event_type"), col("quartile"))
+  }
+
+  /** Skew-safe distinct aggregation under the hash gate: the two-stage
+    * salted plan ([[graft.operators.SkewAgg.saltedDistinctCount]]) must be
+    * bit-identical to the plain `count(DISTINCT)` the oracle runs. The
+    * event_type keys each hold ~20 % of the table — exactly the
+    * low-cardinality-key regime where the single-stage plan funnels every
+    * row of a key through one reducer. */
+  def q40SaltedDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewAgg
+      .saltedDistinctCount(Tables.events(spark, dir), "event_type", "user_id")
+      .orderBy(col("event_type"))
+
+  /** SCD2 validity-interval construction: each user's purchase history
+    * becomes versioned rows [valid_from, valid_to) with the open current
+    * version pinned to Long.MaxValue — one keyed window pass (lead), no
+    * self-join. Epoch-microsecond longs keep the hash comparison exact. */
+  def q41Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        coalesce(unix_micros(col("next_ts")), lit(Long.MaxValue)).as("valid_to_us"),
+        col("value"), col("next_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_ntile" -> (q39Ntile _),
+    "q40_salted_distinct" -> (q40SaltedDistinct _),
+    "q41_scd2" -> (q41Scd2 _),
     "q38_quantile_sketch" -> (q38QuantileSketch _),
     "q37_retention" -> (q37Retention _),
     "q36_funnel" -> (q36Funnel _),
@@ -560,6 +607,28 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q39_ntile" ->
+      """WITH q AS (SELECT event_type, "value",
+        |    ntile(4) OVER (PARTITION BY event_type ORDER BY "value", event_id) AS quartile
+        |  FROM events)
+        |SELECT event_type, quartile::BIGINT AS quartile, count(*)::BIGINT AS n,
+        |  min("value") AS min_v, max("value") AS max_v
+        |FROM q GROUP BY event_type, quartile ORDER BY event_type, quartile""".stripMargin,
+
+    // the oracle is the PLAIN single-stage aggregation — the salted
+    // two-stage plan must reproduce it exactly
+    "q40_salted_distinct" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT user_id)::BIGINT AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q41_scd2" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |  coalesce(epoch_us(lead(ts, 1) OVER w), 9223372036854775807) AS valid_to_us,
+        |  "value", (lead(ts, 1) OVER w IS NULL) AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     // the sketch value never leaves the Spark side; the oracle pins the
     // exact median and the guarantee booleans
     "q38_quantile_sketch" ->
