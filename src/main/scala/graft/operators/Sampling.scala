@@ -43,6 +43,44 @@ object Sampling {
     df.filter(sampleHash(idCol, salt) < thresh)
   }
 
+  /** Token-budget dataset mixing — the op that turns "train on 40 % web,
+    * 30 % code, 20 % books, 10 % wiki within B tokens" into per-source
+    * keep rates. For each stratum s with target weight w_s (basis points)
+    * and corpus token mass tot_s, the keep rate is
+    * `min(1, floor(B·w_s/10⁴) · 10⁴ / tot_s)` basis points — all integer
+    * arithmetic, so any engine recomputes the identical rates, and
+    * membership is then the same deterministic hash filter as
+    * [[stratifiedByRate]]. A stratum with less mass than its target keeps
+    * everything (rate caps at 10⁴); unlisted strata are dropped.
+    *
+    * The only driver-side data is the per-stratum token totals — one row
+    * per source (tens, not millions) from a map-side-combinable agg.
+    * Output: the kept rows with `n_tokens` and the stratum's `rate_bps`
+    * attached. Expected kept token mass per stratum ≈ min(tot_s, B·w_s);
+    * the realized mass is within sampling noise of it (hash membership is
+    * per-document, exact-count quotas would need [[stratifiedQuota]]). */
+  def mixToBudget(docs: DataFrame, idCol: String, strataCol: String,
+      nTokens: Column, budgetTokens: Long, weightsBps: Map[String, Int],
+      salt: String = "mix"): DataFrame = {
+    require(weightsBps.values.forall(_ >= 0) && weightsBps.values.sum <= 10000,
+      "weights are basis points summing to at most 10000")
+    val withTok = docs.withColumn("n_tokens", nTokens.cast("long"))
+    val totals = withTok.groupBy(col(strataCol))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = weightsBps.toSeq.sortBy(_._1).map { case (s0, wbps) =>
+      val target = budgetTokens * wbps / 10000L
+      val tot = totals.getOrElse(s0, 0L)
+      s0 -> (if (tot == 0L) 0L else math.min(10000L, target * 10000L / tot))
+    }
+    val rateCol = rates.foldLeft(lit(null).cast("long")) {
+      case (acc, (s0, bps)) => when(col(strataCol) === s0, lit(bps)).otherwise(acc)
+    }
+    withTok.withColumn("rate_bps", rateCol)
+      .filter(col("rate_bps").isNotNull &&
+        T.bucketHash(col(idCol), salt, 10000L) < col("rate_bps"))
+  }
+
   /** Fixed-quota: the `quota` rows of each stratum with the smallest
     * sample hash (ties broken by id) — a reproducible random quota per
     * stratum. One keyed window (parallel across strata). A stratum far

@@ -23,6 +23,12 @@ object PipelineQueries {
 
   private val P = T.HashMod.toString
 
+  /** doc_mix contract — ONE definition for both engines: target weights
+    * (basis points) and the token budget the mix is computed against. */
+  private val MixWeights: Seq[(String, Int)] =
+    Seq("src0" -> 4000, "src1" -> 3000, "src2" -> 2000, "src3" -> 1000)
+  private val MixBudget: Long = 3000L
+
   /** Increment ids for the incremental-dedup fixtures: corpus id + 1e6,
     * with the disjointness precondition ENFORCED — both the oracle SQL and
     * [[graft.operators.Dedup.incrementalNearDups]]'s contract classify
@@ -495,6 +501,18 @@ object PipelineQueries {
           T.polyHash(T.scrubPii(col("pt"))).as("scrub_hash"))
         .orderBy(col("doc_id"))
     }),
+
+    // token-budget dataset mixing: per-source keep rates derived from
+    // target weights + corpus token mass (integer arithmetic end-to-end),
+    // then the deterministic hash filter — the oracle recomputes the
+    // rates from the same constants and must land on identical kept sets
+    "doc_mix" -> ((s, d) =>
+      graft.operators.Sampling.mixToBudget(Tables.documents(s, d),
+          "doc_id", "source", T.tokenCount(col("text")),
+          budgetTokens = MixBudget, weightsBps = MixWeights.toMap)
+        .groupBy(col("source"), col("rate_bps"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+        .orderBy(col("source"))),
 
     // deterministic mixture control: rate-based stratified sample (pure
     // codegen'd filter, membership a function of doc_id — never
@@ -1094,6 +1112,23 @@ object PipelineQueries {
          |  len(regexp_extract_all(pt, '${T.SsnRe}'))::BIGINT AS n_ssns,
          |  ${dPoly("st")} AS scrub_hash
          |FROM psc ORDER BY doc_id""".stripMargin,
+
+    "doc_mix" -> {
+      val values = MixWeights.map { case (s0, w) => s"('$s0', $w)" }.mkString(", ")
+      s"""WITH mx_nt AS (SELECT doc_id, source,
+         |    len(${dTokens("text")})::BIGINT AS n_tokens FROM documents),
+         |mx_tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM mx_nt GROUP BY 1),
+         |mx_w(source, wbps) AS (VALUES $values),
+         |mx_r AS (SELECT w.source,
+         |    least(10000, (($MixBudget * wbps) // 10000) * 10000 // tot)::BIGINT AS rate_bps
+         |  FROM mx_w w JOIN mx_tot USING (source)),
+         |mx_k AS (SELECT nt.source, rate_bps, n_tokens
+         |  FROM mx_nt nt JOIN mx_r USING (source)
+         |  WHERE ${dPoly("'mix:' || doc_id")} % 10000 < rate_bps)
+         |SELECT source, rate_bps, count(*)::BIGINT AS n_kept,
+         |  sum(n_tokens)::BIGINT AS tokens_kept
+         |FROM mx_k GROUP BY 1, 2 ORDER BY source""".stripMargin
+    },
 
     "doc_sample_rate" ->
       s"""SELECT doc_id, lang FROM (

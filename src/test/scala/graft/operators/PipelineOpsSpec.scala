@@ -453,6 +453,41 @@ class PipelineOpsSpec extends SparkSpec {
       quota.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("mixToBudget: integer rate formula, cap at full keep, unlisted strata dropped") {
+    import spark.implicits._
+    // web: 40 tokens, code: 12 tokens, junk: unlisted ("t t" = 2 tokens
+    // under split-on-space; a trailing space would add an empty token)
+    val fixture = (0L until 20L).map(i => (i, "web", "t t")) ++
+      (20L until 26L).map(i => (i, "code", "t t")) ++
+      Seq((40L, "junk", "t t t"))
+    val docs = fixture.toDF("doc_id", "source", "text")
+    val nTok = T.tokenCount(col("text"))
+    val got = Sampling.mixToBudget(docs, "doc_id", "source", nTok,
+      budgetTokens = 30L, weightsBps = Map("web" -> 5000, "code" -> 5000))
+
+    // expected rates per the documented integer formula
+    val rateWeb = math.min(10000L, (30L * 5000 / 10000) * 10000 / 40)   // 3750
+    val rateCode = math.min(10000L, (30L * 5000 / 10000) * 10000 / 12)  // 10000 (cap)
+    assert(rateWeb == 3750L && rateCode == 10000L)
+    val rates = got.select("source", "rate_bps").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.get("code").contains(10000L))
+    rates.get("web").foreach(r => assert(r == rateWeb))
+    assert(!rates.contains("junk"), "unlisted strata must be dropped")
+
+    // membership is exactly the hash rule at the computed rates
+    val expect = docs.filter(col("source") =!= "junk")
+      .select(col("doc_id"), col("source"),
+        pmod(T.polyHash(concat(lit("mix:"), col("doc_id"))), lit(10000L)).as("h"))
+      .collect().collect {
+        case r if r.getLong(2) < (if (r.getString(1) == "web") rateWeb else rateCode) =>
+          r.getLong(0)
+      }.toSet
+    assert(got.select("doc_id").as[Long].collect().toSet == expect)
+    // cap means: every code row kept
+    assert(got.filter(col("source") === "code").count() == 6L)
+  }
+
   test("repetitionStats: fractions match hand-computed values on a planted fixture") {
     import spark.implicits._
     val fixture = Seq(
