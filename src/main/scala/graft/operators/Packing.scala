@@ -93,6 +93,43 @@ object Packing {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic global training-order shuffle: every document gets a
+    * stable position 0..N−1 in an order that is a pure function of
+    * (salt, doc_id) — reproducible across engines, runs, retries, and
+    * cluster sizes, unlike orderBy(rand()). The order key is
+    * `md5(salt:doc_id)` (cryptographic mixing — the engine's polynomial
+    * hash is NOT used here because consecutive ids map to consecutive
+    * hash values, which would leave the corpus nearly in id order);
+    * sources interleave uniformly, which is what a training loader wants
+    * from a pre-shuffled corpus.
+    *
+    * Scale shape: positions come from the same distributed prefix sum as
+    * [[packOffsets]], but with UNIFORM ranges for free — the range id is
+    * the first byte of the md5 key (256 ranges, each ~N/256 docs by
+    * construction), so there is no quantile pass at all: one 256-row
+    * driver aggregate, one keyed window, one broadcast join. */
+  def shuffledOrder(docs: DataFrame, idCol: String = "doc_id",
+      salt: String = "shuf"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withH = docs
+      .withColumn("__h", md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
+      .withColumn("__pid", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val totals = withH.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val prefix = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+    val offsets = prefix.toSeq.toDF("__pid", "__off")
+    // ordering by the full key within a range is consistent with the
+    // global key order: the range id IS the key's leading byte
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    withH.withColumn("__rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select((col("__off") + col("__rn") - 1).cast("long").as("pos") +:
+        docs.columns.map(col): _*)
+  }
+
   /** Overlapping token-window chunking — the RAG-indexing / long-doc
     * splitting primitive: each document becomes ⌈n/stride⌉-ish chunks of
     * up to `window` tokens starting every `stride` tokens (overlap =

@@ -502,6 +502,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic global training-order shuffle: md5 order key +
+    // distributed prefix-sum positions (256 uniform hash-byte ranges)
+    "doc_shuffle" -> ((s, d) =>
+      graft.operators.Packing.shuffledOrder(Tables.documents(s, d))
+        .select(col("pos"), col("doc_id"), col("source"))
+        .orderBy(col("pos"))),
+
+    // ANN recall measurement: recall@10 of the multi-probe LSH retrieval
+    // vs the exact top-10 over 8 held-out queries — the full recall
+    // values sit under the hash gate (both rankings are deterministic)
+    "emb_recall" -> ((s, d) =>
+      graft.operators.Similarity.lshRecallAtK(Tables.embeddings(s, d))),
+
     // token-budget dataset mixing: per-source keep rates derived from
     // target weights + corpus token mass (integer arithmetic end-to-end),
     // then the deterministic hash filter — the oracle recomputes the
@@ -1112,6 +1125,29 @@ object PipelineQueries {
          |  len(regexp_extract_all(pt, '${T.SsnRe}'))::BIGINT AS n_ssns,
          |  ${dPoly("st")} AS scrub_hash
          |FROM psc ORDER BY doc_id""".stripMargin,
+
+    "doc_shuffle" ->
+      """SELECT row_number() OVER (ORDER BY md5('shuf:' || doc_id), doc_id) - 1 AS pos,
+        |  doc_id, source
+        |FROM documents ORDER BY pos""".stripMargin,
+
+    "emb_recall" ->
+      s"""WITH rb AS (SELECT vec_id, embedding, ${dLshBucket("embedding")} AS bucket FROM embeddings),
+         |rq AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb FROM rb WHERE vec_id < 8),
+         |rs AS (SELECT c.vec_id, q.query_id, q.qb, c.bucket,
+         |    ${dCos("c.embedding", "qe")} AS cos_sim
+         |  FROM rb c, rq q WHERE c.vec_id >= 8),
+         |rex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM rs) t WHERE rn <= 10),
+         |rls AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM rs WHERE bit_count(xor(bucket, qb)) <= 1) t WHERE rn <= 10),
+         |rh AS (SELECT e.query_id, count(*)::BIGINT AS n_hit
+         |  FROM rex e JOIN rls l USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+         |  coalesce(n_hit, 0) / 10.0 AS recall
+         |FROM rq q LEFT JOIN rh USING (query_id) ORDER BY query_id""".stripMargin,
 
     "doc_mix" -> {
       val values = MixWeights.map { case (s0, w) => s"('$s0', $w)" }.mkString(", ")

@@ -340,6 +340,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("shuffledOrder: a stable permutation matching the md5 sort, repartition-stable") {
+    import spark.implicits._
+    val got = Packing.shuffledOrder(docs).select("pos", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // positions are exactly 0..N-1
+    assert(got.map(_._1).toSeq == (0L until docs.count()).toSeq)
+    // the order agrees with a driver-side sort by the same md5 key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = {
+      val d = md.digest(s"shuf:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expect = docs.select("doc_id").as[Long].collect()
+      .sortBy(id => (h(id), id))
+    assert(got.map(_._2).toSeq == expect.toSeq)
+    // stable under different input partitioning
+    val got13 = Packing.shuffledOrder(docs.repartition(13)).select("pos", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got13.map(_._2).toSeq == expect.toSeq)
+  }
+
+  test("lshRecallAtK: bounded per-query hits; full probe set gives recall 1.0") {
+    val r = Similarity.lshRecallAtK(embs, nQueries = 4, k = 10).collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      val hits = row.getAs[Long]("n_hit")
+      assert(hits >= 0L && hits <= 10L)
+      assert(row.getAs[Double]("recall") == hits / 10.0)
+    }
+    // maxFlips = nPlanes probes every cell → LSH ranking == exact ranking
+    val full = Similarity.lshRecallAtK(embs, nQueries = 4, k = 10,
+      nPlanes = 4, maxFlips = 4).collect()
+    assert(full.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("packOffsets: distributed prefix sum equals the sequential layout") {
     val got = Packing.packOffsets(docs, capacity = 512).collect()
       .sortBy(_.getAs[Long]("doc_id"))
