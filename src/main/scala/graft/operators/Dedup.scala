@@ -313,6 +313,35 @@ object Dedup {
     verifyJaccard(candidates, shingleRows(docs, k), threshold)
   }
 
+  /** Dedup-path quality measurement — the [[minhashPairs]] analog of the
+    * ANN recall eval: how much of the exact ≥-threshold pair set does the
+    * banding scheme actually surface on THIS corpus, and how selective is
+    * candidate generation? One summary row:
+    * `pair_recall` = verified LSH pairs / exact pairs (verification
+    * discharges false candidates, so precision of the OUTPUT is 1 by
+    * construction — the interesting loss is banding recall);
+    * `candidate_precision` = verified / candidates (the fraction of
+    * band-join work that produced a real pair — the LSH economics knob).
+    * All five numbers are deterministic, so the full row sits under the
+    * cross-engine hash gate. */
+  def minhashEval(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val truth = ngramJaccardPairs(docs, k, threshold)
+    val bands = bandIndex(docs, k)
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val verified = verifyJaccard(candidates, shingleRows(docs, k), threshold)
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .select(col("n_true_pairs"), col("n_candidates"), col("n_verified"),
+        (col("n_verified") / col("n_true_pairs")).as("pair_recall"),
+        (col("n_verified") / col("n_candidates")).as("candidate_precision"))
+  }
+
   /** Connected components over a near-duplicate pair list: every document
     * that appears in a pair gets its component's minimum doc_id as
     * `cluster_id` — the canonical survivor a dedup pipeline keeps (drop

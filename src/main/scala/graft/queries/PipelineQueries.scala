@@ -253,6 +253,11 @@ object PipelineQueries {
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), k = 3, threshold = 0.5)),
 
+    // banding-scheme quality measurement: recall of the LSH pair list vs
+    // the exact >=0.5-jaccard truth set + candidate-generation precision
+    "dedup_lsh_eval" -> ((s, d) =>
+      Dedup.minhashEval(Tables.documents(s, d), k = 3, threshold = 0.5)),
+
     // cluster resolution over the >=0.5-jaccard pair list: every paired doc
     // labeled with its component's min doc_id (the kept survivor)
     "dedup_clusters" -> ((s, d) => {
@@ -697,6 +702,23 @@ object PipelineQueries {
          |SELECT p.i, p.j, p.inter, p.jaccard FROM pairs p
          |WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = p.i AND c.j = p.j)
          |ORDER BY p.i, p.j""".stripMargin
+    },
+
+    "dedup_lsh_eval" -> {
+      val r = T.MinhashK / T.MinhashBands
+      s"""WITH $dJaccardCtes,
+         |$dSigCtes,
+         |bands AS (SELECT doc_id, bj.r AS band_idx, sig[bj.r*$r+1] * $P + sig[bj.r*$r+$r] AS band_val
+         |          FROM sig, range(${T.MinhashBands}) bj(r)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b
+         |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |ver AS (SELECT p.i, p.j FROM pairs p
+         |        WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = p.i AND c.j = p.j))
+         |SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_true_pairs,
+         |  (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+         |  (SELECT count(*) FROM ver)::BIGINT AS n_verified,
+         |  (SELECT count(*) FROM ver) / (SELECT count(*) FROM pairs) AS pair_recall,
+         |  (SELECT count(*) FROM ver) / (SELECT count(*) FROM cand) AS candidate_precision""".stripMargin
     },
 
     "dedup_simhash_pairs" ->
