@@ -128,4 +128,35 @@ object ScaleJoins {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join (closed intervals on an integer
+    * domain: a overlaps b iff aStart ≤ bEnd ∧ bStart ≤ aEnd) as a
+    * shuffle-partitionable EQUI-join — the two-sided generalization of
+    * [[rangeJoinBucketed]]. Both sides explode each interval to every
+    * `width`-wide bucket it touches; overlapping pairs are guaranteed to
+    * co-occur in at least one bucket (they share ≥ 1 domain point).
+    *
+    * Duplicate elimination is ARITHMETIC, not a distinct: a pair is
+    * emitted only in the bucket containing max(aStart, bStart) — the
+    * first bucket where both intervals are live — which each overlapping
+    * pair satisfies exactly once. No post-join dedup shuffle, so output
+    * volume equals answer volume.
+    *
+    * Column names must be disjoint across the two inputs (pre-alias on
+    * the caller side); for a self-join, also filter `a.key < b.key`
+    * afterwards — Catalyst pushes that predicate into the join. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    def buckets(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) >= col(s)) // inverted intervals match nothing
+        .withColumn("__bk", explode(sequence(
+          expr(s"$s div $width"), expr(s"$e div $width"))))
+    buckets(left, lStart, lEnd)
+      .join(buckets(right, rStart, rEnd), Seq("__bk"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bk") === expr(s"greatest($lStart, $rStart) div $width"))
+      .drop("__bk")
+  }
 }

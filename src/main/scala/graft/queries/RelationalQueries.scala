@@ -544,7 +544,27 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
+  /** Interval×interval overlap self-join (concurrent-validity pairs) via
+    * the bucketed equi-join: one March-1995 week of orders, each open for
+    * 3 days, paired when their windows overlap. The oracle is the naive
+    * inequality join; the engine plan must never be the
+    * BroadcastNestedLoopJoin that naive formulation implies. */
+  def q42IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    def iv(p: String) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").between(lit("1995-03-01"), lit("1995-03-07")))
+      .select(col("o_orderkey").as(s"${p}_key"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as(s"${p}_s"))
+      .withColumn(s"${p}_e", col(s"${p}_s") + 3)
+    graft.operators.ScaleJoins
+      .intervalOverlapJoin(iv("a"), iv("b"), "a_s", "a_e", "b_s", "b_e", width = 4L)
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("a_s"), col("a_e"),
+        col("b_key"), col("b_s"), col("b_e"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_interval_join" -> (q42IntervalJoin _),
     "q39_ntile" -> (q39Ntile _),
     "q40_salted_distinct" -> (q40SaltedDistinct _),
     "q41_scd2" -> (q41Scd2 _),
@@ -607,6 +627,19 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the naive inequality formulation — the bucketed plan must match it
+    "q42_interval_join" ->
+      """WITH iv AS (SELECT o_orderkey AS k,
+        |    date_diff('day', DATE '1995-01-01', o_orderdate)::BIGINT AS s
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+        |    AND TIMESTAMP '1995-03-07 00:00:00')
+        |SELECT a.k AS a_key, a.s AS a_s, a.s + 3 AS a_e,
+        |  b.k AS b_key, b.s AS b_s, b.s + 3 AS b_e
+        |FROM iv a JOIN iv b
+        |  ON a.k < b.k AND a.s <= b.s + 3 AND b.s <= a.s + 3
+        |ORDER BY a_key, b_key""".stripMargin,
+
     "q39_ntile" ->
       """WITH q AS (SELECT event_type, "value",
         |    ntile(4) OVER (PARTITION BY event_type ORDER BY "value", event_id) AS quartile

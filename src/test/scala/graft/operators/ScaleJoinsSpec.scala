@@ -35,6 +35,28 @@ class ScaleJoinsSpec extends SparkSpec {
       s"bucketed range join must be an equi-join:\n$plan")
   }
 
+  test("interval overlap join equals the naive join for any width, no nested loop") {
+    // deterministic pseudo-random closed intervals on [0, 400]
+    val a = (0L until 120L).map(i => (i, i * 37 % 400, i * 37 % 400 + i % 23))
+      .toDF("a_id", "a_s", "a_e")
+    val b = (0L until 90L).map(i => (i, i * 53 % 400, i * 53 % 400 + i % 17))
+      .toDF("b_id", "b_s", "b_e")
+    val naive = a.join(b, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").collect().toSet
+    for (w <- Seq(1L, 16L, 1000L)) {
+      val got = ScaleJoins.intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", w)
+      // the arithmetic dedup must make every pair appear EXACTLY once
+      val rows = got.select("a_id", "b_id").collect()
+      assert(rows.length == rows.toSet.size, s"width=$w emitted duplicates")
+      assert(rows.toSet == naive, s"width=$w")
+    }
+    val plan = ScaleJoins
+      .intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join must be an equi-join:\n$plan")
+  }
+
   test("range join: fractional bounds keep the final bucket; inverted drop out") {
     // pt = 100.5 lives in bucket 2 (width 50) and satisfies pt < hi = 100.7;
     // the old floor((hi-1)/width) bound stopped at bucket 1 and lost it
