@@ -107,4 +107,45 @@ object Frequency {
       .select(col("token"), col("cnt"), col("n"))
       .orderBy(col("cnt").desc, col("token"))
   }
+
+  /** Count-min sketch over token frequencies, with the estimates checked
+    * against exact counts. The sketch is d hash rows × w counter slots;
+    * a token's estimate is min over rows of its slot's sum — always
+    * ≥ the true count (one-sided error; expected overcount ≤ N/w per
+    * row).
+    *
+    * Expressed Spark-first: the counters are a groupBy(row, slot) SUM, so
+    * partial aggregation IS sketch merging — each executor builds partial
+    * counters, the reduce merges them, and because counters are sums the
+    * finished sketch is independent of partition order: every estimate is
+    * deterministic and cross-engine reproducible (unlike HLL/GK sketches,
+    * whose internal state is merge-order-dependent). No custom aggregate
+    * buffer needed — the relational formulation already has CMS's
+    * distributive structure.
+    *
+    * Hash family: the MinHash affine family over the engine's token
+    * hash, h_r(x) = ((31r+1251)·x + 17r+7397) mod P mod w.
+    *
+    * Output: (tok_hash, n_true, est) per distinct token — n_true rides
+    * along from the same token-count frame the sketch is built from, so
+    * one query both builds the sketch and audits its guarantee. At 100 TB
+    * the audit join narrows to probe tokens; the sketch build cost is one
+    * explode + one bounded (d·w-cell) aggregate either way. */
+  def cmsEstimates(docs: DataFrame, d: Int = 4, w: Long = 16L): DataFrame = {
+    require(d >= 1 && w >= 1, "need d >= 1 hash rows and w >= 1 slots")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tc = docs.select(explode(T.tokenHashes(col("text"))).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("n"))
+    val slotted = tc
+      .crossJoin(broadcast((0 until d).toDF("r")))
+      .withColumn("slot",
+        ((lit(31L) * col("r") + lit(1251L)) * col("th") + lit(17L) * col("r") + lit(7397L))
+          % lit(T.HashMod) % lit(w))
+    val sketch = slotted.groupBy(col("r"), col("slot")).agg(sum(col("n")).as("c"))
+    slotted.join(sketch, Seq("r", "slot"))
+      .groupBy(col("th").as("tok_hash"), col("n").as("n_true"))
+      .agg(min(col("c")).as("est"))
+      .orderBy(col("tok_hash"))
+  }
 }

@@ -342,6 +342,12 @@ object PipelineQueries {
     "doc_heavy_hitters" -> ((s, d) =>
       graft.operators.Frequency.heavyHitters(Tables.documents(s, d), k = 64)),
 
+    // count-min sketch with its one-sided guarantee audited in-query:
+    // counters are order-independent sums, so the full estimates sit
+    // under the hash gate (w=16 forces real collisions on the testdata)
+    "doc_cms" -> ((s, d) =>
+      graft.operators.Frequency.cmsEstimates(Tables.documents(s, d))),
+
     // top principal direction by power iteration: one scan per step,
     // matrix-vector product as exact nano-unit BIGINT component sums,
     // broadcast 1-row vector state — the embedding-anisotropy primitive
@@ -802,6 +808,17 @@ object PipelineQueries {
          |SELECT token, count(*)::BIGINT AS cnt, n
          |FROM hht, hhn GROUP BY token, n HAVING count(*) * 64 > n
          |ORDER BY cnt DESC, token""".stripMargin,
+
+    "doc_cms" ->
+      s"""WITH cth AS (SELECT unnest(${dTokenHashes("text")}) AS th FROM documents),
+         |ctc AS (SELECT th, count(*)::BIGINT AS n FROM cth GROUP BY 1),
+         |csl AS (SELECT th, n, cr.r AS r,
+         |    ((31*cr.r + 1251) * th + 17*cr.r + 7397) % $P % 16 AS slot
+         |  FROM ctc, range(4) cr(r)),
+         |csk AS (SELECT r, slot, sum(n)::BIGINT AS c FROM csl GROUP BY 1, 2)
+         |SELECT th AS tok_hash, n AS n_true, min(c)::BIGINT AS est
+         |FROM csl JOIN csk USING (r, slot)
+         |GROUP BY th, n ORDER BY tok_hash""".stripMargin,
 
     // same positional-postings shape: token positions via range(), one
     // aligned-start CTE per phrase term, m-way join intersection

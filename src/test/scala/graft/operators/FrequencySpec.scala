@@ -51,4 +51,23 @@ class FrequencySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a", 2L), ("b", 2L)), "ties cut lexicographically")
   }
+
+  test("count-min sketch: one-sided guarantee, exact at wide w, partition-stable") {
+    val docs = (0L until 40L).map(i => (i, s"w${i % 7} w${i % 3} filler"))
+      .toDF("doc_id", "text")
+    // tight sketch: estimates may overcount but never undercount
+    val tight = Frequency.cmsEstimates(docs, d = 2, w = 4).collect()
+    assert(tight.nonEmpty)
+    tight.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n_true"),
+        s"CMS undercounted ${r.getAs[Long]("tok_hash")}")
+    }
+    // w far above vocab size: no collisions -> estimates exact
+    val wide = Frequency.cmsEstimates(docs, d = 4, w = 65536L).collect()
+    wide.foreach(r => assert(r.getAs[Long]("est") == r.getAs[Long]("n_true")))
+    // counters are sums: the sketch (and estimates) ignore partitioning
+    val t13 = Frequency.cmsEstimates(docs.repartition(13), d = 2, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(t13 == tight.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+  }
 }
