@@ -76,10 +76,14 @@ object Bench {
     // so the reduce phase is one straggler and the remedy's split is
     // what the wall clock measures
     val nFact = 20000000L
+    // vid is all-distinct: the payload for the distinct-count skew case —
+    // map-side dedup removes nothing, so the plain plan's single reducer
+    // for key 0 receives the key's full 19M-value stream
     spark.range(nFact).select(
         when(col("id") % 20 < 19, lit(0L))
           .otherwise(pmod(col("id") * lit(2654435761L), lit(100000L))).as("k"),
-        (col("id") % 1000).cast("double").as("v"))
+        (col("id") % 1000).cast("double").as("v"),
+        col("id").as("vid"))
       .write.mode("overwrite").parquet(s"$dir/fact")
     spark.range(100000).select(col("id").as("k"),
         (col("id") % 50).cast("string").as("grp"))
@@ -116,7 +120,17 @@ object Bench {
             fact(), dim().hint("shuffle_hash"), "k", nSalts = 16)
           .groupBy(col("grp")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))))
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-    ngram ++ join
+
+    // count(DISTINCT high-cardinality) under a hot key: the single-stage
+    // plan shuffles on k alone — key 0's full distinct stream lands on
+    // one reducer — while the salted plan spreads it by hash(vid)
+    val dist = Seq(
+      run("skew_distinct_plain", () =>
+        fact().groupBy(col("k"))
+          .agg(count(lit(1)).as("n_rows"), count_distinct(col("vid")).as("n_distinct"))),
+      run("skew_distinct_salted", () =>
+        graft.operators.SkewAgg.saltedDistinctCount(fact(), "k", "vid")))
+    ngram ++ join ++ dist
   }
 
   def main(args: Array[String]): Unit = {
@@ -137,7 +151,7 @@ object Bench {
     // the deliberately-naive counterfactual shapes (the thing the remedy
     // beats) are reported per-query but kept out of the headline total —
     // they measure the problem, not the engine
-    val naive = Set("skew_ngram_unguarded", "skew_join_plain")
+    val naive = Set("skew_ngram_unguarded", "skew_join_plain", "skew_distinct_plain")
     val ok = results.filterNot(r => naive(r._1)).map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
 

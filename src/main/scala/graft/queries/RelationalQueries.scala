@@ -563,7 +563,32 @@ object RelationalQueries {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** Warehouse MERGE under the hash gate: a deterministic change batch
+    * (updates for keys ≡ 0 mod 7, tombstones for keys ≡ 0 mod 13, plus
+    * two brand-new keys) applied to orders via one keyed window — the
+    * oracle replays insert/update/delete resolution as SQL. */
+  def q43MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(10.0)).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+      .withColumn("__v", lit(1L)).withColumn("__del", lit(false))
+    val deletes = base.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("__v", lit(2L)).withColumn("__del", lit(true))
+    val inserts = spark.range(2).select(
+        (col("id") - 2L).as("o_orderkey"),
+        lit(1.5).as("o_totalprice"), lit("N").as("o_orderstatus"))
+      .withColumn("__v", lit(1L)).withColumn("__del", lit(false))
+    graft.operators.Merge
+      .mergeUpsert(base, updates.unionByName(deletes).unionByName(inserts),
+        "o_orderkey", "__v", "__del")
+      .orderBy(col("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_merge_upsert" -> (q43MergeUpsert _),
     "q42_interval_join" -> (q42IntervalJoin _),
     "q39_ntile" -> (q39Ntile _),
     "q40_salted_distinct" -> (q40SaltedDistinct _),
@@ -627,6 +652,19 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q43_merge_upsert" ->
+      """WITH mu_all AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS v, false AS del FROM orders
+        |  UNION ALL SELECT o_orderkey, o_totalprice + 10.0, 'U', 1, false
+        |    FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus, 2, true
+        |    FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL SELECT * FROM (VALUES (-2, 1.5, 'N', 1, false), (-1, 1.5, 'N', 1, false))),
+        |mu_r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY v DESC) AS rn FROM mu_all)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM mu_r WHERE rn = 1 AND NOT del ORDER BY o_orderkey""".stripMargin,
+
     // the naive inequality formulation — the bucketed plan must match it
     "q42_interval_join" ->
       """WITH iv AS (SELECT o_orderkey AS k,
