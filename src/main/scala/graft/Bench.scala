@@ -76,14 +76,17 @@ object Bench {
     // so the reduce phase is one straggler and the remedy's split is
     // what the wall clock measures
     val nFact = 20000000L
-    // vid is all-distinct: the payload for the distinct-count skew case —
-    // map-side dedup removes nothing, so the plain plan's single reducer
-    // for key 0 receives the key's full 19M-value stream
+    // vid is an all-distinct STRING: the payload for the distinct-count
+    // skew case — map-side dedup removes nothing, so the plain plan's
+    // single reducer for key 0 receives and string-hash-dedups the key's
+    // full 19M-value stream single-threaded (numeric ids are too cheap
+    // for the straggler to dominate on one box; strings make the
+    // reducer's dedup the measured cost, as it is at cluster scale)
     spark.range(nFact).select(
         when(col("id") % 20 < 19, lit(0L))
           .otherwise(pmod(col("id") * lit(2654435761L), lit(100000L))).as("k"),
         (col("id") % 1000).cast("double").as("v"),
-        col("id").as("vid"))
+        concat(lit("user_"), col("id"), lit("@mail.example")).as("vid"))
       .write.mode("overwrite").parquet(s"$dir/fact")
     spark.range(100000).select(col("id").as("k"),
         (col("id") % 50).cast("string").as("grp"))
@@ -123,7 +126,11 @@ object Bench {
 
     // count(DISTINCT high-cardinality) under a hot key: the single-stage
     // plan shuffles on k alone — key 0's full distinct stream lands on
-    // one reducer — while the salted plan spreads it by hash(vid)
+    // one reducer — while the salted plan spreads it by hash(vid).
+    // Local[n] understates the win: both variants share the scan +
+    // map-side partial-agg cost on one machine's memory bandwidth, so
+    // only the reduce-side differential shows; on a cluster the plain
+    // plan's single-reducer straggler IS the job's wall clock
     val dist = Seq(
       run("skew_distinct_plain", () =>
         fact().groupBy(col("k"))
