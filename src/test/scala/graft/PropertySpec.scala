@@ -43,6 +43,42 @@ object PropertySpec extends Properties("graft") {
       math.abs(back - n) / n.toDouble < 0.01
     }
 
+  property("interval bucket replication emits each overlapping pair exactly once") = {
+    // the arithmetic behind ScaleJoins.intervalOverlapJoin: truncating
+    // division (SQL div — NOT floor) maps an interval to a contiguous
+    // bucket range even over negative starts; every OVERLAPPING pair
+    // shares the max(start) bucket and only that one passes the dedup
+    // condition — exactly-once emission. (Non-overlapping pairs may
+    // still co-bucket; the operator's explicit overlap predicate drops
+    // them, so no claim is needed here.)
+    def t(x: Long, w: Long): Long = x / w // JVM / == SQL div (toward zero)
+    forAll(Gen.choose(-100L, 100L), Gen.choose(0L, 50L),
+        Gen.choose(-100L, 100L), Gen.choose(0L, 50L), Gen.choose(1L, 40L)) {
+      (s1, l1, s2, l2, w) =>
+        val (e1, e2) = (s1 + l1, s2 + l2)
+        val overlap = s1 <= e2 && s2 <= e1
+        val bks1 = (t(s1, w) to t(e1, w)).toSet
+        val bks2 = (t(s2, w) to t(e2, w)).toSet
+        val emits = (bks1 & bks2).count(_ == t(math.max(s1, s2), w))
+        !overlap || emits == 1
+    }
+  }
+
+  property("mix rate formula never exceeds the budget share; caps when mass fits") = {
+    // Sampling.mixToBudget's integer rate: expected kept tokens per
+    // stratum (rate·tot/10⁴) never exceed the stratum's budget target,
+    // and a stratum whose whole mass fits keeps everything
+    forAll(Gen.choose(1L, 1000000L), Gen.choose(0, 10000), Gen.choose(1L, 1000000L)) {
+      (budget, wbps, tot) =>
+        val target = budget * wbps / 10000L
+        val rate = math.min(10000L, target * 10000L / tot)
+        val expectedKept = rate * tot / 10000L
+        expectedKept <= target + tot / 10000L + 1 && // rounding slack: one hash-grain
+          (if (tot <= target) rate == 10000L else true) &&
+          rate >= 0L && rate <= 10000L
+    }
+  }
+
   property("funnel DP equals exhaustive chain enumeration") = {
     val event = Gen.zip(Gen.choose(0L, 40L), Gen.choose(1, 3))
     forAll(Gen.listOf(event).map(_.take(9)), Gen.choose(1L, 30L)) { (evs, window) =>
