@@ -313,6 +313,29 @@ object Dedup {
     verifyJaccard(candidates, shingleRows(docs, k), threshold)
   }
 
+  /** Per-pair MinHash accuracy audit: for every verified near-dup pair,
+    * the signature-based Jaccard estimate (matching components / K)
+    * next to the exact Jaccard and the absolute error — the sketch
+    * side's number a pipeline would use when it skips verification, put
+    * directly against ground truth. Estimates are a pure function of the
+    * deterministic signatures, so the full values sit under the
+    * cross-engine hash gate. One extra broadcast-sized join per side on
+    * top of [[minhashPairs]]; the zip-compare is codegen'd array work. */
+  def minhashEstimates(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(docs, k, threshold)
+    val sigs = minhashSignatures(docs, k)
+    pairs
+      .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_a")), Seq("i"))
+      .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_b")), Seq("j"))
+      .select(col("i"), col("j"), col("jaccard"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), _ + _) / lit(T.MinhashK.toDouble)).as("est_jaccard"))
+      .withColumn("abs_err", abs(col("jaccard") - col("est_jaccard")))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Dedup-path quality measurement — the [[minhashPairs]] analog of the
     * ANN recall eval: how much of the exact ≥-threshold pair set does the
     * banding scheme actually surface on THIS corpus, and how selective is

@@ -258,6 +258,28 @@ object PipelineQueries {
     "dedup_lsh_eval" -> ((s, d) =>
       Dedup.minhashEval(Tables.documents(s, d), k = 3, threshold = 0.5)),
 
+    // per-pair sketch accuracy: signature Jaccard estimate vs exact
+    "dedup_minhash_est" -> ((s, d) =>
+      Dedup.minhashEstimates(Tables.documents(s, d), k = 3, threshold = 0.5)),
+
+    // dataset card: per-source / per-lang / global corpus summary in one
+    // Expand pass (grouping sets), the provenance table a training run
+    // publishes next to its mixture weights
+    "doc_dataset_card" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          T.tokenCount(col("text")).cast("long").as("nt"), col("n_chars"))
+        .groupingSets(
+          Seq(Seq(col("source")), Seq(col("lang")), Seq.empty),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("n_tokens"), col("avg_chars"))
+        .orderBy(col("source"), col("lang"))),
+
     // cluster resolution over the >=0.5-jaccard pair list: every paired doc
     // labeled with its component's min doc_id (the kept survivor)
     "dedup_clusters" -> ((s, d) => {
@@ -726,6 +748,34 @@ object PipelineQueries {
          |  (SELECT count(*) FROM ver) / (SELECT count(*) FROM pairs) AS pair_recall,
          |  (SELECT count(*) FROM ver) / (SELECT count(*) FROM cand) AS candidate_precision""".stripMargin
     },
+
+    "dedup_minhash_est" -> {
+      val r = T.MinhashK / T.MinhashBands
+      s"""WITH $dJaccardCtes,
+         |$dSigCtes,
+         |bands AS (SELECT doc_id, bj.r AS band_idx, sig[bj.r*$r+1] * $P + sig[bj.r*$r+$r] AS band_val
+         |          FROM sig, range(${T.MinhashBands}) bj(r)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b
+         |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |vp AS (SELECT p.i, p.j, p.jaccard FROM pairs p
+         |       WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = p.i AND c.j = p.j)),
+         |est AS (SELECT vp.i, vp.j, vp.jaccard,
+         |    list_sum(list_transform(range(${T.MinhashK}),
+         |      mi -> CASE WHEN sa.sig[mi+1] = sb.sig[mi+1] THEN 1 ELSE 0 END))
+         |      / ${T.MinhashK}.0 AS est_jaccard
+         |  FROM vp JOIN sig sa ON vp.i = sa.doc_id JOIN sig sb ON vp.j = sb.doc_id)
+         |SELECT i, j, jaccard, est_jaccard, abs(jaccard - est_jaccard) AS abs_err
+         |FROM est ORDER BY i, j""".stripMargin
+    },
+
+    "doc_dataset_card" ->
+      s"""SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(len(${dTokens("text")}))::BIGINT AS n_tokens,
+         |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+         |FROM documents
+         |GROUP BY GROUPING SETS ((source), (lang), ())
+         |ORDER BY source, lang""".stripMargin,
 
     "dedup_simhash_pairs" ->
       s"""WITH $dSimhashCte

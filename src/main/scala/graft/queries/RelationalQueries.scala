@@ -587,7 +587,21 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** percent_rank + cume_dist — the two relative-position window
+    * functions q6/q19/q39 don't cover. Total ORDER BY (value, event_id)
+    * makes rank = row_number, so both are exact integer ratios computed
+    * identically by any engine. */
+  def q44WindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_window_dist" -> (q44WindowDist _),
     "q43_merge_upsert" -> (q43MergeUpsert _),
     "q42_interval_join" -> (q42IntervalJoin _),
     "q39_ntile" -> (q39Ntile _),
@@ -652,6 +666,13 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q44_window_dist" ->
+      """SELECT event_id, event_type,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY "value", event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "q43_merge_upsert" ->
       """WITH mu_all AS (
         |  SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS v, false AS del FROM orders
