@@ -111,7 +111,23 @@ object StreamingQueries {
     runToCompletion(spark, "sfunnel", agg, Seq("user_id"), mode = "update")
   }
 
+  /** EventStreams.latestState (CDC latest-with-tombstone, update mode)
+    * driven to completion: each user's terminal state is their
+    * (ts, event_id)-max event, and users whose latest event is the
+    * tombstone type ('error') are deleted — the streaming face of
+    * operators.Merge, gated against the batch window-rank oracle. */
+  def streamMerge(spark: SparkSession, dir: String): DataFrame = {
+    val st = EventStreams.latestState(
+      spark, EventStreams.readTestdataEvents(spark, dir), tombstone = "error").toDF()
+    runToCompletion(spark, "smerge", st, Seq("user_id"), mode = "update")
+      .filter(!col("deleted"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_merge" -> (streamMerge _),
     "stream_funnel" -> (streamFunnel _),
     "stream_window_stats" -> (streamWindowStats _),
     "stream_sessions" -> (streamSessions _),
@@ -124,6 +140,14 @@ object StreamingQueries {
     * closed under the terminal watermark. Spark tracks event-time stats in
     * milliseconds, hence the ms floor on max(ts). */
   def oracleSql: Map[String, String] = Map(
+    "stream_merge" ->
+      """WITH sm AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, "value",
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, event_type, "value"
+        |FROM sm WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     // the batch funnel's join-chain oracle, verbatim — terminal streaming
     // state and the batch DP must agree on every user
     "stream_funnel" -> RelationalQueries.oracleSql("q36_funnel"),

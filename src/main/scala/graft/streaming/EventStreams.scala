@@ -173,6 +173,34 @@ object EventStreams {
       }
   }
 
+  case class LatestState(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String, value: Double, deleted: Boolean)
+
+  /** Streaming CDC latest-state with tombstones (the streaming face of
+    * operators.Merge): per key, state is the (event-time, id)-max change
+    * seen so far; a change whose type is the tombstone marks the key
+    * deleted until a later change revives it. Update-mode emission per
+    * batch; the terminal state per key must equal the batch latest-wins
+    * resolution (the stream_merge oracle — a window rank in SQL).
+    * Deterministic because the fold is a max over the TOTAL order
+    * (ts_us, event_id), so arrival order inside the batch iterator is
+    * immaterial. */
+  def latestState(spark: SparkSession, events: DataFrame,
+      tombstone: String): Dataset[LatestState] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestState](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LatestState]) =>
+          val incoming = batch.map(e => LatestState(userId, tsToMicros(e.ts),
+            e.event_id, e.event_type, e.value, e.event_type == tombstone))
+          val latest = (incoming ++ state.getOption.iterator)
+            .maxBy(s => (s.ts_us, s.event_id))
+          state.update(latest)
+          latest
+      }
+  }
+
   case class FunnelRow(user_id: Long, funnel_stage: Long)
   case class FunnelState(starts: Seq[Long])
 
