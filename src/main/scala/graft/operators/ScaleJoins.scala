@@ -51,10 +51,15 @@ object ScaleJoins {
 
   /** Join two identically-bucketed catalog tables on their bucket key —
     * planner sees compatible output partitioning on both sides and elides
-    * the shuffle. */
+    * the shuffle. Pass `hint = Some("merge")` to pin the sort-merge path
+    * when one side is small enough that auto-broadcast would otherwise
+    * win (at test scale): the bucket layout then serves both sides with
+    * zero Exchange, which is the point of paying the bucketed write. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-      key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+      key: String, hint: Option[String] = None): DataFrame = {
+    val right = hint.foldLeft(spark.table(rightTable))((df, h) => df.hint(h))
+    spark.table(leftTable).join(right, Seq(key))
+  }
 
   /** Bloom-filtered semi-join: `big` rows whose `bigKey` appears among
     * `small`'s `smallKey`s, with a Bloom sketch of the small side's keys

@@ -600,7 +600,29 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The bucketed co-located join under the hash gate: both sides are
+    * written bucketed-by-custkey into the session catalog at query time
+    * (the emb_knn_store pattern — the write IS part of the operator),
+    * then joined with the sort-merge path pinned so the bucket layout —
+    * not a broadcast — serves the join. ScaleJoinsSpec separately
+    * asserts the plan has no Exchange; this row proves the layout
+    * round-trips the data bit-exactly vs the plain-join oracle. */
+  def q45BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.ScaleJoins.writeBucketed(o, "q45_orders_b", "o_custkey", 8)
+    graft.operators.ScaleJoins.writeBucketed(c, "q45_customer_b", "o_custkey", 8)
+    graft.operators.ScaleJoins
+      .bucketedJoin(spark, "q45_orders_b", "q45_customer_b", "o_custkey",
+        hint = Some("merge"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_bucketed_join" -> (q45BucketedJoin _),
     "q44_window_dist" -> (q44WindowDist _),
     "q43_merge_upsert" -> (q43MergeUpsert _),
     "q42_interval_join" -> (q42IntervalJoin _),
@@ -666,6 +688,13 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the plain join — the bucketed catalog round-trip must reproduce it
+    "q45_bucketed_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q44_window_dist" ->
       """SELECT event_id, event_type,
         |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd

@@ -121,6 +121,40 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("latestState: latest wins across batches, tombstone deletes, later change revives") {
+    val dir = Files.createTempDirectory("events-in3").toString
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+
+    writeBatch(dir, Seq(
+      Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:00:02"), 1, "error", 0.0), // tombstone so far
+      Event(3, ts("2024-01-01 00:00:01"), 2, "view", 2.0)))
+    val q = EventStreams.runToMemory(
+      EventStreams.latestState(spark,
+        EventStreams.readEvents(spark, dir), tombstone = "error").toDF(),
+      "lstate_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    // user 1's latest is the tombstone; user 2 alive
+    val afterB1 = spark.table("lstate_out")
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct($"event_id", $"deleted"), $"ts_us").as("s"))
+      .select($"user_id", $"s.event_id", $"s.deleted")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(afterB1(1L) == (2L, true) && afterB1(2L) == (3L, false))
+
+    // a later batch revives user 1 (state carried across micro-batches)
+    writeBatch(dir, Seq(Event(4, ts("2024-01-01 00:01:00"), 1, "view", 5.0)))
+    q.processAllAvailable()
+    q.stop()
+    val terminal = spark.table("lstate_out")
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct($"event_id", $"deleted"), $"ts_us").as("s"))
+      .select($"user_id", $"s.event_id", $"s.deleted")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(terminal(1L) == (4L, false), "revival must clear the tombstone")
+    assert(terminal(2L) == (3L, false))
+  }
+
   test("streaming funnel terminal state equals the batch windowFunnel") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val types = Seq("view", "click", "purchase")
