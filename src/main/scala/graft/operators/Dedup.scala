@@ -301,17 +301,20 @@ object Dedup {
     * of LSH at scale: verification cost follows the candidate count, not
     * the corpus pair count. Returns verified pairs ≥ threshold (subset of
     * ngramJaccardPairs limited to LSH candidates). */
-  def minhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val bands = bandIndex(docs, k)
-    val candidates = bands.as("a").join(bands.as("b"),
+  def minhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
+    verifyJaccard(bandCandidates(bandIndex(docs, k)), shingleRows(docs, k), threshold)
+
+  /** Candidate (i, j) pairs from the LSH band index: equi-join on
+    * (band_idx, band_val), i < j, distinct. THE single definition of
+    * candidate generation — the production pair list and the quality
+    * eval must measure the same scheme. */
+  private[operators] def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-
-    verifyJaccard(candidates, shingleRows(docs, k), threshold)
-  }
 
   /** Per-pair MinHash accuracy audit: for every verified near-dup pair,
     * the signature-based Jaccard estimate (matching components / K)
@@ -349,13 +352,7 @@ object Dedup {
     * cross-engine hash gate. */
   def minhashEval(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val truth = ngramJaccardPairs(docs, k, threshold)
-    val bands = bandIndex(docs, k)
-    val candidates = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
+    val candidates = bandCandidates(bandIndex(docs, k))
     val verified = verifyJaccard(candidates, shingleRows(docs, k), threshold)
     truth.agg(count(lit(1)).as("n_true_pairs"))
       .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 
@@ -128,9 +129,13 @@ object Frequency {
     *
     * Output: (tok_hash, n_true, est) per distinct token — n_true rides
     * along from the same token-count frame the sketch is built from, so
-    * one query both builds the sketch and audits its guarantee. At 100 TB
-    * the audit join narrows to probe tokens; the sketch build cost is one
-    * explode + one bounded (d·w-cell) aggregate either way. */
+    * one query both builds the sketch and audits its guarantee in a
+    * SINGLE corpus pass: the slot counters are an unordered window sum
+    * over (row, slot) partitions of the slotted vocab frame (identical
+    * totals to a groupBy — a partition's sum is order-free), so no
+    * second scan and no self-join re-executes the explode. At 100 TB
+    * the audit narrows to probe tokens; the sketch itself stays the
+    * bounded d·w-cell aggregate. */
   def cmsEstimates(docs: DataFrame, d: Int = 4, w: Long = 16L): DataFrame = {
     require(d >= 1 && w >= 1, "need d >= 1 hash rows and w >= 1 slots")
     val spark = docs.sparkSession
@@ -142,8 +147,9 @@ object Frequency {
       .withColumn("slot",
         ((lit(31L) * col("r") + lit(1251L)) * col("th") + lit(17L) * col("r") + lit(7397L))
           % lit(T.HashMod) % lit(w))
-    val sketch = slotted.groupBy(col("r"), col("slot")).agg(sum(col("n")).as("c"))
-    slotted.join(sketch, Seq("r", "slot"))
+    slotted
+      .withColumn("c", sum(col("n"))
+        .over(Window.partitionBy(col("r"), col("slot"))))
       .groupBy(col("th").as("tok_hash"), col("n").as("n_true"))
       .agg(min(col("c")).as("est"))
       .orderBy(col("tok_hash"))

@@ -64,6 +64,12 @@ object Sampling {
       salt: String = "mix"): DataFrame = {
     require(weightsBps.values.forall(_ >= 0) && weightsBps.values.sum <= 10000,
       "weights are basis points summing to at most 10000")
+    // budget*wbps and target*10000 must stay in the Long domain — past
+    // this bound the rate would silently go negative and empty the
+    // stratum instead of capping (9.2e14 tokens ≈ a 900-trillion-token
+    // budget; split larger runs into per-epoch budgets)
+    require(budgetTokens >= 0 && budgetTokens <= Long.MaxValue / 10000L,
+      s"budgetTokens must be in [0, ${Long.MaxValue / 10000L}]")
     val withTok = docs.withColumn("n_tokens", nTokens.cast("long"))
     val totals = withTok.groupBy(col(strataCol))
       .agg(sum(col("n_tokens")).as("__tot"))

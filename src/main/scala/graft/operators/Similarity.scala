@@ -211,47 +211,6 @@ object Similarity {
     * enumerable ((p choose ≤f) values) so a bucket-partitioned layout still
     * serves the probe as point lookups; here it is the same broadcast-
     * filter shape as lshKnn with a bit_count(xor) ≤ f predicate. */
-  /** ANN quality evaluation — recall@k of the multi-probe LSH retrieval
-    * against the exact top-k, measured over a held-out query set
-    * (vec_id < nQueries; the corpus is the rest). "Measure, don't guess":
-    * the recall a bucketed index actually delivers at a given
-    * (nPlanes, maxFlips) is corpus-dependent, and this op is the
-    * per-corpus measurement a pipeline runs before trusting the index.
-    *
-    * Shape: queries are the broadcast side (bounded by nQueries); one
-    * scored pass feeds both rankings — the exact ranking over all
-    * (query, corpus) pairs and the LSH ranking over the probe-set
-    * survivors — then recall is one small join of two k·nQueries-row
-    * sets. Every number is deterministic (ties broken by vec_id), so the
-    * full recall values sit under the cross-engine hash, not just a
-    * tolerance boolean. */
-  def lshRecallAtK(embeddings: DataFrame, nQueries: Long = 8, k: Int = 10,
-      nPlanes: Int = 4, maxFlips: Int = 1): DataFrame = {
-    val bucketed = withBucket(embeddings, nPlanes)
-    val q = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
-    val scored = bucketed.filter(col("vec_id") >= nQueries)
-      .crossJoin(broadcast(q))
-      .withColumn("cos_sim",
-        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val exact = scored.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= k).select(col("query_id"), col("vec_id"))
-    val lsh = scored
-      .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxFlips)
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= k).select(col("query_id"), col("vec_id"))
-    exact.join(lsh, Seq("query_id", "vec_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      .join(q.select(col("query_id")), Seq("query_id"), "right")
-      .select(col("query_id"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
-      .orderBy(col("query_id"))
-  }
-
   def lshKnnMultiProbe(embeddings: DataFrame, queryId: Long, k: Int = 10,
       nPlanes: Int = 4, maxFlips: Int = 1): DataFrame = {
     val bucketed = withBucket(embeddings, nPlanes)
@@ -266,5 +225,47 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** ANN quality evaluation — recall@k of the multi-probe LSH retrieval
+    * against the exact top-k, measured over a held-out query set
+    * (vec_id < nQueries; the corpus is the rest). "Measure, don't guess":
+    * the recall a bucketed index actually delivers at a given
+    * (nPlanes, maxFlips) is corpus-dependent, and this op is the
+    * per-corpus measurement a pipeline runs before trusting the index.
+    *
+    * Shape: queries are the broadcast side (bounded by nQueries), and ONE
+    * scored pass genuinely feeds both rankings — the exact rank is
+    * row_number over the (query)-keyed window, the LSH rank is a running
+    * count of probe-set rows over the SAME window spec (same partition,
+    * same order → one sort, one Exchange, one Window operator), so the
+    * corpus×queries dot products are computed exactly once. Every number
+    * is deterministic (ties broken by vec_id), so the full recall values
+    * sit under the cross-engine hash, not just a tolerance boolean. */
+  def lshRecallAtK(embeddings: DataFrame, nQueries: Long = 8, k: Int = 10,
+      nPlanes: Int = 4, maxFlips: Int = 1): DataFrame = {
+    val bucketed = withBucket(embeddings, nPlanes)
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val ranked = bucketed.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+      .withColumn("in_probe",
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxFlips)
+      .withColumn("rn_all", row_number().over(wq))
+      .withColumn("rn_probe", sum(when(col("in_probe"), 1L).otherwise(0L))
+        .over(wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .filter(col("rn_all") <= k && col("in_probe") && col("rn_probe") <= k)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      .join(q.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
   }
 }

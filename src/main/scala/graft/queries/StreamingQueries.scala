@@ -119,10 +119,20 @@ object StreamingQueries {
   def streamMerge(spark: SparkSession, dir: String): DataFrame = {
     val st = EventStreams.latestState(
       spark, EventStreams.readTestdataEvents(spark, dir), tombstone = "error").toDF()
+    // update-mode sink holds one row per key PER BATCH; reduce to the
+    // terminal (ts, id)-max state first so the gate stays correct even
+    // if the source is ever delivered across several micro-batches
+    // (maxFilesPerTrigger, multi-file testdata) — only then drop deleted
     runToCompletion(spark, "smerge", st, Seq("user_id"), mode = "update")
-      .filter(!col("deleted"))
-      .select(col("user_id"), col("ts_us"), col("event_id"),
-        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value"), col("deleted")),
+        struct(col("ts_us"), col("event_id"))).as("s"))
+      .filter(!col("s.deleted"))
+      .select(col("user_id"), col("s.ts_us").as("ts_us"),
+        col("s.event_id").as("event_id"),
+        col("s.event_type").as("event_type"), col("s.value").as("value"))
       .orderBy(col("user_id"))
   }
 
