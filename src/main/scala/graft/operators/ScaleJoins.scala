@@ -43,11 +43,23 @@ object ScaleJoins {
   }
 
   /** Write a table bucketed+sorted by `key` into the session catalog (the
-    * managed-table variant of CertStore's sort-on-write). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * managed-table variant of CertStore's sort-on-write). Drops any prior
+    * catalog entry AND its warehouse directory first: the catalog is
+    * session-scoped but the warehouse directory is not, so a directory
+    * left by a previous session would fail the CREATE with
+    * LOCATION_ALREADY_EXISTS even under mode(overwrite). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val stale =
+      if (wh.startsWith("file:")) new java.io.File(java.net.URI.create(wh).getPath, table.toLowerCase)
+      else new java.io.File(wh, table.toLowerCase)
+    if (stale.exists) Dedup.rmdir(stale)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed, under spark.sql.warehouse.dir
+  }
 
   /** Join two identically-bucketed catalog tables on their bucket key —
     * planner sees compatible output partitioning on both sides and elides
