@@ -202,6 +202,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-path quality evaluation — recall@k of the nProbe-cell k-means
+    * retrieval against the exact top-k over held-out queries (vec_id <
+    * nQueries; centroids are trained on the full table, exactly as the
+    * production index would be built before queries arrive). Same
+    * one-scored-pass shape as [[lshRecallAtK]]: probe membership is a
+    * broadcast join against the (nQueries·nProbe)-row probe-cell list,
+    * and both rankings come from one window spec. */
+  def ivfRecallAtK(embeddings: DataFrame, nQueries: Long = 8, k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val cents = KMeans.centroidsAfter(embeddings, nCells, iters)
+    val cells = KMeans.assignCells(embeddings, cents)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2").asc, col("cid").asc)
+    val probe = cents.crossJoin(broadcast(q))
+      .select(col("query_id"), col("cid"),
+        KMeans.dist2(col("q_emb"), col("cent")).as("qd2"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("cid"), lit(true).as("in_probe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val ranked = embeddings.filter(col("vec_id") >= nQueries)
+      .join(cells.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .join(broadcast(probe), Seq("query_id", "cid"), "left")
+      .withColumn("in_probe", coalesce(col("in_probe"), lit(false)))
+      .withColumn("cos_sim",
+        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+      .withColumn("rn_all", row_number().over(wq))
+      .withColumn("rn_probe", sum(when(col("in_probe"), 1L).otherwise(0L))
+        .over(wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .filter(col("rn_all") <= k && col("in_probe") && col("rn_probe") <= k)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      .join(q.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Multi-probe LSH ANN: probe the query's bucket AND every bucket whose
     * sign pattern differs by ≤ `maxFlips` bits — the standard recall
     * recovery for hyperplane LSH (a near neighbor on the far side of one

@@ -548,6 +548,10 @@ object PipelineQueries {
     "emb_recall" -> ((s, d) =>
       graft.operators.Similarity.lshRecallAtK(Tables.embeddings(s, d))),
 
+    // same measurement for the IVF path: nProbe=2 of 8 trained cells
+    "emb_ivf_recall" -> ((s, d) =>
+      graft.operators.Similarity.ivfRecallAtK(Tables.embeddings(s, d))),
+
     // token-budget dataset mixing: per-source keep rates derived from
     // target weights + corpus token mass (integer arithmetic end-to-end),
     // then the deterministic hash filter — the oracle recomputes the
@@ -1219,6 +1223,33 @@ object PipelineQueries {
       """SELECT row_number() OVER (ORDER BY md5('shuf:' || doc_id), doc_id) - 1 AS pos,
         |  doc_id, source
         |FROM documents ORDER BY pos""".stripMargin,
+
+    "emb_ivf_recall" ->
+      s"""WITH $dKmeansCtes,
+         |vq AS (SELECT vec_id AS query_id, e AS qde FROM kme WHERE vec_id < 8),
+         |vpc AS (SELECT query_id, cid FROM (
+         |    SELECT q.query_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dD2("q.qde", "c.cent")}, c.cid) AS prn
+         |    FROM kc1 c, vq q) t WHERE prn <= 2),
+         |vasg AS (SELECT vec_id, cid FROM ka2 WHERE rn = 1),
+         |vqe AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |vs AS (SELECT b.vec_id, q.query_id, a.cid,
+         |    ${dCos("b.embedding", "q.qe")} AS cos_sim
+         |  FROM embeddings b JOIN vasg a ON b.vec_id = a.vec_id, vqe q
+         |  WHERE b.vec_id >= 8),
+         |vex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM vs) t WHERE rn <= 10),
+         |vls AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM vs WHERE EXISTS (SELECT 1 FROM vpc p
+         |    WHERE p.query_id = vs.query_id AND p.cid = vs.cid)) t WHERE rn <= 10),
+         |vh AS (SELECT e.query_id, count(*)::BIGINT AS n_hit
+         |  FROM vex e JOIN vls l USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+         |  coalesce(n_hit, 0) / 10.0 AS recall
+         |FROM vq q LEFT JOIN vh USING (query_id) ORDER BY query_id""".stripMargin,
 
     "emb_recall" ->
       s"""WITH rb AS (SELECT vec_id, embedding, ${dLshBucket("embedding")} AS bucket FROM embeddings),

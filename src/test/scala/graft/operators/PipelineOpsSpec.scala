@@ -375,6 +375,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full.forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("ivfRecallAtK: bounded hits; probing every cell gives recall 1.0") {
+    val r = Similarity.ivfRecallAtK(embs, nQueries = 4, k = 10).collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      val hits = row.getAs[Long]("n_hit")
+      assert(hits >= 0L && hits <= 10L)
+      assert(row.getAs[Double]("recall") == hits / 10.0)
+    }
+    // nProbe = nCells probes every cell -> IVF ranking == exact ranking
+    val full = Similarity.ivfRecallAtK(embs, nQueries = 4, k = 10,
+      nCells = 8, nProbe = 8).collect()
+    assert(full.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("packOffsets: distributed prefix sum equals the sequential layout") {
     val got = Packing.packOffsets(docs, capacity = 512).collect()
       .sortBy(_.getAs[Long]("doc_id"))
