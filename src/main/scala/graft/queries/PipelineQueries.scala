@@ -619,6 +619,31 @@ object PipelineQueries {
     // THE training-data pipeline, composed end-to-end: quality gate →
     // exact-dedup keeper → near-dup cluster survivor. What remains is the
     // kept corpus a pretraining run would read.
+    // per-stage observability for the composed dedup pipeline: the size
+    // of every funnel stage in one row (total -> quality gate -> exact
+    // keepers -> near-dup pairs -> clustered docs -> final kept) — the
+    // run report a production pipeline publishes alongside its output
+    "pipeline_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = T.tokens(col("text"))
+      val nTok = size(t).cast("long")
+      val quality = docs
+        .filter(nTok.between(30, 2000) && (size(array_distinct(t)).cast("long") / nTok) > 0.2)
+        .select(col("doc_id"))
+      val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5,
+        dfCutoff = Some(Dedup.autoDfCutoff(docs)))
+      val clusters = Dedup.components(pairs)
+      val kept = Dedup.survivors(
+        quality.join(exactKeepers, Seq("doc_id"), "left_semi"), clusters)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(exactKeepers.agg(count(lit(1)).as("n_exact_keepers")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs")))
+        .crossJoin(clusters.agg(count(lit(1)).as("n_clustered")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+    }),
+
     "pipeline_kept" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val t = T.tokens(col("text"))
@@ -1332,6 +1357,29 @@ object PipelineQueries {
          |  CASE WHEN scale = 0 THEN 1.0
          |       ELSE (${dDot("embedding", "recon")} / (sqrt(${dDot("embedding", "embedding")}) * sqrt(${dDot("recon", "recon")}))) END AS recon_cos
          |FROM qr ORDER BY vec_id""".stripMargin
+    },
+
+    "pipeline_report" -> {
+      val nTok = s"len(${dTokens("text")})::BIGINT"
+      val nUniq = s"len(list_distinct(${dTokens("text")}))::BIGINT"
+      s"""WITH RECURSIVE $dJaccardCtes,
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |qual AS (SELECT doc_id FROM documents
+         |  WHERE ($nTok BETWEEN 30 AND 2000) AND ($nUniq / $nTok > 0.2)),
+         |keptf AS (SELECT d.doc_id FROM documents d
+         |  WHERE d.doc_id IN (SELECT doc_id FROM qual)
+         |    AND d.doc_id IN (SELECT doc_id FROM exact_keep)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id))
+         |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |  (SELECT count(*) FROM qual)::BIGINT AS n_quality,
+         |  (SELECT count(*) FROM exact_keep)::BIGINT AS n_exact_keepers,
+         |  (SELECT count(*) FROM pairs)::BIGINT AS n_near_pairs,
+         |  (SELECT count(*) FROM clus)::BIGINT AS n_clustered,
+         |  (SELECT count(*) FROM keptf)::BIGINT AS n_kept""".stripMargin
     },
 
     "pipeline_kept" -> {
