@@ -49,6 +49,13 @@ object ScaleJoins {
     * left by a previous session would fail the CREATE with
     * LOCATION_ALREADY_EXISTS even under mode(overwrite). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // the stale-location cleanup below derives <warehouse>/<table> — only
+    // correct for an unqualified name in the default database (a db.tbl
+    // name lives under <warehouse>/db.db/tbl and the backticked DROP
+    // would quote it as one identifier); fail fast rather than delete
+    // the wrong directory
+    require(!table.contains(".") && table.nonEmpty,
+      s"writeBucketed needs an unqualified default-database table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")

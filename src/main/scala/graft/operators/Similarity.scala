@@ -211,7 +211,15 @@ object Similarity {
     * and both rankings come from one window spec. */
   def ivfRecallAtK(embeddings: DataFrame, nQueries: Long = 8, k: Int = 10,
       nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
-    val cents = KMeans.centroidsAfter(embeddings, nCells, iters)
+    // collect the trained centroids (k rows — driver-bounded by
+    // construction) and re-emit them as a local relation: both the
+    // assignment and the probe branch reference them, and Catalyst does
+    // not CSE DataFrame references, so leaving the training subtree in
+    // the plan would run the full Lloyd iterations twice
+    val spark = embeddings.sparkSession
+    val trained = KMeans.centroidsAfter(embeddings, nCells, iters)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     val cells = KMeans.assignCells(embeddings, cents)
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -23,6 +23,33 @@ object PipelineQueries {
 
   private val P = T.HashMod.toString
 
+  /** The composed dedup-pipeline funnel, defined ONCE so pipeline_kept
+    * (the kept set) and pipeline_report (the stage sizes) can never
+    * drift apart: returns (quality gate, exact keepers, near-dup pair
+    * count, clusters, kept). The pair count is eager — the narrow pair
+    * projection is persisted for the count and for components()' own
+    * count/collect (same canonicalized plan → one materialization), then
+    * released. */
+  private def pipelineStages(docs: DataFrame)
+      : (DataFrame, DataFrame, Long, DataFrame, DataFrame) = {
+    val t = T.tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val quality = docs
+      .filter(nTok.between(30, 2000) && (size(array_distinct(t)).cast("long") / nTok) > 0.2)
+      .select(col("doc_id"))
+    val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5,
+      dfCutoff = Some(Dedup.autoDfCutoff(docs)))
+      .select(col("i"), col("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    val clusters = Dedup.components(pairs) // eager: count + collect/rounds
+    pairs.unpersist(false)
+    val kept = Dedup.survivors(
+      quality.join(exactKeepers, Seq("doc_id"), "left_semi"), clusters)
+    (quality, exactKeepers, nPairs, clusters, kept)
+  }
+
   /** doc_mix contract — ONE definition for both engines: target weights
     * (basis points) and the token budget the mix is computed against. */
   private val MixWeights: Seq[(String, Int)] =
@@ -622,43 +649,29 @@ object PipelineQueries {
     // per-stage observability for the composed dedup pipeline: the size
     // of every funnel stage in one row (total -> quality gate -> exact
     // keepers -> near-dup pairs -> clustered docs -> final kept) — the
-    // run report a production pipeline publishes alongside its output
+    // run report a production pipeline publishes alongside its output.
+    // n_near_pairs is counted EAGERLY from the persisted narrow pair
+    // frame (components() is already eager — it counts and collects —
+    // so the heavy shingle-join pipeline runs exactly once; a lazy
+    // crossJoin branch would re-execute it, Catalyst does not CSE
+    // DataFrame references)
     "pipeline_report" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val t = T.tokens(col("text"))
-      val nTok = size(t).cast("long")
-      val quality = docs
-        .filter(nTok.between(30, 2000) && (size(array_distinct(t)).cast("long") / nTok) > 0.2)
-        .select(col("doc_id"))
-      val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5,
-        dfCutoff = Some(Dedup.autoDfCutoff(docs)))
-      val clusters = Dedup.components(pairs)
-      val kept = Dedup.survivors(
-        quality.join(exactKeepers, Seq("doc_id"), "left_semi"), clusters)
+      val (quality, exactKeepers, nPairs, clusters, kept) = pipelineStages(docs)
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
         .crossJoin(exactKeepers.agg(count(lit(1)).as("n_exact_keepers")))
-        .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs")))
+        .withColumn("n_near_pairs", lit(nPairs))
         .crossJoin(clusters.agg(count(lit(1)).as("n_clustered")))
         .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .select(col("n_docs"), col("n_quality"), col("n_exact_keepers"),
+          col("n_near_pairs"), col("n_clustered"), col("n_kept"))
     }),
 
-    "pipeline_kept" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val t = T.tokens(col("text"))
-      val nTok = size(t).cast("long")
-      val quality = docs
-        .filter(nTok.between(30, 2000) && (size(array_distinct(t)).cast("long") / nTok) > 0.2)
+    "pipeline_kept" -> ((s, d) =>
+      pipelineStages(Tables.documents(s, d))._5
         .select(col("doc_id"))
-      val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      val clusters = Dedup.components(Dedup.ngramJaccardPairs(docs, k = 3,
-        threshold = 0.5, dfCutoff = Some(Dedup.autoDfCutoff(docs))))
-      Dedup.survivors(
-          quality.join(exactKeepers, Seq("doc_id"), "left_semi"), clusters)
-        .select(col("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // the multimodal_* oracles hardcode decodeStub's arithmetic, so the
     // declared queries pin the stub decoder explicitly — parity must not
