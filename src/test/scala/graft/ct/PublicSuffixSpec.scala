@@ -112,6 +112,23 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(bd("www.օրինակ.հայ") == "օրինակ.հայ")
   }
 
+  test("round-5: full bundled PSL covers suffixes the old subset missed") {
+    // co.gl: old subset had only flat "gl", which mis-grouped co.gl regs
+    assert(bd("www.example.co.gl") == "example.co.gl")
+    // gov.scot: .scot second-level registry, never in the subset
+    assert(bd("www.example.gov.scot") == "example.gov.scot")
+    // Norwegian municipality suffix (full list carries every kommune)
+    assert(bd("skole.eidsvoll.no") == "skole.eidsvoll.no")
+    // IDN gTLDs only in the full list (Unicode + punycode forms)
+    assert(bd("www.пример.онлайн") == "пример.онлайн")
+    assert(bd("www.beispiel.vermögensberatung") == "beispiel.vermögensberatung")
+    assert(bd("www.xn--e1afmkfd.xn--80asehdb") == "xn--e1afmkfd.xn--80asehdb") // .онлайн
+    // private-section dynamic-DNS registries only in the full list
+    assert(bd("a.myhost.dyndns-ip.com") == "myhost.dyndns-ip.com")
+    assert(bd("x.home.is-a-geek.com") == "home.is-a-geek.com")
+    assert(bd("shop.x.barsy.menu") == "x.barsy.menu")
+  }
+
   test("case/dot normalization and nulls") {
     assert(bd("WWW.Example.COM") == "example.com")
     assert(bd(".example.com.") == "example.com")
