@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,6 +44,9 @@ import graft.ct.{CtHttpSource, Ingestor, LogList}
   *
   * Options: `loglist` (JSON, required), `now` (ISO instant for admission
   * determinism, default wall clock), `batchsize` (default 512),
+  * `maxentriespertrigger` (admission control: cap on how far EACH log's
+  * offset may advance per micro-batch, default 512 — reference parity
+  * with the worker's per-poll fetch cap, ct_ingestor.py:25,179-180),
   * `sourcekey` (test hook: resolve the entry source from a registry
   * instead of HTTP — local-mode only, documented in CtDsv2Spec).
   */
@@ -94,7 +97,8 @@ object CtOffset {
   }
 }
 
-class CtMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchStream {
+class CtMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val logs: Seq[LogList.CtLog] = {
     val json = Option(options.get("loglist")).getOrElse(
       throw new IllegalArgumentException("ct source requires a 'loglist' option"))
@@ -103,6 +107,11 @@ class CtMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchSt
   }
   private val batchSize = Option(options.get("batchsize")).map(_.toInt)
     .getOrElse(Ingestor.BatchSize)
+  private val maxEntriesPerTrigger: Long =
+    Option(options.get("maxentriespertrigger")).map(_.toLong)
+      .getOrElse(Ingestor.BatchSize.toLong)
+  require(maxEntriesPerTrigger > 0,
+    s"maxentriespertrigger must be positive, got $maxEntriesPerTrigger")
   private val sourceKey = Option(options.get("sourcekey"))
   private def source: Ingestor.EntrySource = CtMicroBatchSource.resolve(sourceKey)
 
@@ -110,8 +119,53 @@ class CtMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchSt
     CtOffset(logs.map(_.name -> 0L).toMap)
 
   /** S3: poll every admitted log's signed tree head for its current size. */
-  override def latestOffset(): Offset =
-    CtOffset(logs.map(lg => lg.name -> source.treeSize(lg)).toMap)
+  private def availableOffsets(): Map[String, Long] =
+    logs.map(lg => lg.name -> source.treeSize(lg)).toMap
+
+  /** Admission control (SupportsAdmissionControl): a fresh start against a
+    * real CT log (10⁹ entries) must NOT plan one unbounded catch-up
+    * micro-batch — each trigger advances every log by at most
+    * `maxentriespertrigger` entries, the same per-poll cap the reference
+    * worker enforces (ct_ingestor.py:25,179-180). The cap is PER LOG
+    * (reference semantics: one worker per log, each fetching ≤512/poll),
+    * not a global row budget split across logs. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxEntriesPerTrigger)
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  /** True head positions regardless of the cap — lets the engine report
+    * backlog (latestOffset vs endOffset) in progress events. */
+  override def reportLatestOffset(): Offset = CtOffset(availableOffsets())
+
+  /** SupportsTriggerAvailableNow: without it, Trigger.AvailableNow falls
+    * back to Trigger.Once semantics — ONE batch to the current head with
+    * the read limit ignored, i.e. exactly the unbounded catch-up batch
+    * admission control exists to prevent. With it, the engine pins the
+    * target head here and runs capped batches until reaching it. */
+  @volatile private var availableNowEnd: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(availableOffsets())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[CtOffset].next
+    val capPerLog = maxRowsOf(limit)
+    val heads = availableNowEnd.getOrElse(availableOffsets())
+    CtOffset(heads.map { case (name, size) =>
+      val lo = from.getOrElse(name, 0L)
+      val hi = math.max(size, lo) // a shrinking tree head never rewinds the offset
+      name -> capPerLog.fold(hi)(c => math.min(hi, lo + c))
+    })
+  }
+
+  /** Effective per-log row cap of a ReadLimit tree: tightest maxRows wins;
+    * allAvailable / minRows / maxFiles / maxBytes impose no row cap. */
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows => Some(r.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxRowsOf).reduceOption(_ min _)
+    case _ => None
+  }
 
   override def deserializeOffset(json: String): Offset = CtOffset.fromJson(json)
 

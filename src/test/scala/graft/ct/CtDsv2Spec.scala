@@ -72,6 +72,66 @@ class CtDsv2Spec extends graft.SparkSpec {
     assert(subs.map(_.getAs[String]("domain")).contains("www.example.com"))
   }
 
+  test("admission control: 10k backlog consumed in capped micro-batches, exactly-once across kill/resume") {
+    val store = Files.createTempDirectory("dsv2-ac-store").toString
+    val ckpt = Files.createTempDirectory("dsv2-ac-ckpt").toString
+    val oneLog =
+      """{"operators":[{"logs":[
+        |{"description":"Big Log","url":"https://big.example/","state":{"usable":{}},
+        | "temporal_interval":{"start_inclusive":"2023-01-01T00:00:00Z","end_exclusive":"2025-01-01T00:00:00Z"}}
+        |]}]}""".stripMargin
+    // Slow fixture: each get-entries range takes ~200 ms, so the whole
+    // backlog takes seconds — long enough to stop the query mid-backlog
+    // after the first committed batch, without any blocking gate (a gate
+    // deadlocks: Spark's task kill does not interrupt task threads by
+    // default, so gated tasks outlive q.stop()).
+    val src = new Fixture {
+      size = 10000L
+      override def fetchEntries(log: LogList.CtLog, start: Long, end: Long): Seq[RawEntry] = {
+        Thread.sleep(200)
+        super.fetchEntries(log, start, end)
+      }
+    }
+    CtMicroBatchSource.register("fix-ac", src)
+    val opts = Map(
+      "loglist" -> oneLog,
+      "now" -> "2024-01-15T00:00:00Z",
+      "sourcekey" -> "fix-ac",
+      "batchsize" -> "512",
+      "maxentriespertrigger" -> "3000")
+    val ts = () => Timestamp.valueOf("2024-01-15 00:00:00")
+
+    // phase 1: stop mid-backlog once the first capped batch has committed
+    val q1 = StreamIngest.start(spark, opts, store, ckpt, ts, Trigger.AvailableNow())
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q1.isActive && q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 1, "first batch never committed")
+    q1.stop(); q1.awaitTermination()
+    val committed1 = q1.recentProgress.filter(_.numInputRows > 0)
+    assert(committed1.forall(_.numInputRows <= 3000L),
+      s"batch exceeded maxentriespertrigger: ${committed1.map(_.numInputRows).toSeq}")
+    val committedRows1 = committed1.map(_.numInputRows).sum
+
+    // phase 2: resume from the checkpoint to completion
+    src.fetched.clear()
+    val q2 = StreamIngest.start(spark, opts, store, ckpt, ts, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val committed2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(committed2.forall(_.numInputRows <= 3000L))
+    // the prefix committed in phase 1 is never refetched after resume
+    assert(fetchedRanges(src).forall { case (_, s, _) => s >= committedRows1 },
+      s"resume refetched committed entries below $committedRows1: " +
+        s"${fetchedRanges(src).filter(_._2 < committedRows1)}")
+    // the 10k backlog is spread over >= 4 bounded batches (3000+3000+3000+1000),
+    // every entry consumed exactly once across the two runs
+    assert(committed1.length + committed2.length >= 4)
+    assert((committed1 ++ committed2).map(_.numInputRows).sum == 10000L)
+    // exactly-once store state: 4 epochs x 3 deduped fixture domains
+    assert(CertStore.read(spark, store).count() == 12L)
+  }
+
   test("replayed epoch replaces its own output instead of appending (exactly-once)") {
     import spark.implicits._
     val store = Files.createTempDirectory("dsv2-replay").toString
