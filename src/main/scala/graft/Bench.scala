@@ -45,11 +45,22 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Isolation between queries: 128 queries share one JVM, and the heavy
+    * dedup pipelines leave cached blocks + garbage that pollute their
+    * neighbors' numbers (round 4 measured q32_salted_join at 23.8 s in
+    * the shared run vs 1.45 s isolated — a pure measurement artifact).
+    * Dropping residual cache and forcing a GC after every query keeps
+    * each number a property of the query, not of its predecessor. */
+  private def isolate(): Unit = {
+    SparkSession.active.catalog.clearCache()
+    System.gc()
+  }
+
   private def run(name: String, build: () => DataFrame): (String, Double) =
     name -> (try timed(build) catch { case e: Throwable =>
       System.err.println(s"[bench] $name failed: ${e.getMessage}")
       -1.0
-    })
+    } finally isolate())
 
   private def skewCases(spark: SparkSession): Seq[(String, Double)] = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
