@@ -166,6 +166,33 @@ case class ShingleCombine(child: Expression, k: Int, packed: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-document character-bigram counts of a string: one
+  * struct<bg:string, n:long> per DISTINCT bigram of the input, counts
+  * preserving in-document multiplicity — the map-side pre-aggregated form
+  * of `explode(transform(sequence(1, len-1), i -> substr(i, 2)))` followed
+  * by a (doc, bg) count. Native because the HOF form allocates a 2-char
+  * string per CHARACTER of the corpus through the interpreter (the
+  * engine's slowest declared query in round 4); this emits ≤ |alphabet|²
+  * rows per doc from one tight loop, and drops the per-doc groupBy the
+  * scoring path needed (LangModel.crossEntropy). Bigrams are code-point
+  * windows, matching substr/length semantics exactly. */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bg", StringType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.bigramCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ArrayExprs.bigramCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Multi-band random-hyperplane LSH buckets over an array<double> vector:
   * nBands bucket ids, band b's bit j set iff dot(v, w_{b·nPlanes+j}) > 0.
   * Plane components are a deterministic integer LCG over (plane, dim) —
@@ -264,6 +291,33 @@ object ArrayExprs {
     new GenericArrayData(out)
   }
 
+  def bigramCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.LinkedHashMap[String, Array[Long]]()
+    if (str.nonEmpty) {
+      var i = 0                                          // start of bigram
+      var j = Character.charCount(str.codePointAt(0))    // start of 2nd code point
+      while (j < str.length) {
+        val k = j + Character.charCount(str.codePointAt(j)) // end of bigram
+        val bg = str.substring(i, k)
+        val cell = counts.get(bg)
+        if (cell == null) counts.put(bg, Array(1L)) else cell(0) += 1L
+        i = j
+        j = k
+      }
+    }
+    val out = new Array[Any](counts.size())
+    var idx = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue()(0)))
+      idx += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def lshBands(v: ArrayData, nPlanes: Int, nBands: Int): ArrayData = {
     val n = v.numElements()
     val out = new Array[Long](nBands)
@@ -301,4 +355,5 @@ object ArrayExprs {
     column(LshBands(expression(v), nPlanes, nBands))
   def shingle_combine(c: Column, k: Int, packed: Boolean): Column =
     column(ShingleCombine(expression(c), k, packed))
+  def bigram_counts(c: Column): Column = column(BigramCounts(expression(c)))
 }

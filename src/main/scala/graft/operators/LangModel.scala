@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *    broadcast, never a shuffle. In production the model trains on a
   *    corpus snapshot/sample once and is reused across scoring runs; here
   *    it trains on the input corpus itself so the gate is self-contained.
-  *  - SCORE is one scan: per-doc bigram counts (map-side combinable — the
-  *    (doc_id, bigram) grain dedups the explosion to ≤ |alphabet|² rows
-  *    per doc before the shuffle) → broadcast join to the model → one
+  *  - SCORE is one scan: the native BigramCounts kernel emits (doc, bg, n)
+  *    already aggregated to the (doc_id, bigram) grain — ≤ |alphabet|² rows
+  *    per doc, no per-doc shuffle — → broadcast join to the model → one
   *    hash aggregate back to doc grain.
   *
   * DETERMINISM (hash-gate contract): the only transcendental, ln(p), is
@@ -33,22 +33,24 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
-  /** (doc_id, bg) — one row per character-bigram OCCURRENCE of the
-    * lowercased text, in-document multiplicity preserved. Docs shorter
-    * than 2 chars have no bigrams and drop out. */
-  private def bigramRows(docs: DataFrame): DataFrame =
+  /** (doc_id, bg, n) — one row per DISTINCT character-bigram of the
+    * lowercased text with its in-document occurrence count, from the
+    * native BigramCounts kernel (one tight loop per doc emitting
+    * ≤ |alphabet|² pre-aggregated rows, vs. the HOF form's one string
+    * allocation per corpus CHARACTER — round 4's slowest declared query).
+    * Docs shorter than 2 chars have no bigrams and drop out. */
+  private def docBigramCounts(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 2)
-      .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("t")) - 1),
-          i => col("t").substr(i, lit(2)))).as("bg"))
+        explode(graft.expressions.ArrayExprs.bigram_counts(lower(col("text")))).as("bgn"))
+      .select(col("doc_id"), col("bgn.bg").as("bg"), col("bgn.n").as("n"))
 
   /** The trained model: (bg, lp) where lp is the log-probability
     * ln((cnt+1)/(ctx+V)) quantized through float32 and integerized to
     * floor(lp · 1e9) nano-nats (BIGINT). Bounded output (≤ |alphabet|²
     * rows). */
   def charBigramModel(docs: DataFrame): DataFrame = {
-    val counts = bigramRows(docs).groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val counts = docBigramCounts(docs).groupBy(col("bg")).agg(sum(col("n")).as("cnt"))
     val ctx = counts.groupBy(substring(col("bg"), 1, 1).as("c1"))
       .agg(sum(col("cnt")).as("ctx"))
     val vocab = counts.select(countDistinct(substring(col("bg"), 2, 1)).as("v"))
@@ -67,8 +69,9 @@ object LangModel {
     * is lossless on the training corpus; scoring NEW text against a
     * frozen model would left-join with an unseen-bigram floor instead. */
   def crossEntropy(docs: DataFrame): DataFrame = {
-    val perDoc = bigramRows(docs).groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("n"))
+    // the kernel pre-aggregates to (doc, bg) grain map-side, so the per-doc
+    // count needs no shuffle at all — straight to the broadcast model join
+    val perDoc = docBigramCounts(docs)
     perDoc.join(broadcast(charBigramModel(docs)), Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"),
