@@ -52,16 +52,24 @@ object Bpe {
   /** Train `nMerges` BPE merges; returns (round, left, right, cnt) —
     * round is 1-based, cnt the frequency-weighted adjacent-pair count
     * that won the round. Stops early (fewer rows) if the vocabulary
-    * exhausts its pairs first. */
+    * exhausts its pairs first.
+    *
+    * Vocabularies within `maxVocabRows` train in the driver loop (tens of
+    * thousands of globally-dependent rounds over a bounded table — one
+    * machine's memory, zero barriers). Past the bound the trainer
+    * DISPATCHES to [[trainDistributed]] — identical merges, pair counts
+    * as DataFrame aggregates — instead of refusing. */
   def train(docs: DataFrame, nMerges: Int,
       maxVocabRows: Long = 5000000L): DataFrame = {
     require(nMerges >= 1, "need at least one merge round")
     val spark = docs.sparkSession
     val wf = wordFreqs(docs)
     val nWords = wf.count()
-    require(nWords <= maxVocabRows,
-      s"word-frequency table has $nWords rows > maxVocabRows=$maxVocabRows: " +
-        "raise the bound or pre-prune the vocabulary (min-frequency cut)")
+    if (nWords > maxVocabRows) {
+      System.err.println(s"[bpe] word-frequency table has $nWords rows > " +
+        s"maxVocabRows=$maxVocabRows: training via distributed pair-count rounds")
+      return trainDistributed(docs, nMerges)
+    }
     var vocab: Seq[(Vector[String], Long)] = wf.collect()
       .map(row => (row.getString(0).map(_.toString).toVector, row.getLong(1))).toSeq
 
@@ -86,6 +94,81 @@ object Bpe {
         round += 1
       }
     }
+    import spark.implicits._
+    merges.result().toDF("round", "left", "right", "cnt")
+  }
+
+  /** Distributed-rounds BPE for vocabularies past the driver bound: the
+    * word table stays a DataFrame, each round's adjacent-pair statistics
+    * are ONE hash aggregate (explode of per-word adjacent symbol pairs,
+    * frequency-weighted) and only the winning merge — four scalars —
+    * crosses to the driver. Merge application is a per-word map over the
+    * vocab table. Same total-order tie-break (cnt desc, left asc, right
+    * asc — byte order, identical to the driver loop on the space-tokenized
+    * corpora this engine ingests), so both paths train identical merges.
+    *
+    * Round economics are the inverse of the driver loop's: one job + one
+    * barrier per merge round over a table too big for one machine — the
+    * price of lifting the bound, paid only when the bound is real.
+    * Per-round persist keeps blocks recomputable; every `checkpointEvery`
+    * rounds the vocab is parqueted and re-read so plan depth stays
+    * O(checkpointEvery) across thousands of rounds. */
+  def trainDistributed(docs: DataFrame, nMerges: Int,
+      checkpointEvery: Int = 10): DataFrame = {
+    require(nMerges >= 1, "need at least one merge round")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ckptRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bpe_${java.util.UUID.randomUUID().toString.take(8)}")
+    Dedup.cleanupAtExit.add(ckptRoot)
+    // split("") segments by code point; the driver loop's per-UTF-16-unit
+    // map is identical outside the astral plane (and the oracle pins the
+    // space-tokenized BMP corpora the engine actually trains on). The
+    // empty-string filter drops the empty edge artifacts regex-split can
+    // emit — "" is not a symbol.
+    var vocab = wordFreqs(docs)
+      .select(filter(split(col("word"), ""), x => x =!= "").as("syms"), col("freq"))
+      .persist(lvl)
+    vocab.count()
+    var lastCkpt: Option[java.io.File] = None
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val n = size(col("syms"))
+      val winner = vocab.filter(n >= 2)
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), n - 1).as("l"),
+            slice(col("syms"), lit(2), n - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (winner.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
+        merges += ((round.toLong, l, r, cnt))
+        val mergeUdf = udf((syms: Seq[String]) => applyMerge(syms.toVector, l, r))
+        val updated = vocab.select(mergeUdf(col("syms")).as("syms"), col("freq"))
+        val prev = vocab
+        if (round % checkpointEvery == 0) {
+          val dir = new java.io.File(ckptRoot, s"r$round")
+          updated.write.mode("overwrite").parquet(dir.getAbsolutePath)
+          vocab = spark.read.parquet(dir.getAbsolutePath)
+          lastCkpt.foreach(Dedup.rmdir)
+          lastCkpt = Some(dir)
+        } else {
+          vocab = updated.persist(lvl)
+          vocab.count()
+        }
+        prev.unpersist(false)
+        round += 1
+      }
+    }
+    vocab.unpersist(false)
+    lastCkpt.foreach(Dedup.rmdir)
     import spark.implicits._
     merges.result().toDF("round", "left", "right", "cnt")
   }

@@ -232,7 +232,17 @@ object Dedup {
     * contract, scale hostility is the caller's call ([[autoDfCutoff]]). */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       dfCutoff: Option[Long] = None): DataFrame = {
+    // The shingle frame feeds the self-join (both sides), the per-doc
+    // sizes, and — guarded — the df aggregation and both hot-side probes:
+    // 4–6 references that Catalyst would each re-derive from the raw text
+    // (tokenize + hash + window per document). Persist it so one scan
+    // serves them all; lineage is kept (lost blocks recompute). The block
+    // lives until evicted/cache-cleared — at 100 TB the same artifact is
+    // what a pipeline writes bucketed-by-shingle once per corpus snapshot
+    // (see shingleRows docs), so caching it for the query's lifetime is
+    // the local analog, not a leak.
     val sh = shingleRows(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = dfCutoff match {
       case None =>
         sh.as("a").join(sh.as("b"),
@@ -358,8 +368,14 @@ object Dedup {
       .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
       .select(col("n_true_pairs"), col("n_candidates"), col("n_verified"),
-        (col("n_verified") / col("n_true_pairs")).as("pair_recall"),
-        (col("n_verified") / col("n_candidates")).as("candidate_precision"))
+        // a corpus with no qualifying pairs / no candidates has undefined
+        // recall/precision: report null EXPLICITLY on both engines (Spark's
+        // x/0 yields null already, but DuckDB's raises — the oracle pairs
+        // these with nullif guards so the empty corpus stays hash-exact)
+        when(col("n_true_pairs") === 0, lit(null).cast("double"))
+          .otherwise(col("n_verified") / col("n_true_pairs")).as("pair_recall"),
+        when(col("n_candidates") === 0, lit(null).cast("double"))
+          .otherwise(col("n_verified") / col("n_candidates")).as("candidate_precision"))
   }
 
   /** Connected components over a near-duplicate pair list: every document
@@ -431,8 +447,9 @@ object Dedup {
 
   /** Checkpoint dirs the returned DataFrames still read from — removable
     * only at JVM exit. ONE process-level hook drains the registry, so
-    * repeated component runs add an entry here, not a hook thread each. */
-  private lazy val cleanupAtExit: java.util.Queue[java.io.File] = {
+    * repeated component runs add an entry here, not a hook thread each.
+    * Shared with the other iterative operators (Bpe's distributed rounds). */
+  private[operators] lazy val cleanupAtExit: java.util.Queue[java.io.File] = {
     val q = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       var f = q.poll(); while (f != null) { rmdir(f); f = q.poll() }

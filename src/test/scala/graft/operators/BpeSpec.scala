@@ -39,4 +39,22 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.train(docs.repartition(13), 3).collect().map(_.toSeq).toSeq
     assert(a == b, "training must not depend on physical partitioning")
   }
+
+  test("distributed rounds: identical merges past the driver vocab bound") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val driver = Bpe.train(docs, 6).collect().map(_.toSeq).toSeq
+    // a 2-row bound forces the distributed dispatch on any real corpus
+    val dispatched = Bpe.train(docs, 6, maxVocabRows = 2).collect().map(_.toSeq).toSeq
+    assert(dispatched == driver,
+      s"distributed rounds diverged from the driver loop:\n$dispatched\nvs\n$driver")
+    // checkpointing mid-training (every 2 of 6 rounds) changes nothing
+    val ckpt = Bpe.trainDistributed(docs, 6, checkpointEvery = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(ckpt == driver)
+    // the hand-checked corpus trains the same merges distributed
+    val classic = Seq((0L, "low low low low low lowest lowest")).toDF("doc_id", "text")
+    val got = Bpe.trainDistributed(classic, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "l", "o", 7L), (2L, "lo", "w", 7L), (3L, "e", "s", 2L)))
+  }
 }
