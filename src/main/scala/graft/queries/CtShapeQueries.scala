@@ -141,8 +141,40 @@ object CtShapeQueries {
       .orderBy(col("domain"))
   }
 
+  /** Keyset-pagination probe for the SSE /stream endpoint (ST4 deviation
+    * contract): two consecutive 100-row pages pulled through the REAL
+    * `CtQueries.streamTailAfter` over a cert_domains-shaped projection of
+    * events with ts truncated to the HOUR — dozens of rows share every
+    * timestamp, the exact regime where the reference's `ts > last` cursor
+    * (api/app.py:258-262) silently drops boundary rows. Loss-free delivery
+    * means page1 ++ page2 must equal the first 200 rows of the total
+    * keyset order strictly after the initial cursor, with the page split
+    * falling exactly at row 100 — which is what the oracle states in SQL.
+    * Page 2's cursor is page 1's last emitted key: one bounded 100-row
+    * driver round-trip, the same loop the SSE server runs per poll
+    * (Server.scala /stream). */
+  def ctStreamPage(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Tables.events(spark, dir).select(
+      date_trunc("hour", col("ts")).as("ts"),
+      col("event_type").as("fingerprint"),
+      col("user_id").cast("string").as("domain"),
+      col("event_id").cast("string").as("log_name"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val page1 = graft.ct.CtQueries.streamTailAfter(frame, t0, "", "", "", batch = 100)
+    // the cursor for page 2 = max key of page 1 (the server keeps this
+    // from the rows it just emitted; re-derived here from the page itself)
+    val k = page1.collect().maxBy(r =>
+      (r.getTimestamp(0).getTime, r.getString(1), r.getString(2), r.getString(3)))
+    val page2 = graft.ct.CtQueries.streamTailAfter(frame,
+      k.getTimestamp(0), k.getString(1), k.getString(2), k.getString(3), batch = 100)
+    page1.withColumn("page", lit(1))
+      .union(page2.withColumn("page", lit(2)))
+      .orderBy(col("page"), col("ts"), col("fingerprint"), col("domain"), col("log_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ct_ingest_pipeline" -> (ctIngestPipeline _),
+    "ct_stream_page" -> (ctStreamPage _),
     "ct_domain_lookup" -> (ctDomainLookup _),
     "ct_subdomains" -> (ctSubdomains _),
     "ct_recent" -> (ctRecent _),
@@ -199,6 +231,18 @@ object CtShapeQueries {
     "ct_stream_tail" ->
       s"""SELECT * FROM events WHERE ts > TIMESTAMP '$NOW'
          |ORDER BY ts, event_id LIMIT 100""".stripMargin,
+    // the loss-free-cursor contract: two keyset pages == the first 200
+    // rows of the total order after the cursor, split exactly at 100
+    "ct_stream_page" ->
+      """WITH f AS (SELECT date_trunc('hour', ts) AS ts, event_type AS fingerprint,
+        |  CAST(user_id AS VARCHAR) AS domain, CAST(event_id AS VARCHAR) AS log_name
+        |  FROM events),
+        |o AS (SELECT *, row_number() OVER
+        |    (ORDER BY ts, fingerprint, domain, log_name) AS rn
+        |  FROM f WHERE ts >= TIMESTAMP '2024-01-10 00:00:00')
+        |SELECT ts, fingerprint, domain, log_name,
+        |  CAST(CASE WHEN rn <= 100 THEN 1 ELSE 2 END AS INTEGER) AS page
+        |FROM o WHERE rn <= 200 ORDER BY page, ts, fingerprint, domain, log_name""".stripMargin,
     "ct_dedup_latest" ->
       """SELECT user_id, event_type, ts AS last_ts, event_id FROM (
         |  SELECT *, row_number() OVER (
