@@ -29,14 +29,29 @@ object Merge {
     *
     * Contract: both inputs share the payload schema; `changes`
     * additionally carries `versionCol` (long ≥ 1; base rows are version
-    * 0) and `deletedCol` (boolean tombstone). The window order is made
-    * TOTAL — version desc, tombstone first, then every payload column —
-    * so even a contract-violating version tie resolves to the same
-    * winner on every engine and partitioning, instead of silently
-    * depending on arrival order. */
+    * 0) and `deletedCol` (boolean tombstone). Every payload column must
+    * be ORDERABLE (no map types — checked here, because the analysis
+    * error Spark would raise names an internal sort, not the contract):
+    * the window order is made TOTAL — version desc, tombstone first,
+    * then every payload column — so even a contract-violating version
+    * tie resolves to the same winner on every engine and partitioning,
+    * instead of silently depending on arrival order. */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
       versionCol: String, deletedCol: String): DataFrame = {
     val payload = base.columns
+    base.schema.fields.foreach { f =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType),
+        s"mergeUpsert payload column '${f.name}' has unorderable type " +
+          s"${f.dataType.simpleString}: the total-order tie-break sorts every " +
+          "payload column (drop or re-encode map-typed columns)")
+    }
+    // the internal rank column must not silently clobber a payload column
+    val rn = {
+      var c = "__rn"
+      while (payload.contains(c) || c == versionCol || c == deletedCol) c = c + "_"
+      c
+    }
     val tagged = base
       .withColumn(versionCol, lit(0L))
       .withColumn(deletedCol, lit(false))
@@ -45,8 +60,8 @@ object Merge {
       .orderBy(col(versionCol).desc +: col(deletedCol).desc +:
         payload.filter(_ != key).map(c => col(c).asc).toSeq: _*)
     tagged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !col(deletedCol))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1 && !col(deletedCol))
       .select(payload.map(col).toSeq: _*)
   }
 }

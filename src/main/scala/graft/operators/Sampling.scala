@@ -71,9 +71,22 @@ object Sampling {
     require(budgetTokens >= 0 && budgetTokens <= Long.MaxValue / 10000L,
       s"budgetTokens must be in [0, ${Long.MaxValue / 10000L}]")
     val withTok = docs.withColumn("n_tokens", nTokens.cast("long"))
-    val totals = withTok.groupBy(col(strataCol))
+    // contract checks on the driver-side totals: strata ride as strings
+    // (any input type is cast, not ClassCastException'd), a null stratum
+    // cannot be a weight key so it is excluded from the totals (its rows
+    // are dropped by the rate filter below like any unlisted stratum),
+    // and an all-null token sum (getLong would NPE) is a caller error
+    // worth naming
+    val totals = withTok
+      .filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("__s"))
       .agg(sum(col("n_tokens")).as("__tot"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(1),
+          s"mixToBudget: stratum '${r.getString(0)}' has a null token sum — " +
+            "nTokens must be non-null (or coalesce it) for every row")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
     val rates = weightsBps.toSeq.sortBy(_._1).map { case (s0, wbps) =>
       val target = budgetTokens * wbps / 10000L
       val tot = totals.getOrElse(s0, 0L)

@@ -48,6 +48,16 @@ object ScaleJoins {
     * session-scoped but the warehouse directory is not, so a directory
     * left by a previous session would fail the CREATE with
     * LOCATION_ALREADY_EXISTS even under mode(overwrite). */
+  /** Per-process token for query-time managed-table names: the catalog is
+    * session-scoped but the warehouse DIRECTORY is not, so two concurrent
+    * sessions writing the same fixed table name would clobber each
+    * other's live data mid-read. Suffixing query-time names makes each
+    * process's tables its own; re-runs within a process still overwrite
+    * their own prior table (deliberate). */
+  private lazy val processToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  def sessionTable(base: String): String = s"${base}_$processToken"
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     // the stale-location cleanup below derives <warehouse>/<table> — only
     // correct for an unqualified name in the default database (a db.tbl
@@ -58,11 +68,14 @@ object ScaleJoins {
       s"writeBucketed needs an unqualified default-database table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a directory left by a PREVIOUS process would fail the CREATE with
+    // LOCATION_ALREADY_EXISTS even under mode(overwrite); resolve it via
+    // the warehouse's own FileSystem so the cleanup works on any scheme
+    // (file:, hdfs:, s3a:), not just the local one
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val stale =
-      if (wh.startsWith("file:")) new java.io.File(java.net.URI.create(wh).getPath, table.toLowerCase)
-      else new java.io.File(wh, table.toLowerCase)
-    if (stale.exists) Dedup.rmdir(stale)
+    val stale = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = stale.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(stale)) fs.delete(stale, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed, under spark.sql.warehouse.dir

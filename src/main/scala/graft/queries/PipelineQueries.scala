@@ -787,8 +787,8 @@ object PipelineQueries {
          |SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_true_pairs,
          |  (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
          |  (SELECT count(*) FROM ver)::BIGINT AS n_verified,
-         |  (SELECT count(*) FROM ver) / (SELECT count(*) FROM pairs) AS pair_recall,
-         |  (SELECT count(*) FROM ver) / (SELECT count(*) FROM cand) AS candidate_precision""".stripMargin
+         |  (SELECT count(*) FROM ver) / nullif((SELECT count(*) FROM pairs), 0) AS pair_recall,
+         |  (SELECT count(*) FROM ver) / nullif((SELECT count(*) FROM cand), 0) AS candidate_precision""".stripMargin
     },
 
     "dedup_minhash_est" -> {

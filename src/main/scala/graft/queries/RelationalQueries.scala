@@ -611,10 +611,14 @@ object RelationalQueries {
     val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-    graft.operators.ScaleJoins.writeBucketed(o, "q45_orders_b", "o_custkey", 8)
-    graft.operators.ScaleJoins.writeBucketed(c, "q45_customer_b", "o_custkey", 8)
+    // per-process table names: two sessions sharing a warehouse must not
+    // clobber each other's live bucketed tables mid-read
+    val ordersT = graft.operators.ScaleJoins.sessionTable("q45_orders_b")
+    val custT = graft.operators.ScaleJoins.sessionTable("q45_customer_b")
+    graft.operators.ScaleJoins.writeBucketed(o, ordersT, "o_custkey", 8)
+    graft.operators.ScaleJoins.writeBucketed(c, custT, "o_custkey", 8)
     graft.operators.ScaleJoins
-      .bucketedJoin(spark, "q45_orders_b", "q45_customer_b", "o_custkey",
+      .bucketedJoin(spark, ordersT, custT, "o_custkey",
         hint = Some("merge"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("revenue"))

@@ -22,7 +22,12 @@ object PropertySpec extends Properties("graft") {
   property("baseDomain keeps registrable label for known gTLDs") =
     forAll(Gen.choose(1, 4), label) { (n, base) =>
       val d = (List.fill(n)("sub") :+ base :+ "com").mkString(".")
-      PublicSuffix.baseDomain(d) == s"$base.com"
+      // the full PSL lists some <label>.com as private-section suffixes
+      // (CentralNic: ru.com, br.com, …) — those are correctly NOT
+      // registrable at the <label>.com grain, so exclude them here
+      if (PublicSuffix.rules.exact.contains(s"$base.com"))
+        PublicSuffix.baseDomain(d) == s"sub.$base.com"
+      else PublicSuffix.baseDomain(d) == s"$base.com"
     }
 
   property("polyHash in [0, HashMod), deterministic, matches fold definition") =
