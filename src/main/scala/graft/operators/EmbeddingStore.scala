@@ -37,6 +37,64 @@ object EmbeddingStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incremental append: new vectors are routed to the EXISTING cells by
+    * construction — cell assignment is the pure deterministic plane
+    * function of the vector, not a trained centroid, so an appended batch
+    * computes its own cell ids with the same `nPlanes` and lands as
+    * additional files inside each cell directory. No existing data is
+    * read or rewritten, and probes see the union immediately (the cell
+    * predicate prunes exactly as before). The caller owns vec_id
+    * uniqueness across batches (same contract as any append-only store).
+    * Each append adds ≤ one file per touched cell — after many increments
+    * run [[recluster]], the compaction analog for this layout. */
+  def append(embeddings: DataFrame, path: String, nPlanes: Int = 4): Unit =
+    write(embeddings, path, nPlanes, SaveMode.Append)
+
+  /** Per-cell compaction ("recluster"): cells whose directories have
+    * fragmented past `maxFilesPerCell` (the drift signature of repeated
+    * [[append]]s) are rewritten in place — each drifted cell is read,
+    * re-sorted by vec_id, written to `targetFilesPerCell` file(s), and
+    * swapped in via rename. Cells within bound are left untouched, so the
+    * job's cost scales with DRIFT, not store size. Row content is
+    * byte-identical (same rows, same cells — assignment is deterministic,
+    * so reclustering never moves a vector between cells), hence probe
+    * results are unchanged; only the file layout and intra-cell order are
+    * restored to the freshly-written state. Returns the reclustered cell
+    * ids. The driver loop is bounded by the cell count (2^nPlanes, and
+    * the store writer's plane count is require-bounded); each rewrite is
+    * its own distributed job — a petabyte cell raises
+    * `targetFilesPerCell` rather than funneling through one task. */
+  def recluster(spark: SparkSession, path: String, maxFilesPerCell: Int = 4,
+      targetFilesPerCell: Int = 1): Seq[Long] = {
+    require(maxFilesPerCell >= 1, s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
+    require(targetFilesPerCell >= 1, s"targetFilesPerCell must be >= 1, got $targetFilesPerCell")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val cellDirs = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+    val out = Seq.newBuilder[Long]
+    cellDirs.foreach { st =>
+      val dir = st.getPath
+      val dataFiles = fs.listStatus(dir).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      if (dataFiles.length > maxFilesPerCell) {
+        // dot-prefixed tmp dir: invisible to partition discovery while the
+        // rewrite is in flight, so concurrent readers never see half a cell
+        val tmp = new org.apache.hadoop.fs.Path(root, s".recluster_${dir.getName}")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        spark.read.parquet(dir.toString)
+          .coalesce(targetFilesPerCell)
+          .sortWithinPartitions("vec_id")
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(dir, true)
+        require(fs.rename(tmp, dir), s"recluster: rename $tmp -> $dir failed")
+        out += dir.getName.substring(partitionCol.length + 1).toLong
+      }
+    }
+    out.result()
+  }
+
   /** ANN probe against the store: resolve the query's cell (one pruned
     * point read), then top-k by cosine over that cell's directory only —
     * the scan carries a `lsh_bucket =` partition filter, everything else

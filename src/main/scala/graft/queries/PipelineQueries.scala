@@ -353,6 +353,24 @@ object PipelineQueries {
           col("bucket").cast("long").as("bucket"), col("cos_sim"))
     }),
 
+    // the store's MAINTENANCE path under the same hash gate: 60% written,
+    // four appended increments (deterministic cell routing), drifted cells
+    // reclustered in place — the probe must be indistinguishable from the
+    // one-shot store's, which is exactly what sharing its oracle asserts
+    "emb_knn_store_incr" -> ((s, d) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_emb_store_incr_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      val embs = Tables.embeddings(s, d)
+      // the initial Overwrite write clears any prior run's directory
+      EmbeddingStore.write(embs.filter(col("vec_id") % 10 < 6), path, nPlanes = 4)
+      (6 to 9).foreach(m =>
+        EmbeddingStore.append(embs.filter(col("vec_id") % 10 === m), path, nPlanes = 4))
+      EmbeddingStore.recluster(s, path, maxFilesPerCell = 2)
+      EmbeddingStore.knnProbe(s, path, queryId = 0L, k = 10, nPlanes = 4, maxFlips = 1)
+        .select(col("vec_id"), col("label"),
+          col("bucket").cast("long").as("bucket"), col("cos_sim"))
+    }),
+
     // product-quantized two-stage kNN: 8 codes/vector at rest (32× smaller
     // than float32), ADC candidate scan, exact rerank — the oracle rebuilds
     // codebook, encoding, LUT and both stages from the same deterministic
@@ -976,6 +994,15 @@ object PipelineQueries {
     // identical cell family and probe set as emb_knn_lsh_mp, but the Spark
     // side answers it from the partitioned store with a pruned read
     "emb_knn_store" ->
+      s"""WITH sbk AS (SELECT vec_id, label, embedding, ${dLshBucket("embedding")} AS bucket FROM embeddings),
+         |sq AS (SELECT embedding AS qe, bucket AS qb FROM sbk WHERE vec_id = 0)
+         |SELECT vec_id, label, bucket, ${dCos("embedding", "qe")} AS cos_sim
+         |FROM sbk, sq WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // incremental build + recluster must be invisible to the probe: the
+    // oracle is the one-shot store's, verbatim
+    "emb_knn_store_incr" ->
       s"""WITH sbk AS (SELECT vec_id, label, embedding, ${dLshBucket("embedding")} AS bucket FROM embeddings),
          |sq AS (SELECT embedding AS qe, bucket AS qb FROM sbk WHERE vec_id = 0)
          |SELECT vec_id, label, bucket, ${dCos("embedding", "qe")} AS cos_sim

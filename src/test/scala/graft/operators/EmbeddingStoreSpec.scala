@@ -50,4 +50,57 @@ class EmbeddingStoreSpec extends SparkSpec {
     val inMemIds = Similarity.lshKnn(embs, 0L, 10, 4).collect().map(_.getAs[Long]("vec_id"))
     assert(got.filterNot(_ == 0L).take(inMemIds.length).toSeq == inMemIds.toSeq)
   }
+
+  test("append routes to existing cells; recluster compacts without changing probes") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("embstore-incr").toString
+    // reference: the whole corpus written at once
+    val full = Files.createTempDirectory("embstore-full").toString
+    EmbeddingStore.write(embs, full, nPlanes = 4)
+    val want = EmbeddingStore.knnProbe(spark, full, 0L, 10, nPlanes = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+
+    // incremental: base 60% then four appended slices of 10% each
+    EmbeddingStore.write(embs.filter(col("vec_id") % 10 < 6), dir, nPlanes = 4)
+    (6 to 9).foreach(m =>
+      EmbeddingStore.append(embs.filter(col("vec_id") % 10 === m), dir, nPlanes = 4))
+    val store = EmbeddingStore.read(spark, dir)
+    assert(store.count() == embs.count())
+    // appended vectors landed in the SAME cell the one-shot write chooses
+    val cells = store.select(col("vec_id"), col(EmbeddingStore.partitionCol).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullCells = EmbeddingStore.read(spark, full)
+      .select(col("vec_id"), col(EmbeddingStore.partitionCol).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == fullCells, "append must route to the one-shot cell assignment")
+    val gotIncr = EmbeddingStore.knnProbe(spark, dir, 0L, 10, nPlanes = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(gotIncr == want, "probe over the incremental store must match the one-shot store")
+
+    // drift: appends fragmented the cells; recluster compacts them in place
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def cellFiles: Map[String, Int] = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(EmbeddingStore.partitionCol + "="))
+      .map(s => s.getPath.getName -> fs.listStatus(s.getPath).count(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+      .toMap
+    val before = cellFiles
+    assert(before.values.exists(_ > 2), s"appends should fragment cells, got $before")
+    val done = EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 2)
+    assert(done.nonEmpty, "fragmented cells must be reclustered")
+    val after = cellFiles
+    assert(done.forall(c => after(s"${EmbeddingStore.partitionCol}=$c") == 1),
+      s"reclustered cells must compact to one file: $after")
+    assert(before.filter(_._2 <= 2).forall { case (c, n) => after(c) == n },
+      "cells within bound must be untouched")
+    // identical rows, identical probe, pruning intact
+    val probeAfter = EmbeddingStore.knnProbe(spark, dir, 0L, 10, nPlanes = 4)
+    assert(scannedPartitions(probeAfter) == 1)
+    val gotAfter = probeAfter.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(gotAfter == want, "recluster must not change probe results")
+    assert(EmbeddingStore.read(spark, dir).count() == embs.count())
+    // second recluster is a no-op (cost scales with drift, not store size)
+    assert(EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 2).isEmpty)
+  }
 }
