@@ -232,17 +232,22 @@ object Dedup {
     * contract, scale hostility is the caller's call ([[autoDfCutoff]]). */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       dfCutoff: Option[Long] = None): DataFrame = {
-    // The shingle frame feeds the self-join (both sides), the per-doc
-    // sizes, and — guarded — the df aggregation and both hot-side probes:
-    // 4–6 references that Catalyst would each re-derive from the raw text
-    // (tokenize + hash + window per document). Persist it so one scan
-    // serves them all; lineage is kept (lost blocks recompute). The block
-    // lives until evicted/cache-cleared — at 100 TB the same artifact is
-    // what a pipeline writes bucketed-by-shingle once per corpus snapshot
-    // (see shingleRows docs), so caching it for the query's lifetime is
-    // the local analog, not a leak.
-    val sh = shingleRows(docs, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // In the GUARDED path the shingle frame feeds an EAGER job (the hot-df
+    // collect) plus the self-join, per-doc sizes, and both hot-side
+    // probes — persist it so the eager pass doubles as cache fill and the
+    // later references read blocks instead of re-deriving from raw text
+    // (~10-20% off the guarded queries; at 100 TB the same artifact is
+    // written bucketed-by-shingle once per corpus snapshot, see
+    // shingleRows docs). The EXACT path stays unpersisted: its references
+    // dedup through exchange reuse within the one lazy query, and
+    // measured on the pagerank-over-pairs composition a forced cache was
+    // 2.5× SLOWER than recompute (cache-read amplification across the
+    // many pair-pipeline references).
+    val shRaw = shingleRows(docs, k)
+    val sh =
+      if (dfCutoff.isDefined)
+        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shRaw
     val inter = dfCutoff match {
       case None =>
         sh.as("a").join(sh.as("b"),

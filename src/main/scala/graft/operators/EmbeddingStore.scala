@@ -50,20 +50,23 @@ object EmbeddingStore {
   def append(embeddings: DataFrame, path: String, nPlanes: Int = 4): Unit =
     write(embeddings, path, nPlanes, SaveMode.Append)
 
-  /** Per-cell compaction ("recluster"): cells whose directories have
+  /** Cell compaction ("recluster"): cells whose directories have
     * fragmented past `maxFilesPerCell` (the drift signature of repeated
-    * [[append]]s) are rewritten in place — each drifted cell is read,
-    * re-sorted by vec_id, written to `targetFilesPerCell` file(s), and
-    * swapped in via rename. Cells within bound are left untouched, so the
-    * job's cost scales with DRIFT, not store size. Row content is
-    * byte-identical (same rows, same cells — assignment is deterministic,
-    * so reclustering never moves a vector between cells), hence probe
-    * results are unchanged; only the file layout and intra-cell order are
-    * restored to the freshly-written state. Returns the reclustered cell
-    * ids. The driver loop is bounded by the cell count (2^nPlanes, and
-    * the store writer's plane count is require-bounded); each rewrite is
-    * its own distributed job — a petabyte cell raises
-    * `targetFilesPerCell` rather than funneling through one task. */
+    * [[append]]s) are rewritten — ALL drifted cells in ONE distributed
+    * job (a per-cell loop would run 2^nPlanes sequential jobs and pay
+    * scheduler latency per cell; the batched read is partition-pruned to
+    * exactly the drifted cells, hashed one-cell-per-task, and written
+    * back through the same partitioned layout), then swapped in per cell
+    * via rename behind a dot-prefixed tmp dir invisible to partition
+    * discovery. Cells within bound are left untouched, so the job's cost
+    * scales with DRIFT, not store size. Row content is identical (cell
+    * assignment is deterministic, so reclustering never moves a vector
+    * between cells), hence probe results are unchanged; only the file
+    * layout and intra-cell vec_id order are restored to the
+    * freshly-written state. Returns the reclustered cell ids.
+    * `targetFilesPerCell` splits a cell's rewrite across that many files
+    * (and tasks) — a petabyte cell raises it rather than funneling
+    * through one task. */
   def recluster(spark: SparkSession, path: String, maxFilesPerCell: Int = 4,
       targetFilesPerCell: Int = 1): Seq[Long] = {
     require(maxFilesPerCell >= 1, s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
@@ -71,28 +74,36 @@ object EmbeddingStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty
-    val cellDirs = fs.listStatus(root).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
-    val out = Seq.newBuilder[Long]
-    cellDirs.foreach { st =>
-      val dir = st.getPath
-      val dataFiles = fs.listStatus(dir).filter(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      if (dataFiles.length > maxFilesPerCell) {
-        // dot-prefixed tmp dir: invisible to partition discovery while the
-        // rewrite is in flight, so concurrent readers never see half a cell
-        val tmp = new org.apache.hadoop.fs.Path(root, s".recluster_${dir.getName}")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        spark.read.parquet(dir.toString)
-          .coalesce(targetFilesPerCell)
-          .sortWithinPartitions("vec_id")
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(dir, true)
-        require(fs.rename(tmp, dir), s"recluster: rename $tmp -> $dir failed")
-        out += dir.getName.substring(partitionCol.length + 1).toLong
+    val drifted = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .filter { st =>
+        fs.listStatus(st.getPath).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) >
+          maxFilesPerCell
       }
+      .map(_.getPath.getName.substring(partitionCol.length + 1).toLong)
+      .toSeq.sorted
+    if (drifted.isEmpty) return Seq.empty
+    val tmp = new org.apache.hadoop.fs.Path(root, ".recluster_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // one job: pruned to drifted cells, (cell, slice) co-partitioned so a
+    // cell writes exactly targetFilesPerCell sorted files
+    spark.read.parquet(path)
+      .filter(col(partitionCol).isin(drifted: _*))
+      .repartition(drifted.size * targetFilesPerCell, col(partitionCol),
+        pmod(xxhash64(col("vec_id")), lit(targetFilesPerCell)))
+      .sortWithinPartitions(partitionCol, "vec_id")
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
+    drifted.foreach { cell =>
+      val dirName = s"$partitionCol=$cell"
+      val oldDir = new org.apache.hadoop.fs.Path(root, dirName)
+      val newDir = new org.apache.hadoop.fs.Path(tmp, dirName)
+      require(fs.exists(newDir), s"recluster: rewrite missing for cell $cell")
+      fs.delete(oldDir, true)
+      require(fs.rename(newDir, oldDir), s"recluster: rename $newDir -> $oldDir failed")
     }
-    out.result()
+    fs.delete(tmp, true)
+    drifted
   }
 
   /** ANN probe against the store: resolve the query's cell (one pruned

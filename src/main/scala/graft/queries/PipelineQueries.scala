@@ -361,10 +361,11 @@ object PipelineQueries {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_emb_store_incr_" + Integer.toHexString(d.hashCode)).getAbsolutePath
       val embs = Tables.embeddings(s, d)
-      // the initial Overwrite write clears any prior run's directory
-      EmbeddingStore.write(embs.filter(col("vec_id") % 10 < 6), path, nPlanes = 4)
-      (6 to 9).foreach(m =>
-        EmbeddingStore.append(embs.filter(col("vec_id") % 10 === m), path, nPlanes = 4))
+      // the initial Overwrite write clears any prior run's directory;
+      // two 20% appends fragment every cell past the compaction bound
+      EmbeddingStore.write(embs.filter(col("vec_id") % 5 < 3), path, nPlanes = 4)
+      (3 to 4).foreach(m =>
+        EmbeddingStore.append(embs.filter(col("vec_id") % 5 === m), path, nPlanes = 4))
       EmbeddingStore.recluster(s, path, maxFilesPerCell = 2)
       EmbeddingStore.knnProbe(s, path, queryId = 0L, k = 10, nPlanes = 4, maxFlips = 1)
         .select(col("vec_id"), col("label"),
