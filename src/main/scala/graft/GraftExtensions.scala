@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotDouble, LshBands, MinhashSig, PolyHash, Simhash62}
+import graft.expressions.{BigramCounts, DotDouble, DotLong, LshBands, MinhashSig, PolyHash, ShingleCombine, Simhash62}
 
 /** SparkSessionExtensions registration: exposes the engine's native
   * expressions to SQL, so `spark.sql("SELECT poly_hash(text) ...")` works
@@ -25,10 +25,15 @@ object GraftExtensions {
     "simhash62" -> ((args: Seq[Expression]) => Simhash62(args.head)),
     "minhash_sig" -> ((args: Seq[Expression]) => MinhashSig(args.head)),
     "dot_double" -> ((args: Seq[Expression]) => DotDouble(args(0), args(1))),
-    // plane/band counts must be literals: they shape the generated loop
+    "dot_long" -> ((args: Seq[Expression]) => DotLong(args(0), args(1))),
+    "bigram_counts" -> ((args: Seq[Expression]) => BigramCounts(args.head)),
+    // plane/band/window counts must be literals: they shape the generated loop
     "lsh_bands" -> ((args: Seq[Expression]) => LshBands(args(0),
       args(1).eval().asInstanceOf[Number].intValue(),
-      args(2).eval().asInstanceOf[Number].intValue())))
+      args(2).eval().asInstanceOf[Number].intValue())),
+    "shingle_combine" -> ((args: Seq[Expression]) => ShingleCombine(args(0),
+      args(1).eval().asInstanceOf[Number].intValue(),
+      args(2).eval().asInstanceOf[Boolean])))
 
   /** Register on an already-running session (withExtensions only applies at
     * session construction). */

@@ -22,4 +22,19 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.TextFunctions.MinhashK)
     assert(r.getAs[Long]("sh") >= 0)
   }
+
+  test("bigram_counts / shingle_combine / dot_long are SQL-callable") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT bigram_counts('abab') AS bc,
+        |  shingle_combine(array(poly_hash('a'), poly_hash('b'), poly_hash('c')), 2, true) AS sc,
+        |  dot_long(array(2L, 3L), array(5L, 7L)) AS dl""".stripMargin)
+      .collect()(0)
+    // 'abab' -> bigrams ab(2), ba(1)
+    val bc = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bc")
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(bc == Map("ab" -> 2L, "ba" -> 1L))
+    assert(r.getAs[scala.collection.Seq[Long]]("sc").length == 2) // 3 tokens, k=2
+    assert(r.getAs[Long]("dl") == 31L)
+  }
 }
