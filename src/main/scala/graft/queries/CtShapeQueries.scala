@@ -154,12 +154,20 @@ object CtShapeQueries {
     * driver round-trip, the same loop the SSE server runs per poll
     * (Server.scala /stream). */
   def ctStreamPage(spark: SparkSession, dir: String): DataFrame = {
-    val frame = Tables.events(spark, dir).select(
-      date_trunc("hour", col("ts")).as("ts"),
-      col("event_type").as("fingerprint"),
-      col("user_id").cast("string").as("domain"),
-      col("event_id").cast("string").as("log_name"))
     val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // raw-ts pre-filter BEFORE the truncation: hour-truncating never moves
+    // a row across an hour-aligned cursor, so this is semantically the
+    // cursor's own ts bound — but stated on the raw column it reaches the
+    // Parquet scan (PushedFilters), which the post-truncation predicate
+    // cannot (the production streamTailAfter gets the same effect from
+    // its raw-ts conjunct + month pruning)
+    val frame = Tables.events(spark, dir)
+      .filter(col("ts") >= lit(t0))
+      .select(
+        date_trunc("hour", col("ts")).as("ts"),
+        col("event_type").as("fingerprint"),
+        col("user_id").cast("string").as("domain"),
+        col("event_id").cast("string").as("log_name"))
     val page1 = graft.ct.CtQueries.streamTailAfter(frame, t0, "", "", "", batch = 100)
     // the cursor for page 2 = max key of page 1 (the server keeps this
     // from the rows it just emitted; re-derived here from the page itself)
