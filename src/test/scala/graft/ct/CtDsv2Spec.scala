@@ -132,6 +132,35 @@ class CtDsv2Spec extends graft.SparkSpec {
     assert(CertStore.read(spark, store).count() == 12L)
   }
 
+  test("admission control governs the production ProcessingTime trigger too") {
+    val store = Files.createTempDirectory("dsv2-pt-store").toString
+    val ckpt = Files.createTempDirectory("dsv2-pt-ckpt").toString
+    val oneLog =
+      """{"operators":[{"logs":[
+        |{"description":"PT Log","url":"https://pt.example/","state":{"usable":{}},
+        | "temporal_interval":{"start_inclusive":"2023-01-01T00:00:00Z","end_exclusive":"2025-01-01T00:00:00Z"}}
+        |]}]}""".stripMargin
+    val src = new Fixture { size = 3000L }
+    CtMicroBatchSource.register("fix-pt", src)
+    val q = StreamIngest.start(spark,
+      Map("loglist" -> oneLog, "now" -> "2024-01-15T00:00:00Z",
+        "sourcekey" -> "fix-pt", "batchsize" -> "512",
+        "maxentriespertrigger" -> "1000"),
+      store, ckpt, () => Timestamp.valueOf("2024-01-15 00:00:00"),
+      Trigger.ProcessingTime(200L))
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (q.recentProgress.map(_.numInputRows).sum < 3000L &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val committed = q.recentProgress.filter(_.numInputRows > 0)
+      assert(committed.map(_.numInputRows).sum == 3000L, "backlog fully consumed")
+      // the continuous trigger obeys the same per-trigger cap as AvailableNow
+      assert(committed.length >= 3 && committed.forall(_.numInputRows <= 1000L),
+        s"expected >=3 capped batches, got ${committed.map(_.numInputRows).toSeq}")
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("replayed epoch replaces its own output instead of appending (exactly-once)") {
     import spark.implicits._
     val store = Files.createTempDirectory("dsv2-replay").toString
