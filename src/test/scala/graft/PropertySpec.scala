@@ -30,6 +30,27 @@ object PropertySpec extends Properties("graft") {
       else PublicSuffix.baseDomain(d) == s"$base.com"
     }
 
+  private val unicodeText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toInt),
+    2 -> Gen.choose(0x00a0, 0x2fff),          // BMP non-ASCII
+    1 -> Gen.choose(0x10000, 0x10fff)         // supplementary (surrogate pairs)
+  )).map(_.map(Character.toChars(_).mkString).mkString)
+
+  property("bigramCounts: code-point windows, multiplicity preserved") =
+    forAll(unicodeText) { s =>
+      val arr = ArrayExprs.bigramCounts(UTF8String.fromString(s))
+      val got = (0 until arr.numElements()).map { i =>
+        val row = arr.getStruct(i, 2)
+        row.getUTF8String(0).toString -> row.getLong(1)
+      }.toMap
+      // naive definition: sliding 2-code-point windows of the string
+      val cps = s.codePoints().toArray
+      val naive = cps.sliding(2).filter(_.length == 2)
+        .map(w => new String(w, 0, 2)).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      got == naive && got.values.sum == math.max(0, cps.length - 1)
+    }
+
   property("polyHash in [0, HashMod), deterministic, matches fold definition") =
     forAll(Gen.asciiPrintableStr) { s =>
       val h = ArrayExprs.polyHash(UTF8String.fromString(s))
