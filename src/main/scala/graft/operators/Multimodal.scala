@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real — schema, partition-parallel batch
   * processing via `mapPartitions` over a typed Dataset, deterministic
   * output. The decode (`decode`) is REAL for the formats the JDK ships
-  * readers for (PNG/JPEG/GIF/BMP via `javax.imageio` — true pixel
-  * dimensions, no external codecs needed) and falls back to the
-  * clearly-marked deterministic stub (`decodeStub`) for everything else
-  * (video/audio — no codecs in this environment). Swapping in a fuller
-  * decoder (JavaCV, TwelveMonkeys, an FFI codec) changes ONLY that
-  * function; the distributed plumbing, batching and schema stay.
+  * readers for (images: PNG/JPEG/GIF/BMP via `javax.imageio`; audio:
+  * WAV/AIFF/AU via `javax.sound.sampled`, see [[audioMeta]] — true
+  * dimensions/sample counts, no external codecs needed) and falls back
+  * to the clearly-marked deterministic stub (`decodeStub`) for
+  * everything else (video, compressed audio — no codecs in this
+  * environment). Swapping in a fuller decoder (JavaCV, TwelveMonkeys,
+  * an FFI codec) changes ONLY that function; the distributed plumbing,
+  * batching and schema stay.
   *
   * At 100 TB: binary payloads ride in Parquet with the metadata columns,
   * so metadata-only queries never deserialize payload bytes (column
@@ -26,6 +28,11 @@ import org.apache.spark.sql.functions._
 case class MediaMeta(
     doc_id: Long, n_bytes: Long, sha256: String,
     width: Long, height: Long, n_frames: Long)
+
+/** Typed audio metadata row (real `javax.sound.sampled` parse). */
+case class AudioMeta(
+    doc_id: Long, n_bytes: Long, sample_rate: Long, channels: Long,
+    n_samples: Long, duration_ms: Long)
 
 case class MediaIn(doc_id: Long, content: Array[Byte])
 
@@ -101,6 +108,61 @@ object Multimodal {
           val sha = md.digest(m.content).map(b => f"${b & 0xff}%02x").mkString
           val (w, h, f) = decoder(m.content)
           MediaMeta(m.doc_id, m.content.length.toLong, sha, w, h, f)
+        }
+      }
+  }
+
+  /** Minimal PCM16-LE WAV writer — the audio test-payload generator
+    * (sample bytes are a deterministic ramp; metadata is what matters).
+    * Pure arithmetic + arraycopy, runs on executors. */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0, "invalid wav params")
+    val dataSize = nSamples * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)         // byte rate
+      .putShort((channels * 2).toShort)          // block align
+      .putShort(16.toShort)                      // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples * channels) { buf.putShort(((i * 31) % 8192).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** REAL audio parse via `javax.sound.sampled.AudioSystem` — pure JDK,
+    * no external codecs (WAV/AIFF/AU are in-boundary; MP3/OGG/FLAC stay
+    * behind the stub fallback like video). Returns (sampleRate, channels,
+    * sampleFrames) or None for payloads the JDK cannot parse. */
+  def decodeAudio(content: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(content))
+      Some((fmt.getFormat.getSampleRate.toLong,
+        fmt.getFormat.getChannels.toLong, fmt.getFrameLength.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batch audio-metadata pass: same per-partition streaming shape as
+    * [[decodeMeta]]; unparseable payloads degrade to the deterministic
+    * stub mapped into the audio fields (stub width→sample rate,
+    * height→channels mod 2 + 1, frames→samples), never a task kill.
+    * duration_ms is exact integer floor arithmetic (oracle-portable). */
+  def audioMeta(spark: SparkSession, docs: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    withPayload(docs).select(col("doc_id"), col("content")).as[MediaIn]
+      .mapPartitions { it =>
+        it.map { m =>
+          val (sr, ch, ns) = decodeAudio(m.content).getOrElse {
+            val (w, h, f) = decodeStub(m.content)
+            (w * 25 + 8000, h % 2 + 1, f * 1000)
+          }
+          AudioMeta(m.doc_id, m.content.length.toLong, sr, ch, ns,
+            if (sr == 0) 0L else ns * 1000L / sr)
         }
       }
   }

@@ -710,7 +710,22 @@ object PipelineQueries {
 
     "multimodal_features" -> ((s, d) =>
       Multimodal.featureExtract(s, Tables.documents(s, d),
-        decoder = Multimodal.decodeStub))
+        decoder = Multimodal.decodeStub)),
+
+    // REAL audio decode under the hash gate: per-doc WAV payloads are
+    // synthesized with params derived from doc_id (the fixture-cert
+    // pattern ct_ingest_pipeline uses for X.509), then parsed BACK by the
+    // JDK's actual audio reader — sample_rate/channels/n_samples in the
+    // output come from javax.sound.sampled, not from the generator, so a
+    // header-layout or parse bug breaks the row
+    "multimodal_audio" -> ((s, d) => {
+      val wav = udf((id: Long) => Multimodal.wavBytes(
+        8000 * (1 + (id % 3).toInt), 1 + (id % 2).toInt, 50 + (id % 200).toInt))
+      Multimodal.audioMeta(s,
+          Tables.documents(s, d).select(col("doc_id"))
+            .withColumn("content", wav(col("doc_id"))))
+        .toDF().orderBy(col("doc_id"))
+    })
   )
 
   // ---- oracle SQL ----
@@ -1472,6 +1487,18 @@ object PipelineQueries {
       s"""SELECT doc_id,
          |  $feats
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // the WAV params are pure doc_id arithmetic; Spark's values come from
+    // the real JDK parse of the generated payload, so equality IS the
+    // decode gate (n_bytes = 44-byte header + nSamples*channels*2 PCM16)
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |  (44 + (50 + doc_id % 200) * (1 + doc_id % 2) * 2)::BIGINT AS n_bytes,
+        |  (8000 * (1 + doc_id % 3))::BIGINT AS sample_rate,
+        |  (1 + doc_id % 2)::BIGINT AS channels,
+        |  (50 + doc_id % 200)::BIGINT AS n_samples,
+        |  ((50 + doc_id % 200) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -695,6 +695,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("real WAV payloads parse to true audio params via javax.sound.sampled") {
+    // round-trip: generated PCM16 WAV -> JDK AudioSystem parse
+    val wav = Multimodal.wavBytes(sampleRate = 16000, channels = 2, nSamples = 123)
+    assert(wav.length == 44 + 123 * 2 * 2)
+    assert(Multimodal.decodeAudio(wav).contains((16000L, 2L, 123L)))
+    // AIFF written by the JDK itself parses too (in-boundary format)
+    val mono = Multimodal.wavBytes(8000, 1, 80)
+    assert(Multimodal.decodeAudio(mono).contains((8000L, 1L, 80L)))
+    // non-audio payloads are None -> audioMeta degrades to the stub mapping
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+    val df = Seq((1L, wav), (2L, "text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val out = Multimodal.audioMeta(spark, df).collect().map(a => a.doc_id -> a).toMap
+    assert(out(1L).sample_rate == 16000L && out(1L).channels == 2L &&
+      out(1L).n_samples == 123L && out(1L).duration_ms == 123L * 1000 / 16000)
+    val (sw, sh, sf) = Multimodal.decodeStub("text payload".getBytes("UTF-8"))
+    assert(out(2L).sample_rate == sw * 25 + 8000 && out(2L).channels == sh % 2 + 1 &&
+      out(2L).n_samples == sf * 1000)
+  }
+
   test("langId is deterministic and total (every doc gets a code)") {
     val langs = docs.select(T.langId(col("text"))).as[String].collect()
     assert(langs.forall(T.stopwords.map(_._1).toSet))
