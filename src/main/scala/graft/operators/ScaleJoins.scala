@@ -79,6 +79,13 @@ object ScaleJoins {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed, under spark.sql.warehouse.dir
+    // process-token scratch tables would otherwise accumulate in a shared
+    // warehouse forever (each process writes fresh names); this process
+    // deletes ITS OWN dirs at exit — never another session's, which is
+    // what the per-process naming exists to protect
+    val scheme = stale.toUri.getScheme
+    if (table.endsWith(processToken) && (scheme == null || scheme == "file"))
+      Dedup.cleanupAtExit.add(new java.io.File(stale.toUri.getPath))
   }
 
   /** Join two identically-bucketed catalog tables on their bucket key —
