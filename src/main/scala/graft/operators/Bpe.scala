@@ -173,6 +173,43 @@ object Bpe {
     merges.result().toDF("round", "left", "right", "cnt")
   }
 
+  /** ENCODE with a trained merge list — the other half of the tokenizer
+    * story: [[train]] produces merges once per corpus; this applies them
+    * to every document and reports the real token counts a budgeted
+    * pipeline mixes/packs on (whitespace counts over-estimate; the
+    * trained tokenizer's counts are the ones that match the model).
+    *
+    * Shape: the merge list is BOUNDED (nMerges rows, collected + closed
+    * over), each word's encoding is the pure sequential fold of the
+    * merges (the same [[applyMerge]] the trainer uses — one
+    * implementation, both directions), and the corpus pass is one
+    * explode → per-word map → per-doc aggregate. The per-WORD work is
+    * deduplicated through the distinct-word grain before the map, so the
+    * fold runs |vocab| times, not |corpus| times.
+    * Output: (doc_id, n_words, n_tokens) ordered by doc_id. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val nTok = udf((word: String) =>
+      merges.foldLeft(word.map(_.toString).toVector) {
+        case (syms, (l, r)) => applyMerge(syms, l, r)
+      }.length.toLong)
+    val words = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+    val wordCosts = words.select(col("word")).distinct()
+      .select(col("word"), nTok(col("word")).as("word_tokens"))
+    words.join(wordCosts, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("word_tokens")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[bpeEncode]] driven end-to-end from the corpus: train `nMerges`
+    * merges, then encode with them — the declared-query form (the oracle
+    * replays the same two stages in SQL). */
+  def trainAndEncode(docs: DataFrame, nMerges: Int): DataFrame = {
+    val merges = train(docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(docs, merges)
+  }
+
   /** The oracle-facing SQL replay of [[train]]: `nMerges` rounds of
     * generated CTEs. Symbol sequences travel between rounds as
     * chr(31)-joined strings (list accumulators cannot ride DuckDB's
@@ -184,6 +221,29 @@ object Bpe {
     * Generated from the same round structure as the Scala trainer: one
     * source of truth for the semantics, two executions. */
   def trainOracleSql(nMerges: Int): String = {
+    val selects = (1 to nMerges).map(i =>
+      s"""SELECT ${i}::BIGINT AS "round", l AS "left", r AS "right", cnt FROM bp${i}b""")
+    s"""WITH ${oracleCtes(nMerges, finalApply = false).mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY "round"""".stripMargin
+  }
+
+  /** Oracle for [[trainAndEncode]]: the SAME train CTEs (with the final
+    * round's merge also APPLIED), then per-word token counts from the
+    * final vocab joined back to each document's word stream. */
+  def encodeOracleSql(nMerges: Int): String = {
+    val sep = "chr(31)"
+    s"""WITH ${oracleCtes(nMerges, finalApply = true).mkString(",\n")},
+       |enc AS (SELECT word, len(string_split(syms, $sep))::BIGINT AS word_tokens
+       |        FROM bp${nMerges}w),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       |  sum(e.word_tokens)::BIGINT AS n_tokens
+       |FROM dw d JOIN enc e ON d.word = e.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  private def oracleCtes(nMerges: Int, finalApply: Boolean): Seq[String] = {
     val sep = "chr(31)"  // symbol separator
     val tag = "chr(30)"  // pending/output separator inside the fold acc
     def pairCte(i: Int): String =
@@ -215,11 +275,7 @@ object Bpe {
          |  array_to_string(list_transform(range(len(word)), ci -> word[ci+1:ci+1]), $sep) AS syms
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word)""".stripMargin
     val rounds = (1 to nMerges).flatMap(i =>
-      Seq(pairCte(i)) ++ (if (i < nMerges) Seq(applyCte(i)) else Nil))
-    val selects = (1 to nMerges).map(i =>
-      s"""SELECT ${i}::BIGINT AS "round", l AS "left", r AS "right", cnt FROM bp${i}b""")
-    s"""WITH ${(Seq(base) ++ rounds).mkString(",\n")}
-       |${selects.mkString("\nUNION ALL\n")}
-       |ORDER BY "round"""".stripMargin
+      Seq(pairCte(i)) ++ (if (i < nMerges || finalApply) Seq(applyCte(i)) else Nil))
+    Seq(base) ++ rounds
   }
 }

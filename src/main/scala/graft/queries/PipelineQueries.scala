@@ -456,6 +456,12 @@ object PipelineQueries {
     "doc_bpe_merges" -> ((s, d) =>
       graft.operators.Bpe.train(Tables.documents(s, d), nMerges = 6)),
 
+    // tokenizer APPLY: train 6 merges, encode the corpus with them — the
+    // real token counts a budgeted pipeline mixes/packs on; per-word fold
+    // runs at the distinct-word grain, not per occurrence
+    "doc_bpe_encode" -> ((s, d) =>
+      graft.operators.Bpe.trainAndEncode(Tables.documents(s, d), nMerges = 6)),
+
     // TF-IDF at the sparse long grain against the corpus-derived top-10
     // vocabulary; idf float32-quantized, all else exact integers
     "doc_tfidf" -> ((s, d) =>
@@ -885,6 +891,7 @@ object PipelineQueries {
          |GROUP BY tk ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "doc_bpe_merges" -> graft.operators.Bpe.trainOracleSql(nMerges = 6),
+    "doc_bpe_encode" -> graft.operators.Bpe.encodeOracleSql(nMerges = 6),
 
     "doc_quality_model" ->
       graft.operators.Classifier.trainOracleSql(iters = 2, lr = 0.5),

@@ -40,6 +40,24 @@ class BpeSpec extends SparkSpec {
     assert(a == b, "training must not depend on physical partitioning")
   }
 
+  test("bpeEncode: trained merges compress the corpus token counts") {
+    // corpus: "low" x5, "lowest" x2 -> merges (l,o), (lo,w), (e,s)
+    val docs = Seq(
+      (0L, "low low low"),
+      (1L, "low low lowest lowest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 3).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // after (l,o)+(lo,w): "low" -> ["low"] = 1 token
+    // "lowest" -> ["low","es","t"] = 3 tokens
+    assert(enc(0L) == (3L, 3L))             // 3 words x 1
+    assert(enc(1L) == (4L, 2L * 1 + 2 * 3)) // 2x"low" + 2x"lowest"
+    // zero merges = character counts
+    val raw = Bpe.bpeEncode(docs, Seq.empty).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(0L) == 9L) // "low" x3 = 9 chars
+  }
+
   test("distributed rounds: identical merges past the driver vocab bound") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     val driver = Bpe.train(docs, 6).collect().map(_.toSeq).toSeq
