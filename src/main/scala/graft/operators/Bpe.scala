@@ -71,7 +71,7 @@ object Bpe {
       return trainDistributed(docs, nMerges)
     }
     var vocab: Seq[(Vector[String], Long)] = wf.collect()
-      .map(row => (row.getString(0).map(_.toString).toVector, row.getLong(1))).toSeq
+      .map(row => (splitCodePoints(row.getString(0)), row.getLong(1))).toSeq
 
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var round = 1
@@ -88,7 +88,18 @@ object Bpe {
       }
       if (pairs.isEmpty) exhausted = true
       else {
-        val ((l, r), cnt) = pairs.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        val ((l, r), cnt) = pairs.reduceLeft { (best, cand) =>
+          val ((bl, br), bc) = best
+          val ((cl, cr), cc) = cand
+          // cnt desc, then CODE-POINT lexicographic asc on (l, r) — the
+          // same total order Spark's UTF8String/DuckDB byte comparison
+          // yields, so the driver loop, the distributed rounds, and the
+          // oracle all pick the identical winner (plain String compare
+          // misorders U+E000..U+FFFF vs supplementary planes)
+          val candBetter = cc > bc || (cc == bc &&
+            (cpLt(cl, bl) || (cl == bl && cpLt(cr, br))))
+          if (candBetter) cand else best
+        }
         merges += ((round.toLong, l, r, cnt))
         vocab = vocab.map { case (syms, freq) => (applyMerge(syms, l, r), freq) }
         round += 1
@@ -96,6 +107,34 @@ object Bpe {
     }
     import spark.implicits._
     merges.result().toDF("round", "left", "right", "cnt")
+  }
+
+  /** Split per Unicode CODE POINT (not UTF-16 unit) — keeps the driver
+    * loop, the distributed rounds (regex split("")), the encode UDF and
+    * the DuckDB oracle (per-character slicing) on one symbol definition,
+    * so crossing `maxVocabRows` never silently changes the merges. */
+  private[operators] def splitCodePoints(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Code-point lexicographic less-than (== UTF-8 byte order). */
+  private def cpLt(a: String, b: String): Boolean = {
+    val ai = a.codePoints().toArray
+    val bi = b.codePoints().toArray
+    val n = math.min(ai.length, bi.length)
+    var i = 0
+    while (i < n) {
+      if (ai(i) != bi(i)) return ai(i) < bi(i)
+      i += 1
+    }
+    ai.length < bi.length
   }
 
   /** Distributed-rounds BPE for vocabularies past the driver bound: the
@@ -189,7 +228,7 @@ object Bpe {
     * Output: (doc_id, n_words, n_tokens) ordered by doc_id. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val nTok = udf((word: String) =>
-      merges.foldLeft(word.map(_.toString).toVector) {
+      merges.foldLeft(splitCodePoints(word)) {
         case (syms, (l, r)) => applyMerge(syms, l, r)
       }.length.toLong)
     val words = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
@@ -233,8 +272,12 @@ object Bpe {
     * final vocab joined back to each document's word stream. */
   def encodeOracleSql(nMerges: Int): String = {
     val sep = "chr(31)"
+    // the empty "word" (doubled/edge spaces in the split) encodes to ZERO
+    // tokens — string_split('') is [''] (length 1) in DuckDB, hence the CASE
     s"""WITH ${oracleCtes(nMerges, finalApply = true).mkString(",\n")},
-       |enc AS (SELECT word, len(string_split(syms, $sep))::BIGINT AS word_tokens
+       |enc AS (SELECT word,
+       |        CASE WHEN word = '' THEN 0
+       |             ELSE len(string_split(syms, $sep)) END::BIGINT AS word_tokens
        |        FROM bp${nMerges}w),
        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
        |SELECT d.doc_id, count(*)::BIGINT AS n_words,
@@ -254,7 +297,16 @@ object Bpe {
          |  FROM (SELECT freq, string_split(syms, $sep) AS parts FROM bp${i - 1}w)) GROUP BY 1, 2),
          |bp${i}b AS (SELECT l, r, cnt FROM bp${i}p ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
     def applyCte(i: Int): String =
-      s"""bp${i}a AS (SELECT word, freq,
+      // bp{i}bf sentinel-fills an EMPTY winner (vocabulary exhausted before
+      // round i): chr(29) is outside any corpus alphabet, so the fold
+      // applies a merge that never matches and the vocab passes through
+      // unchanged — without it the cross join against an empty bp{i}b
+      // would empty the vocab and every later CTE (wrong for encode's
+      // final-apply chain; train's empty selects happen either way
+      // because an exhausted vocab keeps producing zero pairs)
+      s"""bp${i}bf AS (SELECT coalesce(max(l), chr(29)) AS l,
+         |                    coalesce(max(r), chr(29)) AS r FROM bp${i}b),
+         |bp${i}a AS (SELECT word, freq,
          |  list_reduce(list_prepend('' || $tag, string_split(w.syms, $sep)),
          |    (acc, x) -> CASE
          |      WHEN string_split(acc, $tag)[1] = '' THEN x || $tag || string_split(acc, $tag)[2]
@@ -264,7 +316,7 @@ object Bpe {
          |      ELSE x || $tag || (CASE WHEN string_split(acc, $tag)[2] = '' THEN string_split(acc, $tag)[1]
          |                         ELSE string_split(acc, $tag)[2] || $sep || string_split(acc, $tag)[1] END)
          |    END) AS acc
-         |  FROM bp${i - 1}w w, bp${i}b b),
+         |  FROM bp${i - 1}w w, bp${i}bf b),
          |bp${i}w AS (SELECT word, freq,
          |  CASE WHEN string_split(acc, $tag)[1] = '' THEN string_split(acc, $tag)[2]
          |       WHEN string_split(acc, $tag)[2] = '' THEN string_split(acc, $tag)[1]

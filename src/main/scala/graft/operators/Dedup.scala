@@ -204,6 +204,9 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  private val lastGuardedShingles =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** The skew-guard cutoff heuristic: max(16, 0.4 % of the corpus). At
     * sf0.1 this actively drops the df 21–25 shingle tail while every
     * qualifying pair still shares a df ≤ 10 shingle (measured). */
@@ -245,9 +248,15 @@ object Dedup {
     // many pair-pipeline references).
     val shRaw = shingleRows(docs, k)
     val sh =
-      if (dfCutoff.isDefined)
-        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else shRaw
+      if (dfCutoff.isDefined) {
+        val p = shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // one live guarded-shingle cache per JVM: repeated calls in a
+        // long session would otherwise pin every call's frame forever;
+        // dropping the previous call's blocks only degrades a still-held
+        // old result to recompute (lineage kept), never breaks it
+        Option(lastGuardedShingles.getAndSet(p)).foreach(_.unpersist(false))
+        p
+      } else shRaw
     val inter = dfCutoff match {
       case None =>
         sh.as("a").join(sh.as("b"),

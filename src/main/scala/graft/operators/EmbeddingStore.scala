@@ -66,7 +66,13 @@ object EmbeddingStore {
     * freshly-written state. Returns the reclustered cell ids.
     * `targetFilesPerCell` splits a cell's rewrite across that many files
     * (and tasks) — a petabyte cell raises it rather than funneling
-    * through one task. */
+    * through one task.
+    *
+    * Concurrency contract: the delete→rename swap is not atomic — a
+    * reader that lists a cell in exactly that window sees it missing
+    * (the standard limit of file-layout compaction without a table
+    * format's transaction log; run recluster in the maintenance window,
+    * or front the store with Delta/Iceberg for serialized swaps). */
   def recluster(spark: SparkSession, path: String, maxFilesPerCell: Int = 4,
       targetFilesPerCell: Int = 1): Seq[Long] = {
     require(maxFilesPerCell >= 1, s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
@@ -74,6 +80,19 @@ object EmbeddingStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty
+    // crash recovery from a prior interrupted swap: an `.old_` archive
+    // whose live cell dir is MISSING is the only surviving copy of that
+    // cell (the crash fell between the two renames below) — restore it;
+    // an archive whose live dir exists is a completed swap's leftover
+    val oldPrefix = s".old_$partitionCol="
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(oldPrefix)).foreach { st =>
+      val live = new org.apache.hadoop.fs.Path(root,
+        st.getPath.getName.stripPrefix(".old_"))
+      if (!fs.exists(live))
+        require(fs.rename(st.getPath, live),
+          s"recluster: crash-recovery rename ${st.getPath} -> $live failed")
+      else fs.delete(st.getPath, true)
+    }
     val drifted = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
       .filter { st =>
@@ -81,7 +100,8 @@ object EmbeddingStore {
           !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) >
           maxFilesPerCell
       }
-      .map(_.getPath.getName.substring(partitionCol.length + 1).toLong)
+      .map(_.getPath.getName.substring(partitionCol.length + 1))
+      .flatMap(v => scala.util.Try(v.toLong).toOption) // skip non-numeric dirs
       .toSeq.sorted
     if (drifted.isEmpty) return Seq.empty
     val tmp = new org.apache.hadoop.fs.Path(root, ".recluster_tmp")
@@ -98,9 +118,15 @@ object EmbeddingStore {
       val dirName = s"$partitionCol=$cell"
       val oldDir = new org.apache.hadoop.fs.Path(root, dirName)
       val newDir = new org.apache.hadoop.fs.Path(tmp, dirName)
+      val archive = new org.apache.hadoop.fs.Path(root, s".old_$dirName")
       require(fs.exists(newDir), s"recluster: rewrite missing for cell $cell")
-      fs.delete(oldDir, true)
+      // archive-then-swap, never delete-then-rename: at every instant the
+      // cell's data exists under a recoverable name (live, archive, or
+      // tmp+archive), so a crash at any point is repaired by the recovery
+      // sweep above instead of losing the cell
+      require(fs.rename(oldDir, archive), s"recluster: rename $oldDir -> $archive failed")
       require(fs.rename(newDir, oldDir), s"recluster: rename $newDir -> $oldDir failed")
+      fs.delete(archive, true)
     }
     fs.delete(tmp, true)
     drifted

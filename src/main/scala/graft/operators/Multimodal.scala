@@ -117,6 +117,10 @@ object Multimodal {
     * Pure arithmetic + arraycopy, runs on executors. */
   def wavBytes(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
     require(sampleRate > 0 && channels > 0 && nSamples >= 0, "invalid wav params")
+    // data size is computed in Int domain for ByteBuffer.allocate — fail
+    // with the contract named rather than a negative-allocation error
+    require(nSamples.toLong * channels * 2 <= Int.MaxValue - 44L,
+      s"wav payload too large: $nSamples samples x $channels channels")
     val dataSize = nSamples * channels * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

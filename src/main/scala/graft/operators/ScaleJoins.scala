@@ -83,9 +83,11 @@ object ScaleJoins {
     // warehouse forever (each process writes fresh names); this process
     // deletes ITS OWN dirs at exit — never another session's, which is
     // what the per-process naming exists to protect
-    val scheme = stale.toUri.getScheme
-    if (table.endsWith(processToken) && (scheme == null || scheme == "file"))
-      Dedup.cleanupAtExit.add(new java.io.File(stale.toUri.getPath))
+    // the RESOLVED filesystem decides local-ness (a scheme-less warehouse
+    // path resolves to fs.defaultFS, which may be HDFS — a java.io.File
+    // hook would then rmdir an unrelated same-named local path)
+    if (table.endsWith(processToken) && fs.getUri.getScheme == "file")
+      Dedup.cleanupAtExit.add(new java.io.File(fs.makeQualified(stale).toUri.getPath))
   }
 
   /** Join two identically-bucketed catalog tables on their bucket key —

@@ -171,11 +171,17 @@ object CtShapeQueries {
     val page1 = graft.ct.CtQueries.streamTailAfter(frame, t0, "", "", "", batch = 100)
     // the cursor for page 2 = max key of page 1 (the server keeps this
     // from the rows it just emitted; re-derived here from the page itself)
-    val k = page1.collect().maxBy(r =>
+    val rows = page1.collect()
+    if (rows.isEmpty) return page1.withColumn("page", lit(1)) // no data after cursor
+    val k = rows.maxBy(r =>
       (r.getTimestamp(0).getTime, r.getString(1), r.getString(2), r.getString(3)))
+    // page 1 is already on the driver — feed it back as a local relation
+    // instead of re-executing its top-k scan inside the union
+    val page1Local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), page1.schema)
     val page2 = graft.ct.CtQueries.streamTailAfter(frame,
       k.getTimestamp(0), k.getString(1), k.getString(2), k.getString(3), batch = 100)
-    page1.withColumn("page", lit(1))
+    page1Local.withColumn("page", lit(1))
       .union(page2.withColumn("page", lit(2)))
       .orderBy(col("page"), col("ts"), col("fingerprint"), col("domain"), col("log_name"))
   }
