@@ -103,4 +103,34 @@ class EmbeddingStoreSpec extends SparkSpec {
     // second recluster is a no-op (cost scales with drift, not store size)
     assert(EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 2).isEmpty)
   }
+
+  test("recluster recovers a cell from a crash between the two swap renames") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("embstore-crash").toString
+    EmbeddingStore.write(embs, dir, nPlanes = 4)
+    val want = EmbeddingStore.knnProbe(spark, dir, 0L, 10, nPlanes = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val cells = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.startsWith(EmbeddingStore.partitionCol + "="))
+    assert(cells.nonEmpty)
+    // simulate the worst crash window: live dir archived, replacement
+    // never renamed in — the archive is the only copy of the cell
+    val victim = cells.head.getPath
+    val archive = new Path(new Path(dir), s".old_${victim.getName}")
+    assert(fs.rename(victim, archive))
+    assert(!fs.exists(victim))
+    // any recluster invocation repairs the store before compacting
+    EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 1000)
+    assert(fs.exists(victim) && !fs.exists(archive), "archived cell must be restored")
+    val after = EmbeddingStore.knnProbe(spark, dir, 0L, 10, nPlanes = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(after == want, "recovered store must probe identically")
+    // the other crash window: swap completed but archive not yet deleted —
+    // the leftover archive is dropped, live data untouched
+    val done = cells.last.getPath
+    fs.mkdirs(new Path(new Path(dir), s".old_${done.getName}"))
+    EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 1000)
+    assert(fs.exists(done) && !fs.exists(new Path(new Path(dir), s".old_${done.getName}")))
+  }
 }
