@@ -62,9 +62,26 @@ object Bench {
       -1.0
     } finally isolate())
 
+  /** Fixture-set version: bump when any skew-fixture definition below
+    * changes, so a stale cached set is never reused. */
+  private val SkewFixtureVersion = "v1"
+
   private def skewCases(spark: SparkSession): Seq[(String, Double)] = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_skew_bench").getAbsolutePath
+    // the fixtures are a pure function of the definitions below — reuse
+    // them across bench runs (the 20M-row writes cost ~30s of untimed
+    // wall clock per round otherwise); the marker carries the version
+    val marker = new java.io.File(dir, s".complete_$SkewFixtureVersion")
+    if (!marker.exists()) {
+      writeSkewFixtures(spark, dir)
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    runSkewCases(spark, dir)
+  }
+
+  private def writeSkewFixtures(spark: SparkSession, dir: String): Unit = {
     // ---- fixtures (written once, outside the timed region) ----
     // docs: 12 pseudo-random filler tokens each; every 3rd doc is
     // prefixed with the same 4-token phrase → 2 shingles with df ≈ 6667
@@ -102,7 +119,9 @@ object Bench {
     spark.range(100000).select(col("id").as("k"),
         (col("id") % 50).cast("string").as("grp"))
       .write.mode("overwrite").parquet(s"$dir/dim")
+  }
 
+  private def runSkewCases(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     val docs = () => spark.read.parquet(s"$dir/docs")
     val fact = () => spark.read.parquet(s"$dir/fact")
     val dim = () => spark.read.parquet(s"$dir/dim")
