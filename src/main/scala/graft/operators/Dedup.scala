@@ -416,6 +416,30 @@ object Dedup {
     * as union-find) — the same bounded-aggregate economics as collecting
     * AQE statistics. Past the bound, the distributed min-label rounds take
     * over; both paths compute the identical fixpoint. */
+  /** Survivor-selection POLICY over near-dup clusters: keep the
+    * HIGHEST-SCORING document of each cluster (quality-aware dedup)
+    * instead of the min-id default — the policy production pipelines
+    * actually want ("drop duplicates, keep the best copy"). Singleton
+    * docs (absent from `clusters`) form their own cluster and are kept.
+    * Ties break by doc_id, so the winner is a total-order pick on any
+    * engine. One left join + one keyed window (clusters are tiny and
+    * singletons are unique keys, so the window has no hot partition).
+    * Output: (doc_id, cluster_id, score, kept) at doc grain — filter
+    * `kept` for the surviving corpus, or audit the losers per cluster. */
+  def keepBestSurvivors(docs: DataFrame, clusters: DataFrame,
+      score: org.apache.spark.sql.Column): DataFrame = {
+    val scored = docs.select(col("doc_id"), score.as("score"))
+    val withCluster = scored.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    withCluster
+      .withColumn("kept", org.apache.spark.sql.functions.row_number().over(w) === 1)
+      .orderBy(col("doc_id"))
+  }
+
   def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L,
       checkpointEvery: Int = 10): DataFrame = {
     val spark = pairs.sparkSession

@@ -315,6 +315,18 @@ object PipelineQueries {
         dfCutoff = Some(Dedup.autoDfCutoff(docs))))
     }),
 
+    // survivor POLICY over those clusters: keep the highest-quality copy
+    // (distinct-token ratio, ties by doc_id) instead of the min id —
+    // quality-aware dedup at doc grain, singletons kept by construction
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.components(Dedup.ngramJaccardPairs(docs, k = 3,
+        threshold = 0.5, dfCutoff = Some(Dedup.autoDfCutoff(docs))))
+      val t = T.tokens(col("text"))
+      Dedup.keepBestSurvivors(docs, clusters,
+        size(array_distinct(t)).cast("long") / size(t).cast("long"))
+    }),
+
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 1)),
 
@@ -800,6 +812,24 @@ object PipelineQueries {
          |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" -> {
+      val nTok = s"len(${dTokens("text")})::BIGINT"
+      val nUniq = s"len(list_distinct(${dTokens("text")}))::BIGINT"
+      s"""WITH RECURSIVE $dJaccardCtes,
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |kcl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |ksc AS (SELECT doc_id, $nUniq / $nTok AS score FROM documents),
+         |kjn AS (SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id,
+         |               s.score
+         |        FROM ksc s LEFT JOIN kcl c ON s.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id, score,
+         |  (row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) = 1) AS kept
+         |FROM kjn ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_minhash_pairs" -> {
       val r = T.MinhashK / T.MinhashBands

@@ -79,6 +79,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(active.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
 
+  test("keepBestSurvivors: highest score wins per cluster, singletons kept") {
+    import org.apache.spark.sql.functions.{array_distinct, col, size}
+    // cluster {1,2,3} (min-id 1) + singleton 9; doc 2 has the most
+    // distinct tokens, so the POLICY keeps 2 where min-id would keep 1
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a b c d"), (3L, "a b a b"), (9L, "x y"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val out = Dedup.keepBestSurvivors(docs, clusters,
+        size(array_distinct(t)).cast("long") / size(t).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(2L) == (1L, true), "best-quality doc wins its cluster")
+    assert(out(1L) == (1L, false) && out(3L) == (1L, false))
+    assert(out(9L) == (9L, true), "singletons form their own kept cluster")
+  }
+
   test("connected components: chains collapse to the min doc_id per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("i", "j")
     val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L)
