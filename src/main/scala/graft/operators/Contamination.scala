@@ -38,4 +38,45 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared")) // testSh is distinct per doc
       .orderBy(col("doc_id"))
   }
+
+  /** FUZZY decontamination — the near-duplicate counterpart of
+    * [[testSetOverlap]]: test-split documents whose k-gram Jaccard with
+    * some TRAIN document clears `threshold`, found the same way the
+    * dedup family finds near-dups (MinHash band candidates, then exact
+    * verification), not by verbatim collision. This is the pass that
+    * catches lightly-paraphrased or partially-quoted benchmark leakage
+    * an exact k-gram index misses (the exact pass is a special case:
+    * a shared shingle IS a band-free candidate at jaccard > 0).
+    *
+    * Scale shape: candidates come from one hash equi-join of the test
+    * split's band rows against the TRAIN band index ([[Dedup.bandIndex]]
+    * — at 100 TB the persisted artifact, same one the incremental dedup
+    * path joins against; decontamination rides the index the pipeline
+    * already maintains, never corpus × test). Verification touches only
+    * candidate docs' shingles ([[Dedup.verifyJaccard]] semi-join), so
+    * cost tracks band collisions, not |train| · |test|.
+    *
+    * Returns (test_id, train_id, inter, jaccard) per contaminated pair,
+    * jaccard ≥ threshold, ordered. */
+  def testSetOverlapFuzzy(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val withSplit = docs.select(col("doc_id"), col("text"),
+      T.splitHash(col("doc_id")).as("__h"))
+    val train = withSplit.filter(col("__h") < 90).select(col("doc_id"), col("text"))
+    val test = withSplit.filter(col("__h") >= 95).select(col("doc_id"), col("text"))
+    val cand = Dedup.bandIndex(test, k).as("a")
+      .join(Dedup.bandIndex(train, k).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    // split membership is disjoint by construction (splitHash < 90 vs
+    // >= 95), so a union'd shingle frame cannot merge two texts under
+    // one id; verifyJaccard semi-joins it down to candidate docs only
+    val sh = Dedup.shingleRows(train.union(test), k)
+    Dedup.verifyJaccard(cand, sh, threshold)
+      .select(col("i").as("test_id"), col("j").as("train_id"),
+        col("inter"), col("jaccard"))
+      .orderBy(col("test_id"), col("train_id"))
+  }
 }

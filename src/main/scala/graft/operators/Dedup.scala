@@ -62,7 +62,7 @@ object Dedup {
     * over every shingle — a candidate-generation filter upstream cannot
     * change the reported jaccard. inter/|A∪B| from exact bigint counts →
     * deterministic double. */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+  private[operators] def verifyJaccard(candidates: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val candDocs = candidates.select(col("i").as("doc_id"))
       .union(candidates.select(col("j"))).distinct()

@@ -512,6 +512,14 @@ object PipelineQueries {
     "doc_contamination" -> ((s, d) =>
       graft.operators.Contamination.testSetOverlap(Tables.documents(s, d), k = 3)),
 
+    // fuzzy decontamination: test docs NEAR-duplicating a train doc
+    // (MinHash band candidates against the train band index, exact
+    // jaccard verify) — catches paraphrased leakage the verbatim k-gram
+    // collision above misses
+    "doc_contamination_fuzzy" -> ((s, d) =>
+      graft.operators.Contamination.testSetOverlapFuzzy(
+        Tables.documents(s, d), k = 3, threshold = 0.5)),
+
     // span-grain cross-document dedup stats: every k-token span occurrence
     // that also appears verbatim in another document (suffix-array-style
     // substring dedup signal, occurrence grain — within-doc repeats of a
@@ -1270,6 +1278,33 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // same split rule as doc_contamination; bands/signatures replayed as
+    // in dedup_minhash_pairs, candidates restricted to test × train
+    "doc_contamination_fuzzy" -> {
+      val r = T.MinhashK / T.MinhashBands
+      s"""WITH fz AS (SELECT doc_id, text, ${dPoly("'split:' || doc_id")} % 100 AS h FROM documents),
+         |fths AS (SELECT doc_id, h, ${dTokenHashes("text")} AS ths FROM fz WHERE h < 90 OR h >= 95),
+         |fsh AS (SELECT doc_id, unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM fths),
+         |fsizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
+         |fshs AS (SELECT doc_id, h, ${dShingleHashes("ths", 3)} AS shs FROM fths),
+         |fsig AS (SELECT doc_id, h, ${dMinhashSig("shs")} AS sig FROM fshs),
+         |fbands AS (SELECT doc_id, h, fbj.r AS band_idx,
+         |           sig[fbj.r*$r+1] * $P + sig[fbj.r*$r+$r] AS band_val
+         |           FROM fsig, range(${T.MinhashBands}) fbj(r)),
+         |fcand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM fbands a JOIN fbands b
+         |          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |          AND a.h >= 95 AND b.h < 90),
+         |finters AS (SELECT c.i, c.j, count(*) AS inter FROM fcand c
+         |            JOIN fsh sa ON sa.doc_id = c.i
+         |            JOIN fsh sb ON sb.doc_id = c.j AND sb.sh = sa.sh
+         |            GROUP BY 1, 2)
+         |SELECT t.i AS test_id, t.j AS train_id, t.inter,
+         |  t.inter::DOUBLE / (na.n + nb.n - t.inter) AS jaccard
+         |FROM finters t JOIN fsizes na ON t.i = na.doc_id JOIN fsizes nb ON t.j = nb.doc_id
+         |WHERE t.inter::DOUBLE / (na.n + nb.n - t.inter) >= 0.5
+         |ORDER BY test_id, train_id""".stripMargin
+    },
 
     "dedup_incremental_near" -> {
       val r = T.MinhashK / T.MinhashBands

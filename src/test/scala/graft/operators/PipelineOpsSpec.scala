@@ -583,6 +583,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy contamination: exactly the cross-split near-dup pairs, verified") {
+    val got = Contamination.testSetOverlapFuzzy(docs, k = 3, threshold = 0.5).collect()
+    assert(got.nonEmpty, "synthetic corpus should have cross-split near-dups")
+    got.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+    // truth: the exact >=0.5 jaccard pairs restricted to test x train —
+    // banding recall is 100% on this corpus (pinned by the LSH-recall
+    // test above), so the fuzzy pass must surface every one of them
+    val splits = docs.select(col("doc_id"), T.splitHash(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect()
+      .flatMap { case (i, j) => Seq((i, j), (j, i)) }
+      .filter { case (t, tr) => splits(t) >= 95 && splits(tr) < 90 }.toSet
+    val gotPairs = got.map(r =>
+      (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))).toSet
+    assert(gotPairs == truth)
+  }
+
   test("spanDupStats: occurrence grain, cross-doc only, short docs absent") {
     val fixture = Seq(
       (1L, "alpha beta gamma delta"),          // spans: abg, bgd(elta)... 2 spans
