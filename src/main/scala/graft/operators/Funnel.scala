@@ -45,6 +45,67 @@ object Funnel {
     acc.count(_ != NoStart)
   }
 
+  /** Pure-Scala mirror of the [[sequenceCount]] fold — the property-test
+    * reference. Events are (tsMicros, 1-based stage); same (ts, stage)
+    * sort, same greedy transitions. */
+  def referenceSeqCount(events: Seq[(Long, Int)], nStages: Int): Long = {
+    var st = 0; var cnt = 0L
+    events.sorted.foreach { case (_, s) =>
+      if (s == st + 1) { st += 1; if (st == nStages) { cnt += 1; st = 0 } }
+    }
+    cnt
+  }
+
+  /** The ClickHouse `sequenceCount('(?1).*(?2)…')` analog: per user, the
+    * number of SEQUENTIAL completions of the ordered chain
+    * types(0) → types(1) → … — a new chain may only start after the
+    * previous one completes, any events may intervene, no time window
+    * (the windowed existence question is [[windowFunnel]]'s). Note this
+    * is NOT "max disjoint interleaved matches": on v v c c p p the
+    * sequential count is 1 (the second chain's view is consumed before
+    * the first completes), by design — it answers "how many times did
+    * the user run the whole journey", matching the reference semantics.
+    *
+    * For the sequential count, greedy earliest-completion is exact (the
+    * activity-selection argument: finishing the current chain as early
+    * as possible leaves the longest suffix for the rest), so one
+    * left-to-right fold computes it. Same engine shape as
+    * [[windowFunnel]]: scan-filtered types, ONE per-user shuffle, a
+    * codegen'd HOF fold over the sorted (ts, stage) list — never N−1
+    * self-joins. Ties at one timestamp resolve lower-stage-first (the
+    * struct sort order), the rule the oracle replays.
+    *
+    * Returns (user_id, n_matches) for every user with ≥1 chain-type
+    * event; types must be distinct (each event maps to one stage). */
+  def sequenceCount(events: DataFrame, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "sequence needs at least one stage")
+    require(types.distinct.size == types.size, "stage types must be distinct")
+    val n = types.size
+    val stageOf = types.zipWithIndex
+      .foldRight(lit(0): Column) { case ((t, i), els) =>
+        when(col("event_type") === lit(t), lit(i + 1)).otherwise(els)
+      }
+    val relevant = events
+      .filter(col("event_type").isin(types: _*))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), stageOf.as("s")).as("e"))
+    relevant.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"),
+          struct(lit(0).as("st"), lit(0L).as("cnt")),
+          (acc, e) => {
+            val s = e.getField("s")
+            val st = acc.getField("st"); val cnt = acc.getField("cnt")
+            val hit = s === st + 1
+            struct(
+              when(hit && st + 1 === n, lit(0))
+                .when(hit, st + 1).otherwise(st).as("st"),
+              when(hit && st + 1 === n, cnt + 1).otherwise(cnt).as("cnt"))
+          }).getField("cnt").as("n_matches"))
+      .orderBy(col("user_id"))
+  }
+
   /** (user_id, funnel_stage) for every user with at least one event of a
     * funnel type; stage 0 means present but never matched stage 1.
     * Timestamps compare at microsecond grain (unix_micros / epoch_us —

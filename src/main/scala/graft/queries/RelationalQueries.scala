@@ -449,6 +449,13 @@ object RelationalQueries {
     graft.operators.Funnel.windowFunnel(Tables.events(spark, dir),
       Seq("view", "click", "purchase"), windowMicros = 21600000000L)
 
+  /** Non-overlapping chain completions per user (sequenceCount analog):
+    * how many times each user ran the full view → click → purchase
+    * sequence, disjoint matches, no time window. */
+  def q46SeqCount(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sequenceCount(Tables.events(spark, dir),
+      Seq("view", "click", "purchase"))
+
   /** Cohort retention matrix (the ClickHouse retention-family analytic):
     * users cohorted by the ISO week of their first event; n_users active
     * at week offsets 0..3. Two bounded aggregations + one equi-join on
@@ -626,6 +633,7 @@ object RelationalQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_seq_count" -> (q46SeqCount _),
     "q45_bucketed_join" -> (q45BucketedJoin _),
     "q44_window_dist" -> (q44WindowDist _),
     "q43_merge_upsert" -> (q43MergeUpsert _),
@@ -770,6 +778,33 @@ object RelationalQueries {
         |FROM ra a JOIN rf f USING (user_id)
         |WHERE date_diff('day', f.cohort, a.w) // 7 BETWEEN 0 AND 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the greedy state machine replayed as a recursive CTE: all users
+    // advance one (t, s)-ordered event per iteration; cnt is monotone so
+    // the terminal state is max(cnt). Deliberately NOT list_reduce:
+    // DuckDB 1.0's vectorized list_reduce returned wrong folds for a
+    // strict subset of groups (measured here twice — user 20 at sf0.01
+    // folded to 6 vs 7 by hand over the identical list with list-typed
+    // state; users 7/14 at sf0.001 got each other's counts with scalar
+    // state) — an engine bug the oracle must not depend on
+    "q46_seq_count" ->
+      """WITH RECURSIVE sq AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'purchase' THEN 3 END AS s
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |sqo AS (SELECT user_id, s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, s) AS rn FROM sq),
+        |fold(user_id, rn, st, cnt) AS (
+        |  SELECT user_id, 0, 0, 0::BIGINT FROM (SELECT DISTINCT user_id FROM sqo)
+        |  UNION ALL
+        |  SELECT f.user_id, f.rn + 1,
+        |    CASE WHEN o.s = f.st + 1
+        |         THEN CASE WHEN f.st + 1 = 3 THEN 0 ELSE f.st + 1 END
+        |         ELSE f.st END,
+        |    CASE WHEN o.s = f.st + 1 AND f.st + 1 = 3 THEN f.cnt + 1 ELSE f.cnt END
+        |  FROM fold f JOIN sqo o ON o.user_id = f.user_id AND o.rn = f.rn + 1)
+        |SELECT user_id, max(cnt) AS n_matches FROM fold
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // join-chain funnel: stage-2 chains keep min(click ts) per (user, t0)
     // — earliest second-stage event maximizes stage-3 feasibility, so the

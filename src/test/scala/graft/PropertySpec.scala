@@ -121,6 +121,25 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("sequenceCount greedy equals brute-force sequential matching") = {
+    val event = Gen.zip(Gen.choose(0L, 40L), Gen.choose(1, 3))
+    forAll(Gen.listOf(event).map(_.take(9))) { evs =>
+      val stages = evs.sorted.map(_._2).toVector
+      // brute force: best chain count over every choice of i<j<k matching
+      // stages 1,2,3 with the next match starting strictly after k
+      def brute(pos: Int): Int = {
+        var best = 0
+        for {
+          i <- pos until stages.size if stages(i) == 1
+          j <- i + 1 until stages.size if stages(j) == 2
+          k <- j + 1 until stages.size if stages(k) == 3
+        } best = math.max(best, 1 + brute(k + 1))
+        best
+      }
+      graft.operators.Funnel.referenceSeqCount(evs, 3) == brute(0)
+    }
+  }
+
   property("ingest dedup: replaying the same entries never adds rows") = {
     // pure-function view of the dedup grain: (fingerprint, domain) set union
     forAll(Gen.listOf(Gen.zip(Gen.identifier, domain))) { pairs =>
