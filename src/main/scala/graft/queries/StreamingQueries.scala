@@ -28,13 +28,24 @@ object StreamingQueries {
     val name = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = new java.io.File(
       System.getProperty("java.io.tmpdir"), name).getAbsolutePath
-    val q = agg.writeStream
+    // A streaming query pins its state partitioning from
+    // spark.sql.shuffle.partitions at FIRST checkpoint, and every state
+    // partition is a state-store instance paying open/commit/snapshot
+    // per micro-batch. At the gate's data sizes that per-store overhead
+    // dominates the actual state work, so the harness runs its
+    // fresh-checkpoint queries at 8 state partitions (measured ~2x on
+    // the 7-query set at sf0.1). Production sizing is the normal knob:
+    // set shuffle partitions before first start, ~2-4x cores (SCALE.md).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try agg.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // the memory sink holds the rows; the checkpoint has served its
     // purpose once the query terminates (or fails) — don't litter tmpdir
     try q.awaitTermination()
