@@ -39,6 +39,33 @@ object Contamination {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment-scored decontamination: [[testSetOverlap]] with the
+    * asymmetric score that actually drives removal decisions —
+    * containment = |test ∩ train shingles| / |test shingles|. A short
+    * benchmark item quoted inside a long training document has tiny
+    * SYMMETRIC Jaccard (the long doc's shingle mass swamps the union)
+    * but containment ≈ 1; thresholding jaccard misses exactly the
+    * leakage that matters most. Same plan shape as the exact pass (one
+    * equi-join against the distinct-shingle train index + one bounded
+    * per-doc size aggregate); the division is exact-bigint → double.
+    * Returns every flagged test doc with (n_shared, n_test_shingles,
+    * containment), ordered. */
+  def testSetOverlapScored(docs: DataFrame, k: Int = 3): DataFrame = {
+    val withSplit = docs.select(col("doc_id"), col("text"),
+      T.splitHash(col("doc_id")).as("__h"))
+    val trainIndex = Dedup.shingleRows(withSplit.filter(col("__h") < 90), k)
+      .select(col("sh")).distinct()
+    val testSh = Dedup.shingleRows(withSplit.filter(col("__h") >= 95), k)
+    val testSizes = testSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_test_shingles"))
+    testSh.join(trainIndex, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(testSizes, Seq("doc_id"))
+      .withColumn("containment", col("n_shared") / col("n_test_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** FUZZY decontamination — the near-duplicate counterpart of
     * [[testSetOverlap]]: test-split documents whose k-gram Jaccard with
     * some TRAIN document clears `threshold`, found the same way the

@@ -512,6 +512,13 @@ object PipelineQueries {
     "doc_contamination" -> ((s, d) =>
       graft.operators.Contamination.testSetOverlap(Tables.documents(s, d), k = 3)),
 
+    // containment-scored decontamination: |test ∩ train| / |test| — the
+    // asymmetric score that catches short benchmark items quoted inside
+    // long train docs (symmetric jaccard stays low there by construction)
+    "doc_contamination_containment" -> ((s, d) =>
+      graft.operators.Contamination.testSetOverlapScored(
+        Tables.documents(s, d), k = 3)),
+
     // fuzzy decontamination: test docs NEAR-duplicating a train doc
     // (MinHash band candidates against the train band index, exact
     // jaccard verify) — catches paraphrased leakage the verbatim k-gram
@@ -1278,6 +1285,20 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "doc_contamination_containment" ->
+      s"""WITH ccp AS (SELECT doc_id, text, ${dPoly("'split:' || doc_id")} % 100 AS h FROM documents),
+         |cctr0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM ccp WHERE h < 90),
+         |cctr AS (SELECT DISTINCT unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM cctr0),
+         |ccte0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM ccp WHERE h >= 95),
+         |ccte AS (SELECT doc_id, unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM ccte0),
+         |ccsz AS (SELECT doc_id, count(*) AS n_test_shingles FROM ccte GROUP BY doc_id),
+         |ccsh AS (SELECT t.doc_id, count(*) AS n_shared
+         |         FROM ccte t JOIN cctr ON t.sh = cctr.sh GROUP BY t.doc_id)
+         |SELECT s.doc_id, s.n_shared, z.n_test_shingles,
+         |  s.n_shared::DOUBLE / z.n_test_shingles AS containment
+         |FROM ccsh s JOIN ccsz z USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
 
     // same split rule as doc_contamination; bands/signatures replayed as
     // in dedup_minhash_pairs, candidates restricted to test × train

@@ -477,6 +477,30 @@ object RelationalQueries {
       .orderBy(col("cohort"), col("offset"))
   }
 
+  /** Fixed-width histogram (the width_bucket / ClickHouse-histogram
+    * shape): 20 equal bins over [min, max] of events.value, per-bin
+    * count and decimal-exact sum. Two passes, both map-side combinable:
+    * a 1-row min/max aggregate broadcast back over the scan, then one
+    * hash agg on the bin id. The bin arithmetic is single-rounded IEEE
+    * subtract/divide/floor on an identical expression tree both
+    * engines evaluate bit-identically (no libm); the top edge closes
+    * the last bin via least(). */
+  def q47Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("value"))
+    val stats = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val nBins = 20
+    val bin = least(
+      floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(nBins.toDouble))),
+      lit(nBins - 1L)).as("bin")
+    ev.crossJoin(broadcast(stats))
+      .select(bin, col("value"), col("lo"), col("hi"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"),
+        (min(col("lo")) + col("bin") * ((min(col("hi")) - min(col("lo"))) / lit(nBins.toDouble)))
+          .as("bin_lo"))
+      .orderBy(col("bin"))
+  }
+
   /** Quantile-sketch gate, the ct_stats_approx treatment for
     * approx_percentile: the sketch VALUE is merge-order-dependent and
     * can never sit under a cross-engine hash, but its rank-error
@@ -633,6 +657,7 @@ object RelationalQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_histogram" -> (q47Histogram _),
     "q46_seq_count" -> (q46SeqCount _),
     "q45_bucketed_join" -> (q45BucketedJoin _),
     "q44_window_dist" -> (q44WindowDist _),
@@ -778,6 +803,18 @@ object RelationalQueries {
         |FROM ra a JOIN rf f USING (user_id)
         |WHERE date_diff('day', f.cohort, a.w) // 7 BETWEEN 0 AND 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical IEEE expression tree for the bin id and edge (subtract/
+    // divide/floor only — single-rounded, engine-portable)
+    "q47_histogram" ->
+      """WITH hs AS (SELECT min("value") AS lo, max("value") AS hi FROM events),
+        |hb AS (SELECT least(floor(("value" - lo) / ((hi - lo) / 20.0)), 19)::BIGINT AS bin,
+        |         "value", lo, hi
+        |       FROM events, hs)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(lo) + bin * ((min(hi) - min(lo)) / 20.0) AS bin_lo
+        |FROM hb GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the greedy state machine replayed as a recursive CTE: all users
     // advance one (t, s)-ordered event per iteration; cnt is monotone so

@@ -583,6 +583,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("containment contamination: same flagged set, asymmetric score bounds") {
+    val exact = Contamination.testSetOverlap(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scored = Contamination.testSetOverlapScored(docs, k = 3).collect()
+    assert(scored.map(_.getAs[Long]("doc_id")).toSet == exact.keySet,
+      "scored pass must flag exactly the docs the exact pass flags")
+    scored.foreach { r =>
+      assert(r.getAs[Long]("n_shared") == exact(r.getAs[Long]("doc_id")))
+      val c = r.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0)
+      assert(c == r.getAs[Long]("n_shared").toDouble / r.getAs[Long]("n_test_shingles"))
+    }
+  }
+
   test("fuzzy contamination: exactly the cross-split near-dup pairs, verified") {
     val got = Contamination.testSetOverlapFuzzy(docs, k = 3, threshold = 0.5).collect()
     assert(got.nonEmpty, "synthetic corpus should have cross-split near-dups")
