@@ -20,7 +20,17 @@ import graft.functions.{TextFunctions => T}
   * Rates are integer basis points (of 10000), not doubles: a
   * `hash < rate * 10000` comparison computed in floating point would
   * hinge on engine-specific double→int cast rules (Spark truncates,
-  * DuckDB rounds) — integer thresholds make the contract exact. */
+  * DuckDB rounds) — integer thresholds make the contract exact.
+  *
+  * Membership character: the polynomial hash walks consecutive ids
+  * through consecutive buckets mod 10⁴, so the filter is SYSTEMATIC
+  * sampling — every aligned 10⁴-id block realizes its rate exactly,
+  * which at corpus scale (≥ 10⁴ ids per stratum) beats Bernoulli
+  * variance. The flip side: a stratum spanning FEWER than ~10⁴
+  * contiguous ids realizes a badly off-rate sample (one partial bucket
+  * walk). Strata that small are better served by [[stratifiedQuota]];
+  * for adjacency-decorrelated membership use a cryptographic id
+  * (doc_shuffle's md5 treatment) as `idCol`. */
 object Sampling {
 
   private def sampleHash(idCol: String, salt: String): Column =
@@ -98,6 +108,46 @@ object Sampling {
     withTok.withColumn("rate_bps", rateCol)
       .filter(col("rate_bps").isNotNull &&
         T.bucketHash(col(idCol), salt, 10000L) < col("rate_bps"))
+  }
+
+  /** Temperature-scaled mixture — the multilingual-pretraining sampler
+    * that derives the weights instead of taking them: stratum s gets
+    * weight ∝ tot_s^α for temperature exponent α ∈ (0, 1] (α = 1 is
+    * proportional/no-op, α → 0 approaches uniform; α ≈ 0.7 is the
+    * published low-resource-upsampling setting), then rows are kept by
+    * the same integer-basis-point hash filter as [[mixToBudget]] —
+    * this op just computes `weightsBps` from corpus statistics and
+    * delegates, so the membership contract is one implementation.
+    *
+    * Determinism across engines: pow is libm (not single-rounded), so
+    * each weight is quantized through float32 and floored to an
+    * INTEGER before use — last-ulp divergence dies in the quantization,
+    * and the integer weight sum is order-free. Everything after the
+    * floor is the exact integer arithmetic of [[mixToBudget]]. Driver
+    * state: one row per stratum. */
+  def mixByTemperature(docs: DataFrame, idCol: String, strataCol: String,
+      nTokens: Column, budgetTokens: Long, alpha: Double,
+      salt: String = "mix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "temperature exponent must be in (0, 1]")
+    val withTok = docs.withColumn("n_tokens", nTokens.cast("long"))
+    val totals = withTok
+      .filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .collect().map { r =>
+        require(!r.isNullAt(1),
+          s"mixByTemperature: stratum '${r.getString(0)}' has a null token sum")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
+    totals.values.foreach(t => require(t >= 0 && t <= Long.MaxValue / 10000L,
+      "per-stratum token mass must fit integer basis-point arithmetic"))
+    val wInt = totals.map { case (s0, tot) =>
+      s0 -> math.floor(math.pow(tot.toDouble, alpha).toFloat.toDouble).toLong
+    }
+    val wSum = wInt.values.sum
+    require(wSum > 0, "mixByTemperature needs at least one non-empty stratum")
+    val weightsBps = wInt.map { case (s0, w) => s0 -> (w * 10000L / wSum).toInt }
+    mixToBudget(docs, idCol, strataCol, nTokens, budgetTokens, weightsBps, salt)
   }
 
   /** Fixed-quota: the `quota` rows of each stratum with the smallest

@@ -643,6 +643,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
         .orderBy(col("source"))),
 
+    // temperature-scaled mixture: weights derived from corpus stats
+    // (∝ tot^0.7, float32-quantized pow then pure integer arithmetic)
+    // instead of hand-specified — the low-resource upsampling recipe
+    "doc_mix_temperature" -> ((s, d) =>
+      graft.operators.Sampling.mixByTemperature(Tables.documents(s, d),
+          "doc_id", "source", T.tokenCount(col("text")),
+          budgetTokens = MixBudget, alpha = 0.7)
+        .groupBy(col("source"), col("rate_bps"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+        .orderBy(col("source"))),
+
     // deterministic mixture control: rate-based stratified sample (pure
     // codegen'd filter, membership a function of doc_id — never
     // sample()'s partitioning-dependent RNG)
@@ -1459,6 +1470,28 @@ object PipelineQueries {
          |  sum(n_tokens)::BIGINT AS tokens_kept
          |FROM mx_k GROUP BY 1, 2 ORDER BY source""".stripMargin
     },
+
+    // weights recomputed from the same totals: pow through float32 then
+    // floor to integer (libm last-ulp divergence dies in the cast), then
+    // doc_mix's integer rate/membership arithmetic verbatim
+    "doc_mix_temperature" ->
+      s"""WITH mt_nt AS (SELECT doc_id, source,
+         |    len(${dTokens("text")})::BIGINT AS n_tokens FROM documents),
+         |mt_tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM mt_nt GROUP BY 1),
+         |mt_w AS (SELECT source, tot,
+         |    CAST(floor(CAST(pow(tot::DOUBLE, 0.7) AS REAL)::DOUBLE) AS BIGINT) AS w
+         |  FROM mt_tot),
+         |mt_ws AS (SELECT sum(w)::BIGINT AS ws FROM mt_w),
+         |mt_bps AS (SELECT source, tot, (w * 10000 // ws)::BIGINT AS wbps FROM mt_w, mt_ws),
+         |mt_r AS (SELECT source,
+         |    least(10000, (($MixBudget * wbps) // 10000) * 10000 // tot)::BIGINT AS rate_bps
+         |  FROM mt_bps),
+         |mt_k AS (SELECT nt.source, rate_bps, n_tokens
+         |  FROM mt_nt nt JOIN mt_r USING (source)
+         |  WHERE ${dPoly("'mix:' || doc_id")} % 10000 < rate_bps)
+         |SELECT source, rate_bps, count(*)::BIGINT AS n_kept,
+         |  sum(n_tokens)::BIGINT AS tokens_kept
+         |FROM mt_k GROUP BY 1, 2 ORDER BY source""".stripMargin,
 
     "doc_sample_rate" ->
       s"""SELECT doc_id, lang FROM (

@@ -583,6 +583,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixByTemperature: upsamples low-resource strata; alpha=1 is proportional") {
+    // web holds 10x wiki's token mass. Ids are SPREAD (i*1013): the
+    // polynomial hash maps consecutive ids to consecutive buckets, so a
+    // sub-modulus contiguous id range would realize wildly off-rate
+    // samples (real corpora have >= 10^4 ids per stratum, where the
+    // cyclic bucket walk realizes rates exactly — systematic sampling)
+    val fixture = (0L until 110L)
+      .map(i => (i * 1013L, if (i < 100) "web" else "wiki", "tok tok tok tok"))
+      .toDF("doc_id", "source", "text")
+    def rates(alpha: Double): Map[String, Long] =
+      Sampling.mixByTemperature(fixture, "doc_id", "source",
+          T.tokenCount(col("text")), budgetTokens = 200L, alpha = alpha)
+        .select(col("source"), col("rate_bps")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prop = rates(1.0)
+    // proportional: both strata keep ~B/total (4545 bps here) modulo the
+    // two integer floors in the rate chain
+    assert((prop("web") - prop("wiki")).abs <= 100,
+      s"alpha=1 must be near-proportional, got $prop")
+    val temp = rates(0.7)
+    assert(temp("wiki") > temp("web"),
+      s"alpha=0.7 must upsample the small stratum, got $temp")
+    assert(temp("wiki") > prop("wiki") + 1000,
+      s"wiki rate must rise materially vs proportional: $temp vs $prop")
+  }
+
   test("containment contamination: same flagged set, asymmetric score bounds") {
     val exact = Contamination.testSetOverlap(docs, k = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
