@@ -56,6 +56,30 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(T.shingleIds(col("ths"), k))).as("sh"))
 
+  /** Per-document n-gram novelty — the dedup-aware QUALITY signal next
+    * to the dedup family's removal decisions: the fraction of a doc's
+    * distinct k-shingles appearing in NO other document (corpus
+    * document-frequency 1). Boilerplate-heavy and template documents
+    * score near 0, fresh prose near 1; pipelines use it to bias keeper
+    * selection and sampling toward novel content rather than merely
+    * dropping near-dups.
+    *
+    * Cost: the same (doc_id, sh) grain the whole dedup family rides —
+    * one map-side-combinable df aggregate on the 8-byte shingle id, one
+    * equi-join back, one per-doc aggregate. No pair generation. Docs
+    * with < k tokens have no shingles and are absent (same contract as
+    * the pair ops). */
+  def ngramNovelty(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, k)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", col("n_unique") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-Jaccard verification of candidate (i, j) pairs against FULL
     * shingle sets: shingle rows are semi-joined down to candidate docs, so
     * cost tracks the candidate count, and the intersection/union counts are

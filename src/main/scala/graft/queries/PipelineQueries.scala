@@ -527,6 +527,11 @@ object PipelineQueries {
       graft.operators.Contamination.testSetOverlapFuzzy(
         Tables.documents(s, d), k = 3, threshold = 0.5)),
 
+    // dedup-aware novelty: fraction of each doc's shingles with corpus
+    // df = 1 — the keeper/sampling bias signal next to the removal ops
+    "doc_ngram_novelty" -> ((s, d) =>
+      graft.operators.Dedup.ngramNovelty(Tables.documents(s, d), k = 3)),
+
     // span-grain cross-document dedup stats: every k-token span occurrence
     // that also appears verbatim in another document (suffix-array-style
     // substring dedup signal, occurrence grain — within-doc repeats of a
@@ -1296,6 +1301,17 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "doc_ngram_novelty" ->
+      s"""WITH nv0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
+         |nv_sh AS (SELECT doc_id, unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM nv0),
+         |nv_df AS (SELECT sh, count(*) AS df FROM nv_sh GROUP BY sh),
+         |nv_agg AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+         |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+         |  FROM nv_sh s JOIN nv_df USING (sh) GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_unique,
+         |  n_unique::DOUBLE / n_shingles AS novelty
+         |FROM nv_agg ORDER BY doc_id""".stripMargin,
 
     "doc_contamination_containment" ->
       s"""WITH ccp AS (SELECT doc_id, text, ${dPoly("'split:' || doc_id")} % 100 AS h FROM documents),

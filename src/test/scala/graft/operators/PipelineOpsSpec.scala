@@ -583,6 +583,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramNovelty: unique doc scores 1, exact dup scores 0, short doc absent") {
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // all shingles unique
+      (2L, "one two three four five"),          // exact dup of 3
+      (3L, "one two three four five"),
+      (4L, "one two three four SIX"),           // shares 2 of 3 shingles with 2/3
+      (5L, "too short")                         // < k tokens: absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(fixture, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains(5L))
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 0.0)) && got(3L) == ((3L, 0L, 0.0)))
+    // doc 4: shingles (one two three), (two three four) shared; (three four SIX) unique
+    assert(got(4L) == ((3L, 1L, 1.0 / 3)))
+  }
+
   test("mixByTemperature: upsamples low-resource strata; alpha=1 is proportional") {
     // web holds 10x wiki's token mass. Ids are SPREAD (i*1013): the
     // polynomial hash maps consecutive ids to consecutive buckets, so a
