@@ -122,6 +122,17 @@ object StreamingQueries {
     runToCompletion(spark, "sfunnel", agg, Seq("user_id"), mode = "update")
   }
 
+  /** EventStreams.seqCountStages (mapGroupsWithState sequence counting,
+    * update mode) driven to completion: the terminal per-user count must
+    * equal the batch operator — the oracle IS q46_seq_count's
+    * recursive-CTE state machine, shared verbatim. */
+  def streamSeqCount(spark: SparkSession, dir: String): DataFrame = {
+    val agg = EventStreams.seqCountStages(
+      spark, EventStreams.readTestdataEvents(spark, dir),
+      Seq("view", "click", "purchase")).toDF()
+    runToCompletion(spark, "ssqc", agg, Seq("user_id"), mode = "update")
+  }
+
   /** EventStreams.latestState (CDC latest-with-tombstone, update mode)
     * driven to completion: each user's terminal state is their
     * (ts, event_id)-max event, and users whose latest event is the
@@ -149,6 +160,7 @@ object StreamingQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_merge" -> (streamMerge _),
+    "stream_seq_count" -> (streamSeqCount _),
     "stream_funnel" -> (streamFunnel _),
     "stream_window_stats" -> (streamWindowStats _),
     "stream_sessions" -> (streamSessions _),
@@ -172,6 +184,10 @@ object StreamingQueries {
     // the batch funnel's join-chain oracle, verbatim — terminal streaming
     // state and the batch DP must agree on every user
     "stream_funnel" -> RelationalQueries.oracleSql("q36_funnel"),
+
+    // q46's recursive-CTE state machine, verbatim — terminal streaming
+    // count and the batch greedy fold must agree on every user
+    "stream_seq_count" -> RelationalQueries.oracleSql("q46_seq_count"),
 
     "stream_window_stats" ->
       """WITH w AS (

@@ -241,6 +241,39 @@ object EventStreams {
       }
   }
 
+  case class SeqCountRow(user_id: Long, n_matches: Long)
+  case class SeqCountState(stage: Int, cnt: Long)
+
+  /** Streaming sequence counting (ST6-family): q46_seq_count's greedy
+    * state machine as mapGroupsWithState custom state — (stage, count),
+    * an event matching stage+1 advances, a completed chain resets and
+    * increments. Terminal state must hash-match the batch operator (and
+    * therefore its recursive-CTE oracle). Same in-batch (ts, stage)
+    * sort and single-batch AvailableNow reliance as [[funnelStages]]. */
+  def seqCountStages(spark: SparkSession, events: DataFrame,
+      types: Seq[String]): Dataset[SeqCountRow] = {
+    import spark.implicits._
+    val n = types.size
+    val typeIdx = types.zipWithIndex.toMap
+    val ev = events.filter(col("event_type").isin(types: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+      .as[(Long, Long, String)]
+    ev.groupByKey(_._1)
+      .mapGroupsWithState[SeqCountState, SeqCountRow](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[(Long, Long, String)],
+            state: GroupState[SeqCountState]) =>
+          var st = state.getOption.map(_.stage).getOrElse(0)
+          var cnt = state.getOption.map(_.cnt).getOrElse(0L)
+          val evs = batch.map { case (_, t, et) => (t, typeIdx(et) + 1) }
+            .toArray.sortBy(identity)
+          evs.foreach { case (_, s) =>
+            if (s == st + 1) { st += 1; if (st == n) { cnt += 1; st = 0 } }
+          }
+          state.update(SeqCountState(st, cnt))
+          SeqCountRow(userId, cnt)
+      }
+  }
+
   /** Convenience: run a streaming frame to a named in-memory table and
     * process everything currently available (test/dev helper). */
   def runToMemory(df: DataFrame, name: String, checkpoint: String,

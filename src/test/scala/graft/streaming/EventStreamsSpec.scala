@@ -173,4 +173,24 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch, "terminal streaming state must equal the batch DP")
   }
+
+  test("streaming sequence count terminal state equals the batch greedy fold") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val types = Seq("view", "click", "purchase")
+    val ckpt = Files.createTempDirectory("ckpt-seqcount").toString
+    val q = EventStreams.runToMemory(
+      EventStreams.seqCountStages(spark,
+        EventStreams.readTestdataEvents(spark, "/root/testdata/sf0.001"),
+        types).toDF(),
+      "seqcount_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("seqcount_out")
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.max($"n_matches").as("n_matches"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Funnel.sequenceCount(events, types)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "terminal streaming count must equal the batch fold")
+    assert(batch.values.exists(_ > 0L), "corpus should complete at least one chain")
+  }
 }
