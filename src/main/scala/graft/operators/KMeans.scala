@@ -108,4 +108,27 @@ object KMeans {
       .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
       .orderBy(col("vec_id"))
   }
+
+  /** Embedding-space outlier flagging — the distance-to-centroid prune
+    * (mislabeled/garbage/off-distribution points sit far from every
+    * cluster): each vector flagged iff its squared distance to its
+    * assigned centroid exceeds `factor` × the cluster's mean squared
+    * distance. The cluster structure is [[lloyd]]'s deterministic
+    * assignment; the mean rides the same DECIMAL(18,9)-sum trick as the
+    * centroid update so it is partitioning-invariant, and the threshold
+    * compare is a single IEEE multiply both engines evaluate
+    * identically. One extra bounded aggregate (k rows) + one broadcast
+    * join over the assignment. */
+  def outliers(embs: DataFrame, k: Int = 8, iters: Int = 2,
+      factor: Double = 2.0): DataFrame = {
+    require(factor > 0.0, "outlier factor must be positive")
+    val assigned = lloyd(embs, k, iters)
+    val stats = assigned.groupBy(col("cluster"))
+      .agg((sum(col("dist2").cast("decimal(18,9)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_d2"))
+    assigned.join(broadcast(stats), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("dist2"), col("mean_d2"),
+        (col("dist2") > col("mean_d2") * lit(factor)).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
 }

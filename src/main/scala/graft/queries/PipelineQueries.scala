@@ -404,6 +404,15 @@ object PipelineQueries {
     "emb_kmeans" -> ((s, d) =>
       graft.operators.KMeans.lloyd(Tables.embeddings(s, d), k = 8, iters = 2)),
 
+    // distance-to-centroid outlier prune over those clusters: flagged iff
+    // dist2 > 1.05x the cluster's mean dist2 (DECIMAL-sum mean, IEEE
+    // compare). 1.05 because high-dim random vectors concentrate: the
+    // corpus' max ratio is ~1.10, so a textbook 2x would flag nothing —
+    // the factor is a per-corpus measurement, like every sketch knob
+    "emb_outliers" -> ((s, d) =>
+      graft.operators.KMeans.outliers(Tables.embeddings(s, d),
+        k = 8, iters = 2, factor = 1.05)),
+
     // IVF probe over those trained cells: route the query to its nProbe=2
     // nearest centroids, scan only their cells, exact-cosine rerank
     "emb_knn_ivf" -> ((s, d) =>
@@ -1113,6 +1122,20 @@ object PipelineQueries {
       s"""WITH $dKmeansCtes
          |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM ka2 WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    // same assignment CTEs; per-cluster mean via the DECIMAL(18,9) sum
+    // (order-free), threshold compare is one IEEE multiply both engines
+    // evaluate identically on bit-identical inputs
+    "emb_outliers" ->
+      s"""WITH $dKmeansCtes,
+         |ol AS (SELECT vec_id, cid AS cluster, d2 AS dist2 FROM ka2 WHERE rn = 1),
+         |ost AS (SELECT cluster,
+         |    CAST(sum(CAST(dist2 AS DECIMAL(18,9))) AS DOUBLE) /
+         |      CAST(count(*) AS DOUBLE) AS mean_d2
+         |  FROM ol GROUP BY cluster)
+         |SELECT vec_id, cluster, dist2, mean_d2,
+         |  (dist2 > mean_d2 * 1.05) AS is_outlier
+         |FROM ol JOIN ost USING (cluster) ORDER BY vec_id""".stripMargin,
 
     // IVF probe over the trained cells: nProbe=2 nearest centroids to the
     // query (same d² fold and tie-break as assignment), candidates =

@@ -717,6 +717,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted == got, "assignment must not depend on partitioning")
   }
 
+  test("outliers: planted far point flagged, tight members and tight cluster clean") {
+    // cluster A around (0,0) plus one far member at (0,3); cluster B
+    // tight around (10,10)
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.1f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.1f, 10.0f)), (5L, Array(10.0f, 10.1f)),
+      (6L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val got = KMeans.outliers(pts, k = 2, iters = 2, factor = 2.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
+    assert(got(6L)._2, "the far member must be flagged")
+    assert(Seq(0L, 1L, 2L, 3L, 4L, 5L).forall(!got(_)._2),
+      s"tight members must not be flagged: $got")
+    assert(got(6L)._1 == got(0L)._1, "the far point still belongs to cluster A")
+  }
+
   test("ivfKnn: probing every cell equals brute force; nProbe bounds cells") {
     val exact = Similarity.bruteForceKnn(embs, queryId = 0L, k = 10)
       .select("vec_id").as[Long].collect().toSeq
