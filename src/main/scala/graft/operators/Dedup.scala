@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
@@ -78,6 +79,46 @@ object Dedup {
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
       .withColumn("novelty", col("n_unique") / col("n_shingles"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): from each document's k-shingle hash sequence, select the
+    * minimum hash of every sliding window of `w` consecutive shingles.
+    * The selection guarantees every run of w shingles contributes a
+    * fingerprint (no gap a w-gram long goes unfingerprinted — the
+    * coverage property substring-level dup detection needs) at an
+    * expected density of 2/(w+1), so the index is ~2/(w+1) the size of
+    * the full shingle set. Cross-doc matches are then one equi-join on
+    * fp_hash — the substring-level candidate economics, at a fraction
+    * of the span-index cost.
+    *
+    * Selection rule: the window's minimum (hash, position) pair,
+    * realized as an INTEGER min over hash·2²⁰ + pos (hash < 2³⁰,
+    * pos < 2²⁰ enforced) — one number both engines order identically,
+    * no float anywhere. Per-doc sliding min is a keyed window frame
+    * (parallel across docs; a document is the natural frame bound).
+    * Returns distinct (doc_id, fp_pos, fp_hash), ordered. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(w >= 1, "winnowing window must be >= 1")
+    val posLimit = 1L << 20
+    val sh = docs
+      .select(col("doc_id"), T.shingleHashes(T.tokenHashes(col("text")), k).as("shs"))
+      .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos", "h")))
+      // the pack is only valid while pos fits its 20 bits; a 1M-token
+      // doc is a caller error worth naming, not a silent wrong min
+      .withColumn("pk", {
+        val guarded = when(col("pos") < posLimit, col("h") * posLimit + col("pos"))
+        guarded.otherwise(raise_error(lit("winnowing: document exceeds 2^20 shingles")))
+      })
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    sh.withColumn("mpk", min(col("pk")).over(frame))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("mpk")).distinct()
+      .select(col("doc_id"),
+        col("mpk").bitwiseAND(lit(posLimit - 1)).as("fp_pos"),
+        shiftright(col("mpk"), 20).as("fp_hash"))
+      .orderBy(col("doc_id"), col("fp_pos"))
   }
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against FULL

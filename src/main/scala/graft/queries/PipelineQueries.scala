@@ -541,6 +541,13 @@ object PipelineQueries {
     "doc_ngram_novelty" -> ((s, d) =>
       graft.operators.Dedup.ngramNovelty(Tables.documents(s, d), k = 3)),
 
+    // winnowing fingerprints (MOSS): min-hash of every 4-shingle sliding
+    // window as an integer min over hash*2^20+pos — the coverage-
+    // guaranteed substring-level fingerprint index at ~2/(w+1) density
+    "doc_winnowing" -> ((s, d) =>
+      graft.operators.Dedup.winnowingFingerprints(
+        Tables.documents(s, d), k = 3, w = 4)),
+
     // span-grain cross-document dedup stats: every k-token span occurrence
     // that also appears verbatim in another document (suffix-array-style
     // substring dedup signal, occurrence grain — within-doc repeats of a
@@ -1324,6 +1331,19 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM cte t JOIN ctr ON t.sh = ctr.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "doc_winnowing" ->
+      s"""WITH wn0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
+         |wns AS (SELECT doc_id, ${dShingleHashes("ths", 3)} AS shs FROM wn0),
+         |wnp0 AS (SELECT doc_id, unnest(list_transform(range(len(shs)),
+         |           wi -> shs[wi+1] * 1048576 + wi)) AS pk FROM wns),
+         |wnp AS (SELECT doc_id, (pk % 1048576)::BIGINT AS pos, pk FROM wnp0),
+         |wnm AS (SELECT doc_id, pos, min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mpk FROM wnp),
+         |wsel AS (SELECT DISTINCT doc_id, mpk FROM wnm WHERE pos >= 3)
+         |SELECT doc_id, (mpk % 1048576)::BIGINT AS fp_pos,
+         |  (mpk // 1048576)::BIGINT AS fp_hash
+         |FROM wsel ORDER BY doc_id, fp_pos""".stripMargin,
 
     "doc_ngram_novelty" ->
       s"""WITH nv0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),

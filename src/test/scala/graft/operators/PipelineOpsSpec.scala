@@ -583,6 +583,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: coverage guarantee, positional integrity, density bound") {
+    val w = 4
+    val got = Dedup.winnowingFingerprints(docs, k = 3, w = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // integrity: each fingerprint is the real shingle hash at that position
+    val shMap = docs.select(col("doc_id"),
+        posexplode(T.shingleHashes(T.tokenHashes(col("text")), 3)).as(Seq("pos", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    got.foreach { case (d, p, h) => assert(shMap((d, p)) == h) }
+    // coverage: the first fingerprint sits in the first window, and no two
+    // consecutive fingerprints are more than w apart — no w-run of
+    // shingles escapes the index (the winnowing guarantee)
+    got.groupBy(_._1).foreach { case (d, fps) =>
+      val ps = fps.map(_._2).sorted.toSeq
+      assert(ps.head <= w - 1, s"doc $d first fp at ${ps.head}")
+      ps.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= w, s"doc $d gap $a->$b")
+        case _ =>
+      }
+    }
+    // density: selected set is a strict subset of the shingle set, and at
+    // least one fingerprint per w windows
+    val nWindows = shMap.size - got.groupBy(_._1).size * (w - 1)
+    assert(got.length <= shMap.size && got.length.toLong >= nWindows / w)
+  }
+
   test("ngramNovelty: unique doc scores 1, exact dup scores 0, short doc absent") {
     val fixture = Seq(
       (1L, "alpha beta gamma delta epsilon"),   // all shingles unique
