@@ -121,6 +121,35 @@ object Dedup {
       .orderBy(col("doc_id"), col("fp_pos"))
   }
 
+  /** Cross-document substring-match candidates from the winnowing
+    * index: document pairs sharing at least `minShared` selected
+    * fingerprints, with the shared count — MOSS's pair-ranking signal.
+    * One equi-join on fp_hash over the ~2/(w+1)-density index (cheaper
+    * candidate generation than the full span index by the same factor).
+    * `dfCutoff` drops fingerprints selected in more than that many
+    * documents BEFORE the join — the boilerplate guard; unlike the
+    * ngram guard this is candidate generation, so exclusion costs
+    * recall on pairs whose ONLY overlap is boilerplate (usually the
+    * point) rather than changing any verified score. */
+  def winnowingMatches(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L, dfCutoff: Option[Long] = None): DataFrame = {
+    val fp = winnowingFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val filtered = dfCutoff match {
+      case None => fp
+      case Some(cut) =>
+        val hot = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cut).select(col("fp_hash"))
+        fp.join(hot, Seq("fp_hash"), "left_anti")
+    }
+    filtered.as("a").join(filtered.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Exact-Jaccard verification of candidate (i, j) pairs against FULL
     * shingle sets: shingle rows are semi-joined down to candidate docs, so
     * cost tracks the candidate count, and the intersection/union counts are

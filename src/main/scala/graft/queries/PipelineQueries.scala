@@ -127,6 +127,19 @@ object PipelineQueries {
     s"list_transform(range(${T.MinhashK}), mj -> list_reduce(list_prepend(${Long.MaxValue}::BIGINT, " +
     s"list_transform(list_distinct($shs), ms -> ((31*mj + 1251) * ms + 17*mj + 7397) % $P)), (ma, mx) -> least(ma, mx)))"
 
+  /** CTEs producing the winnowing selection (mirror of
+    * Dedup.winnowingFingerprints at k=3, w=4): wsel = distinct
+    * (doc_id, mpk) where mpk packs the window-min (hash·2²⁰ + pos). */
+  private val dWinnowCtes: String =
+    s"""wn0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
+       |wns AS (SELECT doc_id, ${dShingleHashes("ths", 3)} AS shs FROM wn0),
+       |wnp0 AS (SELECT doc_id, unnest(list_transform(range(len(shs)),
+       |           wi -> shs[wi+1] * 1048576 + wi)) AS pk FROM wns),
+       |wnp AS (SELECT doc_id, (pk % 1048576)::BIGINT AS pos, pk FROM wnp0),
+       |wnm AS (SELECT doc_id, pos, min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mpk FROM wnp),
+       |wsel AS (SELECT DISTINCT doc_id, mpk FROM wnm WHERE pos >= 3)""".stripMargin
+
   /** CTEs producing per-doc MinHash signatures (token hashes → shingle
     * hashes → signature; same staging as Dedup.minhashSignatures). */
   private val dSigCtes: String =
@@ -547,6 +560,12 @@ object PipelineQueries {
     "doc_winnowing" -> ((s, d) =>
       graft.operators.Dedup.winnowingFingerprints(
         Tables.documents(s, d), k = 3, w = 4)),
+
+    // cross-doc matches over that index: pairs sharing >= 2 selected
+    // fingerprints, one equi-join on fp_hash — MOSS pair ranking
+    "doc_winnowing_matches" -> ((s, d) =>
+      graft.operators.Dedup.winnowingMatches(
+        Tables.documents(s, d), k = 3, w = 4, minShared = 2L)),
 
     // span-grain cross-document dedup stats: every k-token span occurrence
     // that also appears verbatim in another document (suffix-array-style
@@ -1333,17 +1352,17 @@ object PipelineQueries {
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "doc_winnowing" ->
-      s"""WITH wn0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
-         |wns AS (SELECT doc_id, ${dShingleHashes("ths", 3)} AS shs FROM wn0),
-         |wnp0 AS (SELECT doc_id, unnest(list_transform(range(len(shs)),
-         |           wi -> shs[wi+1] * 1048576 + wi)) AS pk FROM wns),
-         |wnp AS (SELECT doc_id, (pk % 1048576)::BIGINT AS pos, pk FROM wnp0),
-         |wnm AS (SELECT doc_id, pos, min(pk) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mpk FROM wnp),
-         |wsel AS (SELECT DISTINCT doc_id, mpk FROM wnm WHERE pos >= 3)
+      s"""WITH $dWinnowCtes
          |SELECT doc_id, (mpk % 1048576)::BIGINT AS fp_pos,
          |  (mpk // 1048576)::BIGINT AS fp_hash
          |FROM wsel ORDER BY doc_id, fp_pos""".stripMargin,
+
+    "doc_winnowing_matches" ->
+      s"""WITH $dWinnowCtes,
+         |wfp AS (SELECT DISTINCT doc_id, (mpk // 1048576)::BIGINT AS fp FROM wsel)
+         |SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared_fps
+         |FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j""".stripMargin,
 
     "doc_ngram_novelty" ->
       s"""WITH nv0 AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),

@@ -610,6 +610,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.length <= shMap.size && got.length.toLong >= nWindows / w)
   }
 
+  test("winnowingMatches: shared-substring pair surfaces, boilerplate guard drops it") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val fixture = Seq(
+      (1L, s"intro words here $shared and then some trailing content"),
+      (2L, s"completely other opening $shared with different ending text"),
+      (3L, "unrelated document about spark shuffle partitions and codegen stages")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowingMatches(fixture, k = 3, w = 4, minShared = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L)),
+      s"only the shared-substring pair may surface: $got")
+    assert(got((1L, 2L)) >= 2L)
+    // guard: every fingerprint of the planted overlap has df 2; cutting
+    // df > 1 removes the pair entirely (boilerplate exclusion semantics)
+    val guarded = Dedup.winnowingMatches(fixture, k = 3, w = 4,
+      minShared = 2L, dfCutoff = Some(1L)).collect()
+    assert(guarded.isEmpty)
+  }
+
   test("ngramNovelty: unique doc scores 1, exact dup scores 0, short doc absent") {
     val fixture = Seq(
       (1L, "alpha beta gamma delta epsilon"),   // all shingles unique
