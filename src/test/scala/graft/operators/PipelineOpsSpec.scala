@@ -779,6 +779,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(6L)._1 == got(0L)._1, "the far point still belongs to cluster A")
   }
 
+  test("pqRecallAtK: full rescore depth recovers exact top-k; shallow only lowers") {
+    val full = Similarity.pqRecallAtK(embs, nQueries = 4, k = 5, rescoreDepth = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full.keySet == Set(0L, 1L, 2L, 3L))
+    // candidates = the whole corpus ⇒ the exact rerank IS the exact top-k
+    full.foreach { case (q, rec) => assert(rec == 1.0, s"query $q: $rec") }
+    val shallow = Similarity.pqRecallAtK(embs, nQueries = 4, k = 5, rescoreDepth = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    shallow.foreach { case (q, rec) => assert(rec <= full(q)) }
+  }
+
   test("ivfKnn: probing every cell equals brute force; nProbe bounds cells") {
     val exact = Similarity.bruteForceKnn(embs, queryId = 0L, k = 10)
       .select("vec_id").as[Long].collect().toSeq
