@@ -97,7 +97,14 @@ object Dedup {
     * pos < 2²⁰ enforced) — one number both engines order identically,
     * no float anywhere. Per-doc sliding min is a keyed window frame
     * (parallel across docs; a document is the natural frame bound).
-    * Returns distinct (doc_id, fp_pos, fp_hash), ordered. */
+    * Returns distinct (doc_id, fp_pos, fp_hash), ordered.
+    *
+    * Guarantee (the winnowing theorem): two documents sharing a
+    * verbatim substring of ≥ w+k−1 tokens share at least one selected
+    * fingerprint — the shared run spans a full window, and both sides
+    * select the same minimum inside it. Documents with fewer than w
+    * shingles (< k+w−1 tokens) are BELOW the guarantee threshold and
+    * yield no fingerprints. */
   def winnowingFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(w >= 1, "winnowing window must be >= 1")
     val posLimit = 1L << 20

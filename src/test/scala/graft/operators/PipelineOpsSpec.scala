@@ -629,6 +629,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(guarded.isEmpty)
   }
 
+  test("winnowing theorem: every pair sharing a w+k-1 token run shares a fingerprint") {
+    val rnd = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    // 20 planted pairs, each sharing a run of EXACTLY w+k-1 = 6 tokens at
+    // random offsets — the guarantee's tight threshold
+    val rows = (0 until 20).flatMap { i =>
+      val shared = words(6)
+      Seq(
+        (2L * i, s"${words(rnd.nextInt(8) + 1)} $shared ${words(rnd.nextInt(8) + 1)}"),
+        (2L * i + 1, s"${words(rnd.nextInt(8) + 1)} $shared ${words(rnd.nextInt(8) + 1)}"))
+    }
+    val pairs = Dedup.winnowingMatches(rows.toDF("doc_id", "text"),
+        k = 3, w = 4, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((2L * i, 2L * i + 1)), s"planted pair $i missing")
+    }
+  }
+
   test("ngramNovelty: unique doc scores 1, exact dup scores 0, short doc absent") {
     val fixture = Seq(
       (1L, "alpha beta gamma delta epsilon"),   // all shingles unique
