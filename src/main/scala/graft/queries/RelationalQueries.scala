@@ -656,7 +656,76 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** One-pass distributional statistics (Pearson correlation, sample
+    * covariance, sample stddevs) computed from EXACT decimal power sums.
+    * The 100 TB discipline: second moments must come from order-independent
+    * exact partial aggregates (decimal sums merge associatively across any
+    * partitioning), with the floating-point formula applied once to the
+    * merged totals over a handful of group rows — never from incremental
+    * double accumulators, whose low bits depend on partition merge order.
+    * Both engines then evaluate the identical IEEE expression tree; the
+    * final statistics are collapsed to float32 (the dBm25Sql idf
+    * treatment) because decimal→double conversion of power sums whose
+    * UNSCALED value exceeds 2^53 is double-rounding ambiguous across
+    * engines (DuckDB converts int128 then divides by 10^scale; Spark
+    * rounds the true value once — measured 1-ulp disagreement at
+    * sf0.001), and the float collapse absorbs it. */
+  def q48CorrStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = dec("l_quantity")
+    val p = dec("l_extendedprice")
+    val n = col("n").cast("double")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sq"),
+        sum(p).cast("double").as("sp"),
+        sum(q * p).cast("double").as("sqp"),
+        sum(q * q).cast("double").as("sqq"),
+        sum(p * p).cast("double").as("spp"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((n * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(n * col("sqq") - col("sq") * col("sq")) *
+            sqrt(n * col("spp") - col("sp") * col("sp"))))
+          .cast("float").as("corr_qty_price"),
+        ((col("sqp") - col("sq") * col("sp") / n) / (n - lit(1.0)))
+          .cast("float").as("covar_qty_price"),
+        sqrt((n * col("sqq") - col("sq") * col("sq")) / (n * (n - lit(1.0))))
+          .cast("float").as("std_qty"),
+        sqrt((n * col("spp") - col("sp") * col("sp")) / (n * (n - lit(1.0))))
+          .cast("float").as("std_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q3 shape (shipping-priority): selective dim filter → broadcast,
+    * two date-filtered fact scans, fact-fact shuffle join, grouped decimal
+    * revenue, global top-10. The scale notes: the segment-filtered customer
+    * side is a fifth of an already-small dim → broadcast (the orders fact
+    * is never shuffled for it); both date predicates reach the parquet
+    * scans as pushed filters; the final ORDER BY ... LIMIT is a
+    * TakeOrderedAndProject (no global sort materialization). Full
+    * tiebreaker (revenue, o_orderdate, l_orderkey) keeps the top-10
+    * deterministic under the hash gate. */
+  def q49TpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_tpch_q3" -> (q49TpchQ3 _),
+    "q48_corr_stats" -> (q48CorrStats _),
     "q47_histogram" -> (q47Histogram _),
     "q46_seq_count" -> (q46SeqCount _),
     "q45_bucketed_join" -> (q45BucketedJoin _),
@@ -803,6 +872,38 @@ object RelationalQueries {
         |FROM ra a JOIN rf f USING (user_id)
         |WHERE date_diff('day', f.cohort, a.w) // 7 BETWEEN 0 AND 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact decimal power sums cast to double, then the identical IEEE
+    // formula tree in both engines (see q48CorrStats scaladoc)
+    "q48_corr_stats" ->
+      """WITH cs AS (SELECT l_returnflag,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST((CAST(n AS DOUBLE)*sqp - sq*sp) /
+        |    (sqrt(CAST(n AS DOUBLE)*sqq - sq*sq) * sqrt(CAST(n AS DOUBLE)*spp - sp*sp)) AS FLOAT) AS corr_qty_price,
+        |  CAST((sqp - sq*sp/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS FLOAT) AS covar_qty_price,
+        |  CAST(sqrt((CAST(n AS DOUBLE)*sqq - sq*sq) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))) AS FLOAT) AS std_qty,
+        |  CAST(sqrt((CAST(n AS DOUBLE)*spp - sp*sp) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))) AS FLOAT) AS std_price
+        |FROM cs ORDER BY l_returnflag""".stripMargin,
+
+    "q49_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
 
     // identical IEEE expression tree for the bin id and edge (subtract/
     // divide/floor only — single-rounded, engine-portable)
