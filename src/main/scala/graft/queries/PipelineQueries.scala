@@ -254,6 +254,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-distribution (unigram) entropy per doc — the repetitiveness /
+    // diversity signal quality pipelines threshold on. Fully distributed:
+    // one explode + two hash aggs, NO per-doc sorted-list folds — the
+    // summation is made order-independent by quantizing each c·ln(c) term
+    // to DECIMAL(18,9) (ln itself float32-collapsed first: libm last-ulp
+    // variance across engines, the dBm25Sql idf treatment), so partial
+    // aggregation order can't perturb the sum at any partitioning. Uses
+    // H = ln(n) − (Σ c·ln c)/n, which needs only per-(doc,token) counts.
+    "doc_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tc = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val clnc = (col("c").cast("double") *
+        log(col("c").cast("double")).cast("float").cast("double"))
+        .cast("decimal(18,9)")
+      tc.groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(clnc).as("sclnc"))
+        .select(col("doc_id"), col("n_tokens"), col("vocab"),
+          (log(col("n_tokens").cast("double")).cast("float").cast("double") -
+            col("sclnc").cast("double") / col("n_tokens").cast("double"))
+            .cast("float").as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     "doc_langid" -> ((s, d) => {
       val scores = T.stopwords.sortBy(_._1).map { case (code, set) =>
         T.stopwordHits(col("text"), set).cast("long").as(s"s_$code")
@@ -840,6 +869,23 @@ object PipelineQueries {
          |  ($nTok BETWEEN 30 AND 2000) AND ($nUniq / $nTok > 0.2) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // same structure: per-(doc,token) counts, decimal-quantized c·ln(c)
+    // terms (ln float32-collapsed), H = ln(n) − Σ/n — see the Spark side
+    "doc_entropy" ->
+      s"""WITH etok AS (
+         |  SELECT doc_id, unnest(${dTokens("text")}) AS token FROM documents),
+         |etc AS (
+         |  SELECT doc_id, token, count(*)::BIGINT AS c
+         |  FROM etok GROUP BY doc_id, token),
+         |eds AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+         |    sum(CAST(CAST(c AS DOUBLE) * CAST(CAST(ln(CAST(c AS DOUBLE)) AS FLOAT) AS DOUBLE) AS DECIMAL(18,9))) AS sclnc
+         |  FROM etc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, vocab,
+         |  CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS FLOAT) AS DOUBLE)
+         |       - CAST(sclnc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS FLOAT) AS entropy
+         |FROM eds ORDER BY doc_id""".stripMargin,
 
     "doc_langid" -> {
       val langs = T.stopwords.sortBy(_._1)

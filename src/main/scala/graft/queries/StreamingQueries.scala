@@ -69,6 +69,15 @@ object StreamingQueries {
       EventStreams.windowedStats(EventStreams.readTestdataEvents(spark, dir)),
       Seq("win_start", "event_type"))
 
+  /** EventStreams.slidingStats (20 min windows hopping every 10 min,
+    * 30 min watermark) driven to completion: every event lands in exactly
+    * two overlapping windows, so a tumbling-window pass-off can't go
+    * green — the doubled per-window membership is what the oracle pins. */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "sslide",
+      EventStreams.slidingStats(EventStreams.readTestdataEvents(spark, dir)),
+      Seq("win_start", "event_type"))
+
   /** EventStreams.sessionStats (30 min gap sessions, 30 min watermark)
     * driven to completion over the events table. */
   def streamSessions(spark: SparkSession, dir: String): DataFrame =
@@ -163,6 +172,7 @@ object StreamingQueries {
     "stream_seq_count" -> (streamSeqCount _),
     "stream_funnel" -> (streamFunnel _),
     "stream_window_stats" -> (streamWindowStats _),
+    "stream_sliding" -> (streamSliding _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
     "stream_user_aggs" -> (streamUserAggs _),
@@ -201,6 +211,25 @@ object StreamingQueries {
         |  event_type, n, sum_value
         |FROM w, m
         |WHERE win_start + INTERVAL 10 MINUTE <= wm
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // sliding windows: each event expands to its two hop-aligned window
+    // starts (i ∈ {0,1}; t − start < 2·slide = window holds for both),
+    // then the tumbling emission rule applies per window
+    "stream_sliding" ->
+      """WITH ws AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 600000000 - i.i) * 600000000) AS win_start,
+        |    event_type, value
+        |  FROM events, (SELECT unnest([0, 1]) AS i) i),
+        |w AS (SELECT win_start, event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ws GROUP BY 1, 2),
+        |m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+        |             - INTERVAL 30 MINUTE AS wm FROM events)
+        |SELECT win_start, win_start + INTERVAL 20 MINUTE AS win_end,
+        |  event_type, n, sum_value
+        |FROM w, m
+        |WHERE win_start + INTERVAL 20 MINUTE <= wm
         |ORDER BY win_start, event_type""".stripMargin,
 
     // gaps-and-islands sessionization (same break rule as q26's oracle:

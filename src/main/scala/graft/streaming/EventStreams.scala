@@ -65,6 +65,26 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding (hopping) windows: the overlapping-window form of
+    * windowedStats — each event contributes to window÷slide windows
+    * (exactly two at the 20 min / 10 min defaults), epoch-aligned like
+    * Spark's tumbling windows. Append mode + watermark emit only closed
+    * windows. At scale the state cost is windowedStats × (window÷slide):
+    * the overlap factor multiplies state rows, not input reads — one
+    * scan feeds every overlapping window — so keep the factor small and
+    * let the watermark bound live state. */
+  def slidingStats(events: DataFrame, window: String = "20 minutes",
+      slide: String = "10 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming gap-based sessionization: the unbounded form of the batch
     * q26_sessions query. session_window merges events whose gaps stay under
     * `gap`; the watermark closes sessions (append mode emits only finalized
