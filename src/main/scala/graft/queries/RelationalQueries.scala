@@ -723,7 +723,52 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Median absolute deviation per group — the robust dispersion measure
+    * outlier filters prefer over stddev (one wild value moves stddev, not
+    * MAD). Two exact-percentile passes: per-group median, broadcast back
+    * (a handful of rows), then the median of absolute deviations. Exact
+    * `percentile` holds a per-group value-count map — right for grouped
+    * medians over bounded-cardinality groups; an unbounded value space at
+    * 100 TB takes the q38 sketch path instead, and MAD inherits whichever
+    * percentile the scale demands. Doubles stay bit-identical because
+    * both engines interpolate the same sorted sets (the q29 contract). */
+  def q50Mad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med_value"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("med_value")).as("med_value"),
+        expr("percentile(abs(value - med_value), 0.5)").as("mad_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Incremental materialized-view maintenance (operators.AggState — the
+    * aggregating-merge analog): the pre-split history's partial states are
+    * materialized to parquet (the write is part of the query, idempotent
+    * via Overwrite), read back, and merged with the increment's states —
+    * the refresh never rescans history. The oracle is a full recompute
+    * over the union: associative decimal states must make the delta-merge
+    * view bit-identical to the from-scratch aggregate. */
+  def q51MvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggState
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    val ev = Tables.events(spark, dir)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_mv_state_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    AggState.dailyState(ev.filter(col("ts") < split))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val stored = spark.read.parquet(path)
+    val delta = AggState.dailyState(ev.filter(col("ts") >= split))
+    AggState.finish(AggState.merge(stored, delta))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_mv_incremental" -> (q51MvIncremental _),
+    "q50_mad" -> (q50Mad _),
     "q49_tpch_q3" -> (q49TpchQ3 _),
     "q48_corr_stats" -> (q48CorrStats _),
     "q47_histogram" -> (q47Histogram _),
@@ -872,6 +917,24 @@ object RelationalQueries {
         |FROM ra a JOIN rf f USING (user_id)
         |WHERE date_diff('day', f.cohort, a.w) // 7 BETWEEN 0 AND 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same sorted sets → same interpolation (the q29 quantile_cont
+    // contract), deviations derived by identical IEEE subtract/abs
+    "q50_mad" ->
+      """WITH mmed AS (
+        |  SELECT event_type, quantile_cont("value", 0.5) AS med_value
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, min(m.med_value) AS med_value,
+        |  quantile_cont(abs(e."value" - m.med_value), 0.5) AS mad_value,
+        |  count(*) AS n
+        |FROM events e JOIN mmed m ON e.event_type = m.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // full recompute over the union — the delta-merged view must match it
+    "q51_mv_incremental" ->
+      """SELECT ts::DATE AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     // exact decimal power sums cast to double, then the identical IEEE
     // formula tree in both engines (see q48CorrStats scaladoc)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AggStateSpec extends SparkSpec {
+
+  private def events = graft.Tables.events(spark, sf("sf0.001"))
+
+  test("merged partial states equal the from-scratch state for any split") {
+    val full = AggState.finish(AggState.dailyState(events))
+      .orderBy("day", "event_type").collect().toSeq
+    // three unrelated ways to slice the history into increments — all
+    // must converge to the same view (associativity + commutativity)
+    val splits = Seq(
+      col("event_id") % 2 === 0,                 // interleaved
+      col("ts") < lit("2024-01-10"),             // time-ordered backfill
+      col("user_id") < 10)                       // skewed, key-correlated
+    for (p <- splits) {
+      val merged = AggState.finish(AggState.merge(
+        AggState.dailyState(events.filter(p)),
+        AggState.dailyState(events.filter(!p))))
+        .orderBy("day", "event_type").collect().toSeq
+      assert(merged === full, s"split $p")
+    }
+  }
+
+  test("three-way merge and merge-of-merges agree (associativity)") {
+    val a = AggState.dailyState(events.filter(col("event_id") % 3 === 0))
+    val b = AggState.dailyState(events.filter(col("event_id") % 3 === 1))
+    val c = AggState.dailyState(events.filter(col("event_id") % 3 === 2))
+    val flat = AggState.finish(AggState.merge(a, b, c))
+      .orderBy("day", "event_type").collect().toSeq
+    val nested = AggState.finish(AggState.merge(AggState.merge(a, b), c))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(flat === nested)
+    assert(flat === AggState.finish(AggState.dailyState(events))
+      .orderBy("day", "event_type").collect().toSeq)
+  }
+
+  test("an empty increment is the identity") {
+    val state = AggState.dailyState(events)
+    val withEmpty = AggState.finish(
+      AggState.merge(state, AggState.dailyState(events.filter(lit(false)))))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(withEmpty ===
+      AggState.finish(state).orderBy("day", "event_type").collect().toSeq)
+  }
+}
