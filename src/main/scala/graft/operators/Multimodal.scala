@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * processing via `mapPartitions` over a typed Dataset, deterministic
   * output. The decode (`decode`) is REAL for the formats the JDK ships
   * readers for (images: PNG/JPEG/GIF/BMP via `javax.imageio`; audio:
-  * WAV/AIFF/AU via `javax.sound.sampled`, see [[audioMeta]] — true
-  * dimensions/sample counts, no external codecs needed) and falls back
-  * to the clearly-marked deterministic stub (`decodeStub`) for
-  * everything else (video, compressed audio — no codecs in this
-  * environment). Swapping in a fuller decoder (JavaCV, TwelveMonkeys,
-  * an FFI codec) changes ONLY that function; the distributed plumbing,
-  * batching and schema stay.
+  * WAV/AIFF/AU via `javax.sound.sampled`, see [[audioMeta]]; video:
+  * RIFF/AVI container walk + MJPEG frame decode, see [[decodeVideo]] —
+  * true dimensions/sample/frame counts, no external codecs needed) and
+  * falls back to the clearly-marked deterministic stub (`decodeStub`)
+  * for everything else (H.264-class video, compressed audio — no
+  * codecs in this environment). Swapping in a fuller decoder (JavaCV,
+  * TwelveMonkeys, an FFI codec) changes ONLY that function; the
+  * distributed plumbing, batching and schema stay.
   *
   * At 100 TB: binary payloads ride in Parquet with the metadata columns,
   * so metadata-only queries never deserialize payload bytes (column
@@ -79,7 +80,143 @@ object Multimodal {
         if (img == null) decodeStub(content)
         else (img.getWidth.toLong, img.getHeight.toLong, 1L)
       } catch { case scala.util.control.NonFatal(_) => decodeStub(content) }
+    } else if (looksLikeAvi(content)) {
+      decodeVideo(content).getOrElse(decodeStub(content))
     } else decodeStub(content)
+
+  /** Minimal MJPEG-in-AVI writer — the video test-payload generator (the
+    * wavBytes analog): `nFrames` deterministic synthetic frames,
+    * JPEG-encoded by the JDK's own ImageIO writer, wrapped in a standard
+    * RIFF/AVI container (hdrl with avih + one strl, movi with one '00dc'
+    * chunk per frame). Pure JDK, runs on executors. */
+  def aviMjpegBytes(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "invalid avi params")
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((x * 7 + y * 13 + f * 29) % 256) * 0x010101)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length % 2 // RIFF chunks are word-aligned
+      val b = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+    def list(kind: String, contents: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ contents)
+    val avih = { // MainAVIHeader: 56 bytes
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40000)               // dwMicroSecPerFrame (25 fps)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames)            // dwTotalFrames
+        .putInt(0)
+        .putInt(1)                  // dwStreams
+        .putInt(0)
+        .putInt(width).putInt(height)
+      b.array()                     // 4 reserved dwords stay zero
+    }
+    val strh = { // AVIStreamHeader: 56 bytes, fccType 'vids', handler 'MJPG'
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1)                  // dwScale
+        .putInt(25)                 // dwRate
+        .putInt(0)
+        .putInt(nFrames)            // dwLength
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER: 40 bytes, biCompression 'MJPG'
+      val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24)
+        .put("MJPG".getBytes("US-ASCII"))
+      b.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(fb => chunk("00dc", fb)).toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** REAL video-container decode, pure JVM: walks the RIFF/AVI chunk tree
+    * (the container layer every AVI tool speaks), counts the movi list's
+    * video frame chunks, and — when the frames are MJPEG — decodes the
+    * first frame's actual JPEG bytes with ImageIO for the true
+    * dimensions, falling back to the avih header dims for codecs the JDK
+    * cannot decode (the honest boundary: container + MJPEG are fully
+    * real here; H.264-class codecs remain environment-bound behind the
+    * stub). Returns (width, height, nFrames) or None if the payload is
+    * not a parseable AVI. */
+  def decodeVideo(content: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val b = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (content.length < 24) return None
+      val riff = new Array[Byte](4); b.get(riff)
+      b.getInt() // riff size
+      val kind = new Array[Byte](4); b.get(kind)
+      if (new String(riff, "US-ASCII") != "RIFF" ||
+          new String(kind, "US-ASCII") != "AVI ") return None
+      var headerW, headerH = 0L
+      var frames = 0L
+      var firstFrame: Option[Array[Byte]] = None
+      // iterative chunk walk over a work-list of (start, end) regions —
+      // no recursion, bounded by payload size even on hostile inputs
+      var regions = List((b.position(), content.length))
+      while (regions.nonEmpty) {
+        var (pos, end) = regions.head
+        regions = regions.tail
+        while (pos + 8 <= end) {
+          val id = new String(content, pos, 4, "US-ASCII")
+          val size = java.nio.ByteBuffer.wrap(content, pos + 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+          if (size < 0 || pos + 8 + size > end) { pos = end } // corrupt: stop region
+          else {
+            if (id == "LIST") regions = (pos + 12, pos + 8 + size) :: regions
+            else if (id == "avih" && size >= 40) {
+              // absolute offsets into the payload: wrap(array, off, len)
+              // does NOT rebase index 0, so index from the chunk start
+              val h = java.nio.ByteBuffer.wrap(content)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              headerW = h.getInt(pos + 8 + 32).toLong
+              headerH = h.getInt(pos + 8 + 36).toLong
+            } else if (id.endsWith("dc") || id.endsWith("db")) {
+              frames += 1
+              if (firstFrame.isEmpty)
+                firstFrame = Some(java.util.Arrays.copyOfRange(
+                  content, pos + 8, pos + 8 + size))
+            }
+            pos += 8 + size + (size % 2) // word alignment
+          }
+        }
+      }
+      if (frames == 0 && headerW == 0) None
+      else {
+        val dims = firstFrame.flatMap { fb =>
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb)))
+            .map(img => (img.getWidth.toLong, img.getHeight.toLong))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val (w, h) = dims.getOrElse((headerW, headerH))
+        Some((w, h, frames))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** RIFF/AVI sniff (mirrors looksLikeImage's role for video). */
+  private def looksLikeAvi(c: Array[Byte]): Boolean =
+    c.length >= 12 && c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F' &&
+      c(8) == 'A' && c(9) == 'V' && c(10) == 'I' && c(11) == ' '
 
   /** Attach a binary payload column. A pre-existing `content` binary
     * column (e.g. from a binaryFile source, or a spec injecting real

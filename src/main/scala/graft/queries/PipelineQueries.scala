@@ -843,6 +843,27 @@ object PipelineQueries {
           Tables.documents(s, d).select(col("doc_id"))
             .withColumn("content", wav(col("doc_id"))))
         .toDF().orderBy(col("doc_id"))
+    }),
+
+    // REAL video decode under the hash gate (the multimodal_audio
+    // treatment for the third modality): per-doc MJPEG/AVI payloads
+    // synthesized with doc_id-derived params, then parsed BACK by the
+    // RIFF walker — width/height come from ImageIO's decode of the first
+    // frame's actual JPEG bytes and n_frames from counting movi chunks,
+    // so a container-layout or JPEG-roundtrip bug breaks the row. Only a
+    // 10% deterministic sample carries video (payload generation is the
+    // cost; the decode path is what's under test); capped at 500 rows
+    // so the fixture work doesn't balloon with SF.
+    "multimodal_video" -> ((s, d) => {
+      val avi = udf((id: Long) => Multimodal.aviMjpegBytes(
+        32 + (id % 5).toInt * 16, 24 + (id % 3).toInt * 16, 1 + (id % 7).toInt))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id")).limit(500)
+      Multimodal.decodeMeta(s, docs.withColumn("content", avi(col("doc_id"))))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1806,6 +1827,19 @@ object PipelineQueries {
         |  (1 + doc_id % 2)::BIGINT AS channels,
         |  (50 + doc_id % 200)::BIGINT AS n_samples,
         |  ((50 + doc_id % 200) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the AVI params are pure doc_id arithmetic; Spark's values come from
+    // the real RIFF walk + first-frame JPEG decode of the generated
+    // payload, so equality IS the container+codec gate (JPEG is lossy in
+    // pixels but exact in dimensions)
+    "multimodal_video" ->
+      """SELECT doc_id,
+        |  (32 + (doc_id % 5) * 16)::BIGINT AS width,
+        |  (24 + (doc_id % 3) * 16)::BIGINT AS height,
+        |  (1 + doc_id % 7)::BIGINT AS n_frames
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        |      ORDER BY doc_id LIMIT 500)
+        |ORDER BY doc_id""".stripMargin
   )
 }

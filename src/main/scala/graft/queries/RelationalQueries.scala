@@ -766,7 +766,40 @@ object RelationalQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Mergeable-sketch materialized view: per-day DataSketches HLL states
+    * (hll_sketch_agg) persisted to parquet as binary columns, then a
+    * range query answered by UNIONING STATES (hll_union_agg) — never
+    * rescanning raw history. The AggState pattern extended to the one
+    * aggregate that isn't a plain monoid sum: distinct counting. At
+    * 100 TB "distinct users over an arbitrary date range" from raw data
+    * is a full shuffle per question; from day states it's a merge of
+    * 365 × 16 KB sketches. Gate: the declared row carries the
+    * oracle-computable exact count plus a within-2% boolean on the
+    * sketch estimate (the ct_stats_approx treatment — lgK=14 standard
+    * error ≈ 0.8%, so 2% is ~2.5σ), and the estimate itself must
+    * survive the parquet round-trip and the union. */
+  def q52SketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Date.valueOf("2024-01-08"))
+    val hi = lit(java.sql.Date.valueOf("2024-01-22"))
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hll_state_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("hll"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val est = spark.read.parquet(path)
+      .filter(col("day").between(lo, hi))
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("est_users"))
+    val exact = ev.filter(col("day").between(lo, hi))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.crossJoin(est).select(
+      col("exact_users"),
+      (abs(col("est_users") - col("exact_users")).cast("double") /
+        col("exact_users") <= 0.02).as("users_within_tol"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_sketch_union" -> (q52SketchUnion _),
     "q51_mv_incremental" -> (q51MvIncremental _),
     "q50_mad" -> (q50Mad _),
     "q49_tpch_q3" -> (q49TpchQ3 _),
@@ -929,6 +962,15 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM events e JOIN mmed m ON e.event_type = m.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // oracle pins the exact count and the tolerance boolean to true: if
+    // the sketch union drifts past 2%, Spark's boolean flips and the
+    // hash gate fails (the ct_stats_approx treatment)
+    "q52_sketch_union" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  true AS users_within_tol
+        |FROM events
+        |WHERE ts::DATE BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'""".stripMargin,
 
     // full recompute over the union — the delta-merged view must match it
     "q51_mv_incremental" ->

@@ -899,6 +899,43 @@ class PipelineOpsSpec extends SparkSpec {
       out(2L).n_samples == sf * 1000)
   }
 
+  test("real MJPEG/AVI payloads parse to true dims and frame counts") {
+    // round-trip: generated MJPEG-in-AVI -> RIFF walk + ImageIO frame decode
+    val avi = Multimodal.aviMjpegBytes(width = 48, height = 40, nFrames = 5)
+    assert(Multimodal.decodeVideo(avi).contains((48L, 40L, 5L)))
+    // dims come from the FRAME's JPEG bytes, not just the avih header:
+    // corrupt the header dims in place and the decode must still be right
+    val tampered = avi.clone()
+    val avihPos = {
+      // find 'avih' and overwrite dwWidth/dwHeight (offsets 32/36 in data)
+      val idx = tampered.sliding(4).indexWhere(_.sameElements("avih".getBytes))
+      assert(idx > 0, "avih chunk present"); idx
+    }
+    java.util.Arrays.fill(tampered, avihPos + 8 + 32, avihPos + 8 + 40, 0xee.toByte)
+    assert(Multimodal.decodeVideo(tampered).contains((48L, 40L, 5L)),
+      "frame-derived dims must win over a corrupt header")
+    // truncated payload degrades to None -> decode() falls to the stub
+    val truncated = avi.take(avi.length / 2)
+    val viaDecode = Multimodal.decode(truncated)
+    val frameCount = Multimodal.decodeVideo(truncated).map(_._3)
+    assert(frameCount.forall(_ <= 5L), "truncation never inflates frames")
+    assert(viaDecode._1 > 0, "decode() totality on truncated AVI")
+    // non-AVI RIFF (a WAV) must not be claimed by the video path
+    assert(Multimodal.decodeVideo(Multimodal.wavBytes(8000, 1, 10)).isEmpty)
+    // end-to-end through the batch pass
+    val df = Seq((1L, avi), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeMeta(spark, df).collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 48 && out(1L).height == 40 && out(1L).n_frames == 5)
+    val (sw, sh, sf) = Multimodal.decodeStub("not a video".getBytes("UTF-8"))
+    assert(out(2L).width == sw && out(2L).height == sh && out(2L).n_frames == sf)
+    // frameSample over a real video fans out to its true sampled frames
+    val fs = Multimodal.frameSample(spark, Seq((7L, avi)).toDF("doc_id", "content"),
+      maxFrames = 3).collect()
+    assert(fs.map(_.getLong(2)).toSeq == Seq(0L, 2L, 4L),
+      s"stride sampling over 5 real frames, got ${fs.toSeq}")
+  }
+
   test("langId is deterministic and total (every doc gets a code)") {
     val langs = docs.select(T.langId(col("text"))).as[String].collect()
     assert(langs.forall(T.stopwords.map(_._1).toSet))
