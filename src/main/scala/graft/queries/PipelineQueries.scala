@@ -845,6 +845,29 @@ object PipelineQueries {
         .toDF().orderBy(col("doc_id"))
     }),
 
+    // Replica-equality fingerprint: per-group row count + an
+    // order-independent checksum (exact decimal sum of portable
+    // polynomial row hashes, folded mod 2^62). The migration/backup
+    // validation primitive at 100 TB: two sides each compute their own
+    // checksum locally and compare a handful of group rows — no data
+    // movement, no row-by-row diff; a single divergent row flips the
+    // group's checksum. Only integer/string columns feed the canonical
+    // row string (double formatting is engine-specific; integer-valued
+    // doubles enter via exact BIGINT cast).
+    "q53_table_checksum" -> ((s, d) => {
+      val rowStr = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), T.polyHash(rowStr).cast("decimal(20,0)").as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          pmod(sum(col("h")), lit(4611686018427387904L).cast("decimal(20,0)"))
+            .cast("long").as("checksum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // REAL video decode under the hash gate (the multimodal_audio
     // treatment for the third modality): per-doc MJPEG/AVI payloads
     // synthesized with doc_id-derived params, then parsed BACK by the
@@ -1828,6 +1851,15 @@ object PipelineQueries {
         |  (50 + doc_id % 200)::BIGINT AS n_samples,
         |  ((50 + doc_id % 200) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same canonical row string, same polynomial hash, exact decimal sum
+    // mod 2^62 — both engines fingerprint their own copy independently
+    "q53_table_checksum" -> {
+      val rowStr = "concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT))"
+      s"""SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+         |  CAST(sum(CAST(${dPoly(rowStr)} AS DECIMAL(20,0))) % 4611686018427387904 AS BIGINT) AS checksum
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
 
     // the AVI params are pure doc_id arithmetic; Spark's values come from
     // the real RIFF walk + first-frame JPEG decode of the generated

@@ -798,7 +798,24 @@ object RelationalQueries {
         col("exact_users") <= 0.02).as("users_within_tol"))
   }
 
+  /** Moving median (exact percentile as a WINDOW aggregate over a 7-row
+    * trailing frame) — the robust smoother for per-entity metric streams,
+    * completing the window-function surface: nav (q18), rank (q19),
+    * range frames (q20), distribution (q44), and now an exact
+    * order-statistic frame. Per-user partitioning keeps frames small and
+    * parallel at any scale; full (ts, event_id) tiebreak keeps the frame
+    * contents — and therefore the interpolated median — deterministic. */
+  def q54WindowMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+    Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      expr("percentile(value, 0.5)").over(w).as("med7"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_window_median" -> (q54WindowMedian _),
     "q52_sketch_union" -> (q52SketchUnion _),
     "q51_mv_incremental" -> (q51MvIncremental _),
     "q50_mad" -> (q50Mad _),
@@ -962,6 +979,15 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM events e JOIN mmed m ON e.event_type = m.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // same 7-row frames (full tiebreak) → same sorted sets → same
+    // interpolation (the q29 quantile_cont contract, framed)
+    "q54_window_median" ->
+      """SELECT user_id, event_id, ts, "value",
+        |  quantile_cont("value", 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     // oracle pins the exact count and the tolerance boolean to true: if
     // the sketch union drifts past 2%, Spark's boolean flips and the
