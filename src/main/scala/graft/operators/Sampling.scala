@@ -166,4 +166,51 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= quota).drop("__rn")
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * doc by how target-like its hashed-bigram distribution is —
+    * weight(d) = Σ_b c_d[b] · (ln p̂_target[b] − ln p̂_raw[b]) over
+    * `nBuckets` hashed token-bigram features with add-1 smoothing —
+    * then keep the positively-weighted (more-target-than-raw) docs, or
+    * feed the weights to a resampler.
+    *
+    * Plan shape at 100 TB: one bigram explode, a doc-grain count and a
+    * bucket-grain count (both map-side combinable), the ≤nBuckets
+    * bucket model broadcast back over the doc-grain rows — the corpus
+    * is read once and nothing wider than (doc, bucket) ever shuffles.
+    * Determinism: bigram features are the portable shingle hashes, each
+    * per-bucket log-ratio is float32-collapsed (libm), each c·llr term
+    * DECIMAL(18,9)-quantized so the per-doc sum is order-independent
+    * (the doc_entropy treatment). Docs with <2 tokens have no bigram
+    * and drop out — by contract, not silently (stated here). */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val buckets = docs.select(
+        col("doc_id"), isTarget.as("is_target"),
+        explode(T.shingleHashes(T.tokenHashes(col("text")), 2)).as("sh"))
+      .withColumn("b", pmod(col("sh"), lit(nBuckets.toLong)))
+    val perDoc = buckets.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val model = buckets.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
+      .crossJoin(broadcast(
+        buckets.agg(count(lit(1)).as("n_raw"),
+          sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"))))
+      .select(col("b"),
+        (log((col("c_t") + 1).cast("double") /
+            (col("n_t") + nBuckets).cast("double")).cast("float").cast("double") -
+          log((col("c_raw") + 1).cast("double") /
+            (col("n_raw") + nBuckets).cast("double")).cast("float").cast("double"))
+          .as("llr"))
+    perDoc.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum((col("c").cast("double") * col("llr")).cast("decimal(18,9)")).as("wdec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("wdec").cast("double").as("weight"),
+        (col("wdec") > 0).as("selected"))
+  }
 }

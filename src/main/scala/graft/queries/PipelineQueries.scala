@@ -845,6 +845,15 @@ object PipelineQueries {
         .toDF().orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weighting (Sampling.dsirWeights): every doc scored
+    // by hashed-bigram log-likelihood ratio of the English target slice
+    // vs the full raw corpus; the oracle recomputes the same 1024-bucket
+    // model and the same decimal-quantized weights
+    "doc_dsir" -> ((s, d) =>
+      graft.operators.Sampling
+        .dsirWeights(Tables.documents(s, d), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     // Replica-equality fingerprint: per-group row count + an
     // order-independent checksum (exact decimal sum of portable
     // polynomial row hashes, folded mod 2^62). The migration/backup
@@ -1851,6 +1860,28 @@ object PipelineQueries {
         |  (50 + doc_id % 200)::BIGINT AS n_samples,
         |  ((50 + doc_id % 200) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same 1024-bucket hashed-bigram model, same float32-collapsed
+    // log-ratios, same decimal-quantized weight sums — see dsirWeights
+    "doc_dsir" ->
+      s"""WITH dst AS (SELECT doc_id, lang, ${dTokenHashes("text")} AS ths FROM documents),
+         |dsb AS (SELECT doc_id, lang = 'en' AS is_target,
+         |  unnest(${dShingleHashes("ths", 2)}) % 1024 AS b FROM dst),
+         |dsd AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM dsb GROUP BY doc_id, b),
+         |dsm AS (SELECT b, count(*)::BIGINT AS c_raw,
+         |  sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS c_t FROM dsb GROUP BY b),
+         |dstot AS (SELECT count(*)::BIGINT AS n_raw,
+         |  sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS n_t FROM dsb),
+         |dsl AS (SELECT b,
+         |    CAST(CAST(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + 1024 AS DOUBLE)) AS FLOAT) AS DOUBLE)
+         |  - CAST(CAST(ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 1024 AS DOUBLE)) AS FLOAT) AS DOUBLE) AS llr
+         |  FROM dsm, dstot),
+         |dsw AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         |  sum(CAST(CAST(c AS DOUBLE) * llr AS DECIMAL(18,9))) AS wdec
+         |  FROM dsd JOIN dsl USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, CAST(wdec AS DOUBLE) AS weight,
+         |  wdec > 0 AS selected
+         |FROM dsw ORDER BY doc_id""".stripMargin,
 
     // same canonical row string, same polynomial hash, exact decimal sum
     // mod 2^62 — both engines fingerprint their own copy independently

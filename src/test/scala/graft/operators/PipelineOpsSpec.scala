@@ -936,6 +936,31 @@ class PipelineOpsSpec extends SparkSpec {
       s"stride sampling over 5 real frames, got ${fs.toSeq}")
   }
 
+  test("dsirWeights: target-bigram docs score positive, tiny docs drop") {
+    // target and raw vocabularies are DISJOINT (verified: zero mixed
+    // buckets at 1024 for these words), so every target-doc bucket has
+    // c_t = c_raw ⇒ llr = ln((n_raw+B)/(n_t+B)) > 0 and weights split
+    // cleanly by slice; one doc is a single token (no bigram at all)
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta gamma kappa", true),
+      (2L, "alpha beta gamma kappa here", true),
+      (3L, "delta epsilon zeta eta theta", false),
+      (4L, "delta epsilon delta epsilon zeta", false),
+      (5L, "solo", false)
+    ).toDF("doc_id", "text", "is_en")
+    val w = Sampling.dsirWeights(corpus, col("is_en"), nBuckets = 1024)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(!w.contains(5L), "a <2-token doc has no bigram and drops out")
+    assert(w(1L)._2 && w(2L)._2, s"target-slice docs must be selected: $w")
+    assert(!w(3L)._2 && !w(4L)._2, s"raw-only docs must not be selected: $w")
+    assert(w(1L)._1 > w(2L)._1,
+      "more target-bigram mass ⇒ larger weight (c·llr accumulates)")
+    // weights are a pure function of the corpus (retry/partitioning-safe)
+    val w2 = Sampling.dsirWeights(corpus.repartition(7), col("is_en"), nBuckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.view.mapValues(_._1).toMap === w2)
+  }
+
   test("langId is deterministic and total (every doc gets a code)") {
     val langs = docs.select(T.langId(col("text"))).as[String].collect()
     assert(langs.forall(T.stopwords.map(_._1).toSet))
