@@ -36,10 +36,16 @@ object GraftExtensions {
       args(2).eval().asInstanceOf[Boolean])))
 
   /** Register on an already-running session (withExtensions only applies at
-    * session construction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * session construction). Also exposes `base_domain` — the CT pipeline's
+    * key scalar (PublicSuffix) — as a SQL UDF: it is a deliberate Scala
+    * UDF, not an Expression (PublicSuffix.scala's documented hot-path
+    * analysis), so it registers through the UDF registry rather than the
+    * expression builders above. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    spark.udf.register("base_domain", graft.ct.PublicSuffix.baseDomainUdf)
+  }
 }

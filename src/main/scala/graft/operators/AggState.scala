@@ -49,4 +49,25 @@ object AggState {
   def finish(state: DataFrame): DataFrame =
     state.select(col("day"), col("event_type"), col("n"),
       col("sum_dec").cast("double").as("sum_value"))
+
+  /** Fold one increment's raw events into the parquet-persisted view at
+    * `path` (created on first call): read state, merge the increment's
+    * state, write back. The merged frame is materialized (persist+count)
+    * BEFORE the overwrite so the read never races its own target's
+    * deletion. Single-writer by contract — exactly what a foreachBatch
+    * sink provides (Spark runs micro-batches of one query serially); at
+    * production scale the same flow writes a new versioned directory and
+    * swaps a pointer (the EmbeddingStore.recluster pattern) so readers
+    * never observe a partial view. */
+  def maintainParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String, increment: DataFrame): Unit = {
+    val delta = dailyState(increment)
+    val merged =
+      if (new java.io.File(path).exists) merge(spark.read.parquet(path), delta)
+      else delta
+    val m = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m.count()
+    try m.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    finally m.unpersist(false)
+  }
 }

@@ -120,6 +120,48 @@ object StreamingQueries {
       Seq("a_id", "b_id"))
   }
 
+  /** Streaming incremental view maintenance: the events table is split
+    * into four parquet files (untimed fixture), streamed back one file
+    * per micro-batch (maxFilesPerTrigger=1 under AvailableNow), and each
+    * batch folds its AggState increment into the parquet-persisted view
+    * via foreachBatch — history is never rescanned, exactly the
+    * production refresh loop. The oracle is q51's full recompute: four
+    * successive delta-merges must converge to the from-scratch aggregate
+    * bit-for-bit. The final view is day×type-bounded (≤ a few hundred
+    * rows), so collecting it to cut the scratch-dir lifetime is the
+    * memory-sink treatment, not a scale hazard. */
+  def streamMvMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggState
+    val tmp = System.getProperty("java.io.tmpdir")
+    val splitDir = new java.io.File(tmp,
+      "graft_mv_split_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    if (!new java.io.File(splitDir, "_SUCCESS").exists)
+      graft.Tables.events(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(splitDir)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val statePath = new java.io.File(tmp, s"graft_mv_stream_$runId").getAbsolutePath
+    val ckpt = new java.io.File(tmp, s"graft_mv_ckpt_$runId").getAbsolutePath
+    val src = spark.readStream
+      .schema(graft.Tables.events(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        AggState.maintainParquet(spark, statePath, batch.toDF())
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
+    val view = AggState.finish(spark.read.parquet(statePath))
+      .orderBy("day", "event_type")
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    graft.operators.Dedup.rmdir(new java.io.File(statePath))
+    spark.createDataFrame(rows, view.schema)
+      .orderBy("day", "event_type")
+  }
+
   /** EventStreams.funnelStages (mapGroupsWithState windowFunnel DP,
     * update mode) driven to completion: the terminal per-user stage must
     * equal the batch funnel — the oracle IS q36_funnel's join-chain
@@ -173,6 +215,7 @@ object StreamingQueries {
     "stream_funnel" -> (streamFunnel _),
     "stream_window_stats" -> (streamWindowStats _),
     "stream_sliding" -> (streamSliding _),
+    "stream_mv" -> (streamMvMaintain _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
     "stream_user_aggs" -> (streamUserAggs _),
@@ -212,6 +255,10 @@ object StreamingQueries {
         |FROM w, m
         |WHERE win_start + INTERVAL 10 MINUTE <= wm
         |ORDER BY win_start, event_type""".stripMargin,
+
+    // four streamed delta-merges must equal the full recompute — q51's
+    // oracle, verbatim
+    "stream_mv" -> RelationalQueries.oracleSql("q51_mv_incremental"),
 
     // sliding windows: each event expands to its two hop-aligned window
     // starts (i ∈ {0,1}; t − start < 2·slide = window holds for both),

@@ -37,4 +37,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("sc").length == 2) // 3 tokens, k=2
     assert(r.getAs[Long]("dl") == 31L)
   }
+
+  test("base_domain is SQL-callable (the CT pipeline's key scalar)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT base_domain('a.b.example.co.uk') AS bd1,
+        |  base_domain('foo.github.io') AS bd2,
+        |  base_domain(NULL) AS bd3""".stripMargin).collect()(0)
+    assert(r.getString(0) == "example.co.uk")
+    assert(r.getString(1) == "foo.github.io") // private-section PSL rule
+    assert(r.isNullAt(2))
+  }
 }

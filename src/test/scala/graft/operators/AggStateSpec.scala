@@ -38,6 +38,20 @@ class AggStateSpec extends SparkSpec {
       .orderBy("day", "event_type").collect().toSeq)
   }
 
+  test("maintainParquet over successive increments equals the full state") {
+    val path = java.nio.file.Files
+      .createTempDirectory("aggstate_maintain").toString + "/view"
+    try {
+      for (r <- 0L to 2L)
+        AggState.maintainParquet(spark, path, events.filter(col("event_id") % 3 === r))
+      val maintained = AggState.finish(spark.read.parquet(path))
+        .orderBy("day", "event_type").collect().toSeq
+      val full = AggState.finish(AggState.dailyState(events))
+        .orderBy("day", "event_type").collect().toSeq
+      assert(maintained === full)
+    } finally Dedup.rmdir(new java.io.File(path).getParentFile)
+  }
+
   test("an empty increment is the identity") {
     val state = AggState.dailyState(events)
     val withEmpty = AggState.finish(
