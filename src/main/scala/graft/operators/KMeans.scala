@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   *    engines — bit-exact doubles;
   *  - argmin ties break lexicographically on (dist², cluster id) via a
   *    struct min — no arbitrary "first seen" winner;
-  *  - centroid means sum per-component DECIMAL(18,9)-quantized values, so
-  *    the sum is independent of row order across partitions (a raw double
-  *    sum would make the result depend on task scheduling), then divide
-  *    as doubles in a fixed tree. The 1e-9 component quantization is far
-  *    below float32 input noise;
+  *  - centroid means sum per-component [[Quant.quant9]] fixed-point
+  *    units (floor(v·1e9 + 0.5), midpoint-safe across engines — a raw
+  *    decimal CAST rounds midpoints half-up in Spark but half-even in
+  *    DuckDB), so the sum is independent of row order across partitions
+  *    (a raw double sum would make the result depend on task
+  *    scheduling), then divide as doubles in a fixed tree. The 1e-9
+  *    component quantization is far below float32 input noise;
   *  - init is the k vectors with the smallest ids — deterministic by
   *    construction (swap in k-means|| for quality at scale; the iteration
   *    machinery is what this operator pins down).
@@ -71,9 +73,9 @@ object KMeans {
     assigned
       .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))
-      .agg(sum(col("v").cast("decimal(18,9)")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(Quant.quant9(col("v"))).as("s"), count(lit(1)).as("n"))
       .select(col("cid"), col("dim"),
-        (col("s").cast("double") / col("n").cast("double")).as("mv"))
+        (Quant.q9ToDouble(col("s")) / col("n").cast("double")).as("mv"))
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("dim"), col("mv")))).as("dm"))
       .select(col("cid"), transform(col("dm"), x => x.getField("mv")).as("cent"))
@@ -114,7 +116,7 @@ object KMeans {
     * cluster): each vector flagged iff its squared distance to its
     * assigned centroid exceeds `factor` × the cluster's mean squared
     * distance. The cluster structure is [[lloyd]]'s deterministic
-    * assignment; the mean rides the same DECIMAL(18,9)-sum trick as the
+    * assignment; the mean rides the same fixed-point-sum trick as the
     * centroid update so it is partitioning-invariant, and the threshold
     * compare is a single IEEE multiply both engines evaluate
     * identically. One extra bounded aggregate (k rows) + one broadcast
@@ -124,7 +126,7 @@ object KMeans {
     require(factor > 0.0, "outlier factor must be positive")
     val assigned = lloyd(embs, k, iters)
     val stats = assigned.groupBy(col("cluster"))
-      .agg((sum(col("dist2").cast("decimal(18,9)")).cast("double") /
+      .agg((Quant.q9ToDouble(sum(Quant.quant9(col("dist2")))) /
         count(lit(1)).cast("double")).as("mean_d2"))
     assigned.join(broadcast(stats), Seq("cluster"))
       .select(col("vec_id"), col("cluster"), col("dist2"), col("mean_d2"),

@@ -181,7 +181,7 @@ object Sampling {
     * is read once and nothing wider than (doc, bucket) ever shuffles.
     * Determinism: bigram features are the portable shingle hashes, each
     * per-bucket log-ratio is float32-collapsed (libm), each c·llr term
-    * DECIMAL(18,9)-quantized so the per-doc sum is order-independent
+    * Quant.quant9 fixed-point-quantized so the per-doc sum is order-independent
     * (the doc_entropy treatment). Docs with <2 tokens have no bigram
     * and drop out — by contract, not silently (stated here). */
   def dsirWeights(docs: DataFrame, isTarget: Column,
@@ -208,9 +208,9 @@ object Sampling {
     perDoc.join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
-        sum((col("c").cast("double") * col("llr")).cast("decimal(18,9)")).as("wdec"))
+        sum(Quant.quant9(col("c").cast("double") * col("llr"))).as("wdec"))
       .select(col("doc_id"), col("n_bigrams"),
-        col("wdec").cast("double").as("weight"),
+        Quant.q9ToDouble(col("wdec")).as("weight"),
         (col("wdec") > 0).as("selected"))
   }
 }

@@ -188,6 +188,15 @@ object PipelineQueries {
     s"list_transform(range(len($ths) - ${k - 1}), si -> ${fold(8191)} * $P + ${fold(8209)})"
   }
 
+  /** Midpoint-safe fixed-point quantization to integer 1e-9 units
+    * (mirror of Quant.quant9): floor(x·1e9 + 0.5) is IEEE double
+    * arithmetic both engines evaluate bit-identically, where a raw
+    * DECIMAL(18,9) CAST rounds exact midpoints half-up in Spark but
+    * half-even in DuckDB. Summed as DECIMAL(38,0) — exact, order-free,
+    * and scale-0 decimals convert to double with a single rounding. */
+  private def dQ9(expr: String): String =
+    s"CAST(floor(($expr) * 1000000000.0 + 0.5) AS DECIMAL(38,0))"
+
   /** Squared-L2 left fold between two double-list expressions (mirror of
     * KMeans.dist2). */
   private def dD2(e: String, c: String): String =
@@ -208,7 +217,7 @@ object PipelineQueries {
        |km1 AS (SELECT vec_id, e, cid FROM ka1 WHERE rn = 1),
        |kcomp AS (SELECT cid, unnest(range(len(e))) AS dim, unnest(e) AS v FROM km1),
        |kup AS (SELECT cid, dim,
-       |        CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mv
+       |        CAST(sum(${dQ9("v")}) AS DOUBLE) / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mv
        |        FROM kcomp GROUP BY cid, dim),
        |kc1 AS (SELECT cid, list(mv ORDER BY dim) AS cent FROM kup GROUP BY cid),
        |kd2 AS (SELECT m.vec_id, c.cid, ${dD2("m.e", "c.cent")} AS d2 FROM kme m, kc1 c),
@@ -258,19 +267,19 @@ object PipelineQueries {
     // diversity signal quality pipelines threshold on. Fully distributed:
     // one explode + two hash aggs, NO per-doc sorted-list folds — the
     // summation is made order-independent by quantizing each c·ln(c) term
-    // to DECIMAL(18,9) (ln itself float32-collapsed first: libm last-ulp
-    // variance across engines, the dBm25Sql idf treatment), so partial
-    // aggregation order can't perturb the sum at any partitioning. Uses
-    // H = ln(n) − (Σ c·ln c)/n, which needs only per-(doc,token) counts.
+    // to Quant.quant9 fixed-point units (ln itself float32-collapsed
+    // first: libm last-ulp variance across engines, the dBm25Sql idf
+    // treatment), so partial aggregation order can't perturb the sum at
+    // any partitioning. Uses H = ln(n) − (Σ c·ln c)/n, which needs only
+    // per-(doc,token) counts.
     "doc_entropy" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tc = docs
         .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("c"))
-      val clnc = (col("c").cast("double") *
+      val clnc = graft.operators.Quant.quant9(col("c").cast("double") *
         log(col("c").cast("double")).cast("float").cast("double"))
-        .cast("decimal(18,9)")
       tc.groupBy(col("doc_id"))
         .agg(
           sum(col("c")).as("n_tokens"),
@@ -278,7 +287,8 @@ object PipelineQueries {
           sum(clnc).as("sclnc"))
         .select(col("doc_id"), col("n_tokens"), col("vocab"),
           (log(col("n_tokens").cast("double")).cast("float").cast("double") -
-            col("sclnc").cast("double") / col("n_tokens").cast("double"))
+            graft.operators.Quant.q9ToDouble(col("sclnc")) /
+              col("n_tokens").cast("double"))
             .cast("float").as("entropy"))
         .orderBy(col("doc_id"))
     }),
@@ -933,11 +943,11 @@ object PipelineQueries {
          |  FROM etok GROUP BY doc_id, token),
          |eds AS (
          |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
-         |    sum(CAST(CAST(c AS DOUBLE) * CAST(CAST(ln(CAST(c AS DOUBLE)) AS FLOAT) AS DOUBLE) AS DECIMAL(18,9))) AS sclnc
+         |    sum(${dQ9("CAST(c AS DOUBLE) * CAST(CAST(ln(CAST(c AS DOUBLE)) AS FLOAT) AS DOUBLE)")}) AS sclnc
          |  FROM etc GROUP BY doc_id)
          |SELECT doc_id, n_tokens, vocab,
          |  CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS FLOAT) AS DOUBLE)
-         |       - CAST(sclnc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS FLOAT) AS entropy
+         |       - CAST(sclnc AS DOUBLE) / 1000000000.0 / CAST(n_tokens AS DOUBLE) AS FLOAT) AS entropy
          |FROM eds ORDER BY doc_id""".stripMargin,
 
     "doc_langid" -> {
@@ -1260,7 +1270,7 @@ object PipelineQueries {
       s"""WITH $dKmeansCtes,
          |ol AS (SELECT vec_id, cid AS cluster, d2 AS dist2 FROM ka2 WHERE rn = 1),
          |ost AS (SELECT cluster,
-         |    CAST(sum(CAST(dist2 AS DECIMAL(18,9))) AS DOUBLE) /
+         |    CAST(sum(${dQ9("dist2")}) AS DOUBLE) / 1000000000.0 /
          |      CAST(count(*) AS DOUBLE) AS mean_d2
          |  FROM ol GROUP BY cluster)
          |SELECT vec_id, cluster, dist2, mean_d2,
@@ -1877,9 +1887,9 @@ object PipelineQueries {
          |  - CAST(CAST(ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 1024 AS DOUBLE)) AS FLOAT) AS DOUBLE) AS llr
          |  FROM dsm, dstot),
          |dsw AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
-         |  sum(CAST(CAST(c AS DOUBLE) * llr AS DECIMAL(18,9))) AS wdec
+         |  sum(${dQ9("CAST(c AS DOUBLE) * llr")}) AS wdec
          |  FROM dsd JOIN dsl USING (b) GROUP BY doc_id)
-         |SELECT doc_id, n_bigrams, CAST(wdec AS DOUBLE) AS weight,
+         |SELECT doc_id, n_bigrams, CAST(wdec AS DOUBLE) / 1000000000.0 AS weight,
          |  wdec > 0 AS selected
          |FROM dsw ORDER BY doc_id""".stripMargin,
 

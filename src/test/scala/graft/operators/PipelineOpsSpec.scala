@@ -782,6 +782,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted == got, "assignment must not depend on partitioning")
   }
 
+  test("quant9 rounds exact midpoints half-up toward +inf (cross-engine tie rule)") {
+    // 0.1494140625 = 153/1024 exactly: ×1e9 is ...062.5, a true midpoint.
+    // A DECIMAL(18,9) CAST disagrees across engines there (Spark half-up,
+    // DuckDB half-even — one such element shifted a centroid at sf0.1);
+    // quant9's floor(x·1e9 + 0.5) must pin 149414063 and its negation
+    // -149414062 (floor = toward −inf ⇒ ties toward +inf on both signs).
+    val got = Seq(0.1494140625, -0.1494140625, 0.25, 1.0)
+      .toDF("x").select(Quant.quant9(col("x")).cast("long")).as[Long].collect()
+    assert(got.toSeq == Seq(149414063L, -149414062L, 250000000L, 1000000000L))
+  }
+
   test("outliers: planted far point flagged, tight members and tight cluster clean") {
     // cluster A around (0,0) plus one far member at (0,3); cluster B
     // tight around (10,10)
