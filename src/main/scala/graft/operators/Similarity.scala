@@ -396,4 +396,44 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
       .orderBy(col("query_id"))
   }
+
+  /** Exact kNN JOIN: the top-k cosine neighbors of EVERY query in the
+    * query block, from one corpus scan — the batch shape real retrieval
+    * pipelines run (embed a request batch, join it against the corpus),
+    * where the single-query `bruteForceKnn` is the debugging tool.
+    *
+    * Top-k per query is two-stage so the corpus is never shuffled onto
+    * the query id: stage 1 ranks within (query, scan-partition) — a
+    * window keyed by `spark_partition_id`, so its shuffle spreads over
+    * |queries|·|partitions| skew-free keys — and keeps ≤ k rows each;
+    * stage 2 ranks the ≤ k·P survivors per query. A single
+    * `Window.partitionBy(query_id)` would instead funnel |corpus| rows
+    * into each of a handful of reducers — the maximally-skewed shuffle.
+    * The result is partition-count-independent: any global top-k row is
+    * also top-k within whatever partition it sits in, so stage 1 can
+    * never evict a true answer. Ties break on (cos_sim DESC, vec_id) in
+    * both stages, same as every ANN ranking here. */
+  def knnJoin(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    require(nQueries > 0 && k > 0, "nQueries and k must be positive")
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    val scored = embeddings.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        (V.dot(col("embedding"), col("q_emb")) /
+          (sqrt(V.norm2(col("embedding"))) * col("q_nrm"))).as("cos_sim"))
+    val wLocal = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= k)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        col("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

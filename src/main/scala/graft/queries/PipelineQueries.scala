@@ -393,6 +393,12 @@ object PipelineQueries {
     "emb_knn" -> ((s, d) =>
       Similarity.bruteForceKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
 
+    // the batch retrieval shape: top-5 for each of 8 queries from ONE
+    // corpus scan, two-stage skew-free top-k (never |corpus| rows onto
+    // one query-id reducer)
+    "emb_knn_join" -> ((s, d) =>
+      Similarity.knnJoin(Tables.embeddings(s, d), nQueries = 8, k = 5)),
+
     "emb_knn_lsh" -> ((s, d) =>
       Similarity.lshKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
 
@@ -1216,6 +1222,20 @@ object PipelineQueries {
          |SELECT vec_id, label, ${dCos("embedding", "qe")} AS cos_sim
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // one flat rank per query — the two-stage Spark plan must be
+    // indistinguishable from the naive global window
+    "emb_knn_join" ->
+      s"""WITH kjq AS (SELECT vec_id AS query_id, embedding AS qe
+         |        FROM embeddings WHERE vec_id < 8),
+         |kjs AS (SELECT q.query_id, c.vec_id, c.label,
+         |        ${dCos("c.embedding", "q.qe")} AS cos_sim
+         |        FROM embeddings c, kjq q WHERE c.vec_id >= 8),
+         |kjr AS (SELECT query_id, vec_id, label, cos_sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id) AS rk FROM kjs)
+         |SELECT query_id, rk, vec_id, label, cos_sim FROM kjr
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "emb_knn_lsh" ->
       s"""WITH bk AS (SELECT vec_id, label, embedding, ${dLshBucket("embedding")} AS bucket FROM embeddings),

@@ -360,6 +360,25 @@ object RelationalQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Scalar correlated subqueries through spark.sql: Catalyst decorrelates
+    * each one into a left-outer aggregate join (the EXISTS analog of
+    * [[q28Sql]] for value-producing subqueries) — at scale they are
+    * ordinary shuffled aggregates, never a per-row probe. count(*) over
+    * an empty group yields 0 and max yields NULL, identically on both
+    * engines. */
+  def q55ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_sq_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_sq_v")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders_sq_v o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders_sq_v o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer_sq_v c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Range (interval) join via graft.operators.ScaleJoins.rangeJoinBucketed:
     * orders matched to every overlapping price tier ([t·50k, t·50k+75k) —
     * overlapping on purpose so points hit 1-2 tiers). Planned as explode +
@@ -839,6 +858,7 @@ object RelationalQueries {
     "q26_sessions" -> (q26Sessions _),
     "q27_pivot" -> (q27Pivot _),
     "q28_sql" -> (q28Sql _),
+    "q55_scalar_subquery" -> (q55ScalarSubquery _),
     "q29_percentile" -> ((s: SparkSession, dir: String) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -1126,6 +1146,16 @@ object RelationalQueries {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // scalar correlated subqueries decorrelate to outer-join aggregates;
+    // empty groups: count = 0, max = NULL, identical on both engines
+    "q55_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     // Spark's exact interpolated percentile and DuckDB's quantile_cont share
     // the same linear-interpolation definition → bit-identical doubles.
     "q29_percentile" ->

@@ -154,6 +154,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cs.sameElements(cs.sorted.reverse), "descending by cosine")
   }
 
+  test("knnJoin: matches the naive global window per query, repartition-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.knnJoin(embs, nQueries = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1).distinct.size == 4, "every query answered")
+    // naive counterpart: score everything, one global window per query
+    val q = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    val naive = embs.filter(col("vec_id") >= 4).crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        (V.dot(col("embedding"), col("q_emb")) /
+          (sqrt(V.norm2(col("embedding"))) * col("q_nrm"))).as("cos_sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted == naive.sorted, "two-stage top-k must equal the naive rank")
+    val reparted = Similarity.knnJoin(embs.repartition(13), nQueries = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(reparted.sorted == got.sorted, "stage-1 partition slicing must not change results")
+  }
+
   test("LSH knn returns a subset of brute-force ordering within the bucket") {
     val r = Similarity.lshKnn(embs, 0L, 10, 4).collect()
     // 4 planes over 500 vecs → buckets are populated; result must be non-empty
