@@ -893,6 +893,56 @@ object PipelineQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // KMV theta sketch (custom TypedImperativeAggregate, KmvSketch.scala):
+    // bounded k-smallest-distinct-hash state with map-side partial
+    // aggregation, supporting the set op HLL (q52) cannot do —
+    // INTERSECTION estimation (common values below the combined theta,
+    // Beyer et al. 2007). Sets: customers with orders ∩ customers in
+    // arrears. Over the portable polynomial hash, so the oracle rebuilds
+    // the sketch value-for-value and even the ESTIMATES are hash-gated
+    // (vs q52's within-tolerance booleans). k=64 < |sets| at sf0.01
+    // exercises the estimation path; sf0.001's arrears set (<64)
+    // exercises the exhaustive-exact path.
+    "q56_theta_sketch" -> ((s, d) => {
+      import graft.expressions.KmvSketch.kmvSketch
+      val kk = 64
+      val M = 1000000007.0
+      // LCG-mix the polynomial hash: raw polyHash of short key strings is
+      // small and clustered, and KMV's (k−1)/θ estimator needs (near-)
+      // uniform values on [0, M) — the affine spread is portable integer
+      // arithmetic (no overflow: (M−1)·1103515245 < 2^63)
+      def mix(h: org.apache.spark.sql.Column) =
+        pmod(h * lit(1103515245L) + lit(12345L), lit(1000000007L))
+      val hA = Tables.orders(s, d)
+        .select(mix(T.polyHash(col("o_custkey").cast("string"))).as("h"))
+      val hB = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(mix(T.polyHash(col("c_custkey").cast("string"))).as("h"))
+      val sk = hA.agg(kmvSketch(col("h"), kk).as("sk_a"))
+        .crossJoin(hB.agg(kmvSketch(col("h"), kk).as("sk_b")))
+      val exactInter = Tables.orders(s, d).select(col("o_custkey").as("ck"))
+        .distinct()
+        .join(Tables.customer(s, d).filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("ck")), Seq("ck"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter"))
+      def thM(c: org.apache.spark.sql.Column) =
+        when(size(c) < kk, lit(1000000007L)).otherwise(element_at(c, kk))
+      def est(c: org.apache.spark.sql.Column) = when(size(c) < kk, size(c).cast("double"))
+        .otherwise(lit((kk - 1).toDouble) /
+          (element_at(c, kk).cast("double") / lit(M)))
+      val merged = slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, kk)
+      val thMin = least(thM(col("sk_a")), thM(col("sk_b")))
+      val common =
+        size(filter(array_intersect(col("sk_a"), col("sk_b")), _ < thMin))
+      sk.crossJoin(exactInter).select(
+        est(col("sk_a")).as("est_a"),
+        est(col("sk_b")).as("est_b"),
+        est(merged).as("est_union"),
+        (common.cast("double") / (thMin.cast("double") / lit(M)))
+          .as("est_inter"),
+        common.cast("long").as("n_common"),
+        col("exact_inter"))
+    }),
+
     // REAL video decode under the hash gate (the multimodal_audio
     // treatment for the third modality): per-doc MJPEG/AVI payloads
     // synthesized with doc_id-derived params, then parsed BACK by the
@@ -1921,6 +1971,40 @@ object PipelineQueries {
          |  CAST(sum(CAST(${dPoly(rowStr)} AS DECIMAL(20,0))) % 4611686018427387904 AS BIGINT) AS checksum
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },
+
+    // the oracle rebuilds both KMV sketches value-for-value (k smallest
+    // distinct portable hashes) and mirrors the estimator arithmetic —
+    // the estimates themselves sit under the hash gate
+    "q56_theta_sketch" ->
+      s"""WITH tha AS (SELECT DISTINCT (${dPoly("CAST(o_custkey AS VARCHAR)")} * 1103515245 + 12345) % 1000000007 AS h FROM orders),
+         |thb AS (SELECT DISTINCT (${dPoly("CAST(c_custkey AS VARCHAR)")} * 1103515245 + 12345) % 1000000007 AS h
+         |        FROM customer WHERE c_acctbal < 0),
+         |ska AS (SELECT list(h ORDER BY h) AS sk_a FROM (SELECT h FROM tha ORDER BY h LIMIT 64)),
+         |skb AS (SELECT list(h ORDER BY h) AS sk_b FROM (SELECT h FROM thb ORDER BY h LIMIT 64)),
+         |exi AS (SELECT count(*)::BIGINT AS exact_inter
+         |        FROM (SELECT DISTINCT o_custkey FROM orders) oc
+         |        JOIN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) cc
+         |          ON oc.o_custkey = cc.c_custkey),
+         |thv AS (SELECT sk_a, sk_b,
+         |   CASE WHEN len(sk_a) < 64 THEN 1000000007 ELSE sk_a[64] END AS tha_m,
+         |   CASE WHEN len(sk_b) < 64 THEN 1000000007 ELSE sk_b[64] END AS thb_m,
+         |   list_sort(list_distinct(list_concat(sk_a, sk_b)))[1:64] AS mg
+         |   FROM ska, skb),
+         |th2 AS (SELECT sk_a, sk_b, mg, LEAST(tha_m, thb_m) AS th_min,
+         |   len(list_filter(list_intersect(sk_a, sk_b),
+         |       tx -> tx < LEAST(tha_m, thb_m)))::BIGINT AS n_common
+         |   FROM thv)
+         |SELECT
+         |  CASE WHEN len(sk_a) < 64 THEN len(sk_a)::DOUBLE
+         |       ELSE 63.0 / (sk_a[64]::DOUBLE / 1000000007.0) END AS est_a,
+         |  CASE WHEN len(sk_b) < 64 THEN len(sk_b)::DOUBLE
+         |       ELSE 63.0 / (sk_b[64]::DOUBLE / 1000000007.0) END AS est_b,
+         |  CASE WHEN len(mg) < 64 THEN len(mg)::DOUBLE
+         |       ELSE 63.0 / (mg[64]::DOUBLE / 1000000007.0) END AS est_union,
+         |  n_common::DOUBLE / (th_min::DOUBLE / 1000000007.0) AS est_inter,
+         |  n_common,
+         |  exact_inter
+         |FROM th2, exi""".stripMargin,
 
     // the AVI params are pure doc_id arithmetic; Spark's values come from
     // the real RIFF walk + first-frame JPEG decode of the generated
