@@ -893,6 +893,25 @@ object PipelineQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // JSONL round-trip — the interchange format LLM corpora actually
+    // ship in: write the documents table as schema'd JSON lines
+    // (Jackson-escaped), read it back with an explicit schema (no
+    // inference scan at scale), and the result must equal the parquet
+    // original row for row. Distributed on both sides: one file per
+    // partition out, parallel line-splittable scan back. Escape-hostile
+    // content (quotes/newlines/tabs/backslashes/unicode/nulls) is pinned
+    // by the spec; the declared query gates the real corpus.
+    "doc_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_jsonl_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+      s.read.schema(docs.schema).json(path)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // KMV theta sketch (custom TypedImperativeAggregate, KmvSketch.scala):
     // bounded k-smallest-distinct-hash state with map-side partial
     // aggregation, supporting the set op HLL (q52) cannot do —
@@ -1971,6 +1990,12 @@ object PipelineQueries {
          |  CAST(sum(CAST(${dPoly(rowStr)} AS DECIMAL(20,0))) % 4611686018427387904 AS BIGINT) AS checksum
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },
+
+    // identity after the JSONL round-trip: the oracle is the parquet
+    // original — any escaping/typing loss in the JSON path breaks the hash
+    "doc_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the oracle rebuilds both KMV sketches value-for-value (k smallest
     // distinct portable hashes) and mirrors the estimator arithmetic —

@@ -130,14 +130,23 @@ object StreamingQueries {
     * bit-for-bit. The final view is day×type-bounded (≤ a few hundred
     * rows), so collecting it to cut the scratch-dir lifetime is the
     * memory-sink treatment, not a scale hazard. */
-  def streamMvMaintain(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.AggState
+  /** The events table split into four untimed parquet files, built once
+    * per sfDir — the replayable fixture for file-per-micro-batch
+    * streaming maintenance queries. */
+  private def eventsSplit(spark: SparkSession, dir: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     val splitDir = new java.io.File(tmp,
       "graft_mv_split_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     if (!new java.io.File(splitDir, "_SUCCESS").exists)
       graft.Tables.events(spark, dir).repartition(4)
         .write.mode("overwrite").parquet(splitDir)
+    splitDir
+  }
+
+  def streamMvMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggState
+    val tmp = System.getProperty("java.io.tmpdir")
+    val splitDir = eventsSplit(spark, dir)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val statePath = new java.io.File(tmp, s"graft_mv_stream_$runId").getAbsolutePath
     val ckpt = new java.io.File(tmp, s"graft_mv_ckpt_$runId").getAbsolutePath
@@ -160,6 +169,69 @@ object StreamingQueries {
     graft.operators.Dedup.rmdir(new java.io.File(statePath))
     spark.createDataFrame(rows, view.schema)
       .orderBy("day", "event_type")
+  }
+
+  /** Streaming KMV sketch-state maintenance — the q52 HLL-union flow
+    * with a sketch whose merge is DETERMINISTIC set algebra, so the
+    * streamed state is gated hash-exact instead of within-tolerance:
+    * each micro-batch (one file, AvailableNow) folds its per-day KMV
+    * delta into the parquet-persisted sketch table via
+    * `slice(array_sort(array_union(…)), 1, k)` — KMV union IS
+    * k-smallest-of-merged, order-insensitive, so four incremental merges
+    * must equal the one-shot batch sketch value-for-value, and the
+    * DuckDB oracle rebuilds day sketches + estimates from scratch.
+    * History is never rescanned; state is |days|·k longs. */
+  def streamKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.KmvSketch.kmvSketch
+    import graft.functions.{TextFunctions => T}
+    val kk = 64
+    val tmp = System.getProperty("java.io.tmpdir")
+    val splitDir = eventsSplit(spark, dir)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val statePath = new java.io.File(tmp, s"graft_kmv_stream_$runId").getAbsolutePath
+    val ckpt = new java.io.File(tmp, s"graft_kmv_ckpt_$runId").getAbsolutePath
+    def mixed(c: org.apache.spark.sql.Column) =
+      pmod(T.polyHash(c.cast("string")) * lit(1103515245L) + lit(12345L),
+        lit(1000000007L))
+    val src = spark.readStream
+      .schema(graft.Tables.events(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch.toDF()
+          .select(to_date(col("ts")).as("day"), mixed(col("user_id")).as("h"))
+          .groupBy(col("day")).agg(kmvSketch(col("h"), kk).as("sk"))
+        val merged =
+          if (new java.io.File(statePath).exists)
+            spark.read.parquet(statePath).as("s")
+              .join(delta.as("d"), Seq("day"), "full")
+              .select(col("day"),
+                slice(array_sort(array_union(
+                  coalesce(col("s.sk"), array().cast("array<long>")),
+                  coalesce(col("d.sk"), array().cast("array<long>")))),
+                  1, kk).as("sk"))
+          else delta
+        val m = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count()
+        try m.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
+        finally { m.unpersist(false); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
+    val view = spark.read.parquet(statePath)
+      .select(col("day"), size(col("sk")).cast("long").as("n_sk"),
+        when(size(col("sk")) < kk, size(col("sk")).cast("double"))
+          .otherwise(lit((kk - 1).toDouble) /
+            (element_at(col("sk"), kk).cast("double") / lit(1000000007.0)))
+          .as("est_users"))
+      .orderBy("day")
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    graft.operators.Dedup.rmdir(new java.io.File(statePath))
+    spark.createDataFrame(rows, view.schema).orderBy("day")
   }
 
   /** EventStreams.funnelStages (mapGroupsWithState windowFunnel DP,
@@ -216,6 +288,7 @@ object StreamingQueries {
     "stream_window_stats" -> (streamWindowStats _),
     "stream_sliding" -> (streamSliding _),
     "stream_mv" -> (streamMvMaintain _),
+    "stream_kmv" -> (streamKmv _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
     "stream_user_aggs" -> (streamUserAggs _),
@@ -259,6 +332,23 @@ object StreamingQueries {
     // four streamed delta-merges must equal the full recompute — q51's
     // oracle, verbatim
     "stream_mv" -> RelationalQueries.oracleSql("q51_mv_incremental"),
+
+    // KMV union is deterministic set algebra, so the incrementally
+    // maintained sketch table must equal a from-scratch per-day rebuild —
+    // including the (k−1)/θ estimates — under the hash gate
+    "stream_kmv" ->
+      """WITH keh AS (SELECT CAST(ts AS DATE) AS day,
+        |    (list_reduce(list_prepend(0::BIGINT, list_transform(string_split(CAST(user_id AS VARCHAR), ''), pc -> ascii(pc)::BIGINT)), (pa, px) -> (pa*31 + px) % 1000000007)
+        |     * 1103515245 + 12345) % 1000000007 AS h FROM events),
+        |ked AS (SELECT DISTINCT day, h FROM keh),
+        |ker AS (SELECT day, h,
+        |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM ked),
+        |ksk AS (SELECT day, list(h ORDER BY h) AS sk FROM ker
+        |        WHERE rn <= 64 GROUP BY day)
+        |SELECT day, len(sk)::BIGINT AS n_sk,
+        |  CASE WHEN len(sk) < 64 THEN len(sk)::DOUBLE
+        |       ELSE 63.0 / (sk[64]::DOUBLE / 1000000007.0) END AS est_users
+        |FROM ksk ORDER BY day""".stripMargin,
 
     // sliding windows: each event expands to its two hop-aligned window
     // starts (i ∈ {0,1}; t − start < 2·slide = window holds for both),

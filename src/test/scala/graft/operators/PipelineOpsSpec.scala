@@ -806,6 +806,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted == got, "assignment must not depend on partitioning")
   }
 
+  test("JSONL round-trip preserves escape-hostile text exactly") {
+    val hostile = Seq(
+      (1L, "quote \" backslash \\ done", "en"),
+      (2L, "newline\nand\ttab", "en"),
+      (3L, "unicode: é中😀 end", "fr"),
+      (4L, null.asInstanceOf[String], "de"),
+      (5L, "{\"looks\":\"like json\"}", "en"))
+      .toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files
+      .createTempDirectory("jsonl_hostile").toString + "/out"
+    try {
+      hostile.write.json(path)
+      val back = spark.read.schema(hostile.schema).json(path)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      val want = hostile.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      assert(back.toSeq == want.toSeq)
+    } finally Dedup.rmdir(new java.io.File(path).getParentFile)
+  }
+
   test("quant9 rounds exact midpoints half-up toward +inf (cross-engine tie rule)") {
     // 0.1494140625 = 153/1024 exactly: ×1e9 is ...062.5, a true midpoint.
     // A DECIMAL(18,9) CAST disagrees across engines there (Spark half-up,
