@@ -50,24 +50,78 @@ object AggState {
     state.select(col("day"), col("event_type"), col("n"),
       col("sum_dec").cast("double").as("sum_value"))
 
-  /** Fold one increment's raw events into the parquet-persisted view at
-    * `path` (created on first call): read state, merge the increment's
-    * state, write back. The merged frame is materialized (persist+count)
-    * BEFORE the overwrite so the read never races its own target's
-    * deletion. Single-writer by contract — exactly what a foreachBatch
-    * sink provides (Spark runs micro-batches of one query serially); at
-    * production scale the same flow writes a new versioned directory and
-    * swaps a pointer (the EmbeddingStore.recluster pattern) so readers
-    * never observe a partial view. */
+  /** Live version directory of the state table rooted at `path`, or None
+    * before the first committed fold. The `_CURRENT` pointer file names
+    * the committed snapshot (the EmbeddingStore.recluster pattern). */
+  def currentStateDir(path: String): Option[String] = {
+    val cur = new java.io.File(path, "_CURRENT")
+    if (!cur.exists) None
+    else Some(new java.io.File(path,
+      java.nio.file.Files.readString(cur.toPath).trim).getAbsolutePath)
+  }
+
+  /** The committed state (throws before the first fold — callers gate on
+    * having run at least one [[maintainParquet]]). */
+  def readState(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(currentStateDir(path).getOrElse(
+      sys.error(s"no committed state under $path")))
+
+  /** Fold one micro-batch's raw events into the versioned parquet state
+    * table at `path` (created on first call).
+    *
+    * Layout: `path/b<batchId>/` immutable snapshots + `path/_CURRENT`
+    * pointing at the committed one. Each fold reads the committed
+    * snapshot, merges the delta, writes a NEW snapshot directory, then
+    * atomically swaps the pointer — readers never observe a partial
+    * view, and the read never races its own target's deletion (the
+    * reason the in-place-overwrite formulation needed a full
+    * materialize-before-write).
+    *
+    * The version id is the streaming engine's batchId, which makes the
+    * fold IDEMPOTENT under micro-batch replay: foreachBatch re-delivers
+    * a batch whose run crashed before the checkpoint commit, and a
+    * non-idempotent sum state would double-count it — here a replayed
+    * (batchId ≤ committed) delta is skipped, turning the sink's
+    * at-least-once delivery into an exactly-once fold. (Contrast
+    * stream_kmv's sketch state, which needs no fence: KMV union is a set
+    * union, idempotent by algebra.) A crash AFTER the snapshot write but
+    * BEFORE the pointer swap leaves an orphan directory that the retry
+    * overwrites; stale snapshots older than the previous one are pruned.
+    * Single-writer by contract — exactly what a foreachBatch sink
+    * provides (one query's micro-batches run serially). */
   def maintainParquet(spark: org.apache.spark.sql.SparkSession,
-      path: String, increment: DataFrame): Unit = {
+      path: String, increment: DataFrame, batchId: Long): Unit = {
+    val root = new java.io.File(path)
+    root.mkdirs()
+    val committed = {
+      val cur = new java.io.File(root, "_CURRENT")
+      if (cur.exists)
+        Some(java.nio.file.Files.readString(cur.toPath).trim)
+      else None
+    }
+    val committedId = committed.map(_.stripPrefix("b").toLong)
+    if (committedId.exists(_ >= batchId)) return // replayed batch: already folded
     val delta = dailyState(increment)
-    val merged =
-      if (new java.io.File(path).exists) merge(spark.read.parquet(path), delta)
-      else delta
-    val m = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    m.count()
-    try m.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-    finally m.unpersist(false)
+    val merged = committed match {
+      case Some(dir) =>
+        merge(spark.read.parquet(new java.io.File(root, dir).getAbsolutePath), delta)
+      case None => delta
+    }
+    val newDir = s"b$batchId"
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new java.io.File(root, newDir).getAbsolutePath)
+    val tmp = new java.io.File(root, "_CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, newDir)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "_CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // prune snapshots older than the immediately-previous one (kept for
+    // readers that resolved _CURRENT just before the swap)
+    val keep = Set(newDir) ++ committed
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        !keep.contains(f.getName))
+      .foreach(Dedup.rmdir)
   }
 }

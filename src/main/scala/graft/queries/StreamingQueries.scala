@@ -155,15 +155,15 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(splitDir)
     val q = src.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        AggState.maintainParquet(spark, statePath, batch.toDF())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        AggState.maintainParquet(spark, statePath, batch.toDF(), batchId)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
     finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
-    val view = AggState.finish(spark.read.parquet(statePath))
+    val view = AggState.finish(AggState.readState(spark, statePath))
       .orderBy("day", "event_type")
     val rows = java.util.Arrays.asList(view.collect(): _*)
     graft.operators.Dedup.rmdir(new java.io.File(statePath))

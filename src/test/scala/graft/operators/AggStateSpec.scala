@@ -43,12 +43,33 @@ class AggStateSpec extends SparkSpec {
       .createTempDirectory("aggstate_maintain").toString + "/view"
     try {
       for (r <- 0L to 2L)
-        AggState.maintainParquet(spark, path, events.filter(col("event_id") % 3 === r))
-      val maintained = AggState.finish(spark.read.parquet(path))
+        AggState.maintainParquet(spark, path,
+          events.filter(col("event_id") % 3 === r), batchId = r)
+      val maintained = AggState.finish(AggState.readState(spark, path))
         .orderBy("day", "event_type").collect().toSeq
       val full = AggState.finish(AggState.dailyState(events))
         .orderBy("day", "event_type").collect().toSeq
       assert(maintained === full)
+    } finally Dedup.rmdir(new java.io.File(path).getParentFile)
+  }
+
+  test("maintainParquet is idempotent under micro-batch replay") {
+    val path = java.nio.file.Files
+      .createTempDirectory("aggstate_replay").toString + "/view"
+    try {
+      AggState.maintainParquet(spark, path,
+        events.filter(col("event_id") % 2 === 0), batchId = 0L)
+      AggState.maintainParquet(spark, path,
+        events.filter(col("event_id") % 2 === 1), batchId = 1L)
+      val once = AggState.finish(AggState.readState(spark, path))
+        .orderBy("day", "event_type").collect().toSeq
+      // at-least-once delivery: the engine re-runs batch 1 after a crash
+      // before the checkpoint commit — the fold must skip it
+      AggState.maintainParquet(spark, path,
+        events.filter(col("event_id") % 2 === 1), batchId = 1L)
+      val replayed = AggState.finish(AggState.readState(spark, path))
+        .orderBy("day", "event_type").collect().toSeq
+      assert(replayed === once, "a replayed batchId must not double-count")
     } finally Dedup.rmdir(new java.io.File(path).getParentFile)
   }
 
