@@ -33,7 +33,12 @@ object GraftExtensions {
       args(2).eval().asInstanceOf[Number].intValue())),
     "shingle_combine" -> ((args: Seq[Expression]) => ShingleCombine(args(0),
       args(1).eval().asInstanceOf[Number].intValue(),
-      args(2).eval().asInstanceOf[Boolean])))
+      args(2).eval().asInstanceOf[Boolean])),
+    // aggregate: the analyzer wraps a bare AggregateFunction builder
+    // result in an AggregateExpression, same as built-in registry entries
+    "kmv_sketch" -> ((args: Seq[Expression]) =>
+      graft.expressions.KmvSketchAgg(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-running session (withExtensions only applies at
     * session construction). Also exposes `base_domain` — the CT pipeline's

@@ -38,6 +38,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Long]("dl") == 31L)
   }
 
+  test("kmv_sketch aggregates through SQL (grouped, bounded at k)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 30L), (1L, 10L), (1L, 20L), (1L, 10L), (2L, 5L))
+      .toDF("g", "h").createOrReplaceTempView("kmv_in")
+    val got = spark.sql(
+      "SELECT g, kmv_sketch(h, 2) AS sk FROM kmv_in GROUP BY g ORDER BY g")
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("sk").toSeq).toSeq
+    assert(got == Seq(Seq(10L, 20L), Seq(5L)))
+  }
+
   test("base_domain is SQL-callable (the CT pipeline's key scalar)") {
     GraftExtensions.register(spark)
     val r = spark.sql(
