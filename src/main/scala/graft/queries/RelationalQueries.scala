@@ -742,6 +742,66 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-way star join whose
+    * twist is the SECOND join path — the customer and the supplier must
+    * share a nation (`c_nationkey = s_nationkey`), so the plan cannot
+    * treat customer and supplier as independent dims. Shape for scale:
+    * region→nation→supplier collapses to one tiny broadcast side (10k
+    * rows per TPC-H SF ≪ either fact), carrying BOTH join keys
+    * (s_suppkey for lineitem, s_nationkey for the customer correlation);
+    * the only shuffles are the two genuinely-large ones, lineitem⋈orders
+    * and ⋈customer, each on its natural key. The year predicate reaches
+    * the orders parquet scan pushed; revenue is the q49 decimal contract
+    * (order-free exact sum, one cast to double at the end). */
+  def q57TpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val s = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): a HAVING filter over a
+    * full fact aggregation drives a semi-join back into the joins. Shape
+    * for scale: the heavy-order set is the aggregate's OUTPUT after the
+    * `> 300` filter — orders-of-magnitude smaller than lineitem (5 rows
+    * at sf0.001, ~1.5M at TPC-H SF100k, ≈12 MB of longs) — so it
+    * broadcasts into the orders join and the fact is never re-shuffled
+    * for the membership test; the already-computed group sum rides along
+    * instead of re-aggregating lineitem a second time as the textbook SQL
+    * does. Decimal quantity sum (order-free); ORDER BY o_totalprice with
+    * an o_orderkey tiebreaker keeps the top-100 hash-deterministic. */
+  def q58TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > lit(300).cast("decimal(18,2)"))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(heavy), o("o_orderkey") === heavy("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(c("c_name"), c("c_custkey"), o("o_orderkey"),
+        o("o_orderdate"), o("o_totalprice"),
+        col("sum_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Median absolute deviation per group — the robust dispersion measure
     * outlier filters prefer over stddev (one wild value moves stddev, not
     * MAD). Two exact-percentile passes: per-group median, broadcast back
@@ -839,6 +899,8 @@ object RelationalQueries {
     "q51_mv_incremental" -> (q51MvIncremental _),
     "q50_mad" -> (q50Mad _),
     "q49_tpch_q3" -> (q49TpchQ3 _),
+    "q57_tpch_q5" -> (q57TpchQ5 _),
+    "q58_tpch_q18" -> (q58TpchQ18 _),
     "q48_corr_stats" -> (q48CorrStats _),
     "q47_histogram" -> (q47Histogram _),
     "q46_seq_count" -> (q46SeqCount _),
@@ -1055,6 +1117,32 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q57_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q58_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) h
+        |  ON o_orderkey = h.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     // identical IEEE expression tree for the bin id and edge (subtract/
     // divide/floor only — single-rounded, engine-portable)
