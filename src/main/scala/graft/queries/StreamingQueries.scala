@@ -143,6 +143,19 @@ object StreamingQueries {
     splitDir
   }
 
+  /** Documents table split into 4 files so a file-per-trigger stream
+    * replays the corpus as 4 micro-batches (the documents analog of
+    * [[eventsSplit]]). */
+  private def docsSplit(spark: SparkSession, dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val splitDir = new java.io.File(tmp,
+      "graft_hh_split_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    if (!new java.io.File(splitDir, "_SUCCESS").exists)
+      graft.Tables.documents(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(splitDir)
+    splitDir
+  }
+
   def streamMvMaintain(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggState
     val tmp = System.getProperty("java.io.tmpdir")
@@ -234,6 +247,82 @@ object StreamingQueries {
     spark.createDataFrame(rows, view.schema).orderBy("day")
   }
 
+  /** Streaming Misra-Gries heavy-hitter maintenance — BOUNDED state over
+    * an UNBOUNDED key space, the constraint that separates streaming-at-
+    * scale from batch: the token vocabulary grows with the corpus, but the
+    * maintained state never exceeds `cap` counters. Each micro-batch (one
+    * file, AvailableNow) folds its exact per-token counts into the
+    * parquet-persisted sketch by union-sum, then MG-compresses: subtract
+    * the (cap+1)th-largest merged count from every counter and drop the
+    * non-positive — the Agarwal et al. mergeable-summaries merge, whose
+    * cumulative undercount over ANY fold order is ≤ N/(cap+1). With
+    * cap=128 counters and the declared n/64 threshold, every true heavy
+    * hitter (count > N/64 > N/129 + undercount bound) is guaranteed to
+    * survive all folds, so the closing candidates-only exact recount —
+    * the same pass-2 contract as the batch operator — makes the declared
+    * output EQUAL to `doc_heavy_hitters` independent of fold order, and
+    * the oracle is that query's SQL verbatim. At 100 TB the recount
+    * semi-join touches only |candidates| ≤ cap tokens; the maintained
+    * state is ≤ cap rows regardless of corpus size. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val cap = 128
+    val k = 64L
+    val tmp = System.getProperty("java.io.tmpdir")
+    val splitDir = docsSplit(spark, dir)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val statePath = new java.io.File(tmp, s"graft_hh_stream_$runId").getAbsolutePath
+    val ckpt = new java.io.File(tmp, s"graft_hh_ckpt_$runId").getAbsolutePath
+    val src = spark.readStream
+      .schema(graft.Tables.documents(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batchCounts = batch.toDF()
+          .select(explode(T.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val merged =
+          (if (new java.io.File(statePath).exists)
+             spark.read.parquet(statePath).unionByName(batchCounts)
+               .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+           else batchCounts)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the compression decrement: the (cap+1)th-largest merged count
+        // (0 when ≤ cap counters survive the union) — a VALUE, not a row
+        // choice, so ties cost no determinism
+        val top = merged.orderBy(col("cnt").desc, col("token"))
+          .limit(cap + 1).select(col("cnt")).collect()
+        val d = if (top.length > cap) top.last.getLong(0) else 0L
+        val state = merged.filter(col("cnt") > lit(d))
+          .select(col("token"), (col("cnt") - lit(d)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        state.count()
+        try state.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
+        finally { merged.unpersist(false); state.unpersist(false); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
+    val candidates = spark.read.parquet(statePath).select(col("token"))
+    val tokens = graft.Tables.documents(spark, dir)
+      .select(explode(T.tokens(col("text"))).as("token"))
+    val total = tokens.agg(count(lit(1)).as("n"))
+    val view = tokens
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k) > col("n"))
+      .select(col("token"), col("cnt"), col("n"))
+      .orderBy(col("cnt").desc, col("token"))
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    graft.operators.Dedup.rmdir(new java.io.File(statePath))
+    spark.createDataFrame(rows, view.schema)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** EventStreams.funnelStages (mapGroupsWithState windowFunnel DP,
     * update mode) driven to completion: the terminal per-user stage must
     * equal the batch funnel — the oracle IS q36_funnel's join-chain
@@ -289,6 +378,7 @@ object StreamingQueries {
     "stream_sliding" -> (streamSliding _),
     "stream_mv" -> (streamMvMaintain _),
     "stream_kmv" -> (streamKmv _),
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
     "stream_user_aggs" -> (streamUserAggs _),
@@ -314,6 +404,11 @@ object StreamingQueries {
     // q46's recursive-CTE state machine, verbatim — terminal streaming
     // count and the batch greedy fold must agree on every user
     "stream_seq_count" -> RelationalQueries.oracleSql("q46_seq_count"),
+
+    // the batch heavy-hitter query's SQL, verbatim — the MG-maintained
+    // candidate set plus candidates-only recount must reproduce the exact
+    // heavy-hitter set (the mergeable-summaries retention guarantee)
+    "stream_heavy_hitters" -> PipelineQueries.oracleSql("doc_heavy_hitters"),
 
     "stream_window_stats" ->
       """WITH w AS (
