@@ -34,6 +34,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick k items maximizing
+    * `lambda·rel(c) − (1−lambda)·max_{s∈selected} sim(c, s)` — the
+    * diversity-aware selection a curation pipeline uses where plain kNN
+    * returns k near-duplicates of the same neighborhood.
+    *
+    * Scale shape: the DISTRIBUTED work is stage 1 — the exact scan-bound
+    * relevance pass (same plan as [[bruteForceKnn]]) cut to the top `m`
+    * candidates. The greedy loop is inherently sequential (each pick
+    * changes every remaining score), so it runs on the driver over the
+    * BOUNDED m-row candidate set (`require` below) — m·k cosine
+    * evaluations over vectors already in hand, microseconds. At 100 TB
+    * m stays a constant (64–256) while stage 1 scales out; never run
+    * the greedy step over an unbounded frame.
+    *
+    * Determinism: driver cosines left-fold the same IEEE op sequence as
+    * the distributed `DotDouble` kernel and the oracle's `list_reduce`,
+    * `0.7`/`0.3` are literal doubles on both engines (never compute
+    * `1−lambda`: 1−0.7 ≠ 0.3 in binary64), and ties break on vec_id —
+    * so the selection ORDER is cross-engine reproducible and the
+    * declared output needs no float column beyond the already-proven
+    * relevance. */
+  def mmrTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+      m: Int = 32, lambda: Double = 0.7, oneMinusLambda: Double = 0.3): DataFrame = {
+    require(m <= 4096, s"greedy MMR collects the candidate set: m=$m must stay bounded")
+    require(k <= m, s"k=$k must be <= m=$m")
+    val spark = embeddings.sparkSession
+    val cands = bruteForceKnn(embeddings, queryId, m)
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("cos_sim"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray))
+      .sortBy { case (id, _, rel, _) => (-rel, id) }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (selected.length < math.min(k, cands.length)) {
+      var best = -1; var bestScore = Double.NegativeInfinity; var bestId = Long.MaxValue
+      var c = 0
+      while (c < cands.length) {
+        if (!selected.contains(c)) {
+          val score =
+            if (selected.isEmpty) lambda * cands(c)._3
+            else {
+              var mx = Double.NegativeInfinity
+              selected.foreach { s =>
+                val sim = cos(cands(c)._4, cands(s)._4)
+                if (sim > mx) mx = sim
+              }
+              lambda * cands(c)._3 - oneMinusLambda * mx
+            }
+          if (score > bestScore || (score == bestScore && cands(c)._1 < bestId)) {
+            best = c; bestScore = score; bestId = cands(c)._1
+          }
+        }
+        c += 1
+      }
+      selected += best
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case (c, i) =>
+      ((i + 1).toLong, cands(c)._1, cands(c)._2, cands(c)._3)
+    }.toSeq.toDF("rank", "vec_id", "label", "cos_sim")
+  }
+
   /** Vectors annotated with their LSH bucket. */
   def withBucket(embeddings: DataFrame, nPlanes: Int = 8): DataFrame =
     embeddings.withColumn("bucket", V.lshBucket(col("embedding"), nPlanes))

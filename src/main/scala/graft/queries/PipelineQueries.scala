@@ -393,6 +393,11 @@ object PipelineQueries {
     "emb_knn" -> ((s, d) =>
       Similarity.bruteForceKnn(Tables.embeddings(s, d), queryId = 0L, k = 10)),
 
+    // diversity-aware selection: distributed relevance pass, bounded
+    // driver-side greedy (the m=32 candidate set), selection order gated
+    "emb_mmr" -> ((s, d) =>
+      Similarity.mmrTopK(Tables.embeddings(s, d), queryId = 0L, k = 10, m = 32)),
+
     // the batch retrieval shape: top-5 for each of 8 queries from ONE
     // corpus scan, two-stage skew-free top-k (never |corpus| rows onto
     // one query-id reducer)
@@ -1291,6 +1296,39 @@ object PipelineQueries {
          |SELECT vec_id, label, ${dCos("embedding", "qe")} AS cos_sim
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the greedy MMR loop unrolled: one (score, pick, sel) CTE triple per
+    // step over a precomputed candidate sim matrix — each step's argmax
+    // is ORDER BY score DESC, vec_id LIMIT 1, the driver loop verbatim.
+    // 0.7/0.3 are LITERALS on both sides (1-0.7 != 0.3 in binary64).
+    "emb_mmr" -> {
+      val steps = (2 to 10).map { n =>
+        s"""mscore$n AS MATERIALIZED (SELECT c.vec_id, 0.7*c.rel - 0.3*max(s.sim) AS score
+           |  FROM mcands c JOIN msim s ON s.a = c.vec_id
+           |  WHERE s.b IN (SELECT vec_id FROM msel${n - 1})
+           |    AND c.vec_id NOT IN (SELECT vec_id FROM msel${n - 1})
+           |  GROUP BY c.vec_id, c.rel),
+           |mpick$n AS MATERIALIZED (SELECT ${n}::BIGINT AS rank, vec_id FROM mscore$n
+           |  ORDER BY score DESC, vec_id LIMIT 1),
+           |msel$n AS MATERIALIZED (SELECT vec_id FROM msel${n - 1}
+           |  UNION ALL SELECT vec_id FROM mpick$n)""".stripMargin
+      }.mkString(",\n")
+      val ranks = (2 to 10)
+        .map(n => s"UNION ALL SELECT rank, vec_id FROM mpick$n").mkString(" ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |mcands AS MATERIALIZED (SELECT vec_id, label, ${dCos("embedding", "qe")} AS rel, embedding
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 32),
+         |msim AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    ${dCos("a.embedding", "b.embedding")} AS sim
+         |  FROM mcands a, mcands b WHERE a.vec_id <> b.vec_id),
+         |msel1 AS MATERIALIZED (SELECT vec_id FROM mcands ORDER BY rel DESC, vec_id LIMIT 1),
+         |$steps
+         |SELECT r.rank, r.vec_id, c.label, c.rel AS cos_sim
+         |FROM (SELECT 1::BIGINT AS rank, vec_id FROM msel1 $ranks) r
+         |JOIN mcands c ON r.vec_id = c.vec_id
+         |ORDER BY r.rank""".stripMargin
+    },
 
     // one flat rank per query — the two-stage Spark plan must be
     // indistinguishable from the naive global window

@@ -144,6 +144,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(expect.nonEmpty, "testdata should contain simhash-close pairs at dist <= 3")
   }
 
+  test("mmrTopK: redundancy penalized — the near-duplicate of pick 1 loses to the diverse vector") {
+    // query=[1,0,0]; v1/v2 nearly identical high-relevance, v3 lower-rel
+    // but diverse. Plain top-2 is (v1, v2); diversity-weighted MMR
+    // (lambda=0.3) must pick v3 second despite its lower relevance.
+    val planted = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.11f, 0.0f), 0),
+      (3L, Seq(0.6f, 0.0f, 0.8f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val picks = Similarity.mmrTopK(planted, queryId = 0L, k = 2, m = 3,
+        lambda = 0.3, oneMinusLambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(picks.head._2 == 1L, "pick 1 is the highest-relevance vector")
+    assert(picks(1)._2 == 3L, s"pick 2 must be the diverse vector, got ${picks.toSeq}")
+    // declared config over real data: k ranks, no repeats, rank 1 = knn top-1
+    val mmr = Similarity.mmrTopK(embs, queryId = 0L, k = 10, m = 32).collect()
+    assert(mmr.length == 10 && mmr.map(_.getLong(1)).distinct.length == 10)
+    assert(mmr.head.getLong(1) ==
+      Similarity.bruteForceKnn(embs, 0L, 1).collect().head.getLong(0))
+  }
+
   test("cosine: exact on known vectors; knn ranks the data deterministically") {
     val c = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)), (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
       .toDF("a", "b").select(V.cosine(col("a"), col("b"))).as[Double].collect()
