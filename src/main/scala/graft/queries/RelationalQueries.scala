@@ -802,6 +802,40 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** Calendar gap-fill + forward fill — the time-series spine pattern
+    * every feature pipeline needs: a sparse daily aggregate (high-value
+    * events only, so real gaps exist at every SF) is joined onto the
+    * DENSE day×type spine, missing counts become 0, and the last
+    * observed daily sum carries forward via `last(_, ignoreNulls)` over
+    * an ordered per-type window (leading nulls before the first
+    * observation stay null — both engines agree). Scale shape: the only
+    * fact-sized work is the filtered groupBy; the spine is |days|·|types|
+    * rows (bounded metadata, broadcast), and the fill window partitions
+    * by type over |days| rows — never fact-sized. Sum rides the
+    * DECIMAL(18,2) contract; the fill only COPIES doubles, no
+    * re-arithmetic, so forward-filled values stay bit-identical. */
+  def q59GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.filter(col("value") > 250)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("day_sum"))
+    val bounds = ev.agg(
+      to_date(min(col("ts"))).as("mn"), to_date(max(col("ts"))).as("mx"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("day_sum"),
+        last(col("day_sum"), ignoreNulls = true).over(w).as("filled_sum"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Median absolute deviation per group — the robust dispersion measure
     * outlier filters prefer over stddev (one wild value moves stddev, not
     * MAD). Two exact-percentile passes: per-group median, broadcast back
@@ -901,6 +935,7 @@ object RelationalQueries {
     "q49_tpch_q3" -> (q49TpchQ3 _),
     "q57_tpch_q5" -> (q57TpchQ5 _),
     "q58_tpch_q18" -> (q58TpchQ18 _),
+    "q59_gap_fill" -> (q59GapFill _),
     "q48_corr_stats" -> (q48CorrStats _),
     "q47_histogram" -> (q47Histogram _),
     "q46_seq_count" -> (q46SeqCount _),
@@ -1143,6 +1178,23 @@ object RelationalQueries {
         |  ON o_orderkey = h.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // forward fill copies doubles (no re-arithmetic): IGNORE NULLS
+    // last_value over the identical frame on both engines
+    "q59_gap_fill" ->
+      """WITH gb AS (SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx FROM events),
+        |gt AS (SELECT DISTINCT event_type FROM events),
+        |gs AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+        |       FROM gt, gb),
+        |gd AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_sum
+        |       FROM events WHERE value > 250 GROUP BY 1, 2)
+        |SELECT gs.day, gs.event_type, coalesce(gd.n, 0)::BIGINT AS n, gd.day_sum,
+        |  last_value(gd.day_sum IGNORE NULLS) OVER (
+        |    PARTITION BY gs.event_type ORDER BY gs.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        |FROM gs LEFT JOIN gd ON gs.day = gd.day AND gs.event_type = gd.event_type
+        |ORDER BY gs.day, gs.event_type""".stripMargin,
 
     // identical IEEE expression tree for the bin id and edge (subtract/
     // divide/floor only — single-rounded, engine-portable)
