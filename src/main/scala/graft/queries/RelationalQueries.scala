@@ -836,6 +836,36 @@ object RelationalQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Pareto / ABC analysis — revenue share and running cumulative share
+    * per nation with A/B/C classification at the 80/95 cuts. Shape for
+    * scale: the fact-sized work is the one grouped join; the windows run
+    * UNPARTITIONED but over the aggregate's OUTPUT (|nations| rows —
+    * bounded dimension cardinality, the one case where a global window
+    * is correct). All sums stay DECIMAL until a single double division;
+    * the running frame carries a full (rev desc, n_name) tiebreak so the
+    * cumulative share is order-deterministic under the hash gate. */
+  def q60Pareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("o_totalprice")).as("rev"))
+    val wTot = Window.partitionBy()
+    val wCum = Window.orderBy(col("rev").desc, col("n_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.select(col("n_name"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") /
+          sum(col("rev")).over(wTot).cast("double")).as("share"),
+        (sum(col("rev")).over(wCum).cast("double") /
+          sum(col("rev")).over(wTot).cast("double")).as("cum_share"))
+      .withColumn("abc",
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Median absolute deviation per group — the robust dispersion measure
     * outlier filters prefer over stddev (one wild value moves stddev, not
     * MAD). Two exact-percentile passes: per-group median, broadcast back
@@ -936,6 +966,7 @@ object RelationalQueries {
     "q57_tpch_q5" -> (q57TpchQ5 _),
     "q58_tpch_q18" -> (q58TpchQ18 _),
     "q59_gap_fill" -> (q59GapFill _),
+    "q60_pareto" -> (q60Pareto _),
     "q48_corr_stats" -> (q48CorrStats _),
     "q47_histogram" -> (q47Histogram _),
     "q46_seq_count" -> (q46SeqCount _),
@@ -1195,6 +1226,23 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
         |FROM gs LEFT JOIN gd ON gs.day = gd.day AND gs.event_type = gd.event_type
         |ORDER BY gs.day, gs.event_type""".stripMargin,
+
+    "q60_pareto" ->
+      """WITH pr AS (SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |ps AS (SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) AS share,
+        |  CAST(sum(rev) OVER (ORDER BY rev DESC, n_name
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(rev) OVER () AS DOUBLE) AS cum_share
+        |  FROM pr)
+        |SELECT n_name, revenue, share, cum_share,
+        |  CASE WHEN cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc
+        |FROM ps ORDER BY revenue DESC, n_name""".stripMargin,
 
     // identical IEEE expression tree for the bin id and edge (subtract/
     // divide/floor only — single-rounded, engine-portable)
