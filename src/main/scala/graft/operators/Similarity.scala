@@ -273,6 +273,96 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF+PQ kNN — the two index ideas composed, i.e. the FAISS IVFPQ
+    * layout: coarse k-means cells bound WHICH vectors a probe touches
+    * ([[ivfKnn]]'s routing), product-quantized codes bound what a touched
+    * vector COSTS to score ([[pqKnn]]'s 8-byte ADC scan), and an exact
+    * rerank restores full precision for the final top-k.
+    *
+    * Stage shape: train nCells centroids (collected to a local relation —
+    * Catalyst does not CSE DataFrame references, so leaving the Lloyd
+    * subtree in the plan would re-run training once per consumer); assign
+    * every vector its cell; pick the query's nProbe nearest cells; ADC-
+    * score ONLY the vectors assigned to those cells from their PQ codes
+    * (broadcast LUT of m·256 dots, DECIMAL sums so aggregation order
+    * cannot perturb the candidate ranking); exact-cosine rerank the top
+    * `rescoreDepth`.
+    *
+    * At 100 TB: cells are the partition key (EmbeddingStore's layout), so
+    * a probe reads nProbe partitions of 8 B/vector codes — the float
+    * vectors are fetched for rescoreDepth rows only. That is the
+    * memory-bandwidth story that makes billion-vector ANN work, expressed
+    * as partition pruning + a broadcast-LUT aggregation Spark codegens. */
+  def ivfPqKnn(embeddings: DataFrame, queryId: Long, k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 2,
+      subspaces: Int = 8, rescoreDepth: Int = 40): DataFrame = {
+    val spark = embeddings.sparkSession
+    val trained = KMeans.centroidsAfter(embeddings, nCells, iters)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    val cells = KMeans.assignCells(embeddings, cents)
+    val qEmb = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), sqrt(V.norm2(col("embedding"))).as("q_nrm"))
+    val probeCells = cents.crossJoin(broadcast(qEmb))
+      .select(col("cid"), KMeans.dist2(col("q_emb"), col("cent")).as("qd2"))
+      .orderBy(col("qd2"), col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    // membership of the probed cells — the only vectors stage 1 touches
+    val probed = cells.join(broadcast(probeCells), Seq("cid"))
+      .select(col("vec_id"), col("cid"))
+
+    // --- PQ encode (identical arithmetic to pqKnn: sample-initialized
+    // codebook from vec_id < 256, argmin over ‖c‖² − 2·a·c) ---
+    val base = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val m = subspaces
+    val sub = base.select(col("vec_id"), col("emb"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("dsub", (size(col("emb")) / m).cast("int"))
+      .withColumn("sub", slice(col("emb"), col("s") * col("dsub") + 1, col("dsub")))
+      .select(col("vec_id"), col("s"), col("sub"))
+    val cb2 = sub.filter(col("vec_id") < 256)
+      .select(col("vec_id").as("c"), col("s"), col("sub").as("csub"))
+      .withColumn("n2", V.dot(col("csub"), col("csub")))
+    // encode only the probed membership: at rest the codes exist for the
+    // whole corpus, but this probe's plan never has to touch the rest —
+    // the semi-join keeps the local run honest about that cost model
+    val codes = sub.join(broadcast(probed.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .join(broadcast(cb2), Seq("s"))
+      .withColumn("d2", col("n2") - lit(2.0) * V.dot(col("sub"), col("csub")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("c"))).as("mn"))
+      .select(col("vec_id"), col("s"), col("mn.c").as("c"))
+    val qSub = sub.filter(col("vec_id") === queryId)
+      .select(col("s"), col("sub").as("qsub"))
+    val lut = cb2.join(broadcast(qSub), Seq("s"))
+      .select(col("s"), col("c"),
+        V.dot(col("csub"), col("qsub")).as("dotv"),
+        col("n2").as("n2v"))
+    // stage 1: ADC over probed-cell codes only
+    val approx = codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("s", "c"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(col("dotv").cast("decimal(38,18)")).cast("double").as("adot"),
+        sum(col("n2v").cast("decimal(38,18)")).cast("double").as("an2"))
+      .select(col("vec_id"),
+        when(col("an2") === 0.0, lit(-1e300))
+          .otherwise(col("adot") / sqrt(col("an2"))).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rescoreDepth)
+    // stage 2: exact cosine over the surviving candidates, cell id kept
+    approx.join(base, Seq("vec_id"))
+      .join(probed, Seq("vec_id"))
+      .crossJoin(broadcast(qEmb))
+      .withColumn("cos_sim",
+        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+      .select(col("vec_id"), col("label"), col("cid").as("cell"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-path quality evaluation — recall@k of the nProbe-cell k-means
     * retrieval against the exact top-k over held-out queries (vec_id <
     * nQueries; centroids are trained on the full table, exactly as the

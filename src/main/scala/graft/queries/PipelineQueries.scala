@@ -482,6 +482,13 @@ object PipelineQueries {
       Similarity.ivfKnn(Tables.embeddings(s, d), queryId = 0L, k = 10,
         nCells = 8, nProbe = 2, iters = 2)),
 
+    // IVF+PQ composed (the FAISS IVFPQ layout): k-means cells bound WHICH
+    // vectors the probe touches, PQ codes bound what each one COSTS —
+    // ADC-scan only the probed cells' codes, exact rerank of the top 40
+    "emb_knn_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqKnn(Tables.embeddings(s, d), queryId = 0L, k = 10,
+        nCells = 8, nProbe = 2, iters = 2, subspaces = 8, rescoreDepth = 40)),
+
     // exact vocabulary top-k: explode -> partially-aggregated count ->
     // TakeOrdered, deterministic (count desc, token asc) cut
     "doc_vocab" -> ((s, d) =>
@@ -1436,6 +1443,58 @@ object PipelineQueries {
          |SELECT c.vec_id, c.label, ${dCos("c.embedding", "q.q_emb")} AS cos_sim
          |FROM kcand c, kquery q
          |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin
+    },
+
+    // IVF+PQ composed: the kmeans CTEs provide cells + probe routing, the
+    // PQ CTEs (same arithmetic as emb_knn_pq) provide the ADC scan — here
+    // restricted by the probed-cell membership join, exactly the vectors
+    // the Spark plan's semi-join admits
+    "emb_knn_ivfpq" -> {
+      val m = 8
+      def foldSub(expr: String): String =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(pdsub), pi -> $expr)), (pa, px) -> pa + px)"
+      s"""WITH $dKmeansCtes,
+         |iqr AS (SELECT e AS qde FROM kme WHERE vec_id = 0),
+         |ipc AS (SELECT cid FROM (
+         |        SELECT c.cid, row_number() OVER (ORDER BY ${dD2("q.qde", "c.cent")}, c.cid) AS prn
+         |        FROM kc1 c, iqr q) WHERE prn <= 2),
+         |iasg AS (SELECT vec_id, cid FROM ka2 WHERE rn = 1),
+         |iprobed AS (SELECT a.vec_id, a.cid FROM iasg a JOIN ipc USING (cid)),
+         |pbase AS (SELECT vec_id, label,
+         |    list_transform(embedding, pe -> pe::DOUBLE) AS emb,
+         |    (len(embedding) // $m)::INT AS pdsub
+         |  FROM embeddings),
+         |psub AS (SELECT vec_id, pdsub, sr.r AS s,
+         |    emb[sr.r*pdsub+1 : sr.r*pdsub+pdsub] AS sub
+         |  FROM pbase, range($m) sr(r)),
+         |pcb AS (SELECT vec_id AS c, pdsub, s, sub AS csub FROM psub WHERE vec_id < 256),
+         |pcb2 AS (SELECT c, s, csub, ${foldSub("csub[pi+1] * csub[pi+1]")} AS n2 FROM pcb),
+         |pd AS (SELECT p.vec_id, p.s, cb.c,
+         |    cb.n2 - 2.0 * ${foldSub("p.sub[pi+1] * cb.csub[pi+1]")} AS d2
+         |  FROM (SELECT ps.* FROM psub ps JOIN iprobed pr ON ps.vec_id = pr.vec_id) p
+         |  JOIN (SELECT s, c, csub, n2 FROM pcb2) cb ON p.s = cb.s),
+         |pmin AS (SELECT vec_id, s, min(d2) AS md FROM pd GROUP BY 1, 2),
+         |pcode AS (SELECT d.vec_id, d.s, min(d.c) AS c
+         |  FROM pd d JOIN pmin mn ON d.vec_id = mn.vec_id AND d.s = mn.s AND d.d2 = mn.md
+         |  GROUP BY 1, 2),
+         |pq AS (SELECT s, sub AS qsub, pdsub FROM psub WHERE vec_id = 0),
+         |plut AS (SELECT cb.s, cb.c,
+         |    ${foldSub("cb.csub[pi+1] * q.qsub[pi+1]")} AS dotv,
+         |    cb.n2 AS n2v
+         |  FROM (SELECT s, c, csub, n2 FROM pcb2) cb JOIN pq q ON cb.s = q.s),
+         |papprox AS (SELECT pc.vec_id,
+         |    CAST(sum(CAST(l.dotv AS DECIMAL(38,18))) AS DOUBLE) AS adot,
+         |    CAST(sum(CAST(l.n2v AS DECIMAL(38,18))) AS DOUBLE) AS an2
+         |  FROM pcode pc JOIN plut l ON pc.s = l.s AND pc.c = l.c
+         |  WHERE pc.vec_id <> 0 GROUP BY 1),
+         |pcand AS (SELECT vec_id,
+         |    CASE WHEN an2 = 0 THEN -1e300 ELSE adot / sqrt(an2) END AS approx
+         |  FROM papprox ORDER BY approx DESC, vec_id LIMIT 40),
+         |pqq AS (SELECT emb AS q_emb FROM pbase WHERE vec_id = 0)
+         |SELECT b.vec_id, b.label, pr.cid AS cell, ${dCos("b.emb", "q.q_emb")} AS cos_sim
+         |FROM pcand cn JOIN pbase b ON cn.vec_id = b.vec_id
+         |  JOIN iprobed pr ON b.vec_id = pr.vec_id, pqq q
+         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin
     },
 
     "emb_knn_pq" -> {

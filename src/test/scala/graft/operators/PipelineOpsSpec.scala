@@ -898,6 +898,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(probed.size <= 2, "results must come from at most nProbe cells")
   }
 
+  test("ivfPqKnn: full probe + deep rescore equals brute force; probe bounds cells") {
+    val exact = Similarity.bruteForceKnn(embs, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // probe every cell AND rescore past the corpus size: both index
+    // approximations disabled ⇒ must reproduce the exact top-k
+    val full = Similarity.ivfPqKnn(embs, queryId = 0L, k = 10,
+      nCells = 8, nProbe = 8, rescoreDepth = 100000)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact, "nProbe = nCells + deep rescore must be exact")
+    val probed = Similarity.ivfPqKnn(embs, queryId = 0L, k = 10,
+      nCells = 8, nProbe = 2)
+    assert(probed.select("cell").as[Long].collect().toSet.size <= 2,
+      "results must come from at most nProbe cells")
+    assert(probed.count() == 10)
+  }
+
   test("bm25: zero-match docs score 0, higher tf wins at equal length") {
     val fixture = Seq(
       (1L, "spark spark spark filler filler filler"),
