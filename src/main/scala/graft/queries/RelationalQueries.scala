@@ -957,7 +957,66 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Wide→long melt via the native `Dataset.unpivot` operator (the
+    * UNPIVOT relational shape), then a grouped decimal aggregate over the
+    * long form. Unpivot is a zero-shuffle narrow map (each input row
+    * emits one row per measure), so the only exchange in the plan is the
+    * final 9-group aggregate — the shape long-format metric pipelines
+    * rely on at any scale. */
+  def q61Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), dsum("val").as("sum_val"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** Min-cost supplier per part — the TPC-H Q2 argmin shape re-expressed
+    * as aggregate + join-back (every supplier tied at the part's minimum
+    * price survives, like Q2's correlated `= (SELECT min ...)`). The
+    * grouped min and the join-back both shuffle on l_partkey, so AQE can
+    * reuse the exchange; part (filtered, selective — pushdown reaches
+    * the scan) and supplier broadcast. Price compares on DECIMAL(18,2)
+    * so the equality is exact on both engines. */
+  def q62MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), dec("l_extendedprice").as("pd"))
+    val mp = li.groupBy(col("l_partkey")).agg(min(col("pd")).as("min_pd"))
+    val pt = Tables.part(spark, dir).filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_name"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    li.join(mp, Seq("l_partkey")).filter(col("pd") === col("min_pd"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("min_pd").cast("double").as("min_price"))
+      .distinct()
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** Grouped ordered string aggregation (LISTAGG / string_agg): per
+    * region, its nations joined into one comma-separated alphabetical
+    * string. collect_list's arrival order is nondeterministic under
+    * partial aggregation, so the sort happens INSIDE the group via
+    * array_sort before the join — the only way a distributed listagg is
+    * reproducible; the oracle's string_agg(... ORDER BY) pins the same
+    * contract. */
+  def q63Listagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy(col("r_name"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_unpivot" -> (q61Unpivot _),
+    "q62_min_cost" -> (q62MinCost _),
+    "q63_listagg" -> (q63Listagg _),
     "q54_window_median" -> (q54WindowMedian _),
     "q52_sketch_union" -> (q52SketchUnion _),
     "q51_mv_incremental" -> (q51MvIncremental _),
@@ -1037,6 +1096,43 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // long-form melt: UNION ALL reproduces unpivot's row-per-measure
+    // semantics exactly (measure strings = the Spark column names)
+    "q61_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM u GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    // TPC-H Q2 argmin shape: grouped min + join-back keeps every tied
+    // supplier, DECIMAL equality is exact on both engines
+    "q62_min_cost" ->
+      """WITH mp AS (SELECT l_partkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_pd
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        |  CAST(mp.min_pd AS DOUBLE) AS min_price
+        |FROM lineitem l
+        |JOIN mp ON l.l_partkey = mp.l_partkey
+        |  AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = mp.min_pd
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 5
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin,
+
+    // grouped ordered listagg — ORDER BY inside the aggregate pins the
+    // same alphabetical contract as the Spark side's in-group array_sort
+    "q63_listagg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
     // the plain join — the bucketed catalog round-trip must reproduce it
     "q45_bucketed_join" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
