@@ -370,7 +370,19 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** EventStreams.anomalies (flatMapGroupsWithState prefix z-test,
+    * update mode) driven to completion: every flagged event depends only
+    * on the immutable event-time prefix before it, so the batch window
+    * oracle (prefix sums + the same exact-integer z-test in HUGEINT) is
+    * bit-exact. */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val a = EventStreams.anomalies(
+      spark, EventStreams.readTestdataEvents(spark, dir)).toDF()
+    runToCompletion(spark, "sanom", a, Seq("user_id", "event_id"), mode = "update")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly" -> (streamAnomaly _),
     "stream_merge" -> (streamMerge _),
     "stream_seq_count" -> (streamSeqCount _),
     "stream_funnel" -> (streamFunnel _),
@@ -389,6 +401,29 @@ object StreamingQueries {
     * closed under the terminal watermark. Spark tracks event-time stats in
     * milliseconds, hence the ms floor on max(ts). */
   def oracleSql: Map[String, String] = Map(
+    // prefix z-test in exact integer (HUGEINT) arithmetic — the cleared
+    // form (x·n − s)² > 9·(n·ss − s²) the streaming state evaluates in
+    // BigInt; the 1-PRECEDING frame IS the immutable prior-events prefix
+    "stream_anomaly" ->
+      """WITH c AS (SELECT user_id, event_id, ts, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, ts, value, cents,
+        |    count(*) OVER w AS np,
+        |    coalesce(sum(cents) OVER w, 0) AS s,
+        |    coalesce(sum(cents * cents) OVER w, 0) AS ss
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  np::BIGINT AS n_prior,
+        |  CAST(s AS DOUBLE) / (100.0 * np) AS mean_prior
+        |FROM p
+        |WHERE np >= 8
+        |  AND CAST(cents * np - s AS HUGEINT) * CAST(cents * np - s AS HUGEINT)
+        |      > 9 * (CAST(np AS HUGEINT) * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "stream_merge" ->
       """WITH sm AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, "value",
         |    row_number() OVER (PARTITION BY user_id

@@ -294,6 +294,58 @@ object EventStreams {
       }
   }
 
+  case class AnomalyRow(user_id: Long, event_id: Long, ts_us: Long,
+      value: Double, n_prior: Long, mean_prior: Double)
+  case class AnomalyState(n: Long, cents: Long, sqCents: Long)
+
+  /** Streaming per-key z-score anomaly detection (ST6-family): flag an
+    * event whose value deviates from the mean of the SAME user's PRIOR
+    * events (event-time order) by more than `kSigma` standard deviations,
+    * once at least `minPrior` priors exist. The state is three integers —
+    * count, exact-cents sum, exact-cents sum of squares — so it is
+    * bounded per key forever, and the flag test is evaluated in exact
+    * integer arithmetic: (x·n − s)² > k²·(n·ss − s²) is the z-test
+    * cleared of divisions, computed on BigInt so no magnitude ever
+    * rounds, which is what lets a SQL window oracle (HUGEINT math) gate
+    * the stream hash-exact. Within a batch events fold in (ts, event_id)
+    * order — prefix semantics need time order, which the shuffled
+    * iterator does not provide; across batches the gate relies on
+    * AvailableNow's single-batch read like [[funnelStages]] (a
+    * production multi-batch deployment pairs this with a per-user
+    * event-time buffer flushed by watermark). Flags are emitted as they
+    * are decided (flatMap, update mode) and never retracted — each
+    * decision depends only on the immutable prefix before the event. */
+  def anomalies(spark: SparkSession, events: DataFrame,
+      minPrior: Int = 8, kSigma: Int = 3): Dataset[AnomalyRow] = {
+    import spark.implicits._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyRow](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          val evs = batch.toArray.sortBy(e => (tsToMicros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
+          evs.foreach { e =>
+            val c = cents(e.value)
+            if (st.n >= minPrior) {
+              val dev = BigInt(c) * st.n - BigInt(st.cents)
+              val varTerm = BigInt(st.n) * st.sqCents - BigInt(st.cents) * st.cents
+              if (dev * dev > BigInt(kSigma.toLong * kSigma) * varTerm)
+                out += AnomalyRow(userId, e.event_id, tsToMicros(e.ts), e.value,
+                  st.n, st.cents.toDouble / (100.0 * st.n))
+            }
+            st = AnomalyState(st.n + 1, st.cents + c, st.sqCents + c * c)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming frame to a named in-memory table and
     * process everything currently available (test/dev helper). */
   def runToMemory(df: DataFrame, name: String, checkpoint: String,

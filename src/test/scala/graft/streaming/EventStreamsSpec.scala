@@ -174,6 +174,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch, "terminal streaming state must equal the batch DP")
   }
 
+  test("anomalies: planted spike flagged once priors exist, steady series never flags") {
+    val dir = Files.createTempDirectory("events-anom").toString
+    val ckpt = Files.createTempDirectory("ckpt-anom").toString
+    // user 1: nine near-constant values (slight jitter so variance > 0),
+    // then one wild spike — only the spike clears the 3σ prefix z-test.
+    // user 2: a perfectly steady series (zero variance) stays silent for
+    // the steady value; the z-test's strict > never fires on dev == 0.
+    val steady = (0 until 9).map(i => Event(10 + i,
+      ts(f"2024-01-01 00:0$i:00"), 1, "m", if (i % 2 == 0) 10.0 else 10.02))
+    val spike = Event(19, ts("2024-01-01 00:09:30"), 1, "m", 500.0)
+    val flat = (0 until 10).map(i => Event(20 + i,
+      ts(f"2024-01-01 01:0$i:00"), 2, "m", 7.0))
+    writeBatch(dir, steady :+ spike)
+    writeBatch(dir, flat)
+    val q = EventStreams.runToMemory(
+      EventStreams.anomalies(spark, EventStreams.readEvents(spark, dir)).toDF(),
+      "anom_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anom_out")
+      .select("user_id", "event_id", "n_prior")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 19L, 9L)),
+      s"exactly the planted spike, after 9 priors: $rows")
+  }
+
   test("streaming sequence count terminal state equals the batch greedy fold") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val types = Seq("view", "click", "purchase")
