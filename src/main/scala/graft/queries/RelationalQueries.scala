@@ -1013,7 +1013,56 @@ object RelationalQueries {
         concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
       .orderBy(col("r_name"))
 
+  /** Exponentially-weighted moving average per user — the classic
+    * time-series smoother, in its 16-tap truncated adjusted form:
+    * ewma_t = Σᵢ wᵢ·x_{t-i} / Σᵢ wᵢ over the available taps, wᵢ = 2^-(i+1)
+    * (α = 0.5). Truncation at 16 taps drops < 2⁻¹⁶ of the weight and is
+    * what makes the value EXACT: cents (≤ 17 bits) times dyadic weights
+    * over a 2⁻¹⁶ common denominator never exceeds 53 significant bits, so
+    * every intermediate is an exact binary fraction on any IEEE engine
+    * and only the final normalize division rounds — once, identically.
+    * The lag-chain is a single window pass (no self-joins), partitioned
+    * by user so frames parallelize at any scale. */
+  def q64Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cents = (dec("value") * lit(100)).cast("long")
+    val taps = 16
+    val num = (0 until taps).map { i =>
+      coalesce(lag(cents, i).over(w).cast("double") *
+        lit(math.pow(0.5, i + 1)), lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = (0 until taps).map { i =>
+      when(lag(cents, i).over(w).isNotNull, lit(math.pow(0.5, i + 1)))
+        .otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    Tables.events(spark, dir).select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        (num / den / lit(100.0)).as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Recency feature: for every event, the time since the SAME user's
+    * most recent prior 'purchase' (exact integer microseconds; null
+    * before the first purchase) — the feature-engineering window shape
+    * training pipelines derive per interaction. One window pass: a
+    * conditional max over the unbounded-to-1-preceding frame, so the
+    * prior-purchase scan never self-joins and partitions by user. */
+  def q65EventAge(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tsUs = unix_micros(col("ts"))
+    Tables.events(spark, dir).select(
+        col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        (tsUs - max(when(col("event_type") === "purchase", tsUs)).over(w))
+          .as("us_since_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_ewma" -> (q64Ewma _),
+    "q65_event_age" -> (q65EventAge _),
     "q61_unpivot" -> (q61Unpivot _),
     "q62_min_cost" -> (q62MinCost _),
     "q63_listagg" -> (q63Listagg _),
@@ -1096,6 +1145,37 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // 16-tap dyadic-weight EWMA: every intermediate is an exact binary
+    // fraction (see q64Ewma), so the lag-chain is engine-portable; the
+    // weight literals are exact decimal spellings of 2^-(i+1)
+    "q64_ewma" -> {
+      val taps = 16
+      val num = (0 until taps).map(i =>
+        s"coalesce(lag(cents, $i) OVER w * ${math.pow(0.5, i + 1)}, 0)")
+        .mkString(" + ")
+      val den = (0 until taps).map(i =>
+        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN ${math.pow(0.5, i + 1)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT user_id, event_id, ts, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT user_id, event_id, ts, value, ($num) / ($den) / 100.0 AS ewma
+         |FROM c
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    },
+
+    // recency feature: conditional max over the prior-events frame,
+    // exact integer microseconds (null before the first purchase)
+    "q65_event_age" ->
+      """SELECT user_id, event_id, ts, event_type,
+        |  epoch_us(ts) - max(CASE WHEN event_type = 'purchase'
+        |                          THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS us_since_purchase
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
     // long-form melt: UNION ALL reproduces unpivot's row-per-measure
     // semantics exactly (measure strings = the Spark column names)
     "q61_unpivot" ->
