@@ -415,6 +415,101 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** IVFPQ retrieval quality — recall@k of the composed index
+    * ([[ivfPqKnn]]: probe nProbe cells, ADC-rank their members' PQ codes
+    * to rescoreDepth, exact rerank) against the exact top-k over held-out
+    * queries (vec_id < nQueries). The eval the two single-index evals
+    * ([[ivfRecallAtK]], [[pqRecallAtK]]) cannot substitute for: the
+    * composed recall is bounded by BOTH the probe's cell coverage and the
+    * ADC ranking's fidelity, and this measures the product on the actual
+    * corpus. Same one-scored-pass shape: probe membership and ADC
+    * candidacy are broadcast joins against per-query bounded lists, both
+    * rankings come from one window spec. */
+  def ivfPqRecallAtK(embeddings: DataFrame, nQueries: Long = 8, k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 2,
+      subspaces: Int = 8, rescoreDepth: Int = 40): DataFrame = {
+    val spark = embeddings.sparkSession
+    val trained = KMeans.centroidsAfter(embeddings, nCells, iters)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    val cells = KMeans.assignCells(embeddings, cents)
+    val m = subspaces
+    val base = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        sqrt(V.norm2(col("emb"))).as("q_nrm"))
+    // per-query probe cells (same assignment metric, ties → lower cid)
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2").asc, col("cid").asc)
+    val probe = cents.crossJoin(broadcast(q.select(col("query_id"), col("q_emb"))))
+      .select(col("query_id"), col("cid"),
+        KMeans.dist2(col("q_emb"), col("cent")).as("qd2"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    // probe membership: corpus rows in a query's probed cells
+    val member = cells.filter(col("vec_id") >= nQueries)
+      .join(broadcast(probe), Seq("cid"))
+      .select(col("query_id"), col("vec_id"))
+    // PQ encode of the corpus (identical arithmetic to pqRecallAtK)
+    val sub = base.select(col("vec_id"), col("emb"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("dsub", (size(col("emb")) / m).cast("int"))
+      .withColumn("sub", slice(col("emb"), col("s") * col("dsub") + 1, col("dsub")))
+      .select(col("vec_id"), col("s"), col("sub"))
+    val cb2 = sub.filter(col("vec_id") < 256)
+      .select(col("vec_id").as("c"), col("s"), col("sub").as("csub"))
+      .withColumn("n2", V.dot(col("csub"), col("csub")))
+    val codes = sub.filter(col("vec_id") >= nQueries)
+      .join(broadcast(cb2), Seq("s"))
+      .withColumn("d2", col("n2") - lit(2.0) * V.dot(col("sub"), col("csub")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("c"))).as("mn"))
+      .select(col("vec_id"), col("s"), col("mn.c").as("c"))
+    val qSub = sub.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sub").as("qsub"))
+    val lut = cb2.join(broadcast(qSub), Seq("s"))
+      .select(col("query_id"), col("s"), col("c"),
+        V.dot(col("csub"), col("qsub")).as("dotv"), col("n2").as("n2v"))
+    // ADC rank WITHIN the probe membership only — the composed candidacy
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = codes.join(broadcast(lut), Seq("s", "c"))
+      // membership semi-join BEFORE the per-(query,vec) aggregation: at
+      // scale only probed-cell rows pay the ADC fold, mirroring ivfPqKnn
+      .join(member, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(
+        sum(col("dotv").cast("decimal(38,18)")).cast("double").as("adot"),
+        sum(col("n2v").cast("decimal(38,18)")).cast("double").as("an2"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("an2") === 0.0, lit(-1e300))
+          .otherwise(col("adot") / sqrt(col("an2"))).as("approx"))
+      .withColumn("crn", row_number().over(wApprox))
+      .filter(col("crn") <= rescoreDepth)
+      .select(col("query_id"), col("vec_id"), lit(true).as("is_cand"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val ranked = base.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(q))
+      .join(broadcast(cand), Seq("query_id", "vec_id"), "left")
+      .withColumn("is_cand", coalesce(col("is_cand"), lit(false)))
+      .withColumn("cos_sim",
+        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+      .withColumn("rn_all", row_number().over(wq))
+      .withColumn("rn_cand", sum(when(col("is_cand"), 1L).otherwise(0L))
+        .over(wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .filter(col("rn_all") <= k && col("is_cand") && col("rn_cand") <= k)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      .join(q.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** PQ retrieval quality — recall@k of the two-stage product-quantized
     * search ([[pqKnn]]: ADC code scan to `rescoreDepth`, exact rerank)
     * against the exact top-k, over a held-out query set (vec_id <

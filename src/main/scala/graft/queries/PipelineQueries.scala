@@ -733,6 +733,12 @@ object PipelineQueries {
     "emb_pq_recall" -> ((s, d) =>
       graft.operators.Similarity.pqRecallAtK(Tables.embeddings(s, d))),
 
+    // recall of the COMPOSED IVF+PQ index (emb_knn_ivfpq's retrieval):
+    // bounded by both the probe's cell coverage and the ADC fidelity —
+    // the number a deployment of the composed layout actually ships with
+    "emb_ivfpq_recall" -> ((s, d) =>
+      graft.operators.Similarity.ivfPqRecallAtK(Tables.embeddings(s, d))),
+
     // token-budget dataset mixing: per-source keep rates derived from
     // target weights + corpus token mass (integer arithmetic end-to-end),
     // then the deterministic hash filter — the oracle recomputes the
@@ -1844,6 +1850,70 @@ object PipelineQueries {
          |    CAST(sum(CAST(l.dotv AS DECIMAL(38,18))) AS DOUBLE) AS adot,
          |    CAST(sum(CAST(l.n2v AS DECIMAL(38,18))) AS DOUBLE) AS an2
          |  FROM prcode pc JOIN prlut l ON pc.s = l.s AND pc.c = l.c GROUP BY 1, 2),
+         |prcand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      CASE WHEN an2 = 0 THEN -1e300 ELSE adot / sqrt(an2) END DESC, vec_id) AS crn
+         |  FROM prap) t WHERE crn <= 40),
+         |prqq AS (SELECT vec_id AS query_id, emb AS qe FROM pr0 WHERE vec_id < 8),
+         |prsc AS (SELECT b.vec_id, q.query_id, ${dCos("b.emb", "q.qe")} AS cos_sim
+         |  FROM pr0 b, prqq q WHERE b.vec_id >= 8),
+         |prex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM prsc) t WHERE rn <= 10),
+         |prpq AS (SELECT query_id, vec_id FROM (SELECT s.query_id, s.vec_id,
+         |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.cos_sim DESC, s.vec_id) AS rn
+         |  FROM prsc s WHERE EXISTS (SELECT 1 FROM prcand c
+         |    WHERE c.query_id = s.query_id AND c.vec_id = s.vec_id)) t WHERE rn <= 10),
+         |prh AS (SELECT e.query_id, count(*)::BIGINT AS n_hit
+         |  FROM prex e JOIN prpq p USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+         |  coalesce(n_hit, 0) / 10.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM prqq) q LEFT JOIN prh USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
+
+    // the PQ-recall pipeline with the ADC scan additionally restricted to
+    // each query's probed-cell membership (kmeans CTEs + per-query probe):
+    // the composed IVFPQ retrieval the Spark side measures
+    "emb_ivfpq_recall" -> {
+      val m = 8
+      def foldSub(expr: String): String =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(pdsub), pi -> $expr)), (pa, px) -> pa + px)"
+      s"""WITH $dKmeansCtes,
+         |vq2 AS (SELECT vec_id AS query_id, e AS qde FROM kme WHERE vec_id < 8),
+         |vpc2 AS (SELECT query_id, cid FROM (
+         |    SELECT q.query_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dD2("q.qde", "c.cent")}, c.cid) AS prn
+         |    FROM kc1 c, vq2 q) t WHERE prn <= 2),
+         |vasg2 AS (SELECT vec_id, cid FROM ka2 WHERE rn = 1),
+         |vmem AS (SELECT p.query_id, a.vec_id
+         |  FROM vasg2 a JOIN vpc2 p ON a.cid = p.cid WHERE a.vec_id >= 8),
+         |pr0 AS (SELECT vec_id, list_transform(embedding, pe -> pe::DOUBLE) AS emb,
+         |    (len(embedding) // $m)::INT AS pdsub FROM embeddings),
+         |prs AS (SELECT vec_id, pdsub, sr.r AS s, emb[sr.r*pdsub+1 : sr.r*pdsub+pdsub] AS sub
+         |  FROM pr0, range($m) sr(r)),
+         |prcb AS (SELECT vec_id AS c, pdsub, s, sub AS csub FROM prs WHERE vec_id < 256),
+         |prcb2 AS (SELECT c, s, csub, ${foldSub("csub[pi+1] * csub[pi+1]")} AS n2 FROM prcb),
+         |prd AS (SELECT p.vec_id, p.s, cb.c,
+         |    cb.n2 - 2.0 * ${foldSub("p.sub[pi+1] * cb.csub[pi+1]")} AS d2
+         |  FROM prs p JOIN (SELECT c, s, csub, n2 FROM prcb2) cb ON p.s = cb.s
+         |  WHERE p.vec_id >= 8),
+         |prmin AS (SELECT vec_id, s, min(d2) AS md FROM prd GROUP BY 1, 2),
+         |prcode AS (SELECT d.vec_id, d.s, min(d.c) AS c FROM prd d
+         |  JOIN prmin mn ON d.vec_id = mn.vec_id AND d.s = mn.s AND d.d2 = mn.md
+         |  GROUP BY 1, 2),
+         |prq AS (SELECT vec_id AS query_id, pdsub, s, sub AS qsub FROM prs WHERE vec_id < 8),
+         |prlut AS (SELECT q.query_id, cb.s, cb.c,
+         |    ${foldSub("cb.csub[pi+1] * q.qsub[pi+1]")} AS dotv, cb.n2 AS n2v
+         |  FROM (SELECT c, s, csub, n2 FROM prcb2) cb
+         |  JOIN (SELECT query_id, pdsub, s, qsub FROM prq) q ON cb.s = q.s),
+         |prap AS (SELECT l.query_id, pc.vec_id,
+         |    CAST(sum(CAST(l.dotv AS DECIMAL(38,18))) AS DOUBLE) AS adot,
+         |    CAST(sum(CAST(l.n2v AS DECIMAL(38,18))) AS DOUBLE) AS an2
+         |  FROM prcode pc JOIN prlut l ON pc.s = l.s AND pc.c = l.c
+         |  JOIN vmem mem ON mem.query_id = l.query_id AND mem.vec_id = pc.vec_id
+         |  GROUP BY 1, 2),
          |prcand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY
          |      CASE WHEN an2 = 0 THEN -1e300 ELSE adot / sqrt(an2) END DESC, vec_id) AS crn

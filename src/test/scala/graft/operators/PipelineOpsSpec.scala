@@ -914,6 +914,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(probed.count() == 10)
   }
 
+  test("ivfPqRecallAtK: bounded by IVF-only recall; disabling both approximations is exact") {
+    val composed = Similarity.ivfPqRecallAtK(embs, nQueries = 4, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivfOnly = Similarity.ivfRecallAtK(embs, nQueries = 4, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the composed candidate pool is a subset of the probe membership, so
+    // per query the composed recall can never exceed the IVF-only recall
+    composed.foreach { case (q, rec) =>
+      assert(rec <= ivfOnly(q), s"query $q: composed $rec > ivf ${ivfOnly(q)}")
+    }
+    val full = Similarity.ivfPqRecallAtK(embs, nQueries = 4, k = 10,
+      nCells = 8, nProbe = 8, rescoreDepth = 100000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    full.foreach { case (q, rec) => assert(rec == 1.0, s"query $q: $rec") }
+  }
+
   test("bm25: zero-match docs score 0, higher tf wins at equal length") {
     val fixture = Seq(
       (1L, "spark spark spark filler filler filler"),
