@@ -1060,7 +1060,57 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Last-touch attribution: each purchase joined to the SAME user's most
+    * recent prior click — argmax over the prior-events frame as a struct
+    * max ((ts, id) lexicographic, so ties are total-ordered), null before
+    * the first click. The marketing-attribution window shape: one pass,
+    * no self-join, partitioned by user. */
+  def q66Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tsUs = unix_micros(col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("lc", max(when(col("event_type") === "click",
+        struct(tsUs.as("t"), col("event_id").as("id")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("lc.id").as("last_click_id"),
+        (tsUs - col("lc.t")).as("us_since_click"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** TPC-H Q22 shape, lapsed-customer variant: customers holding an
+    * above-(positive-)average balance with NO order in 1998 H1 — scalar
+    * aggregate broadcast as a cross join, anti-join against the
+    * date-filtered orders (the filter pushes to the scan, so the
+    * anti-join's build side is the window's orders, not history), grouped
+    * decimal totals. The average divides exact decimal sum by exact count
+    * AS DOUBLES (one IEEE division, identical on both engines) rather
+    * than trusting engine-specific decimal-division scale rules. (Every
+    * customer in this testdata orders over the full span, so Q22's
+    * never-ordered form is vacuous here; the windowed form is the same
+    * plan shape and the one retention analyses actually run.) */
+  def q67TpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec("c_acctbal")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    val h1Orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-07-01 00:00:00")))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(h1Orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum("c_acctbal").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_attribution" -> (q66Attribution _),
+    "q67_tpch_q22" -> (q67TpchQ22 _),
     "q64_ewma" -> (q64Ewma _),
     "q65_event_age" -> (q65EventAge _),
     "q61_unpivot" -> (q61Unpivot _),
@@ -1145,6 +1195,39 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // last-touch attribution: named-struct max is lexicographic by field
+    // order on both engines, so (t, id) gives the latest prior click with
+    // a total-order tiebreak
+    "q66_attribution" ->
+      """WITH a AS (SELECT user_id, event_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click'
+        |             THEN {'t': epoch_us(ts), 'id': event_id} END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+        |  FROM events)
+        |SELECT user_id, event_id, ts, lc.id AS last_click_id,
+        |  epoch_us(ts) - lc.t AS us_since_click
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // Q22 lapsed-customer shape: positive-average balance via exact
+    // decimal sum / exact count (single IEEE division), anti-join against
+    // the 1998-H1 order window
+    "q67_tpch_q22" ->
+      """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // 16-tap dyadic-weight EWMA: every intermediate is an exact binary
     // fraction (see q64Ewma), so the lag-chain is engine-portable; the
     // weight literals are exact decimal spellings of 2^-(i+1)
