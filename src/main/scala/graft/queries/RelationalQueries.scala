@@ -1108,7 +1108,33 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Rolling 7-day distinct actives (DAU/WAU + stickiness) — COUNT
+    * DISTINCT over a sliding window, which no engine supports as a window
+    * function directly. The scalable idiom: reduce to distinct
+    * (user, day) activity first (the corpus-sized dedup, one shuffle),
+    * then explode each activity to the ≤7 observation days it keeps the
+    * user active for — a BOUNDED ×7 row multiplier on the already-deduped
+    * set, not on raw events — and a grouped distinct per observation day.
+    * A naive per-day self-join over the window would rescan events 7×;
+    * this shape scans once and its multiplier rides on |user×day|, which
+    * is what stays small at 100 TB. */
+  def q69RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = act.select(col("day")).distinct()
+    val wau = act
+      .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("i")).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    val dau = act.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    days.join(dau, Seq("day")).join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_rolling_active" -> (q69RollingActive _),
     "q66_attribution" -> (q66Attribution _),
     "q67_tpch_q22" -> (q67TpchQ22 _),
     "q64_ewma" -> (q64Ewma _),
@@ -1195,6 +1221,19 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // windowed distinct via the bounded day-explode idiom over deduped
+    // (user, day) activity — observation days restricted to observed days
+    "q69_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM act),
+        |expd AS (SELECT day + i.i::INTEGER AS day, user_id FROM act, range(7) i(i)),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM expd GROUP BY day),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY day)
+        |SELECT d.day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM days d JOIN dau USING (day) JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+
     // last-touch attribution: named-struct max is lexicographic by field
     // order on both engines, so (t, id) gives the latest prior click with
     // a total-order tiebreak

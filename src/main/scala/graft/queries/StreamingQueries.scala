@@ -381,7 +381,18 @@ object StreamingQueries {
     runToCompletion(spark, "sanom", a, Seq("user_id", "event_id"), mode = "update")
   }
 
+  /** EventStreams.ewma (flatMapGroupsWithState bounded tap-list state,
+    * update mode) driven to completion: dyadic weights make every
+    * intermediate exact, so the streamed smoother must bit-equal the
+    * batch lag-chain — q64_ewma's oracle gates it verbatim. */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventStreams.ewma(
+      spark, EventStreams.readTestdataEvents(spark, dir)).toDF()
+    runToCompletion(spark, "sewma", e, Seq("user_id", "event_id"), mode = "update")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ewma" -> (streamEwma _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_merge" -> (streamMerge _),
     "stream_seq_count" -> (streamSeqCount _),
@@ -401,6 +412,10 @@ object StreamingQueries {
     * closed under the terminal watermark. Spark tracks event-time stats in
     * milliseconds, hence the ms floor on max(ts). */
   def oracleSql: Map[String, String] = Map(
+    // the batch 16-tap EWMA lag-chain, verbatim — dyadic weights make the
+    // streamed fold and the window formulation bit-equal
+    "stream_ewma" -> RelationalQueries.oracleSql("q64_ewma"),
+
     // prefix z-test in exact integer (HUGEINT) arithmetic — the cleared
     // form (x·n − s)² > 9·(n·ss − s²) the streaming state evaluates in
     // BigInt; the 1-PRECEDING frame IS the immutable prior-events prefix

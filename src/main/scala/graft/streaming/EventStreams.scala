@@ -346,6 +346,46 @@ object EventStreams {
       }
   }
 
+  case class EwmaRow(user_id: Long, event_id: Long, ts: Timestamp,
+      value: Double, ewma: Double)
+  case class EwmaState(taps: Seq[Long])
+
+  /** Streaming 16-tap EWMA — the unbounded face of the batch q64 window:
+    * per-key state is the last ≤16 exact-cents values (bounded forever),
+    * and each arriving event emits its smoothed value from the tap list.
+    * Because the weights are dyadic (α = 0.5, truncated at 16 taps) every
+    * intermediate is an exact binary fraction, so summation order cannot
+    * matter and the streamed result must BIT-EQUAL the batch lag-chain —
+    * the q64 oracle gates this stream verbatim. Same in-batch
+    * (ts, event_id) sort and single-batch AvailableNow reliance as
+    * [[anomalies]]. */
+  def ewma(spark: SparkSession, events: DataFrame, taps: Int = 16): Dataset[EwmaRow] = {
+    import spark.implicits._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          var tapsNow = state.getOption.map(_.taps.toList).getOrElse(Nil)
+          val evs = batch.toArray.sortBy(e => (tsToMicros(e.ts), e.event_id))
+          val out = evs.map { e =>
+            tapsNow = (cents(e.value) :: tapsNow).take(taps)
+            var num = 0.0; var den = 0.0
+            tapsNow.zipWithIndex.foreach { case (c, i) =>
+              val w = math.pow(0.5, i + 1)
+              num += c.toDouble * w; den += w
+            }
+            EwmaRow(userId, e.event_id, e.ts, e.value, num / den / 100.0)
+          }
+          state.update(EwmaState(tapsNow))
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming frame to a named in-memory table and
     * process everything currently available (test/dev helper). */
   def runToMemory(df: DataFrame, name: String, checkpoint: String,

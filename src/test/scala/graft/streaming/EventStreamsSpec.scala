@@ -200,6 +200,34 @@ class EventStreamsSpec extends SparkSpec {
       s"exactly the planted spike, after 9 priors: $rows")
   }
 
+  test("ewma: tap state carries across micro-batches, equals full-series formula") {
+    val dir = Files.createTempDirectory("events-ewma").toString
+    val ckpt = Files.createTempDirectory("ckpt-ewma").toString
+    val vals = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
+    writeBatch(dir, vals.take(3).zipWithIndex.map { case (v, i) =>
+      Event(i + 1, ts(f"2024-01-01 00:0$i:00"), 1, "m", v) })
+    val q = EventStreams.runToMemory(
+      EventStreams.ewma(spark, EventStreams.readEvents(spark, dir)).toDF(),
+      "ewma_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    writeBatch(dir, vals.drop(3).zipWithIndex.map { case (v, i) =>
+      Event(i + 4, ts(f"2024-01-01 00:0${i + 3}:00"), 1, "m", v) })
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewma_out")
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    // independent full-series formula (same cents-domain arithmetic as
+    // the batch q64 contract): taps are the reversed prefix
+    vals.indices.foreach { i =>
+      val taps = vals.take(i + 1).reverse.take(16)
+      val num = taps.zipWithIndex.map { case (v, j) =>
+        (v * 100.0) * math.pow(0.5, j + 1) }.sum
+      val den = taps.indices.map(j => math.pow(0.5, j + 1)).sum
+      assert(got(i + 1L) == num / den / 100.0,
+        s"event ${i + 1}: ${got(i + 1L)} != ${num / den / 100.0}")
+    }
+  }
+
   test("streaming sequence count terminal state equals the batch greedy fold") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val types = Seq("view", "click", "purchase")
