@@ -78,6 +78,17 @@ object PipelineQueries {
     * chosen to occur in the testdata at every scale factor. */
   private val PhraseTerms = Seq("scan", "slow", "fast")
 
+  /** Blocklist declared-query constant — the C4-style any-hit drop list;
+    * 'dup' hits ~5% of documents at every scale factor (a realistic
+    * block rate; a production list is a pure data swap). */
+  private val BlocklistTokens = Seq("dup")
+
+  /** Power-of-2 token-length bucket boundaries for doc_length_buckets —
+    * one source of truth for the Spark CASE chain and the oracle SQL
+    * (the corpus' token lengths are 10..99, so 16..128 spans them with
+    * headroom; out-of-range lengths clamp to the last bucket). */
+  private val LengthBuckets = Seq(16L, 32L, 64L, 128L)
+
   /** BM25 oracle SQL (shared by doc_bm25 and the hybrid-search fusion).
     * idf float32 round-trip mirrors Ranking.bm25's quantization (libm
     * ln() differs in the last ulp between engines; float collapses it). */
@@ -247,6 +258,45 @@ object PipelineQueries {
         T.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
         col("n_chars"))
         .orderBy(col("doc_id"))),
+
+    // C4-style blocklist filter: a document containing ANY blocked token
+    // is dropped (Raffel et al. 2020 §2.2 dropped pages on a bad-word
+    // list); the kept set plus a per-source drop report in one pass.
+    // arrays_overlap against a broadcast literal list — scan-bound, no
+    // shuffle before the report's aggregate
+    "doc_blocklist" -> ((s, d) => {
+      val hit = arrays_overlap(T.tokens(col("text")),
+        lit(BlocklistTokens.toArray))
+      Tables.documents(s, d)
+        .withColumn("blocked", hit)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // length-bucketed batching: power-of-2 token-length buckets and the
+    // padding overhead each would pay — the batch-shape economics of
+    // training on variable-length sequences. The bucket boundary is an
+    // integer CASE chain from shared constants (no float log2 at the
+    // boundaries), so both engines bucket identically
+    "doc_length_buckets" -> ((s, d) => {
+      val nTok = T.tokenCount(col("text")).cast("long")
+      val bucketTop = LengthBuckets.foldRight(
+          lit(LengthBuckets.last): Column) { (b, acc) =>
+        when(col("n_tokens") <= b, lit(b)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"))
+        .withColumn("bucket_top", bucketTop)
+        .groupBy(col("bucket_top"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (sum(col("bucket_top") - col("n_tokens")).cast("double") /
+            sum(col("bucket_top")).cast("double")).as("pad_overhead"))
+        .orderBy(col("bucket_top"))
+    }),
 
     "doc_quality" -> ((s, d) => {
       val t = T.tokens(col("text"))
