@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -1061,6 +1061,32 @@ object PipelineQueries {
          |  len(regexp_extract_all(text, '${T.BpeTokenRegex}'))::BIGINT AS n_bpe_tokens,
          |  n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // generated from BlocklistTokens — same list literal both engines
+    "doc_blocklist" -> {
+      val listLit = BlocklistTokens.map(t => s"'$t'").mkString(", ")
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+         |  sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 0 ELSE 1 END)::BIGINT AS n_kept
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // CASE chain generated from LengthBuckets — identical boundaries
+    "doc_length_buckets" -> {
+      val arms = LengthBuckets.map(b => s"WHEN n_tokens <= $b THEN $b")
+        .mkString("\n    ")
+      s"""WITH lb AS (
+         |  SELECT doc_id, len(${dTokens("text")})::BIGINT AS n_tokens
+         |  FROM documents),
+         |lbb AS (
+         |  SELECT n_tokens,
+         |    (CASE $arms ELSE ${LengthBuckets.last} END)::BIGINT AS bucket_top
+         |  FROM lb)
+         |SELECT bucket_top, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS sum_tokens,
+         |  CAST(sum(bucket_top - n_tokens) AS DOUBLE) / CAST(sum(bucket_top) AS DOUBLE) AS pad_overhead
+         |FROM lbb GROUP BY bucket_top ORDER BY bucket_top""".stripMargin
+    },
 
     "doc_quality" -> {
       val nTok = s"len(${dTokens("text")})::BIGINT"
