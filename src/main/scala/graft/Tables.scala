@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
 
 /** Loads the driver-generated testdata tables (see TESTDATA.md / FIXTURES.md §B).
   *
@@ -25,28 +26,81 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright — reading it requires `spark.sql.legacy.parquet.
+  /** If `events.parquet` stores `ts` as TIMESTAMP(NANOS), Spark's reader
+    * rejects it outright — reading it requires `spark.sql.legacy.parquet.
     * nanosAsLong=true`. This is a deliberate, DOCUMENTED session-lifetime
     * mutation, not an oversight: the conf is consulted at SCAN time, when
     * the (lazy) frames built here finally execute, so "restore it after
     * building the plan" would break every frame still in flight. Set-once
     * (idempotent guard) keeps repeated table loads from churning the conf
-    * map.
+    * map. Harmless when the file is already micros (the conf only affects
+    * NANOS-annotated columns).
     */
   private[graft] def ensureNanosAsLong(s: SparkSession): Unit =
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Events with `ts` truncated to microseconds — exactly what DuckDB does
-    * when it loads the same file, so oracle comparisons stay bit-identical.
+  /** The physical `ts` encoding of an events file, probed from its footer
+    * schema (a metadata-only read — no data scan). The testdata generator
+    * has shipped both TIMESTAMP(NANOS) (inferred LongType under the legacy
+    * conf) and TIMESTAMP(MICROS) (inferred TimestampType/TIMESTAMP_NTZ)
+    * across regenerations; the engine must not hard-code either.
+    */
+  private[graft] def eventsTsIsLong(s: SparkSession, d: String): Boolean = {
+    ensureNanosAsLong(s)
+    load(s, d, "events").schema("ts").dataType == LongType
+  }
+
+  /** Events with `ts` as epoch-micros-exact TimestampType, whatever the
+    * file's physical encoding: raw-nanos LONG is floor-divided to micros;
+    * a micros TIMESTAMP (UTC-adjusted or not) is read DIRECTLY as
+    * TimestampType by forcing the read schema, which hands over the stored
+    * micros verbatim — no session-timezone reinterpretation, exactly the
+    * naive value DuckDB yields loading the same file, so oracle
+    * comparisons stay bit-identical. A one-time sanity probe rejects
+    * values outside [1990, 2100): every unit mix-up (ns↔µs↔ms) moves
+    * event time by 1000×, so a misread fails loudly at load instead of
+    * silently corrupting every downstream watermark/window decision.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    ensureNanosAsLong(s)
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"))
+    val tsIsLong = eventsTsIsLong(s, d)
+    val inferred = load(s, d, "events").schema
+    val readSchema = StructType(inferred.map { f =>
+      if (f.name == "ts" && !tsIsLong) f.copy(dataType = TimestampType) else f
+    })
+    val raw = s.read.schema(readSchema).parquet(s"$d/events.parquet")
+    val converted =
+      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    checkEventsTs(s, d, converted)
+    converted.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
+
+  // one min/max scan per (JVM, path); re-probed only if the file changes
+  // (mtime+size), so a testdata regeneration mid-session re-validates
+  private val tsChecked = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fileStamp(p: java.io.File): String =
+    if (p.isDirectory)
+      p.listFiles.sortBy(_.getName).map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    else s"${p.length}:${p.lastModified}"
+  private[graft] def checkEventsTs(s: SparkSession, d: String, df: DataFrame): Unit = {
+    val path = s"$d/events.parquet"
+    val stamp = fileStamp(new java.io.File(path))
+    if (tsChecked.get(path) != stamp) {
+      val r = df.agg(min(col("ts")), max(col("ts"))).head()
+      if (!r.isNullAt(0)) {
+        val lo = -631152000000000L // 1950-01-01 UTC, epoch micros
+        val hi = 4102444800000000L // 2100-01-01 UTC, epoch micros
+        def us(t: java.sql.Timestamp): Long =
+          math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+        val (mn, mx) = (us(r.getTimestamp(0)), us(r.getTimestamp(1)))
+        require(mn >= lo && mx < hi,
+          s"events.ts at $path lands outside [1950, 2100): min=${r.getTimestamp(0)} " +
+            s"max=${r.getTimestamp(1)} — timestamp unit misread (ns/us/ms mix-up)?")
+      }
+      tsChecked.put(path, stamp)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -19,13 +19,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be LOUD, not absent: wipe any stale output
+    // for its slot, leave an _ERROR sentinel with the message (the driver's
+    // parquet read of the slot then fails and surfaces the query as a red
+    // row instead of silently shrinking the gate), and exit non-zero at
+    // the end. Round 5 lost 35 green rows to a swallowed analysis error.
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        System.err.println(s"[verify] $name failed: $e")
+        val slot = new java.io.File(outDir, name)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        if (slot.exists) rm(slot)
+        slot.mkdirs()
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        Files.writeString(Paths.get(slot.getPath, "_ERROR"), sw.toString)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,5 +62,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

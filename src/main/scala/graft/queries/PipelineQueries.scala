@@ -267,12 +267,16 @@ object PipelineQueries {
     "doc_blocklist" -> ((s, d) => {
       val hit = arrays_overlap(T.tokens(col("text")),
         lit(BlocklistTokens.toArray))
+      // n_kept = n_docs − n_blocked (not a second conditional sum): a NULL
+      // text row is then classified identically on both engines — it is
+      // "not blocked" hence kept — instead of falling out of BOTH counters
+      // on the Spark side while DuckDB's CASE..ELSE keeps it
       Tables.documents(s, d)
         .withColumn("blocked", hit)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
-          sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_kept"))
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+        .withColumn("n_kept", col("n_docs") - col("n_blocked"))
         .orderBy(col("source"))
     }),
 
@@ -1063,11 +1067,15 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // generated from BlocklistTokens — same list literal both engines
+    // (tokens are SQL-escaped: a future token carrying a quote must not
+    // produce malformed oracle SQL while the Spark array literal works);
+    // n_kept = count(*) − n_blocked so a NULL text row (not blocked ⇒
+    // kept) classifies identically on both engines
     "doc_blocklist" -> {
-      val listLit = BlocklistTokens.map(t => s"'$t'").mkString(", ")
+      val listLit = BlocklistTokens.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
       s"""SELECT source, count(*)::BIGINT AS n_docs,
          |  sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
-         |  sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 0 ELSE 1 END)::BIGINT AS n_kept
+         |  count(*)::BIGINT - sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 1 ELSE 0 END)::BIGINT AS n_kept
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
     },
 

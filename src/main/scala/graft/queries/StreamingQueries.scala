@@ -22,43 +22,52 @@ object StreamingQueries {
   /** Drives a streaming aggregation to completion: append mode into a
     * uniquely-named memory sink with a fresh checkpoint, AvailableNow
     * trigger, blocking until the terminal no-data batch has flushed
-    * every window/session closed by the final watermark. */
+    * every window/session closed by the final watermark.
+    *
+    * The stream runs on its OWN `spark.newSession()` (shared
+    * SparkContext, isolated SQLConf + catalog): a streaming query pins
+    * its state partitioning from `spark.sql.shuffle.partitions` when the
+    * micro-batch thread plans batch 0 — asynchronously, AFTER `.start()`
+    * returns — so mutating the caller's session conf and restoring it
+    * would be a coin flip for this query AND visible to every
+    * concurrently-running one. Per-query session = no global mutation,
+    * no race. Every state partition is a state-store instance paying
+    * open/commit/snapshot per micro-batch; at the gate's data sizes that
+    * per-store overhead dominates the actual state work, so the harness
+    * sizes its fresh-checkpoint queries at 8 state partitions (measured
+    * ~2x on the 7-query set at sf0.1). Production sizing is the normal
+    * knob: set shuffle partitions on the stream's session before first
+    * start, ~2-4x cores (SCALE.md).
+    */
   private def runToCompletion(spark: SparkSession, prefix: String,
-      agg: DataFrame, order: Seq[String], mode: String = "append"): DataFrame = {
+      build: SparkSession => DataFrame, order: Seq[String],
+      mode: String = "append"): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val name = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = new java.io.File(
       System.getProperty("java.io.tmpdir"), name).getAbsolutePath
-    // A streaming query pins its state partitioning from
-    // spark.sql.shuffle.partitions at FIRST checkpoint, and every state
-    // partition is a state-store instance paying open/commit/snapshot
-    // per micro-batch. At the gate's data sizes that per-store overhead
-    // dominates the actual state work, so the harness runs its
-    // fresh-checkpoint queries at 8 state partitions (measured ~2x on
-    // the 7-query set at sf0.1). Production sizing is the normal knob:
-    // set shuffle partitions before first start, ~2-4x cores (SCALE.md).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try agg.writeStream
+    val q = build(s).writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // the memory sink holds the rows; the checkpoint has served its
     // purpose once the query terminates (or fails) — don't litter tmpdir
     try q.awaitTermination()
     finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
     // Memory-sink contents are driver-resident BY DESIGN (that's the sink's
-    // contract), so collecting them adds no new scale hazard — and it lets
-    // the uniquely-named temp view be dropped immediately instead of
+    // contract), so collecting them adds no new scale hazard — and it
+    // moves the rows onto the CALLER's session before the stream session
+    // (and its uniquely-named temp view) is dropped, instead of
     // accumulating one leaked in-memory table per run in a long-lived
     // session (bench warmup+timed passes, correctness reruns).
-    val sunk = spark.table(name)
+    val sunk = s.table(name)
     val rows = java.util.Arrays.asList(sunk.collect(): _*)
     val out = spark.createDataFrame(rows, sunk.schema)
-    spark.catalog.dropTempView(name)
+    s.catalog.dropTempView(name)
     out.orderBy(order.map(col): _*)
   }
 
@@ -66,7 +75,7 @@ object StreamingQueries {
     * watermark) driven to completion over the events table. */
   def streamWindowStats(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, "swstats",
-      EventStreams.windowedStats(EventStreams.readTestdataEvents(spark, dir)),
+      s => EventStreams.windowedStats(EventStreams.readTestdataEvents(s, dir)),
       Seq("win_start", "event_type"))
 
   /** EventStreams.slidingStats (20 min windows hopping every 10 min,
@@ -75,14 +84,14 @@ object StreamingQueries {
     * green — the doubled per-window membership is what the oracle pins. */
   def streamSliding(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, "sslide",
-      EventStreams.slidingStats(EventStreams.readTestdataEvents(spark, dir)),
+      s => EventStreams.slidingStats(EventStreams.readTestdataEvents(s, dir)),
       Seq("win_start", "event_type"))
 
   /** EventStreams.sessionStats (30 min gap sessions, 30 min watermark)
     * driven to completion over the events table. */
   def streamSessions(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, "ssess",
-      EventStreams.sessionStats(EventStreams.readTestdataEvents(spark, dir)),
+      s => EventStreams.sessionStats(EventStreams.readTestdataEvents(s, dir)),
       Seq("user_id", "s_start"))
 
   /** EventStreams.dedupedEvents over the events table UNIONED WITH
@@ -90,21 +99,21 @@ object StreamingQueries {
     * can't go green: the dedup must emit each event exactly once (both
     * copies are identical, so which "wins" is immaterial). Proves the
     * at-least-once → effectively-exactly-once claim under the hash gate. */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val doubled = EventStreams.readTestdataEvents(spark, dir)
-      .union(EventStreams.readTestdataEvents(spark, dir))
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, "sdedup",
-      EventStreams.dedupedEvents(doubled), Seq("event_id"))
-  }
+      s => EventStreams.dedupedEvents(
+        EventStreams.readTestdataEvents(s, dir)
+          .union(EventStreams.readTestdataEvents(s, dir))),
+      Seq("event_id"))
 
   /** EventStreams.runningUserAggs (mapGroupsWithState custom state,
     * update mode) driven to completion: the terminal per-user state must
     * equal the plain batch aggregate. */
-  def streamUserAggs(spark: SparkSession, dir: String): DataFrame = {
-    val agg = EventStreams.runningUserAggs(
-      spark, EventStreams.readTestdataEvents(spark, dir)).toDF()
-    runToCompletion(spark, "suagg", agg, Seq("user_id"), mode = "update")
-  }
+  def streamUserAggs(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "suagg",
+      s => EventStreams.runningUserAggs(
+        s, EventStreams.readTestdataEvents(s, dir)).toDF(),
+      Seq("user_id"), mode = "update")
 
   /** EventStreams.eventPairsWithin — views within the 4 hours before
     * each click, per user — driven to completion. Inner stream-stream
@@ -113,12 +122,12 @@ object StreamingQueries {
     * same data is a bit-exact oracle. The 4 h lookback is sized to the
     * testdata's event density: 10 min would pair almost nothing at the
     * gate's SFs and leave the oracle near-vacuous. */
-  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = EventStreams.readTestdataEvents(spark, dir)
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, "sjoin",
-      EventStreams.eventPairsWithin(ev, "click", "view", lookback = "4 hours"),
+      s => EventStreams.eventPairsWithin(
+        EventStreams.readTestdataEvents(s, dir),
+        "click", "view", lookback = "4 hours"),
       Seq("a_id", "b_id"))
-  }
 
   /** Streaming incremental view maintenance: the events table is split
     * into four parquet files (untimed fixture), streamed back one file
@@ -130,13 +139,29 @@ object StreamingQueries {
     * bit-for-bit. The final view is day×type-bounded (≤ a few hundred
     * rows), so collecting it to cut the scratch-dir lifetime is the
     * memory-sink treatment, not a scale hazard. */
+  /** Content fingerprint of a source parquet path (file or directory):
+    * names + sizes + mtimes. The split caches below key on THIS, not just
+    * the path — a driver-side testdata regeneration (which has happened
+    * mid-round) must invalidate the cache, or the fixtures would silently
+    * replay stale data into the stream gates. */
+  private def sourceStamp(path: String): String = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val sig = walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(path + "#" + sig))
+  }
+
   /** The events table split into four untimed parquet files, built once
-    * per sfDir — the replayable fixture for file-per-micro-batch
-    * streaming maintenance queries. */
+    * per (sfDir, content stamp) — the replayable fixture for
+    * file-per-micro-batch streaming maintenance queries. */
   private def eventsSplit(spark: SparkSession, dir: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     val splitDir = new java.io.File(tmp,
-      "graft_mv_split_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      "graft_mv_split_" + sourceStamp(s"$dir/events.parquet")).getAbsolutePath
     if (!new java.io.File(splitDir, "_SUCCESS").exists)
       graft.Tables.events(spark, dir).repartition(4)
         .write.mode("overwrite").parquet(splitDir)
@@ -149,7 +174,7 @@ object StreamingQueries {
   private def docsSplit(spark: SparkSession, dir: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     val splitDir = new java.io.File(tmp,
-      "graft_hh_split_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      "graft_hh_split_" + sourceStamp(s"$dir/documents.parquet")).getAbsolutePath
     if (!new java.io.File(splitDir, "_SUCCESS").exists)
       graft.Tables.documents(spark, dir).repartition(4)
         .write.mode("overwrite").parquet(splitDir)
@@ -327,23 +352,23 @@ object StreamingQueries {
     * update mode) driven to completion: the terminal per-user stage must
     * equal the batch funnel — the oracle IS q36_funnel's join-chain
     * formulation, shared verbatim. */
-  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val agg = EventStreams.funnelStages(
-      spark, EventStreams.readTestdataEvents(spark, dir),
-      Seq("view", "click", "purchase"), windowMicros = 21600000000L).toDF()
-    runToCompletion(spark, "sfunnel", agg, Seq("user_id"), mode = "update")
-  }
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "sfunnel",
+      s => EventStreams.funnelStages(
+        s, EventStreams.readTestdataEvents(s, dir),
+        Seq("view", "click", "purchase"), windowMicros = 21600000000L).toDF(),
+      Seq("user_id"), mode = "update")
 
   /** EventStreams.seqCountStages (mapGroupsWithState sequence counting,
     * update mode) driven to completion: the terminal per-user count must
     * equal the batch operator — the oracle IS q46_seq_count's
     * recursive-CTE state machine, shared verbatim. */
-  def streamSeqCount(spark: SparkSession, dir: String): DataFrame = {
-    val agg = EventStreams.seqCountStages(
-      spark, EventStreams.readTestdataEvents(spark, dir),
-      Seq("view", "click", "purchase")).toDF()
-    runToCompletion(spark, "ssqc", agg, Seq("user_id"), mode = "update")
-  }
+  def streamSeqCount(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "ssqc",
+      s => EventStreams.seqCountStages(
+        s, EventStreams.readTestdataEvents(s, dir),
+        Seq("view", "click", "purchase")).toDF(),
+      Seq("user_id"), mode = "update")
 
   /** EventStreams.latestState (CDC latest-with-tombstone, update mode)
     * driven to completion: each user's terminal state is their
@@ -351,13 +376,14 @@ object StreamingQueries {
     * tombstone type ('error') are deleted — the streaming face of
     * operators.Merge, gated against the batch window-rank oracle. */
   def streamMerge(spark: SparkSession, dir: String): DataFrame = {
-    val st = EventStreams.latestState(
-      spark, EventStreams.readTestdataEvents(spark, dir), tombstone = "error").toDF()
     // update-mode sink holds one row per key PER BATCH; reduce to the
     // terminal (ts, id)-max state first so the gate stays correct even
     // if the source is ever delivered across several micro-batches
     // (maxFilesPerTrigger, multi-file testdata) — only then drop deleted
-    runToCompletion(spark, "smerge", st, Seq("user_id"), mode = "update")
+    runToCompletion(spark, "smerge",
+      s => EventStreams.latestState(
+        s, EventStreams.readTestdataEvents(s, dir), tombstone = "error").toDF(),
+      Seq("user_id"), mode = "update")
       .groupBy(col("user_id"))
       .agg(max_by(
         struct(col("ts_us"), col("event_id"), col("event_type"),
@@ -375,21 +401,21 @@ object StreamingQueries {
     * on the immutable event-time prefix before it, so the batch window
     * oracle (prefix sums + the same exact-integer z-test in HUGEINT) is
     * bit-exact. */
-  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val a = EventStreams.anomalies(
-      spark, EventStreams.readTestdataEvents(spark, dir)).toDF()
-    runToCompletion(spark, "sanom", a, Seq("user_id", "event_id"), mode = "update")
-  }
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "sanom",
+      s => EventStreams.anomalies(
+        s, EventStreams.readTestdataEvents(s, dir)).toDF(),
+      Seq("user_id", "event_id"), mode = "update")
 
   /** EventStreams.ewma (flatMapGroupsWithState bounded tap-list state,
     * update mode) driven to completion: dyadic weights make every
     * intermediate exact, so the streamed smoother must bit-equal the
     * batch lag-chain — q64_ewma's oracle gates it verbatim. */
-  def streamEwma(spark: SparkSession, dir: String): DataFrame = {
-    val e = EventStreams.ewma(
-      spark, EventStreams.readTestdataEvents(spark, dir)).toDF()
-    runToCompletion(spark, "sewma", e, Seq("user_id", "event_id"), mode = "update")
-  }
+  def streamEwma(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "sewma",
+      s => EventStreams.ewma(
+        s, EventStreams.readTestdataEvents(s, dir)).toDF(),
+      Seq("user_id", "event_id"), mode = "update")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ewma" -> (streamEwma _),

@@ -30,23 +30,36 @@ object EventStreams {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(path)
 
-  /** Unbounded read of a driver-testdata events file: `ts` is stored as
-    * TIMESTAMP(NANOS), which Spark's reader rejects — read nanos as long
-    * and truncate to micros, exactly Tables.events's batch conversion (and
-    * exactly what DuckDB does loading the same file). */
+  /** Unbounded read of a driver-testdata events file, schema-adaptive like
+    * Tables.events: the streaming file source REQUIRES an explicit schema,
+    * so probe the file's footer first (batch metadata read) and build the
+    * streaming schema to match the physical `ts` encoding — raw-nanos
+    * LONG (legacy generator) is floor-divided to micros; a micros
+    * TIMESTAMP (UTC-adjusted or not) is read directly as TimestampType,
+    * handing over the stored micros verbatim. Hard-coding either encoding
+    * here has already mis-scaled event time 1000× once (watermarks,
+    * windows, sessions, interval joins all silently wrong); the probe +
+    * Tables' one-time [1950,2100) range check make that failure loud. */
   def readTestdataEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark) // documented session-lifetime conf
+    val tsIsLong = graft.Tables.eventsTsIsLong(spark, sfDir)
+    // validate the batch-converted ts range once per (JVM, file) — the
+    // streaming plan below applies the identical conversion
+    graft.Tables.checkEventsTs(spark, sfDir, graft.Tables.events(spark, sfDir))
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsLong) LongType else TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the streaming file source requires a DIRECTORY; point it at the SF
     // dir and glob-filter down to the events file
-    spark.readStream.schema(raw)
+    val src = spark.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val converted =
+      if (tsIsLong) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src
+    converted.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
   }
 
   /** Tumbling-window per-type stats with a watermark: append-mode output,
@@ -342,6 +355,72 @@ object EventStreams {
             st = AnomalyState(st.n + 1, st.cents + c, st.sqCents + c * c)
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  case class AnomalyBufState(n: Long, cents: Long, sqCents: Long,
+      bufTsUs: Seq[Long], bufId: Seq[Long], bufValue: Seq[Double])
+
+  /** Multi-batch [[anomalies]]: the same prefix z-test, but with a
+    * per-key EVENT-TIME BUFFER flushed by the watermark — the production
+    * form that does NOT rely on a single AvailableNow batch delivering
+    * each key's events in one iterator. Arriving events are buffered in
+    * state; when the watermark advances (new data for the key, or an
+    * event-time timeout when only OTHER keys got data), every buffered
+    * event with ts ≤ watermark is folded in (ts, event_id) order —
+    * exactly the batch DP's order — and its flag decision emitted. Events
+    * still above the watermark stay buffered, so the emitted prefix is
+    * immutable no matter how many micro-batches the stream takes or how
+    * keys interleave across them. State is the 3-integer z-state plus
+    * only the ≤-horizon buffer (the watermark bounds it, same as any
+    * windowed aggregation's live state). The gate replays the events
+    * table as four time-sliced files, one per micro-batch; the oracle is
+    * the batch z-test restricted to ts ≤ the terminal watermark (events
+    * inside the final 30 min horizon are still buffered when the stream
+    * ends — never decided, exactly what the semantics say). */
+  def anomaliesBuffered(spark: SparkSession, events: DataFrame,
+      minPrior: Int = 8, kSigma: Int = 3,
+      watermark: String = "30 minutes"): Dataset[AnomalyRow] = {
+    import spark.implicits._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    events.withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyBufState, AnomalyRow](
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[AnomalyBufState]) =>
+          val prev = state.getOption.getOrElse(
+            AnomalyBufState(0L, 0L, 0L, Nil, Nil, Nil))
+          val incoming = batch.map(e => (tsToMicros(e.ts), e.event_id, e.value))
+          val buffered = (prev.bufTsUs, prev.bufId, prev.bufValue).zipped.toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, stillBuf) = (buffered ++ incoming).sortBy(t => (t._1, t._2))
+            .partition(_._1 <= wmUs)
+          var st = AnomalyState(prev.n, prev.cents, prev.sqCents)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
+          ripe.foreach { case (tUs, id, v) =>
+            val c = cents(v)
+            if (st.n >= minPrior) {
+              val dev = BigInt(c) * st.n - BigInt(st.cents)
+              val varTerm = BigInt(st.n) * st.sqCents - BigInt(st.cents) * st.cents
+              if (dev * dev > BigInt(kSigma.toLong * kSigma) * varTerm)
+                out += AnomalyRow(userId, id, tUs, v, st.n,
+                  st.cents.toDouble / (100.0 * st.n))
+            }
+            st = AnomalyState(st.n + 1, st.cents + c, st.sqCents + c * c)
+          }
+          state.update(AnomalyBufState(st.n, st.cents, st.sqCents,
+            stillBuf.map(_._1), stillBuf.map(_._2), stillBuf.map(_._3)))
+          // an event-time timeout re-invokes this key when the watermark
+          // alone advances (terminal no-data batch, or batches that carry
+          // only other keys) so the buffer drains without new arrivals;
+          // the API requires a timestamp strictly above the watermark
+          if (stillBuf.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(stillBuf.head._1 / 1000L, wmUs / 1000L + 1L))
           out.iterator
       }
   }
