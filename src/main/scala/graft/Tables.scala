@@ -90,13 +90,16 @@ object Tables {
     if (tsChecked.get(path) != stamp) {
       val r = df.agg(min(col("ts")), max(col("ts"))).head()
       if (!r.isNullAt(0)) {
-        val lo = -631152000000000L // 1950-01-01 UTC, epoch micros
+        // 1990 lower bound ON PURPOSE: nanos misread as micros (or micros
+        // as millis) lands in the early 1970s — inside a [1950,∞) window
+        // but 1000x wrong; the bound must sit ABOVE the collapse target
+        val lo = 631152000000000L  // 1990-01-01 UTC, epoch micros
         val hi = 4102444800000000L // 2100-01-01 UTC, epoch micros
         def us(t: java.sql.Timestamp): Long =
           math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
         val (mn, mx) = (us(r.getTimestamp(0)), us(r.getTimestamp(1)))
         require(mn >= lo && mx < hi,
-          s"events.ts at $path lands outside [1950, 2100): min=${r.getTimestamp(0)} " +
+          s"events.ts at $path lands outside [1990, 2100): min=${r.getTimestamp(0)} " +
             s"max=${r.getTimestamp(1)} — timestamp unit misread (ns/us/ms mix-up)?")
       }
       tsChecked.put(path, stamp)

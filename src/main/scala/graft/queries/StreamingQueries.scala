@@ -144,7 +144,7 @@ object StreamingQueries {
     * the path — a driver-side testdata regeneration (which has happened
     * mid-round) must invalidate the cache, or the fixtures would silently
     * replay stale data into the stream gates. */
-  private def sourceStamp(path: String): String = {
+  private[queries] def sourceStamp(path: String): String = {
     val root = new java.io.File(path)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles.sortBy(_.getName).toSeq.flatMap(walk)
@@ -165,6 +165,53 @@ object StreamingQueries {
     if (!new java.io.File(splitDir, "_SUCCESS").exists)
       graft.Tables.events(spark, dir).repartition(4)
         .write.mode("overwrite").parquet(splitDir)
+    splitDir
+  }
+
+  /** The events table split into four EVENT-TIME-ORDERED parquet files
+    * (slice i = i-th quarter of the [min ts, max ts] span), named and
+    * mtime-stamped so the streaming file source replays them oldest
+    * slice first — the fixture for MULTI-batch watermark semantics.
+    * Time-ordered delivery is what a log-structured source (Kafka,
+    * CDC tail, CT logs) actually provides, and it is what lets the
+    * watermark advance monotonically without classifying whole slices
+    * as late: slice k's min ts ≥ slice k−1's max ts > slice k−1's
+    * watermark. Ties in ts never straddle a slice boundary (the cut is
+    * on the ts VALUE), so the per-key (ts, event_id) fold order is
+    * identical no matter which batch delivered each event. */
+  private def eventsSplitByTime(spark: SparkSession, dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val splitDir = new java.io.File(tmp,
+      "graft_replay_split_" + sourceStamp(s"$dir/events.parquet")).getAbsolutePath
+    if (!new java.io.File(splitDir, "_SUCCESS").exists) {
+      val ev = graft.Tables.events(spark, dir)
+      val Array(mnRow) = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect()
+      val (mn, mx) = (mnRow.getLong(0), mnRow.getLong(1))
+      val width = (mx - mn) / 4 + 1
+      val staged = new java.io.File(splitDir + "_staging")
+      (0 until 4).foreach { i =>
+        ev.filter(unix_micros(col("ts")) >= mn + i * width &&
+            unix_micros(col("ts")) < mn + (i + 1) * width)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$staged/slice$i")
+      }
+      val out = new java.io.File(splitDir)
+      graft.operators.Dedup.rmdir(out); out.mkdirs()
+      (0 until 4).foreach { i =>
+        val part = new java.io.File(s"$staged/slice$i").listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(out, f"slice-$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // the file source orders same-mtime files by path, but make the
+        // replay order explicit anyway: strictly increasing mtimes
+        dst.setLastModified(1700000000000L + i * 60000L)
+        ()
+      }
+      graft.operators.Dedup.rmdir(staged)
+      java.nio.file.Files.createFile(new java.io.File(out, "_SUCCESS").toPath)
+      ()
+    }
     splitDir
   }
 
@@ -417,7 +464,30 @@ object StreamingQueries {
         s, EventStreams.readTestdataEvents(s, dir)).toDF(),
       Seq("user_id", "event_id"), mode = "update")
 
+  /** EventStreams.anomaliesBuffered driven across a FOUR-micro-batch
+    * time-ordered replay (maxFilesPerTrigger=1 over [[eventsSplitByTime]]):
+    * the multi-batch form of stream_anomaly, where no key can rely on one
+    * AvailableNow iterator delivering all its events — the per-key
+    * event-time buffer + watermark flush must reconstruct the exact
+    * (ts, event_id) fold order across batch boundaries. The oracle is the
+    * batch z-test restricted to ts ≤ the terminal watermark (events inside
+    * the final 30 min horizon are still buffered at stream end, undecided
+    * by design). */
+  def streamAnomalyReplay(spark: SparkSession, dir: String): DataFrame = {
+    val splitDir = eventsSplitByTime(spark, dir)
+    runToCompletion(spark, "sanomr",
+      s => EventStreams.anomaliesBuffered(s,
+        s.readStream
+          .schema(graft.Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(splitDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))).toDF(),
+      Seq("user_id", "event_id"), mode = "update")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly_replay" -> (streamAnomalyReplay _),
     "stream_ewma" -> (streamEwma _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_merge" -> (streamMerge _),
@@ -461,6 +531,32 @@ object StreamingQueries {
         |  CAST(s AS DOUBLE) / (100.0 * np) AS mean_prior
         |FROM p
         |WHERE np >= 8
+        |  AND CAST(cents * np - s AS HUGEINT) * CAST(cents * np - s AS HUGEINT)
+        |      > 9 * (CAST(np AS HUGEINT) * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // the stream_anomaly prefix z-test restricted to the terminal
+    // watermark: an event is DECIDED (emitted or passed over) only once
+    // the watermark reaches its event time, so flags inside the final
+    // 30 min horizon are still buffered when the replay ends
+    "stream_anomaly_replay" ->
+      """WITH c AS (SELECT user_id, event_id, ts, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, ts, value, cents,
+        |    count(*) OVER w AS np,
+        |    coalesce(sum(cents) OVER w, 0) AS s,
+        |    coalesce(sum(cents * cents) OVER w, 0) AS ss
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+        |             - INTERVAL 30 MINUTE AS wm FROM events)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  np::BIGINT AS n_prior,
+        |  CAST(s AS DOUBLE) / (100.0 * np) AS mean_prior
+        |FROM p, m
+        |WHERE np >= 8 AND ts <= wm
         |  AND CAST(cents * np - s AS HUGEINT) * CAST(cents * np - s AS HUGEINT)
         |      > 9 * (CAST(np AS HUGEINT) * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
         |ORDER BY user_id, event_id""".stripMargin,

@@ -395,7 +395,8 @@ object EventStreams {
           val prev = state.getOption.getOrElse(
             AnomalyBufState(0L, 0L, 0L, Nil, Nil, Nil))
           val incoming = batch.map(e => (tsToMicros(e.ts), e.event_id, e.value))
-          val buffered = (prev.bufTsUs, prev.bufId, prev.bufValue).zipped.toSeq
+          val buffered =
+            prev.bufTsUs.lazyZip(prev.bufId).lazyZip(prev.bufValue).toSeq
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ripe, stillBuf) = (buffered ++ incoming).sortBy(t => (t._1, t._2))
             .partition(_._1 <= wmUs)
