@@ -190,9 +190,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // args: optional query-name filter — a dev-only tool for timing a
+    // handful of queries without the full 140-query sweep (the driver
+    // always invokes with no args and gets the complete run)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args.toSet) else None
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val declared = names.map(n => run(n, () => SparkEntry.queries(n)(spark, sfDir)))
-    val results = declared ++ skewCases(spark)
+    val results = declared ++ (if (only.isEmpty) skewCases(spark) else Nil)
 
     // the deliberately-naive counterfactual shapes (the thing the remedy
     // beats) are reported per-query but kept out of the headline total —
