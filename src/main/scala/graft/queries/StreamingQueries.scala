@@ -476,17 +476,66 @@ object StreamingQueries {
   def streamAnomalyReplay(spark: SparkSession, dir: String): DataFrame = {
     val splitDir = eventsSplitByTime(spark, dir)
     runToCompletion(spark, "sanomr",
-      s => EventStreams.anomaliesBuffered(s,
-        s.readStream
-          .schema(graft.Tables.events(s, dir).schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(splitDir)
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"))).toDF(),
+      s => EventStreams.anomaliesBuffered(
+        s, replaySource(s, dir, splitDir)).toDF(),
       Seq("user_id", "event_id"), mode = "update")
   }
 
+  /** The time-sliced four-file replay source shared by the *_replay
+    * gates (schema probed from the batch loader; 5-column event shape). */
+  private def replaySource(s: SparkSession, dir: String, splitDir: String) =
+    s.readStream
+      .schema(graft.Tables.events(s, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+  /** EventStreams.ewmaBuffered across the four-micro-batch time-ordered
+    * replay: each event's smoothed value emits only once the watermark
+    * decides it, in (ts, event_id) fold order across batch boundaries —
+    * the q64 lag-chain restricted to the terminal watermark gates it
+    * bit-exact (dyadic weights, as for stream_ewma). */
+  def streamEwmaReplay(spark: SparkSession, dir: String): DataFrame = {
+    val splitDir = eventsSplitByTime(spark, dir)
+    runToCompletion(spark, "sewmar",
+      s => EventStreams.ewmaBuffered(s, replaySource(s, dir, splitDir)).toDF(),
+      Seq("user_id", "event_id"), mode = "update")
+  }
+
+  /** EventStreams.funnelBuffered across the replay: terminal per-user
+    * funnel stage over the DECIDED (ts ≤ terminal watermark) prefix.
+    * Update-mode sinks append one row per (user, emitting batch); stage
+    * counts only grow, so the terminal state is the per-user max. */
+  def streamFunnelReplay(spark: SparkSession, dir: String): DataFrame = {
+    val splitDir = eventsSplitByTime(spark, dir)
+    runToCompletion(spark, "sfunr",
+      s => EventStreams.funnelBuffered(s, replaySource(s, dir, splitDir),
+        Seq("view", "click", "purchase"), windowMicros = 21600000000L).toDF(),
+      Seq("user_id"), mode = "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("funnel_stage")).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** EventStreams.seqCountBuffered across the replay: terminal per-user
+    * completed-sequence count over the decided prefix, per-user max of
+    * the update-mode emissions (counts only grow). */
+  def streamSeqReplay(spark: SparkSession, dir: String): DataFrame = {
+    val splitDir = eventsSplitByTime(spark, dir)
+    runToCompletion(spark, "ssqr",
+      s => EventStreams.seqCountBuffered(s, replaySource(s, dir, splitDir),
+        Seq("view", "click", "purchase")).toDF(),
+      Seq("user_id"), mode = "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_matches")).as("n_matches"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_seq_replay" -> (streamSeqReplay _),
+    "stream_funnel_replay" -> (streamFunnelReplay _),
+    "stream_ewma_replay" -> (streamEwmaReplay _),
     "stream_anomaly_replay" -> (streamAnomalyReplay _),
     "stream_ewma" -> (streamEwma _),
     "stream_anomaly" -> (streamAnomaly _),
@@ -534,6 +583,75 @@ object StreamingQueries {
         |  AND CAST(cents * np - s AS HUGEINT) * CAST(cents * np - s AS HUGEINT)
         |      > 9 * (CAST(np AS HUGEINT) * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // q64's lag-chain EWMA restricted to the terminal watermark: only
+    // decided (ts ≤ wm) events are emitted, and a decided event's tap
+    // prefix is all-decided by time order, so the restriction commutes
+    // with the window
+    "stream_ewma_replay" -> {
+      val taps = 16
+      val num = (0 until taps).map(i =>
+        s"coalesce(lag(cents, $i) OVER w * ${math.pow(0.5, i + 1)}, 0)")
+        .mkString(" + ")
+      val den = (0 until taps).map(i =>
+        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN ${math.pow(0.5, i + 1)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+         |             - INTERVAL 30 MINUTE AS wm FROM events),
+         |c AS (SELECT user_id, event_id, ts, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events, m WHERE ts <= wm)
+         |SELECT user_id, event_id, ts, value, ($num) / ($den) / 100.0 AS ewma
+         |FROM c
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    },
+
+    // q36's join-chain funnel over the DECIDED prefix (wm computed over
+    // ALL events — the stream's watermark column sits before the type
+    // filter); users whose qualifying events are all undecided are absent
+    "stream_funnel_replay" ->
+      """WITH m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+        |             - INTERVAL 30 MINUTE AS wm FROM events),
+        |ff AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events, m
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts <= wm),
+        |f1 AS (SELECT user_id, t AS t0 FROM ff WHERE et = 'view'),
+        |f2 AS (SELECT a.user_id, a.t0, min(b.t) AS t2 FROM f1 a JOIN ff b
+        |  ON a.user_id = b.user_id AND b.et = 'click'
+        |  AND b.t >= a.t0 AND b.t <= a.t0 + 21600000000 GROUP BY 1, 2),
+        |f3 AS (SELECT DISTINCT a.user_id FROM f2 a JOIN ff c
+        |  ON a.user_id = c.user_id AND c.et = 'purchase'
+        |  AND c.t >= a.t2 AND c.t <= a.t0 + 21600000000),
+        |fu AS (SELECT DISTINCT user_id FROM ff)
+        |SELECT fu.user_id,
+        |  (CASE WHEN fu.user_id IN (SELECT user_id FROM f3) THEN 3
+        |        WHEN fu.user_id IN (SELECT user_id FROM f2) THEN 2
+        |        WHEN fu.user_id IN (SELECT user_id FROM f1) THEN 1
+        |        ELSE 0 END)::BIGINT AS funnel_stage
+        |FROM fu ORDER BY fu.user_id""".stripMargin,
+
+    // q46's recursive-CTE state machine over the decided prefix
+    "stream_seq_replay" ->
+      """WITH RECURSIVE m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+        |             - INTERVAL 30 MINUTE AS wm FROM events),
+        |sq AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'purchase' THEN 3 END AS s
+        |  FROM events, m
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts <= wm),
+        |sqo AS (SELECT user_id, s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, s) AS rn FROM sq),
+        |fold(user_id, rn, st, cnt) AS (
+        |  SELECT user_id, 0, 0, 0::BIGINT FROM (SELECT DISTINCT user_id FROM sqo)
+        |  UNION ALL
+        |  SELECT f.user_id, f.rn + 1,
+        |    CASE WHEN o.s = f.st + 1
+        |         THEN CASE WHEN f.st + 1 = 3 THEN 0 ELSE f.st + 1 END
+        |         ELSE f.st END,
+        |    CASE WHEN o.s = f.st + 1 AND f.st + 1 = 3 THEN f.cnt + 1 ELSE f.cnt END
+        |  FROM fold f JOIN sqo o ON o.user_id = f.user_id AND o.rn = f.rn + 1)
+        |SELECT user_id, max(cnt) AS n_matches FROM fold
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the stream_anomaly prefix z-test restricted to the terminal
     // watermark: an event is DECIDED (emitted or passed over) only once

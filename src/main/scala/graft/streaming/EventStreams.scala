@@ -323,9 +323,10 @@ object EventStreams {
     * the stream hash-exact. Within a batch events fold in (ts, event_id)
     * order — prefix semantics need time order, which the shuffled
     * iterator does not provide; across batches the gate relies on
-    * AvailableNow's single-batch read like [[funnelStages]] (a
-    * production multi-batch deployment pairs this with a per-user
-    * event-time buffer flushed by watermark). Flags are emitted as they
+    * AvailableNow's single-batch read like [[funnelStages]]
+    * ([[anomaliesBuffered]] is the multi-batch form: the same z-test
+    * behind a per-key event-time buffer flushed by watermark, gated
+    * across a four-file replay). Flags are emitted as they
     * are decided (flatMap, update mode) and never retracted — each
     * decision depends only on the immutable prefix before the event. */
   def anomalies(spark: SparkSession, events: DataFrame,
@@ -358,6 +359,26 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** Event-time buffer bookkeeping shared by the *Buffered multi-batch
+    * operators: merge the persisted buffer with the batch's arrivals,
+    * order by the op's (time, tiebreak) key, and split at the watermark —
+    * everything ≤ it is ripe for the deterministic fold, the rest stays
+    * buffered. The watermark bounds the buffer exactly as it bounds any
+    * windowed aggregation's live state. */
+  private def splitRipe[A](buffered: Seq[(Long, Long, A)],
+      incoming: Iterator[(Long, Long, A)],
+      wmUs: Long): (Seq[(Long, Long, A)], Seq[(Long, Long, A)]) =
+    (buffered ++ incoming).sortBy(t => (t._1, t._2)).partition(_._1 <= wmUs)
+
+  /** Arm an event-time timeout so a key with a non-empty buffer is
+    * re-invoked when the watermark alone advances (terminal no-data
+    * batch, or batches carrying only other keys); the API requires a
+    * timestamp strictly above the current watermark. */
+  private def armTimeout(state: GroupState[_], firstBufTsUs: Long,
+      wmUs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(firstBufTsUs / 1000L, wmUs / 1000L + 1L))
 
   case class AnomalyBufState(n: Long, cents: Long, sqCents: Long,
       bufTsUs: Seq[Long], bufId: Seq[Long], bufValue: Seq[Double])
@@ -398,8 +419,7 @@ object EventStreams {
           val buffered =
             prev.bufTsUs.lazyZip(prev.bufId).lazyZip(prev.bufValue).toSeq
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ripe, stillBuf) = (buffered ++ incoming).sortBy(t => (t._1, t._2))
-            .partition(_._1 <= wmUs)
+          val (ripe, stillBuf) = splitRipe(buffered, incoming, wmUs)
           var st = AnomalyState(prev.n, prev.cents, prev.sqCents)
           val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
           ripe.foreach { case (tUs, id, v) =>
@@ -415,14 +435,148 @@ object EventStreams {
           }
           state.update(AnomalyBufState(st.n, st.cents, st.sqCents,
             stillBuf.map(_._1), stillBuf.map(_._2), stillBuf.map(_._3)))
-          // an event-time timeout re-invokes this key when the watermark
-          // alone advances (terminal no-data batch, or batches that carry
-          // only other keys) so the buffer drains without new arrivals;
-          // the API requires a timestamp strictly above the watermark
-          if (stillBuf.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max(stillBuf.head._1 / 1000L, wmUs / 1000L + 1L))
+          if (stillBuf.nonEmpty) armTimeout(state, stillBuf.head._1, wmUs)
           out.iterator
+      }
+  }
+
+  case class EwmaBufState(taps: Seq[Long],
+      bufTsUs: Seq[Long], bufId: Seq[Long], bufValue: Seq[Double])
+
+  /** Multi-batch [[ewma]]: the 16-tap dyadic smoother behind the same
+    * per-key event-time buffer as [[anomaliesBuffered]] — each event's
+    * smoothed value is emitted only once the watermark passes its event
+    * time, folded in (ts, event_id) order regardless of how many
+    * micro-batches delivered the key's events. State is the ≤`taps`
+    * tap list plus the ≤-horizon buffer. */
+  def ewmaBuffered(spark: SparkSession, events: DataFrame, taps: Int = 16,
+      watermark: String = "30 minutes"): Dataset[EwmaRow] = {
+    import spark.implicits._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    events.withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaBufState, EwmaRow](
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaBufState]) =>
+          val prev = state.getOption.getOrElse(EwmaBufState(Nil, Nil, Nil, Nil))
+          val incoming = batch.map(e => (tsToMicros(e.ts), e.event_id, e.value))
+          val buffered =
+            prev.bufTsUs.lazyZip(prev.bufId).lazyZip(prev.bufValue).toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, stillBuf) = splitRipe(buffered, incoming, wmUs)
+          var tapsNow = prev.taps.toList
+          val out = ripe.map { case (tUs, id, v) =>
+            tapsNow = (cents(v) :: tapsNow).take(taps)
+            var num = 0.0; var den = 0.0
+            tapsNow.zipWithIndex.foreach { case (c, i) =>
+              val w = math.pow(0.5, i + 1)
+              num += c.toDouble * w; den += w
+            }
+            EwmaRow(userId, id, microsToTs(tUs), v, num / den / 100.0)
+          }
+          state.update(EwmaBufState(tapsNow,
+            stillBuf.map(_._1), stillBuf.map(_._2), stillBuf.map(_._3)))
+          if (stillBuf.nonEmpty) armTimeout(state, stillBuf.head._1, wmUs)
+          out.iterator
+      }
+  }
+
+  case class FunnelBufState(starts: Seq[Long], nFolded: Long,
+      bufTsUs: Seq[Long], bufStage: Seq[Long])
+
+  /** Multi-batch [[funnelStages]]: the windowFunnel DP behind the
+    * event-time buffer — buffered (ts, stage) pairs fold in the DP's own
+    * (ts, stage) order once the watermark passes them, so the terminal
+    * per-user stage is batch-identical no matter how the key's events
+    * spread across micro-batches. A user emits only after its first
+    * DECIDED (≤ watermark) event: users whose events all sit inside the
+    * final horizon are undecided, exactly what the terminal-watermark
+    * oracle states. Stage counts only grow, so the terminal row is the
+    * per-user max across update-mode emissions. */
+  def funnelBuffered(spark: SparkSession, events: DataFrame,
+      types: Seq[String], windowMicros: Long,
+      watermark: String = "30 minutes"): Dataset[FunnelRow] = {
+    import spark.implicits._
+    val n = types.size
+    val typeIdx = types.zipWithIndex.toMap
+    val ev = events.withWatermark("ts", watermark)
+      .filter(col("event_type").isin(types: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Timestamp, String)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBufState, FunnelRow](
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[(Long, Timestamp, String)],
+            state: GroupState[FunnelBufState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelBufState(Seq.fill(n)(Long.MinValue), 0L, Nil, Nil))
+          val incoming = batch.map { case (_, ts, et) =>
+            (tsToMicros(ts), (typeIdx(et) + 1).toLong, ()) }
+          val buffered = prev.bufTsUs.lazyZip(prev.bufStage)
+            .map((t, s) => (t, s, ())).toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, stillBuf) = splitRipe(buffered, incoming, wmUs)
+          val acc = prev.starts.toArray
+          ripe.foreach { case (t, sL, _) =>
+            val s = sL.toInt
+            if (s == 1) acc(0) = math.max(acc(0), t)
+            else if (acc(s - 2) != Long.MinValue && t <= acc(s - 2) + windowMicros)
+              acc(s - 1) = math.max(acc(s - 1), acc(s - 2))
+          }
+          val folded = prev.nFolded + ripe.size
+          state.update(FunnelBufState(acc.toSeq, folded,
+            stillBuf.map(_._1), stillBuf.map(_._2)))
+          if (stillBuf.nonEmpty) armTimeout(state, stillBuf.head._1, wmUs)
+          if (folded > 0)
+            Iterator(FunnelRow(userId, acc.count(_ != Long.MinValue).toLong))
+          else Iterator.empty
+      }
+  }
+
+  case class SeqCountBufState(stage: Int, cnt: Long, nFolded: Long,
+      bufTsUs: Seq[Long], bufStage: Seq[Long])
+
+  /** Multi-batch [[seqCountStages]]: the greedy sequence-count state
+    * machine behind the event-time buffer, folding decided (ts, stage)
+    * pairs in order as the watermark advances. Counts only grow, so the
+    * terminal row is the per-user max across update-mode emissions;
+    * users with no decided event never emit. */
+  def seqCountBuffered(spark: SparkSession, events: DataFrame,
+      types: Seq[String],
+      watermark: String = "30 minutes"): Dataset[SeqCountRow] = {
+    import spark.implicits._
+    val n = types.size
+    val typeIdx = types.zipWithIndex.toMap
+    val ev = events.withWatermark("ts", watermark)
+      .filter(col("event_type").isin(types: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Timestamp, String)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[SeqCountBufState, SeqCountRow](
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[(Long, Timestamp, String)],
+            state: GroupState[SeqCountBufState]) =>
+          val prev = state.getOption.getOrElse(SeqCountBufState(0, 0L, 0L, Nil, Nil))
+          val incoming = batch.map { case (_, ts, et) =>
+            (tsToMicros(ts), (typeIdx(et) + 1).toLong, ()) }
+          val buffered = prev.bufTsUs.lazyZip(prev.bufStage)
+            .map((t, s) => (t, s, ())).toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, stillBuf) = splitRipe(buffered, incoming, wmUs)
+          var st = prev.stage
+          var cnt = prev.cnt
+          ripe.foreach { case (_, sL, _) =>
+            val s = sL.toInt
+            if (s == st + 1) { st += 1; if (st == n) { cnt += 1; st = 0 } }
+          }
+          val folded = prev.nFolded + ripe.size
+          state.update(SeqCountBufState(st, cnt, folded,
+            stillBuf.map(_._1), stillBuf.map(_._2)))
+          if (stillBuf.nonEmpty) armTimeout(state, stillBuf.head._1, wmUs)
+          if (folded > 0) Iterator(SeqCountRow(userId, cnt)) else Iterator.empty
       }
   }
 
