@@ -213,4 +213,34 @@ object Sampling {
         Quant.q9ToDouble(col("wdec")).as("weight"),
         (col("wdec") > 0).as("selected"))
   }
+
+  /** Cluster-balanced subsampling — the topic/diversity balancing step of
+    * an embedding-aware curation pipeline (cap each embedding-space
+    * cluster at `quota` survivors so a few dominant modes cannot crowd
+    * out the distribution's tail; cf. cluster-based rebalancing in
+    * SemDeDup-style pipelines). Clusters are [[KMeans.lloyd]]'s
+    * deterministic assignment; within a cluster the survivors are the
+    * `quota` rows with the smallest salted multiplicative hash of vec_id
+    * (ties by vec_id) — uniform within the cluster, reproducible on any
+    * engine, independent of row order and partitioning.
+    *
+    * Plan shape at 100 TB: the k-means broadcast-assign route plus ONE
+    * row_number window keyed by cluster — the same bounded shape as
+    * [[stratifiedQuota]], with the same straggler note when one cluster
+    * dwarfs its quota (prepend a rate prefilter to bound the window
+    * input). Output keeps every vector with its cluster and `kept` flag
+    * so the drop report is the same frame as the sample. */
+  def clusterBalancedSample(embs: DataFrame, k: Int = 8, iters: Int = 2,
+      quota: Int = 32): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val assigned = KMeans.lloyd(embs, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val h = pmod(col("vec_id") * lit(2654435761L), lit(1000000007L))
+    val w = Window.partitionBy(col("cluster")).orderBy(h.asc, col("vec_id").asc)
+    assigned
+      .withColumn("__rn", row_number().over(w))
+      .select(col("vec_id"), col("cluster"),
+        (col("__rn") <= quota).as("kept"))
+      .orderBy(col("vec_id"))
+  }
 }

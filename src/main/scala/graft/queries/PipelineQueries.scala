@@ -549,6 +549,14 @@ object PipelineQueries {
       graft.operators.KMeans.outliers(Tables.embeddings(s, d),
         k = 8, iters = 2, factor = 1.05)),
 
+    // topic-balanced subsampling over those clusters: each cluster capped
+    // at 32 survivors picked by salted-hash order — the diversity
+    // rebalancing step of an embedding-aware curation pipeline, every
+    // vector emitted with its kept/dropped verdict
+    "emb_balanced_sample" -> ((s, d) =>
+      graft.operators.Sampling.clusterBalancedSample(
+        Tables.embeddings(s, d), k = 8, iters = 2, quota = 32)),
+
     // IVF probe over those trained cells: route the query to its nProbe=2
     // nearest centroids, scan only their cells, exact-cosine rerank
     "emb_knn_ivf" -> ((s, d) =>
@@ -1505,6 +1513,19 @@ object PipelineQueries {
       s"""WITH $dKmeansCtes
          |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM ka2 WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    // same assignment CTEs; survivors = the quota smallest salted
+    // multiplicative hashes per cluster (BIGINT arithmetic, exact on both
+    // engines), ties by vec_id — row_number mirrors the Spark window
+    "emb_balanced_sample" ->
+      s"""WITH $dKmeansCtes,
+         |bsa AS (SELECT vec_id, cid FROM ka2 WHERE rn = 1),
+         |bsr AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) AS rnk
+         |  FROM bsa)
+         |SELECT vec_id, cid AS cluster, (rnk <= 32) AS kept
+         |FROM bsr ORDER BY vec_id""".stripMargin,
 
     // same assignment CTEs; per-cluster mean via the DECIMAL(18,9) sum
     // (order-free), threshold compare is one IEEE multiply both engines

@@ -565,6 +565,26 @@ class PipelineOpsSpec extends SparkSpec {
       quota.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("clusterBalancedSample: per-cluster cap, every vector reported, partition-invariant") {
+    import spark.implicits._
+    val embs = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val out = Sampling.clusterBalancedSample(embs, k = 8, iters = 2, quota = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == embs.count(), "one verdict row per vector")
+    val keptPerCluster = out.filter(_._3).groupBy(_._2).view.mapValues(_.length)
+    val sizePerCluster = out.groupBy(_._2).view.mapValues(_.length)
+    sizePerCluster.foreach { case (c, n) =>
+      assert(keptPerCluster.getOrElse(c, 0) == math.min(16, n),
+        s"cluster $c keeps min(quota, size)")
+    }
+    // same verdicts from a differently-partitioned input (the hash-order
+    // pick must not depend on physical layout)
+    val out13 = Sampling.clusterBalancedSample(
+        embs.repartition(13), k = 8, iters = 2, quota = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out13.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("mixToBudget: integer rate formula, cap at full keep, unlisted strata dropped") {
     import spark.implicits._
     // web: 40 tokens, code: 12 tokens, junk: unlisted ("t t" = 2 tokens
