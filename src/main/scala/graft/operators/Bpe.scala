@@ -286,6 +286,28 @@ object Bpe {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Oracle for the per-source tokenizer-efficiency report: the SAME
+    * encode CTEs as [[encodeOracleSql]], rolled up by source with exact
+    * integer sums and one final IEEE division per group. */
+  def encodeStatsOracleSql(nMerges: Int): String = {
+    val sep = "chr(31)"
+    s"""WITH ${oracleCtes(nMerges, finalApply = true).mkString(",\n")},
+       |enc AS (SELECT word,
+       |        CASE WHEN word = '' THEN 0
+       |             ELSE len(string_split(syms, $sep)) END::BIGINT AS word_tokens
+       |        FROM bp${nMerges}w),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |dtok AS (SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       |         sum(e.word_tokens)::BIGINT AS n_tokens
+       |         FROM dw d JOIN enc e ON d.word = e.word GROUP BY d.doc_id)
+       |SELECT s.source, count(*)::BIGINT AS n_docs,
+       |  sum(t.n_words)::BIGINT AS n_words, sum(t.n_tokens)::BIGINT AS n_tokens,
+       |  CAST(sum(s.n_chars) AS DOUBLE) / CAST(sum(t.n_tokens) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM documents s JOIN dtok t ON s.doc_id = t.doc_id
+       |GROUP BY s.source ORDER BY s.source""".stripMargin
+  }
+
   private def oracleCtes(nMerges: Int, finalApply: Boolean): Seq[String] = {
     val sep = "chr(31)"  // symbol separator
     val tag = "chr(30)"  // pending/output separator inside the fold acc

@@ -634,6 +634,23 @@ object PipelineQueries {
     "doc_bpe_encode" -> ((s, d) =>
       graft.operators.Bpe.trainAndEncode(Tables.documents(s, d), nMerges = 6)),
 
+    // tokenizer-efficiency report: the encode counts rolled up per
+    // source — bytes-per-token is THE fitness number a tokenizer is
+    // judged by (and the denominator a token-budgeted mix converts
+    // through); exact integer sums, one IEEE division per group
+    "doc_bpe_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(graft.operators.Bpe.trainAndEncode(docs, nMerges = 6), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          (sum(col("n_chars")).cast("double") /
+            sum(col("n_tokens")).cast("double")).as("chars_per_token"))
+        .orderBy(col("source"))
+    }),
+
     // TF-IDF at the sparse long grain against the corpus-derived top-10
     // vocabulary; idf float32-quantized, all else exact integers
     "doc_tfidf" -> ((s, d) =>
@@ -1306,6 +1323,7 @@ object PipelineQueries {
 
     "doc_bpe_merges" -> graft.operators.Bpe.trainOracleSql(nMerges = 6),
     "doc_bpe_encode" -> graft.operators.Bpe.encodeOracleSql(nMerges = 6),
+    "doc_bpe_stats" -> graft.operators.Bpe.encodeStatsOracleSql(nMerges = 6),
 
     "doc_quality_model" ->
       graft.operators.Classifier.trainOracleSql(iters = 2, lr = 0.5),
