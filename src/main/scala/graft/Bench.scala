@@ -208,16 +208,18 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
 
     // Full precision for humans/judges: written next to the build so the
-    // one printed line can stay small.
+    // one printed line can stay small. A FILTERED dev run must not
+    // clobber the last full sweep's snapshot — it goes to a partial file.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     try {
-      val p = java.nio.file.Paths.get("bench_full.json")
+      val p = java.nio.file.Paths.get(
+        if (only.isEmpty) "bench_full.json" else "bench_partial.json")
       java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write bench json: ${e.getMessage}")
     }
 
     // The driver captures only the last ~2000 chars of the run's output and

@@ -215,6 +215,93 @@ case class LshBands(child: Expression, nPlanes: Int, nBands: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of array<string> elements belonging to a fixed string set — the
+  * stopword-counting kernel. Quality scoring runs it once per document and
+  * language ID once per document PER LANGUAGE; the
+  * `size(filter(tokens, isInCollection(...)))` HOF twin pays per-element
+  * interpreter dispatch AND (being CodegenFallback) knocks the whole scan
+  * stage out of WholeStageCodegen. Bit-identical counts: UTF8String
+  * equality is exactly the INSET membership the HOF form tested. */
+case class CountInSet(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(8, set.size * 2))
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && lookup.contains(a.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", lookup, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) {
+         |    ${ev.value}++;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** max(|x|) over an array<double> — the int8 quantization scale kernel
+  * (VectorFunctions.quantizeScale), identical to the left fold
+  * `aggregate(v, 0.0, (m, x) => greatest(m, abs(x)))` on finite inputs:
+  * max is order-free and the fold starts at 0.0. */
+case class MaxAbsDouble(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = java.lang.Math.abs(a.getDouble(i))
+      if (x > acc) acc = x
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs($a.getDouble($i));
+         |  if ($x > ${ev.value}) ${ev.value} = $x;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Static helpers invoked from generated code (and reusable from eval). */
 object ArrayExprs {
   def polyHash(s: UTF8String): Long = {
@@ -356,4 +443,7 @@ object ArrayExprs {
   def shingle_combine(c: Column, k: Int, packed: Boolean): Column =
     column(ShingleCombine(expression(c), k, packed))
   def bigram_counts(c: Column): Column = column(BigramCounts(expression(c)))
+  def count_in_set(arr: Column, set: Seq[String]): Column =
+    column(CountInSet(expression(arr), set))
+  def max_abs_double(arr: Column): Column = column(MaxAbsDouble(expression(arr)))
 }

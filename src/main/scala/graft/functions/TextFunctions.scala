@@ -300,9 +300,13 @@ object TextFunctions {
       case (c, ws) if ws.distinct != ws => s"$c: ${ws.diff(ws.distinct).mkString(",")}"
     }.mkString("; "))
 
-  /** Count of tokens belonging to `set` (lowercased input expected). */
+  /** Count of tokens belonging to `set` (lowercased input expected).
+    * Native codegen'd kernel: the HOF filter form is CodegenFallback and
+    * takes the whole scan stage out of WholeStageCodegen — language ID
+    * evaluates this once per row per LANGUAGE (PlanContractSpec pins the
+    * codegen span). Returns LONG. */
   def stopwordHits(text: Column, set: Seq[String]): Column =
-    size(filter(tokens(lower(text)), t => t.isInCollection(set.map(lit(_)))))
+    graft.expressions.ArrayExprs.count_in_set(tokens(lower(text)), set)
 
   /** Predicted language: argmax of stopword hits, ties broken by language
     * code order (deterministic; 'en' first among all-zero scores would be

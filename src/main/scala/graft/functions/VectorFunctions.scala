@@ -50,9 +50,11 @@ object VectorFunctions {
     * the first-order storage win for a 100 TB embedding corpus (PQ/OPQ
     * refine the same idea). floor(x + 0.5) instead of round() because the
     * two engines' round() disagree on ties; the floor form is bit-portable.
-    * Zero vectors quantize to all-zero codes with scale 0. */
+    * Zero vectors quantize to all-zero codes with scale 0. The max|v| scan
+    * is the native MaxAbsDouble kernel (identical to the left fold — max
+    * is order-free from 0.0 — without the HOF's per-element dispatch). */
   def quantizeScale(v: Column): Column =
-    aggregate(asD(v), lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0
+    graft.expressions.ArrayExprs.max_abs_double(asD(v)) / 127.0
 
   def quantize8(v: Column, scale: Column): Column =
     when(scale === 0.0, transform(asD(v), _ => lit(0L)))

@@ -326,7 +326,13 @@ object PipelineQueries {
     "doc_quality" -> ((s, d) => {
       val t = T.tokens(col("text"))
       val nTok = size(t).cast("long")
-      val sumLen = aggregate(transform(t, x => length(x).cast("long")), lit(0L), (a, b) => a + b)
+      // Σ len(token) computed WITHOUT a per-element fold: split on a
+      // single-char separator reconstructs text as join(tokens, ' '), so
+      // len(text) = Σ len(token) + (n − 1) EXACTLY (empty tokens from
+      // doubled/edge spaces contribute 0 and still cost one separator) —
+      // pure codegen arithmetic where the aggregate(transform(...)) HOF
+      // was CodegenFallback and took the scan stage out of codegen
+      val sumLen = length(col("text")).cast("long") - nTok + lit(1L)
       Tables.documents(s, d).select(
         col("doc_id"),
         nTok.as("n_tokens"),
