@@ -90,6 +90,87 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Left-fold squared L2 distance of two array<double> columns — exact
+  * IEEE parity with `aggregate(zip_with(a, b, (x,y) => (x−y)²), 0.0, +)`.
+  * THE k-means inner loop: assignment evaluates it n·k times per Lloyd
+  * pass (and every IVF/IVFPQ probe routing reuses assignment), where the
+  * HOF twin pays per-element interpreter dispatch and de-codegens the
+  * broadcast-join stage. */
+case class L2Dist2Double(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  ${ev.value} += $d * $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Count of index positions where two array<long> columns agree — the
+  * minhash signature-agreement kernel (estimate = agreements / k),
+  * identical to `aggregate(zip_with(a, b, (x,y) => if (x==y) 1 else 0),
+  * 0, +)` without the per-element dispatch. */
+case class CountEqualLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Portable polynomial rolling hash of a string: fold over code points,
   * acc = (acc*31 + cp) mod 1e9+7 (TextFunctions.polyHash semantics). */
 case class PolyHash(child: Expression)
@@ -446,4 +527,8 @@ object ArrayExprs {
   def count_in_set(arr: Column, set: Seq[String]): Column =
     column(CountInSet(expression(arr), set))
   def max_abs_double(arr: Column): Column = column(MaxAbsDouble(expression(arr)))
+  def l2_dist2(a: Column, b: Column): Column =
+    column(L2Dist2Double(expression(a), expression(b)))
+  def count_equal_long(a: Column, b: Column): Column =
+    column(CountEqualLong(expression(a), expression(b)))
 }

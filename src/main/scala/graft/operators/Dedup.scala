@@ -456,10 +456,8 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_a")), Seq("i"))
       .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_b")), Seq("j"))
       .select(col("i"), col("j"), col("jaccard"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1L).otherwise(0L)),
-          lit(0L), _ + _) / lit(T.MinhashK.toDouble)).as("est_jaccard"))
+        (graft.expressions.ArrayExprs.count_equal_long(col("sig_a"), col("sig_b"))
+          / lit(T.MinhashK.toDouble)).as("est_jaccard"))
       .withColumn("abs_err", abs(col("jaccard") - col("est_jaccard")))
       .orderBy(col("i"), col("j"))
   }

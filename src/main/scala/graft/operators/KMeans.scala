@@ -37,14 +37,13 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** Squared L2 distance as a left-to-right fold over the dims; `e` may be
-    * float (promoted per element), `c` must be double. */
+    * float (cast to double array first — a native Cast, not a lambda), `c`
+    * must be double. Native L2Dist2Double kernel: assignment evaluates
+    * this n·k times per Lloyd pass, where the aggregate(zip_with(...))
+    * twin pays per-element interpreter dispatch and de-codegens the
+    * broadcast-join stage (bit-identical fold either way). */
   private[operators] def dist2(e: Column, c: Column): Column =
-    aggregate(
-      zip_with(e, c, (a, b) => {
-        val d = a.cast("double") - b
-        d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.ArrayExprs.l2_dist2(e.cast("array<double>"), c)
 
   /** Centroids → (cid, cent) with double components. */
   private def initCentroids(embs: DataFrame, k: Int): DataFrame =
