@@ -171,6 +171,43 @@ case class CountEqualLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** windowFunnel DP over a SORTED array<struct<t:long, s:int>> of
+  * (event-time µs, 1-based stage): acc[s] = max chain-start among chains
+  * reaching stage s+1, final value = deepest stage reached. One long[n]
+  * accumulator for the whole user where the HOF fold (aggregate +
+  * per-event transform) allocated a fresh n-array per EVENT through the
+  * interpreter. Fold semantics identical to Funnel.referenceStage on
+  * pre-sorted input. */
+case class WindowFunnelStage(child: Expression, n: Int, windowMicros: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.windowFunnelStage(v.asInstanceOf[ArrayData], n, windowMicros)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ArrayExprs.windowFunnelStage($c, $n, ${windowMicros}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Greedy sequential-completion count over the same sorted event array —
+  * Funnel.referenceSeqCount's fold as a native kernel. */
+case class SequenceCountFold(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.sequenceCountFold(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ArrayExprs.sequenceCountFold($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Portable polynomial rolling hash of a string: fold over code points,
   * acc = (acc*31 + cp) mod 1e9+7 (TextFunctions.polyHash semantics). */
 case class PolyHash(child: Expression)
@@ -397,6 +434,42 @@ object ArrayExprs {
     acc
   }
 
+  /** windowFunnel fold over sorted (t, s) structs — see WindowFunnelStage. */
+  def windowFunnelStage(evs: ArrayData, n: Int, window: Long): Long = {
+    val acc = Array.fill(n)(Long.MinValue)
+    val m = evs.numElements()
+    var i = 0
+    while (i < m) {
+      val st = evs.getStruct(i, 2)
+      val t = st.getLong(0)
+      val s = st.getInt(1)
+      if (s == 1) { if (t > acc(0)) acc(0) = t }
+      else if (s >= 2 && s <= n && acc(s - 2) != Long.MinValue &&
+          t <= acc(s - 2) + window) {
+        if (acc(s - 2) > acc(s - 1)) acc(s - 1) = acc(s - 2)
+      }
+      i += 1
+    }
+    var c = 0L
+    var j = 0
+    while (j < n) { if (acc(j) != Long.MinValue) c += 1; j += 1 }
+    c
+  }
+
+  /** Greedy sequential-completion count — see SequenceCountFold. */
+  def sequenceCountFold(evs: ArrayData, n: Int): Long = {
+    var stg = 0
+    var cnt = 0L
+    val m = evs.numElements()
+    var i = 0
+    while (i < m) {
+      val s = evs.getStruct(i, 2).getInt(1)
+      if (s == stg + 1) { stg += 1; if (stg == n) { cnt += 1; stg = 0 } }
+      i += 1
+    }
+    cnt
+  }
+
   def simhash62(hs: ArrayData): Long = {
     val votes = new Array[Int](62)
     var i = 0
@@ -531,4 +604,8 @@ object ArrayExprs {
     column(L2Dist2Double(expression(a), expression(b)))
   def count_equal_long(a: Column, b: Column): Column =
     column(CountEqualLong(expression(a), expression(b)))
+  def window_funnel_stage(evs: Column, n: Int, windowMicros: Long): Column =
+    column(WindowFunnelStage(expression(evs), n, windowMicros))
+  def sequence_count_fold(evs: Column, n: Int): Column =
+    column(SequenceCountFold(expression(evs), n))
 }

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Engine shape: ONE shuffle (the per-user groupBy) — events are
   * filtered to the funnel's types at the scan (the predicate reaches the
   * parquet scan, so the shuffle carries only relevant rows), collected
-  * per user as (ts, stage) pairs, sorted, and folded by a codegen'd HOF
-  * dynamic program. No self-joins: an N-stage funnel as interval joins
+  * per user as (ts, stage) pairs, sorted, and folded by the native
+  * WindowFunnelStage kernel (one long[N] accumulator per user; the HOF
+  * fold it replaced allocated a fresh N-array per EVENT through the
+  * interpreter). No self-joins: an N-stage funnel as interval joins
   * is N−1 shuffles of growing chains; the fold is O(events·N) per user
   * with an N-long accumulator.
   *
@@ -70,10 +72,11 @@ object Funnel {
     * activity-selection argument: finishing the current chain as early
     * as possible leaves the longest suffix for the rest), so one
     * left-to-right fold computes it. Same engine shape as
-    * [[windowFunnel]]: scan-filtered types, ONE per-user shuffle, a
-    * codegen'd HOF fold over the sorted (ts, stage) list — never N−1
-    * self-joins. Ties at one timestamp resolve lower-stage-first (the
-    * struct sort order), the rule the oracle replays.
+    * [[windowFunnel]]: scan-filtered types, ONE per-user shuffle, the
+    * native SequenceCountFold kernel over the sorted (ts, stage) list —
+    * never N−1 self-joins. Ties at one timestamp resolve
+    * lower-stage-first (the struct sort order), the rule the oracle
+    * replays.
     *
     * Returns (user_id, n_matches) for every user with ≥1 chain-type
     * event; types must be distinct (each event maps to one stage). */
@@ -92,17 +95,8 @@ object Funnel {
     relevant.groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("user_id"),
-        aggregate(col("evs"),
-          struct(lit(0).as("st"), lit(0L).as("cnt")),
-          (acc, e) => {
-            val s = e.getField("s")
-            val st = acc.getField("st"); val cnt = acc.getField("cnt")
-            val hit = s === st + 1
-            struct(
-              when(hit && st + 1 === n, lit(0))
-                .when(hit, st + 1).otherwise(st).as("st"),
-              when(hit && st + 1 === n, cnt + 1).otherwise(cnt).as("cnt"))
-          }).getField("cnt").as("n_matches"))
+        graft.expressions.ArrayExprs.sequence_count_fold(col("evs"), n)
+          .as("n_matches"))
       .orderBy(col("user_id"))
   }
 
@@ -122,22 +116,11 @@ object Funnel {
       .filter(col("event_type").isin(types: _*))
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("t"), stageOf.as("s")).as("e"))
-    val folded = relevant.groupBy(col("user_id"))
+    relevant.groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("user_id"),
-        aggregate(col("evs"), array_repeat(lit(NoStart), n),
-          (acc, e) => {
-            val t = e.getField("t"); val s = e.getField("s")
-            transform(sequence(lit(0), lit(n - 1)), i =>
-              when(i === 0 && s === 1, greatest(element_at(acc, 1), t))
-                .when(i > 0 && s === i + 1 &&
-                    element_at(acc, i) =!= NoStart &&
-                    t <= element_at(acc, i) + lit(windowMicros),
-                  greatest(element_at(acc, i + 1), element_at(acc, i)))
-                .otherwise(element_at(acc, i + 1)))
-          }).as("acc"))
-    folded.select(col("user_id"),
-        size(filter(col("acc"), x => x =!= NoStart)).cast("long").as("funnel_stage"))
+        graft.expressions.ArrayExprs.window_funnel_stage(
+          col("evs"), n, windowMicros).as("funnel_stage"))
       .orderBy(col("user_id"))
   }
 }
