@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BigramCounts, DotDouble, DotLong, LshBands, MinhashSig, PolyHash, ShingleCombine, Simhash62}
+import graft.expressions.{BigramCounts, CountEqualLong, CountInSet, DotDouble, DotLong, L2Dist2Double, LshBands, MaxAbsDouble, MinhashSig, PolyHash, SequenceCountFold, ShingleCombine, Simhash62, WindowFunnelStage}
 
 /** SparkSessionExtensions registration: exposes the engine's native
   * expressions to SQL, so `spark.sql("SELECT poly_hash(text) ...")` works
@@ -34,6 +34,20 @@ object GraftExtensions {
     "shingle_combine" -> ((args: Seq[Expression]) => ShingleCombine(args(0),
       args(1).eval().asInstanceOf[Number].intValue(),
       args(2).eval().asInstanceOf[Boolean])),
+    "l2_dist2" -> ((args: Seq[Expression]) => L2Dist2Double(args(0), args(1))),
+    "count_equal_long" -> ((args: Seq[Expression]) => CountEqualLong(args(0), args(1))),
+    "max_abs_double" -> ((args: Seq[Expression]) => MaxAbsDouble(args.head)),
+    // the word set must be a foldable array<string> literal — it becomes
+    // the kernel's baked-in hash set, exactly like the Column API's Seq
+    "count_in_set" -> ((args: Seq[Expression]) => CountInSet(args(0),
+      args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).toSeq.map(_.toString))),
+    "window_funnel_stage" -> ((args: Seq[Expression]) => WindowFunnelStage(args(0),
+      args(1).eval().asInstanceOf[Number].intValue(),
+      args(2).eval().asInstanceOf[Number].longValue())),
+    "sequence_count_fold" -> ((args: Seq[Expression]) => SequenceCountFold(args(0),
+      args(1).eval().asInstanceOf[Number].intValue())),
     // aggregate: the analyzer wraps a bare AggregateFunction builder
     // result in an AggregateExpression, same as built-in registry entries
     "kmv_sketch" -> ((args: Seq[Expression]) =>

@@ -38,6 +38,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Long]("dl") == 31L)
   }
 
+  test("round-6 kernels are SQL-callable and agree with their definitions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT l2_dist2(array(1.0D, 2.0D), array(3.0D, 5.0D)) AS d2,
+        |  count_equal_long(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS ce,
+        |  max_abs_double(array(-3.5D, 2.0D)) AS ma,
+        |  count_in_set(array('the', 'fox', 'and'), array('the', 'and')) AS cs,
+        |  window_funnel_stage(array(
+        |    named_struct('t', 0L, 's', 1),
+        |    named_struct('t', 10L, 's', 2),
+        |    named_struct('t', 20L, 's', 3)), 3, 100L) AS wf,
+        |  sequence_count_fold(array(
+        |    named_struct('t', 0L, 's', 1),
+        |    named_struct('t', 10L, 's', 2)), 2) AS sq""".stripMargin)
+      .collect()(0)
+    assert(r.getAs[Double]("d2") == 13.0)
+    assert(r.getAs[Long]("ce") == 2L)
+    assert(r.getAs[Double]("ma") == 3.5)
+    assert(r.getAs[Long]("cs") == 2L)
+    assert(r.getAs[Long]("wf") == 3L)
+    assert(r.getAs[Long]("sq") == 1L)
+  }
+
   test("kmv_sketch aggregates through SQL (grouped, bounded at k)") {
     GraftExtensions.register(spark)
     import spark.implicits._
