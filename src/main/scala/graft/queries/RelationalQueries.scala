@@ -802,6 +802,42 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * double-dimension pattern — nation joins BOTH sides of the fact
+    * chain (supplier's nation and customer's nation), each side filtered
+    * to the two nations of interest BEFORE its broadcast, so the
+    * fact-chain joins admit only candidate rows and the asymmetric pair
+    * condition runs over an already-tiny frame. Shape for scale: the
+    * only fact-sized work is the shipdate-filtered lineitem chain;
+    * nation broadcasts are 2 rows each; revenue rides the DECIMAL sum
+    * (order-free) and years group as exact integers. */
+  def q70TpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    // the pair is a fixture-informed choice: these two nations trade at
+    // every SF including sf0.001, so the gate is never vacuously 0-row
+    val nations = Seq("NATION_18", "NATION_19")
+    val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nations(0) && col("cust_nation") === nations(1)) ||
+        (col("supp_nation") === nations(1) && col("cust_nation") === nations(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** Calendar gap-fill + forward fill — the time-series spine pattern
     * every feature pipeline needs: a sparse daily aggregate (high-value
     * events only, so real gaps exist at every SF) is joined onto the
@@ -1148,6 +1184,7 @@ object RelationalQueries {
     "q50_mad" -> (q50Mad _),
     "q49_tpch_q3" -> (q49TpchQ3 _),
     "q57_tpch_q5" -> (q57TpchQ5 _),
+    "q70_tpch_q7" -> (q70TpchQ7 _),
     "q58_tpch_q18" -> (q58TpchQ18 _),
     "q59_gap_fill" -> (q59GapFill _),
     "q60_pareto" -> (q60Pareto _),
@@ -1496,6 +1533,25 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q70_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q58_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
