@@ -838,6 +838,30 @@ object RelationalQueries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q10 shape (returned-item top customers): quarter-filtered
+    * orders drive the lineitem join, the R-returnflag filter reaches the
+    * fact scan, nation broadcasts, and the customer-grain aggregate
+    * feeds a TakeOrdered top-20 — the "who should we call about
+    * returns" report. Revenue on the DECIMAL sum; c_custkey tiebreaker
+    * keeps the cut deterministic. */
+  def q71TpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Calendar gap-fill + forward fill — the time-series spine pattern
     * every feature pipeline needs: a sparse daily aggregate (high-value
     * events only, so real gaps exist at every SF) is joined onto the
@@ -1185,6 +1209,7 @@ object RelationalQueries {
     "q49_tpch_q3" -> (q49TpchQ3 _),
     "q57_tpch_q5" -> (q57TpchQ5 _),
     "q70_tpch_q7" -> (q70TpchQ7 _),
+    "q71_tpch_q10" -> (q71TpchQ10 _),
     "q58_tpch_q18" -> (q58TpchQ18 _),
     "q59_gap_fill" -> (q59GapFill _),
     "q60_pareto" -> (q60Pareto _),
@@ -1552,6 +1577,19 @@ object RelationalQueries {
         |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q71_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q58_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
