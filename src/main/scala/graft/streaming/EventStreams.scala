@@ -373,12 +373,17 @@ object EventStreams {
 
   /** Arm an event-time timeout so a key with a non-empty buffer is
     * re-invoked when the watermark alone advances (terminal no-data
-    * batch, or batches carrying only other keys); the API requires a
-    * timestamp strictly above the current watermark. */
+    * batch, or batches carrying only other keys). Spark fires a timeout
+    * only when `timeoutTs < watermark` STRICTLY, so arm 1 ms BELOW the
+    * earliest buffered event: an event exactly at a future watermark
+    * millisecond then still gets its deciding invocation (splitRipe is
+    * the actual ≤-watermark gate — firing early is harmless, the buffer
+    * just re-arms). The API requires a timestamp strictly above the
+    * current watermark, hence the max. */
   private def armTimeout(state: GroupState[_], firstBufTsUs: Long,
       wmUs: Long): Unit =
     state.setTimeoutTimestamp(
-      math.max(firstBufTsUs / 1000L, wmUs / 1000L + 1L))
+      math.max(firstBufTsUs / 1000L - 1L, wmUs / 1000L + 1L))
 
   case class AnomalyBufState(n: Long, cents: Long, sqCents: Long,
       bufTsUs: Seq[Long], bufId: Seq[Long], bufValue: Seq[Double])

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+/** Pins the event-time-buffer contract of the *Buffered multi-batch
+  * operators across APPENDED batches:
+  *
+  *  - an event is DECIDED (folded + emitted) only once the watermark
+  *    passes its event time — events inside the final horizon never emit;
+  *  - a genuinely LATE event (behind the watermark when its batch
+  *    arrives) is dropped by the stateful operator's late-row filter and
+  *    never perturbs the already-decided prefix — Spark's watermark
+  *    contract, stated here so nobody mistakes the time-ordered replay
+  *    gates for accidental behavior;
+  *  - decisions fold in (ts, event_id) order even when the key's events
+  *    arrive across several micro-batches.
+  */
+class BufferedReplaySpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams.Event
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def writeBatch(dir: String, rows: Seq[Event]): Unit =
+    rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+
+  test("anomaliesBuffered: watermark decides, late events drop, spike flags") {
+    val dir = Files.createTempDirectory("events-anom-buf").toString
+    val ckpt = Files.createTempDirectory("ckpt-anom-buf").toString
+
+    // user 1: eight 1.00-valued priors + a 9.00 spike (id 10)
+    val priors = (1 to 9).map(i =>
+      Event(i.toLong, ts(f"2024-01-01 00:${(i - 1) * 5}%02d:00"), 1, "click", 1.0))
+    writeBatch(dir, priors :+ Event(10, ts("2024-01-01 00:45:00"), 1, "click", 9.0))
+
+    val q = EventStreams.runToMemory(
+      EventStreams.anomaliesBuffered(spark,
+        EventStreams.readEvents(spark, dir)).toDF(),
+      "anom_buf_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    // watermark = 00:45 − 30 min = 00:15 → only ids 1-4 decided, none
+    // flaggable (fewer than minPrior priors)
+    assert(spark.table("anom_buf_out").count() == 0)
+
+    // batch 2: a far-future event (advances the watermark to 02:30) and a
+    // genuinely LATE event (00:01 < current watermark 00:15) whose 500.00
+    // value WOULD flag enormously if it were ever folded
+    writeBatch(dir, Seq(
+      Event(11, ts("2024-01-01 03:00:00"), 1, "click", 1.0),
+      Event(12, ts("2024-01-01 00:01:00"), 1, "click", 500.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val flagged = spark.table("anom_buf_out")
+      .select("event_id").as[Long].collect().toSet
+    // ids 5-10 became decided (≤ 02:30): the spike flags, the late 500.00
+    // never folded (it would have flagged), the 03:00 event is undecided
+    assert(flagged == Set(10L), s"got $flagged")
+    spark.catalog.dropTempView("anom_buf_out")
+  }
+
+  test("ewmaBuffered: emits exactly the decided prefix, in-order smoothing") {
+    val dir = Files.createTempDirectory("events-ewma-buf").toString
+    val ckpt = Files.createTempDirectory("ckpt-ewma-buf").toString
+
+    writeBatch(dir, (1 to 4).map(i =>
+      Event(i.toLong, ts(f"2024-01-01 00:${(i - 1) * 10}%02d:00"), 1, "click",
+        i.toDouble)))
+    val q = EventStreams.runToMemory(
+      EventStreams.ewmaBuffered(spark,
+        EventStreams.readEvents(spark, dir)).toDF(),
+      "ewma_buf_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    // wm = 00:30 − 30 min = 00:00 → only id 1 decided; first tap = value
+    val first = spark.table("ewma_buf_out")
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(first == Map(1L -> 1.0), s"got $first")
+
+    // advance far enough to decide ids 2-4; id 5 itself stays undecided
+    writeBatch(dir, Seq(Event(5, ts("2024-01-01 02:00:00"), 1, "click", 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ewma_buf_out")
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(all.keySet == Set(1L, 2L, 3L, 4L), s"got ${all.keySet}")
+    // 16-tap dyadic smoothing in (ts, id) order: id 2 = (2·1/2 + 1·1/4)/(3/4)
+    assert(math.abs(all(2L) - (2.0 * 0.5 + 1.0 * 0.25) / 0.75) < 1e-12)
+    spark.catalog.dropTempView("ewma_buf_out")
+  }
+}
