@@ -445,6 +445,23 @@ object PipelineQueries {
     "dedup_clusters" -> ((s, d) =>
       componentsArtifact(s, d).orderBy(col("doc_id"))),
 
+    // dedup-impact report over those clusters: the cluster-SIZE histogram
+    // (singletons included via coalesce-to-self) — the number a curation
+    // run quotes ("how much of the corpus is duplicated, in what clump
+    // sizes") and the sanity check that near-dup pressure matches
+    // expectations before committing a survivor policy. Reads the same
+    // persisted artifact; two bounded aggregates on top
+    "dedup_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      docs.join(componentsArtifact(s, d), Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // survivor POLICY over those clusters: keep the highest-quality copy
     // (distinct-token ratio, ties by doc_id) instead of the min id —
     // quality-aware dedup at doc grain, singletons kept by construction.
@@ -1219,6 +1236,20 @@ object PipelineQueries {
          |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $dJaccardCtes,
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |hcl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |hall AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |         FROM documents d LEFT JOIN hcl c ON d.doc_id = c.doc_id),
+         |hsz AS (SELECT cluster_id, count(*) AS sz FROM hall GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+         |  sum(sz)::BIGINT AS n_docs
+         |FROM hsz GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     "dedup_keep_best" -> {
       val nTok = s"len(${dTokens("text")})::BIGINT"

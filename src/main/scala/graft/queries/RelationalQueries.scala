@@ -862,6 +862,27 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Cohort retention matrix — the product-analytics staple: users
+    * cohorted by their FIRST active day, activity counted per
+    * (cohort_day, day_offset) cell. Shape for scale: the distinct
+    * (user, day) grain is one map-side-combinable aggregate off the
+    * scan; the per-user min is a second partial-aggregatable pass whose
+    * output is user-grain (far below event grain); the join back is an
+    * equi-join on user_id feeding the cell-grain count-distinct. No
+    * window functions, no per-user collect — every stage is a hash
+    * aggregate. */
+  def q72Cohort(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Calendar gap-fill + forward fill — the time-series spine pattern
     * every feature pipeline needs: a sparse daily aggregate (high-value
     * events only, so real gaps exist at every SF) is joined onto the
@@ -1210,6 +1231,7 @@ object RelationalQueries {
     "q57_tpch_q5" -> (q57TpchQ5 _),
     "q70_tpch_q7" -> (q70TpchQ7 _),
     "q71_tpch_q10" -> (q71TpchQ10 _),
+    "q72_cohort" -> (q72Cohort _),
     "q58_tpch_q18" -> (q58TpchQ18 _),
     "q59_gap_fill" -> (q59GapFill _),
     "q60_pareto" -> (q60Pareto _),
@@ -1577,6 +1599,14 @@ object RelationalQueries {
         |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q72_cohort" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT c.cohort_day, (a.day - c.cohort_day)::BIGINT AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q71_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
