@@ -215,6 +215,69 @@ object StreamingQueries {
     splitDir
   }
 
+  /** Embeddings table split into 4 files so a file-per-trigger stream
+    * replays the corpus as 4 micro-batches (the embeddings analog of
+    * [[eventsSplit]]; routing is arrival-order-independent, so no time
+    * slicing is needed). */
+  private def embsSplit(spark: SparkSession, dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val splitDir = new java.io.File(tmp,
+      "graft_emb_split_" + sourceStamp(s"$dir/embeddings.parquet")).getAbsolutePath
+    if (!new java.io.File(splitDir, "_SUCCESS").exists)
+      graft.Tables.embeddings(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(splitDir)
+    splitDir
+  }
+
+  /** Streaming maintenance of the IVF embedding store — the similarity
+    * index's answer to stream_mv: each micro-batch (one file,
+    * AvailableNow) routes its vectors to their LSH cells via
+    * EmbeddingStore.append (deterministic routing, so arrival order is
+    * immaterial), fragmented cells are reclustered once at the end, and
+    * the probe over the incrementally-built store must be
+    * indistinguishable from the one-shot store's — emb_knn_store's
+    * oracle gates it verbatim. History is never rescanned: each append
+    * touches only the arriving batch, recluster only the cells past the
+    * compaction bound. (Production hardening note: a redelivered batch
+    * would re-append its vectors; the exactly-once deployment stamps
+    * appends with the batchId and skips committed ones, the AggState
+    * fencing pattern — under AvailableNow with a fresh checkpoint each
+    * batch delivers exactly once, which is what the gate exercises.) */
+  def streamEmbStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EmbeddingStore
+    val tmp = System.getProperty("java.io.tmpdir")
+    val splitDir = embsSplit(spark, dir)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val storePath = new java.io.File(tmp, s"graft_emb_stream_$runId").getAbsolutePath
+    val ckpt = new java.io.File(tmp, s"graft_emb_sckpt_$runId").getAbsolutePath
+    val src = spark.readStream
+      .schema(graft.Tables.embeddings(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId == 0L)
+          EmbeddingStore.write(batch.toDF(), storePath, nPlanes = 4)
+        else
+          EmbeddingStore.append(batch.toDF(), storePath, nPlanes = 4)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
+    EmbeddingStore.recluster(spark, storePath, maxFilesPerCell = 2)
+    val view = EmbeddingStore.knnProbe(spark, storePath, queryId = 0L, k = 10,
+        nPlanes = 4, maxFlips = 1)
+      .select(col("vec_id"), col("label"),
+        col("bucket").cast("long").as("bucket"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val rows = java.util.Arrays.asList(view.collect(): _*)
+    graft.operators.Dedup.rmdir(new java.io.File(storePath))
+    spark.createDataFrame(rows, view.schema)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
   /** Documents table split into 4 files so a file-per-trigger stream
     * replays the corpus as 4 micro-batches (the documents analog of
     * [[eventsSplit]]). */
@@ -533,6 +596,7 @@ object StreamingQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_emb_store" -> (streamEmbStore _),
     "stream_seq_replay" -> (streamSeqReplay _),
     "stream_funnel_replay" -> (streamFunnelReplay _),
     "stream_ewma_replay" -> (streamEwmaReplay _),
@@ -583,6 +647,11 @@ object StreamingQueries {
         |  AND CAST(cents * np - s AS HUGEINT) * CAST(cents * np - s AS HUGEINT)
         |      > 9 * (CAST(np AS HUGEINT) * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // the one-shot store's oracle verbatim: four incremental cell-routed
+    // appends + recluster must be probe-indistinguishable from writing
+    // the whole corpus at once
+    "stream_emb_store" -> PipelineQueries.oracleSql("emb_knn_store"),
 
     // q64's lag-chain EWMA restricted to the terminal watermark: only
     // decided (ts ≤ wm) events are emitted, and a decided event's tap
