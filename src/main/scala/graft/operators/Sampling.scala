@@ -214,6 +214,33 @@ object Sampling {
         (col("wdec") > 0).as("selected"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * keep the `n` rows with the largest key = ln(u)/w, where u ∈ (0, 1]
+    * is a salted hash of the row id and w > 0 its weight — each row's
+    * inclusion probability is proportional to its weight, jointly
+    * without replacement, and the whole draw is a PURE FUNCTION of
+    * (salt, id, weight): reproducible on any engine, any partitioning,
+    * any retry. The token-mass form ("sample documents proportional to
+    * length") is the curation counterpart of uniform quota sampling.
+    *
+    * Determinism across engines: u = (polyHash+1)/(M+1) is exact integer
+    * arithmetic + one IEEE division; ln is float32-collapsed (the libm
+    * last-ulp treatment every transcendental in this engine gets); the
+    * /w division is one more IEEE op — so the DuckDB oracle reproduces
+    * every key bit-for-bit. One scan + TakeOrdered; no shuffle beyond
+    * the top-n. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      n: Int, salt: String = "wsample"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val m = T.HashMod
+    val h = T.polyHash(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val u = (h.cast("double") + lit(1.0)) / lit((m + 1).toDouble)
+    val key = log(u).cast("float").cast("double") / weight.cast("double")
+    df.withColumn("w_key", key)
+      .orderBy(col("w_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Cluster-balanced subsampling — the topic/diversity balancing step of
     * an embedding-aware curation pipeline (cap each embedding-space
     * cluster at `quota` survivors so a few dominant modes cannot crowd

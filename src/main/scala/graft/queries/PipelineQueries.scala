@@ -674,6 +674,17 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis):
+    // 100 docs drawn proportional to token mass, deterministically —
+    // inclusion is a pure function of (salt, doc_id, weight), so any
+    // engine redraws the identical sample
+    "doc_sample_weighted" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), n = 100)
+        .select(col("doc_id"), col("n_tokens"), col("w_key"))),
+
     // TF-IDF at the sparse long grain against the corpus-derived top-10
     // vocabulary; idf float32-quantized, all else exact integers
     "doc_tfidf" -> ((s, d) =>
@@ -1236,6 +1247,18 @@ object PipelineQueries {
          |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // Efraimidis–Spirakis keys rebuilt arithmetic-for-arithmetic: exact
+    // integer hash → one IEEE division → float32-collapsed ln → one IEEE
+    // division by the weight
+    "doc_sample_weighted" -> {
+      val h = dPoly("'wsample:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH ws AS (SELECT doc_id, len(${dTokens("text")})::BIGINT AS n_tokens,
+         |    CAST(ln(($h + 1) / 1000000008.0) AS FLOAT)::DOUBLE AS lnu
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, lnu / n_tokens AS w_key
+         |FROM ws ORDER BY w_key DESC, doc_id LIMIT 100""".stripMargin
+    },
 
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $dJaccardCtes,
