@@ -1161,6 +1161,52 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** First-touch attribution — q66's mirror: each purchase credited to
+    * the user's EARLIEST preceding click (campaign-origin credit, where
+    * last-touch gives conversion credit). Identical plan shape — one
+    * struct-min window over the prefix frame, no self-join; the struct
+    * order makes the (ts, event_id) pick total. */
+  def q73FirstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tsUs = unix_micros(col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("fc", min(when(col("event_type") === "click",
+        struct(tsUs.as("t"), col("event_id").as("id")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("fc.id").as("first_click_id"),
+        (tsUs - col("fc.t")).as("us_since_first_click"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Robust per-type outliers via median absolute deviation — the
+    * heavy-tail-safe cousin of the z-score anomaly family: an event is
+    * flagged when |value − median| exceeds k · 1.4826 · MAD of its
+    * event_type. Medians are EXACT percentiles (deterministic given the
+    * sorted multiset, identical in both engines); the per-type model is
+    * a handful of rows broadcast back over the scan. Two aggregate
+    * passes (median, then MAD of residuals) + one broadcast join — the
+    * exact-median passes are the gate-scale formulation; at 100 TB the
+    * same shape runs on approx_percentile with a documented tolerance. */
+  def q74MadOutliers(spark: SparkSession, dir: String,
+      k: Double = 3.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .filter(abs(col("value") - col("med")) > lit(k) * lit(1.4826) * col("mad"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("med"), col("mad"))
+      .orderBy(col("event_id"))
+  }
+
   /** TPC-H Q22 shape, lapsed-customer variant: customers holding an
     * above-(positive-)average balance with NO order in 1998 H1 — scalar
     * aggregate broadcast as a cross join, anti-join against the
@@ -1217,6 +1263,8 @@ object RelationalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_rolling_active" -> (q69RollingActive _),
     "q66_attribution" -> (q66Attribution _),
+    "q73_first_touch" -> (q73FirstTouch _),
+    "q74_mad_outliers" -> (q74MadOutliers(_, _)),
     "q67_tpch_q22" -> (q67TpchQ22 _),
     "q64_ewma" -> (q64Ewma _),
     "q65_event_age" -> (q65EventAge _),
@@ -1332,6 +1380,31 @@ object RelationalQueries {
         |  epoch_us(ts) - lc.t AS us_since_click
         |FROM a WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q73_first_touch" ->
+      """WITH a AS (SELECT user_id, event_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'click'
+        |             THEN {'t': epoch_us(ts), 'id': event_id} END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fc
+        |  FROM events)
+        |SELECT user_id, event_id, ts, fc.id AS first_click_id,
+        |  epoch_us(ts) - fc.t AS us_since_first_click
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // exact medians (DuckDB median == percentile_cont(0.5) on doubles,
+    // Spark percentile likewise interpolates the sorted multiset), one
+    // IEEE compare per row
+    "q74_mad_outliers" ->
+      """WITH m AS (SELECT event_type, median(value) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value, m.med, d.mad
+        |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+        |WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+        |ORDER BY e.event_id""".stripMargin,
 
     // Q22 lapsed-customer shape: positive-average balance via exact
     // decimal sum / exact count (single IEEE division), anti-join against
