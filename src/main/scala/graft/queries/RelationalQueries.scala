@@ -1207,6 +1207,36 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Session-grain conversion rate — the composite of sessionization and
+    * funnel analytics every growth dashboard runs: gap-based sessions
+    * (30 min, q26's break rule), each session marked converted iff it
+    * contains a purchase, rolled up to (session-start day) grain with
+    * exact integer counts and ONE IEEE division for the rate. Plan: the
+    * per-user lag + running-sum windows (one shuffle on user_id), a
+    * session-grain aggregate, a day-grain aggregate — no self-joins, and
+    * session rows never leave their user partition until the bounded
+    * day rollup. */
+  def q75SessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newS = when(unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(wOrd)) >= 1800000000L, 1)
+      .when(lag(col("ts"), 1).over(wOrd).isNull, 1)
+      .otherwise(0)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("new_s", newS)
+      .withColumn("sid", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(to_date(min(col("ts"))).as("day"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    sessions.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conversion_rate",
+        col("n_converted").cast("double") / col("n_sessions").cast("double"))
+      .orderBy(col("day"))
+  }
+
   /** TPC-H Q22 shape, lapsed-customer variant: customers holding an
     * above-(positive-)average balance with NO order in 1998 H1 — scalar
     * aggregate broadcast as a cross join, anti-join against the
@@ -1265,6 +1295,7 @@ object RelationalQueries {
     "q66_attribution" -> (q66Attribution _),
     "q73_first_touch" -> (q73FirstTouch _),
     "q74_mad_outliers" -> (q74MadOutliers(_, _)),
+    "q75_session_conversion" -> (q75SessionConversion _),
     "q67_tpch_q22" -> (q67TpchQ22 _),
     "q64_ewma" -> (q64Ewma _),
     "q65_event_age" -> (q65EventAge _),
@@ -1405,6 +1436,32 @@ object RelationalQueries {
         |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
         |WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
         |ORDER BY e.event_id""".stripMargin,
+
+    // q26's gaps-and-islands break rule (a gap of EXACTLY 30 min starts a
+    // new session), session-grain converted flag, day rollup with exact
+    // integer counts and one IEEE division
+    "q75_session_conversion" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |g AS (
+        |  SELECT user_id, sid, CAST(min(ts) AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS converted
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT day, count(*) AS n_sessions, sum(converted)::BIGINT AS n_converted,
+        |  CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS conversion_rate
+        |FROM g GROUP BY day ORDER BY day""".stripMargin,
 
     // Q22 lapsed-customer shape: positive-average balance via exact
     // decimal sum / exact count (single IEEE division), anti-join against
