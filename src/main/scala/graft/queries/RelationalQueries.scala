@@ -1207,6 +1207,30 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** User-spend decile report — the ntile ranking window: per-user
+    * purchase totals (decimal-exact) cut into 10 equal-count buckets
+    * ordered by (total desc, user_id) — the tiebreaker makes the SQL
+    * ntile's remainder placement identical on both engines — then a
+    * bounded per-decile rollup (share of total spend per decile, one
+    * IEEE division against the scalar grand total). User grain, never
+    * event grain, past the first aggregate. */
+  def q76SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+    val w = Window.orderBy(col("total").desc, col("user_id"))
+    val tot = perUser.agg(sum(col("total")).as("grand"))
+    perUser.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("total")).cast("double").as("spend"))
+      .crossJoin(broadcast(tot))
+      .withColumn("spend_share", col("spend") / col("grand").cast("double"))
+      .select(col("decile"), col("n_users"), col("spend"), col("spend_share"))
+      .orderBy(col("decile"))
+  }
+
   /** Session-grain conversion rate — the composite of sessionization and
     * funnel analytics every growth dashboard runs: gap-based sessions
     * (30 min, q26's break rule), each session marked converted iff it
@@ -1296,6 +1320,7 @@ object RelationalQueries {
     "q73_first_touch" -> (q73FirstTouch _),
     "q74_mad_outliers" -> (q74MadOutliers(_, _)),
     "q75_session_conversion" -> (q75SessionConversion _),
+    "q76_spend_deciles" -> (q76SpendDeciles _),
     "q67_tpch_q22" -> (q67TpchQ22 _),
     "q64_ewma" -> (q64Ewma _),
     "q65_event_age" -> (q65EventAge _),
@@ -1436,6 +1461,20 @@ object RelationalQueries {
         |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
         |WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
         |ORDER BY e.event_id""".stripMargin,
+
+    // ntile with a total order (total desc, user_id) so remainder
+    // placement matches; decimal user totals, one division per decile row
+    "q76_spend_deciles" ->
+      """WITH pu AS (SELECT user_id,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |dk AS (SELECT user_id, total,
+        |    ntile(10) OVER (ORDER BY total DESC, user_id) AS decile FROM pu),
+        |g AS (SELECT decile, count(*) AS n_users,
+        |    CAST(sum(total) AS DOUBLE) AS spend FROM dk GROUP BY decile),
+        |t AS (SELECT CAST(sum(total) AS DOUBLE) AS grand FROM pu)
+        |SELECT decile, n_users, spend, spend / grand AS spend_share
+        |FROM g, t ORDER BY decile""".stripMargin,
 
     // q26's gaps-and-islands break rule (a gap of EXACTLY 30 min starts a
     // new session), session-grain converted flag, day rollup with exact
