@@ -896,4 +896,33 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("i"), col("j"))
   }
+
+  /** Blocked fuzzy key matching — the record-linkage pattern (near-equal
+    * titles/names/keys under typos): candidate pairs share the first
+    * `prefixLen` characters of the key (an EQUI-join on the block key —
+    * never all-pairs), then the survivors verify with exact Levenshtein
+    * distance ≤ `maxDist`. Both engines implement the classic integer
+    * edit-distance DP, so the pair set is hash-exact.
+    *
+    * At 100 TB: the block prefix is the shuffle key; per-pair cost is
+    * bounded by the KEY length (pass a bounded key — a title, a prefix —
+    * never a document body), and a pathological hot block (a ubiquitous
+    * prefix) is the same hot-key story as the shingle join — the
+    * df-cutoff guard pattern applies unchanged. Prefix blocking
+    * deliberately trades recall for candidates: a typo inside the first
+    * `prefixLen` characters escapes the block (STATED tradeoff; the
+    * remedy is a second pass on a different block key — suffix, phonetic
+    * code — unioned in, same shape). */
+  def fuzzyKeyPairs(df: DataFrame, idCol: String, keyCol: String,
+      prefixLen: Int = 8, maxDist: Int = 3): DataFrame = {
+    require(prefixLen > 0 && maxDist >= 0, "prefixLen > 0, maxDist >= 0")
+    val keyed = df.select(col(idCol).as("id"), col(keyCol).as("key"),
+      substring(col(keyCol), 1, prefixLen).as("block"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        levenshtein(col("a.key"), col("b.key")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("i"), col("j"))
+  }
 }

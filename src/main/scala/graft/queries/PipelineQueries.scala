@@ -478,6 +478,16 @@ object PipelineQueries {
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 1)),
 
+    // record-linkage fuzzy matching: 24-char lowercased head as the
+    // bounded key, 8-char prefix blocking (equi-join, never all-pairs),
+    // exact Levenshtein ≤ 3 verification — typo-tolerant near-equality,
+    // the string cousin of the simhash pigeonhole pairs
+    "dedup_fuzzy_pairs" -> ((s, d) =>
+      Dedup.fuzzyKeyPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id"), substring(lower(col("text")), 1, 24).as("head")),
+        "doc_id", "head", prefixLen = 8, maxDist = 3)),
+
     // exact (identical output to the all-pairs oracle SQL) but planned as
     // IVF cell-pair equi-joins — no BroadcastNestedLoopJoin at any scale
     "dedup_embedding_pairs" -> ((s, d) =>
@@ -1259,6 +1269,16 @@ object PipelineQueries {
          |SELECT doc_id, n_tokens, lnu / n_tokens AS w_key
          |FROM ws ORDER BY w_key DESC, doc_id LIMIT 100""".stripMargin
     },
+
+    // identical blocking + the same classic integer edit-distance DP
+    "dedup_fuzzy_pairs" ->
+      """WITH fk AS (SELECT doc_id, substring(lower(text), 1, 24) AS head,
+        |    substring(lower(text), 1, 8) AS block FROM documents)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  levenshtein(a.head, b.head)::BIGINT AS dist
+        |FROM fk a JOIN fk b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 3
+        |ORDER BY i, j""".stripMargin,
 
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $dJaccardCtes,
