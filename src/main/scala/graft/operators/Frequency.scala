@@ -154,4 +154,34 @@ object Frequency {
       .agg(min(col("c")).as("est"))
       .orderBy(col("tok_hash"))
   }
+
+  /** Signed feature hashing ("hash embedding", Weinberger et al. 2009):
+    * each token's portable hash is projected to bucket h mod `dims` with
+    * sign ±1 from the next hash bit, and per-document bucket sums form a
+    * fixed-width integer vector — the text→vector featurization that
+    * needs NO vocabulary (no fit pass, no OOV, any engine reproduces it
+    * from the hash definition alone). The sparse (doc, bucket) grain is
+    * one map-side-combinable aggregate off the token explode; densifying
+    * to `dims` integers happens at DOC grain (bounded, output shaping).
+    * Emitted as a comma-joined string because exact integer components
+    * hash-gate cleanly that way. */
+  def hashEmbed(docs: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val buckets = docs
+      .select(col("doc_id"), explode(T.tokenHashes(col("text"))).as("h"))
+      // `div` is INTEGER division (Column./ would be double division and
+      // scramble the parity bit against the oracle's `//`)
+      .select(col("doc_id"), (col("h") % dims).as("b"),
+        when(expr(s"h div $dims") % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("s")).as("v"))
+    buckets
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        concat_ws(",", transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("string"))).as("vec"))
+      .orderBy(col("doc_id"))
+  }
 }

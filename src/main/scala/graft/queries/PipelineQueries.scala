@@ -695,6 +695,12 @@ object PipelineQueries {
         "doc_id", col("n_tokens"), n = 100)
         .select(col("doc_id"), col("n_tokens"), col("w_key"))),
 
+    // signed feature hashing: vocabulary-free 64-dim integer hash
+    // embeddings from the portable token hashes — no fit pass, no OOV,
+    // reproducible from the hash definition alone
+    "doc_hash_embed" -> ((s, d) =>
+      graft.operators.Frequency.hashEmbed(Tables.documents(s, d), dims = 64)),
+
     // TF-IDF at the sparse long grain against the corpus-derived top-10
     // vocabulary; idf float32-quantized, all else exact integers
     "doc_tfidf" -> ((s, d) =>
@@ -1269,6 +1275,21 @@ object PipelineQueries {
          |SELECT doc_id, n_tokens, lnu / n_tokens AS w_key
          |FROM ws ORDER BY w_key DESC, doc_id LIMIT 100""".stripMargin
     },
+
+    // the same bucket/sign arithmetic in exact integers; the dense
+    // 64-vector rebuilt per doc on a generated dim spine
+    "doc_hash_embed" ->
+      s"""WITH th AS (SELECT doc_id, unnest(${dTokenHashes("text")}) AS h FROM documents),
+         |hb AS (SELECT doc_id, h % 64 AS b,
+         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM th),
+         |hv AS (SELECT doc_id, b, sum(s)::BIGINT AS v FROM hb GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, dim.d
+         |  FROM (SELECT DISTINCT doc_id FROM th) d,
+         |       (SELECT unnest(range(64)) AS d) dim),
+         |filled AS (SELECT g.doc_id, g.d, coalesce(hv.v, 0) AS val
+         |  FROM grid g LEFT JOIN hv ON g.doc_id = hv.doc_id AND g.d = hv.b)
+         |SELECT doc_id, string_agg(val, ',' ORDER BY d) AS vec
+         |FROM filled GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical blocking + the same classic integer edit-distance DP
     "dedup_fuzzy_pairs" ->
