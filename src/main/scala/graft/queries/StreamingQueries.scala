@@ -94,6 +94,14 @@ object StreamingQueries {
       s => EventStreams.sessionStats(EventStreams.readTestdataEvents(s, dir)),
       Seq("user_id", "s_start"))
 
+  /** EventStreams.sessionConversions driven to completion: q75's
+    * session-grain conversion question answered by the stream — closed
+    * sessions only, each carrying its converted flag. */
+  def streamSessionConv(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, "ssconv",
+      s => EventStreams.sessionConversions(EventStreams.readTestdataEvents(s, dir)),
+      Seq("user_id", "s_start"))
+
   /** EventStreams.dedupedEvents over the events table UNIONED WITH
     * ITSELF — every event arrives exactly twice, so a vacuous pass-through
     * can't go green: the dedup must emit each event exactly once (both
@@ -612,6 +620,7 @@ object StreamingQueries {
     "stream_kmv" -> (streamKmv _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_sessions" -> (streamSessions _),
+    "stream_session_conv" -> (streamSessionConv _),
     "stream_dedup" -> (streamDedup _),
     "stream_user_aggs" -> (streamUserAggs _),
     "stream_join" -> (streamJoin _))
@@ -848,6 +857,34 @@ object StreamingQueries {
         |m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
         |             - INTERVAL 30 MINUTE AS wm FROM events)
         |SELECT user_id, s_start, s_end, n, sum_value
+        |FROM agg, m WHERE s_end <= wm
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    // stream_sessions' gaps-and-islands + terminal-watermark emission
+    // rule, with the session's converted flag (purchase indicator max)
+    // instead of the value sum
+    "stream_session_conv" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS s_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS converted
+        |  FROM s GROUP BY user_id, sid),
+        |m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+        |             - INTERVAL 30 MINUTE AS wm FROM events)
+        |SELECT user_id, s_start, s_end, n, converted
         |FROM agg, m WHERE s_end <= wm
         |ORDER BY user_id, s_start""".stripMargin,
 

@@ -116,6 +116,25 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n"), col("sum_value"))
 
+  /** Streaming session-grain conversion flags — sessionStats' composite
+    * with the funnel question folded in: each gap-based session closes
+    * (append mode, watermark) carrying whether it CONVERTED (contained
+    * a purchase). The conversion flag is a max over an indicator —
+    * order-free, so the closed-session row is deterministic however the
+    * session's events arrived. */
+  def sessionConversions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes",
+      convertType: String = "purchase"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("event_type") === convertType, 1L).otherwise(0L))
+          .as("converted"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n"), col("converted"))
+
   /** Streaming exact dedup: first occurrence of each `idCols` key wins,
     * duplicates arriving within the watermark horizon are dropped, and —
     * the part a bare dropDuplicates gets wrong on unbounded streams — the
