@@ -925,4 +925,31 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .orderBy(col("i"), col("j"))
   }
+
+  /** Two-pass blocking for [[fuzzyKeyPairs]] — the stated remedy for
+    * prefix blocking's recall hole: candidates sharing the key's first
+    * `blockLen` characters OR its last `blockLen` characters (two
+    * equi-joins unioned + distinct, still never all-pairs), then the
+    * same exact Levenshtein verification. A single typo cannot sit in
+    * BOTH blocks of a ≤(2·blockLen)-char key, so any pair within
+    * distance 1 whose key fits two blocks is guaranteed a candidate —
+    * the pigeonhole argument SimHash's half-split uses, applied to raw
+    * strings. */
+  def fuzzyKeyPairsMultiBlock(df: DataFrame, idCol: String, keyCol: String,
+      blockLen: Int = 8, maxDist: Int = 3): DataFrame = {
+    require(blockLen > 0 && maxDist >= 0, "blockLen > 0, maxDist >= 0")
+    val keyed = df.select(col(idCol).as("id"), col(keyCol).as("key"),
+      substring(col(keyCol), 1, blockLen).as("pb"),
+      substring(col(keyCol), -blockLen, blockLen).as("sb"))
+    def candIn(block: String) =
+      keyed.as("a").join(keyed.as("b"),
+          col(s"a.$block") === col(s"b.$block") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("i"), col("b.id").as("j"),
+          col("a.key").as("ka"), col("b.key").as("kb"))
+    candIn("pb").union(candIn("sb")).distinct()
+      .select(col("i"), col("j"),
+        levenshtein(col("ka"), col("kb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("i"), col("j"))
+  }
 }

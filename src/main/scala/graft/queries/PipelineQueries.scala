@@ -488,6 +488,15 @@ object PipelineQueries {
           .select(col("doc_id"), substring(lower(col("text")), 1, 24).as("head")),
         "doc_id", "head", prefixLen = 8, maxDist = 3)),
 
+    // the recall remedy: prefix OR suffix block (two equi-joins unioned),
+    // pigeonhole-guaranteed for distance-1 pairs on two-block keys —
+    // a superset of dedup_fuzzy_pairs by construction
+    "dedup_fuzzy_pairs_mp" -> ((s, d) =>
+      Dedup.fuzzyKeyPairsMultiBlock(
+        Tables.documents(s, d)
+          .select(col("doc_id"), substring(lower(col("text")), 1, 16).as("head")),
+        "doc_id", "head", blockLen = 8, maxDist = 3)),
+
     // exact (identical output to the all-pairs oracle SQL) but planned as
     // IVF cell-pair equi-joins — no BroadcastNestedLoopJoin at any scale
     "dedup_embedding_pairs" -> ((s, d) =>
@@ -1290,6 +1299,22 @@ object PipelineQueries {
          |  FROM grid g LEFT JOIN hv ON g.doc_id = hv.doc_id AND g.d = hv.b)
          |SELECT doc_id, string_agg(val, ',' ORDER BY d) AS vec
          |FROM filled GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // prefix ∪ suffix blocking (UNION dedups), same edit-distance DP;
+    // the 16-char key splits into exactly two 8-char blocks
+    "dedup_fuzzy_pairs_mp" ->
+      """WITH fk AS (SELECT doc_id, substring(lower(text), 1, 16) AS head,
+        |    substring(lower(text), 1, 8) AS pb,
+        |    substring(lower(text), 9, 8) AS sb FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, a.head AS ka, b.head AS kb
+        |  FROM fk a JOIN fk b ON a.pb = b.pb AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.head, b.head
+        |  FROM fk a JOIN fk b ON a.sb = b.sb AND a.doc_id < b.doc_id)
+        |SELECT i, j, levenshtein(ka, kb)::BIGINT AS dist
+        |FROM cand WHERE levenshtein(ka, kb) <= 3
+        |ORDER BY i, j""".stripMargin,
 
     // identical blocking + the same classic integer edit-distance DP
     "dedup_fuzzy_pairs" ->
