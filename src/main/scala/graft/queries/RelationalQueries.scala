@@ -1207,6 +1207,31 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Winsorized per-type statistics — the outlier-robust cleaning step
+    * (clip to [p05, p95], then aggregate) every metrics pipeline applies
+    * before trusting a mean: exact interpolated percentiles per type
+    * (bounded model, broadcast back over the scan), one least/greatest
+    * clamp per row, and the clipped mean via the fixed-point
+    * order-independent sum so partial-aggregation order cannot perturb
+    * it. */
+  def q77Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quant
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("lo"), col("hi"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("cv"))
+      .groupBy(col("event_type"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        (Quant.q9ToDouble(sum(Quant.quant9(col("cv")))) /
+          count(lit(1)).cast("double")).as("winsorized_mean"))
+      .select(col("event_type"), col("lo"), col("hi"), col("n"),
+        col("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
   /** User-spend decile report — the ntile ranking window: per-user
     * purchase totals (decimal-exact) cut into 10 equal-count buckets
     * ordered by (total desc, user_id) — the tiebreaker makes the SQL
@@ -1321,6 +1346,7 @@ object RelationalQueries {
     "q74_mad_outliers" -> (q74MadOutliers(_, _)),
     "q75_session_conversion" -> (q75SessionConversion _),
     "q76_spend_deciles" -> (q76SpendDeciles _),
+    "q77_winsorized" -> (q77Winsorized _),
     "q67_tpch_q22" -> (q67TpchQ22 _),
     "q64_ewma" -> (q64Ewma _),
     "q65_event_age" -> (q65EventAge _),
@@ -1461,6 +1487,21 @@ object RelationalQueries {
         |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
         |WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
         |ORDER BY e.event_id""".stripMargin,
+
+    // quantile_cont == Spark's interpolated percentile (the q29 mapping);
+    // the clipped mean rides the fixed-point order-free sum
+    "q77_winsorized" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type),
+        |c AS (SELECT e.event_type, b.lo, b.hi,
+        |    least(greatest(e.value, b.lo), b.hi) AS cv
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, lo, hi, count(*) AS n,
+        |  CAST(sum(CAST(floor(cv * 1000000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1000000000.0 / CAST(count(*) AS DOUBLE) AS winsorized_mean
+        |FROM c GROUP BY event_type, lo, hi ORDER BY event_type""".stripMargin,
 
     // ntile with a total order (total desc, user_id) so remainder
     // placement matches; decimal user totals, one division per decile row
