@@ -1207,6 +1207,18 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Hour-of-day seasonality profile — the capacity-planning/anomaly
+    * baseline: per (hour-of-day, event_type), event counts, distinct
+    * actives, and the decimal-exact value sum. One map-side-combinable
+    * aggregate over derived integer keys; 24×|types| bounded output. */
+  def q78HourlyProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).cast("long").as("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("hour_of_day"), col("event_type"))
+
   /** Winsorized per-type statistics — the outlier-robust cleaning step
     * (clip to [p05, p95], then aggregate) every metrics pipeline applies
     * before trusting a mean: exact interpolated percentiles per type
@@ -1347,6 +1359,7 @@ object RelationalQueries {
     "q75_session_conversion" -> (q75SessionConversion _),
     "q76_spend_deciles" -> (q76SpendDeciles _),
     "q77_winsorized" -> (q77Winsorized _),
+    "q78_hourly_profile" -> (q78HourlyProfile _),
     "q67_tpch_q22" -> (q67TpchQ22 _),
     "q64_ewma" -> (q64Ewma _),
     "q65_event_age" -> (q65EventAge _),
@@ -1487,6 +1500,13 @@ object RelationalQueries {
         |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
         |WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
         |ORDER BY e.event_id""".stripMargin,
+
+    "q78_hourly_profile" ->
+      """SELECT hour(ts)::BIGINT AS hour_of_day, event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_of_day, event_type""".stripMargin,
 
     // quantile_cont == Spark's interpolated percentile (the q29 mapping);
     // the clipped mean rides the fixed-point order-free sum

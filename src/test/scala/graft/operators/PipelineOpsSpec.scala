@@ -585,6 +585,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out13.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("fuzzy blocking: multi-block recovers prefix-typo pairs (pigeonhole), single-pass misses them") {
+    import spark.implicits._
+    // key length 16 = two 8-char blocks; pair (1,2) differs ONLY inside
+    // the prefix block, pair (3,4) only inside the suffix block, pair
+    // (5,6) is beyond maxDist everywhere
+    val rows = Seq(
+      (1L, "Xbcdefghijklmnop"),
+      (2L, "abcdefghijklmnop"),
+      (3L, "qrstuvwxijklmnoX"),
+      (4L, "qrstuvwxijklmnop"),
+      (5L, "AAAAAAAAZZZZZZZZ"),
+      (6L, "BBBBBBBBYYYYYYYY")).toDF("doc_id", "head")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("i", "j").as[(Long, Long)].collect().toSet
+    val single = pairsOf(Dedup.fuzzyKeyPairs(rows, "doc_id", "head",
+      prefixLen = 8, maxDist = 3))
+    val multi = pairsOf(Dedup.fuzzyKeyPairsMultiBlock(rows, "doc_id", "head",
+      blockLen = 8, maxDist = 3))
+    // single-pass prefix blocking: the prefix-typo pair escapes its block
+    assert(single == Set((3L, 4L)), s"got $single")
+    // multi-block: a single edit cannot sit in BOTH blocks — both
+    // distance-1 pairs are candidates and verify; (5,6) stays out
+    assert(multi == Set((1L, 2L), (3L, 4L)), s"got $multi")
+  }
+
   test("mixToBudget: integer rate formula, cap at full keep, unlisted strata dropped") {
     import spark.implicits._
     // web: 40 tokens, code: 12 tokens, junk: unlisted ("t t" = 2 tokens
