@@ -195,12 +195,31 @@ object Bench {
     // always invokes with no args and gets the complete run)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args.toSet) else None
+    // The content-stamped /tmp artifacts make every consumer
+    // (dedup_clusters, dedup_keep_best, pipeline_report/kept) a warm read
+    // by design — that IS the production architecture (one build per
+    // corpus snapshot, many consumers) — but the bench must not hide the
+    // build cost behind a warm cache that happens to survive across runs.
+    // So the cold build is forced HERE, before any consumer runs, and
+    // timed as its own line item (single pass: a cold build is one-shot
+    // by definition, min-of-two would just measure the warm no-op).
+    // Pseudo-name "artifact" selects it in filtered dev runs.
+    val artifact =
+      if (only.forall(_.contains("artifact"))) {
+        val path = graft.queries.PipelineQueries.componentsArtifactPath(sfDir)
+        graft.operators.Dedup.rmdir(new java.io.File(path))
+        val t0 = System.nanoTime()
+        graft.queries.PipelineQueries.componentsArtifactDir(spark, sfDir)
+        val t = (System.nanoTime() - t0) / 1e9
+        isolate()
+        Seq("artifact:components" -> t)
+      } else Nil
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val declared = names.map(n => run(n, () => SparkEntry.queries(n)(spark, sfDir)))
     // the pseudo-name "skew" selects the planted-distribution cases,
     // which have no SparkEntry entry of their own
-    val results = declared ++
+    val results = artifact ++ declared ++
       (if (only.forall(_.contains("skew"))) skewCases(spark) else Nil)
 
     // the deliberately-naive counterfactual shapes (the thing the remedy

@@ -928,19 +928,27 @@ object Dedup {
 
   /** Two-pass blocking for [[fuzzyKeyPairs]] — the stated remedy for
     * prefix blocking's recall hole: candidates sharing the key's first
-    * `blockLen` characters OR its last `blockLen` characters (two
-    * equi-joins unioned + distinct, still never all-pairs), then the
-    * same exact Levenshtein verification. A single typo cannot sit in
-    * BOTH blocks of a ≤(2·blockLen)-char key, so any pair within
-    * distance 1 whose key fits two blocks is guaranteed a candidate —
-    * the pigeonhole argument SimHash's half-split uses, applied to raw
-    * strings. */
+    * `blockLen` characters OR its SECOND `blockLen` characters (chars
+    * blockLen+1..2·blockLen — two equi-joins unioned + distinct, still
+    * never all-pairs), then the same exact Levenshtein verification. A
+    * single substitution cannot sit in BOTH positional blocks of a
+    * ≤(2·blockLen)-char key, so any substitution-distance-1 pair is
+    * guaranteed a candidate — the pigeonhole argument SimHash's
+    * half-split uses, applied to raw strings. The second block is
+    * POSITIONAL (chars blockLen+1..), not suffix-anchored (last
+    * blockLen): suffix anchoring would shift under the very indels the
+    * verifier tolerates, AND it diverges from positional slicing on any
+    * key shorter than 2·blockLen — keys shorter than blockLen+1 chars
+    * all share the empty second block (they become mutual candidates;
+    * the verifier keeps only true near-matches, so this costs
+    * candidates, never correctness — the short-key hot-block story is
+    * the same df-cutoff pattern as the shingle join). */
   def fuzzyKeyPairsMultiBlock(df: DataFrame, idCol: String, keyCol: String,
       blockLen: Int = 8, maxDist: Int = 3): DataFrame = {
     require(blockLen > 0 && maxDist >= 0, "blockLen > 0, maxDist >= 0")
     val keyed = df.select(col(idCol).as("id"), col(keyCol).as("key"),
       substring(col(keyCol), 1, blockLen).as("pb"),
-      substring(col(keyCol), -blockLen, blockLen).as("sb"))
+      substring(col(keyCol), blockLen + 1, blockLen).as("sb"))
     def candIn(block: String) =
       keyed.as("a").join(keyed.as("b"),
           col(s"a.$block") === col(s"b.$block") && col("a.id") < col("b.id"))

@@ -25,29 +25,28 @@ object PipelineQueries {
 
   /** The composed dedup-pipeline funnel, defined ONCE so pipeline_kept
     * (the kept set) and pipeline_report (the stage sizes) can never
-    * drift apart: returns (quality gate, exact keepers, near-dup pair
-    * count, clusters, kept). The pair count is eager — the narrow pair
-    * projection is persisted for the count and for components()' own
-    * count/collect (same canonicalized plan → one materialization), then
-    * released. */
-  private def pipelineStages(docs: DataFrame)
-      : (DataFrame, DataFrame, Long, DataFrame, DataFrame) = {
+    * drift apart: returns (docs, quality gate, exact keepers, near-dup
+    * pair count, clusters, kept). The near-dup graph comes from the
+    * SHARED [[componentsArtifact]] — the pipeline family consumes the
+    * same one-build-per-corpus-snapshot components table as
+    * dedup_clusters / dedup_keep_best, and the pair count is read from
+    * the 1-row metadata parquet persisted beside it, so no live pair
+    * frame (the single most expensive plan in the corpus) is ever
+    * rebuilt here. */
+  private def pipelineStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Long, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
     val t = T.tokens(col("text"))
     val nTok = size(t).cast("long")
     val quality = docs
       .filter(nTok.between(30, 2000) && (size(array_distinct(t)).cast("long") / nTok) > 0.2)
       .select(col("doc_id"))
     val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5,
-      dfCutoff = Some(Dedup.autoDfCutoff(docs)))
-      .select(col("i"), col("j"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = pairs.count()
-    val clusters = Dedup.components(pairs) // eager: count + collect/rounds
-    pairs.unpersist(false)
+    val nPairs = componentsPairCount(s, d)
+    val clusters = componentsArtifact(s, d)
     val kept = Dedup.survivors(
       quality.join(exactKeepers, Seq("doc_id"), "left_semi"), clusters)
-    (quality, exactKeepers, nPairs, clusters, kept)
+    (docs, quality, exactKeepers, nPairs, clusters, kept)
   }
 
   /** doc_mix contract — ONE definition for both engines: target weights
@@ -64,25 +63,55 @@ object PipelineQueries {
     * its colliding corpus doc. The guard is a row-level raise_error that
     * never fires on valid data, so the oracle needs no mirror. */
   /** Connected components of the ≥0.5-jaccard near-dup graph, PERSISTED
-    * once per corpus snapshot (content-stamped like the stream split
-    * fixtures) and read by every consumer: dedup_clusters resolves it,
-    * dedup_keep_best applies a survivor policy over it. At 100 TB the
+    * once per corpus snapshot and read by every consumer: dedup_clusters
+    * resolves it, dedup_keep_best applies a survivor policy over it,
+    * pipeline_report/pipeline_kept fold it into the funnel. At 100 TB the
     * components table is exactly this — a written artifact refreshed with
     * the corpus, the same pattern as the band/content indexes — not a
     * per-policy recomputation of pair generation + union-find (measured
-    * 10.5 s of the keep-best query's 10.5 s at sf0.1 before sharing). */
-  private def componentsArtifact(s: SparkSession, d: String): DataFrame = {
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_components_" + StreamingQueries.sourceStamp(s"$d/documents.parquet"))
-      .getAbsolutePath
-    if (!new java.io.File(out, "_SUCCESS").exists) {
+    * 10.5 s of the keep-best query's 10.5 s at sf0.1 before sharing).
+    *
+    * Layout: `clusters/` (doc_id → cluster_id parquet) plus `meta/`
+    * (1-row parquet: n_pairs — the candidate-pair count the report
+    * quotes, persisted at build time so no consumer ever re-runs the
+    * pair join just to count it). The cache key is the CONTENT stamp of
+    * the source corpus AND the build parameters — a k/threshold/cutoff
+    * change can never silently reuse a stale artifact — and the build
+    * goes through [[StreamingQueries.buildOnce]]'s staging + atomic
+    * rename, so a concurrent JVM (bench vs verify) can never read a
+    * half-written artifact. */
+  private val ComponentsK = 3
+  private val ComponentsThreshold = 0.5
+
+  private[graft] def componentsArtifactDir(s: SparkSession, d: String): String = {
+    StreamingQueries.buildOnce(componentsArtifactPath(d)) { staged =>
       val docs = Tables.documents(s, d)
-      Dedup.components(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5,
-          dfCutoff = Some(Dedup.autoDfCutoff(docs))))
-        .write.mode("overwrite").parquet(out)
+      val pairs = Dedup.ngramJaccardPairs(docs, k = ComponentsK,
+          threshold = ComponentsThreshold,
+          dfCutoff = Some(Dedup.autoDfCutoff(docs)))
+        .select(col("i"), col("j"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      Dedup.components(pairs).write.mode("overwrite").parquet(s"$staged/clusters")
+      pairs.unpersist(false)
+      s.range(1).select(lit(nPairs).as("n_pairs"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staged/meta")
     }
-    s.read.parquet(out)
   }
+
+  /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>. */
+  private[graft] def componentsArtifactPath(d: String): String = {
+    val params = s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf"
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_components_${params}_" +
+        StreamingQueries.sourceStamp(s"$d/documents.parquet")).getAbsolutePath
+  }
+
+  private def componentsArtifact(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(componentsArtifactDir(s, d) + "/clusters")
+
+  private def componentsPairCount(s: SparkSession, d: String): Long =
+    s.read.parquet(componentsArtifactDir(s, d) + "/meta").head.getLong(0)
 
   private def incrementId(docId: org.apache.spark.sql.Column) =
     when(docId >= 1000000L, raise_error(lit(
@@ -978,14 +1007,12 @@ object PipelineQueries {
     // of every funnel stage in one row (total -> quality gate -> exact
     // keepers -> near-dup pairs -> clustered docs -> final kept) — the
     // run report a production pipeline publishes alongside its output.
-    // n_near_pairs is counted EAGERLY from the persisted narrow pair
-    // frame (components() is already eager — it counts and collects —
-    // so the heavy shingle-join pipeline runs exactly once; a lazy
-    // crossJoin branch would re-execute it, Catalyst does not CSE
-    // DataFrame references)
+    // n_near_pairs comes from the components artifact's metadata parquet
+    // (persisted at build time) and clusters from its parquet — the heavy
+    // shingle-join + union-find runs ONCE per corpus snapshot across the
+    // whole dedup/pipeline family, never per report
     "pipeline_report" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val (quality, exactKeepers, nPairs, clusters, kept) = pipelineStages(docs)
+      val (docs, quality, exactKeepers, nPairs, clusters, kept) = pipelineStages(s, d)
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
         .crossJoin(exactKeepers.agg(count(lit(1)).as("n_exact_keepers")))
@@ -997,7 +1024,7 @@ object PipelineQueries {
     }),
 
     "pipeline_kept" -> ((s, d) =>
-      pipelineStages(Tables.documents(s, d))._5
+      pipelineStages(s, d)._6
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 

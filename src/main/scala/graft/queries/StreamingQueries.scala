@@ -163,6 +163,48 @@ object StreamingQueries {
       scala.util.hashing.MurmurHash3.stringHash(path + "#" + sig))
   }
 
+  /** Build-once guard for the content-stamped /tmp artifacts (split
+    * fixtures, the components artifact): `build` writes into a
+    * PROCESS-UNIQUE staging directory which is then atomically renamed
+    * into place. A plain `_SUCCESS`-existence check around an in-place
+    * `mode(overwrite)` write races across JVMs — bench and verify share
+    * /tmp, and a reader can list the directory mid-rewrite (after
+    * overwrite has deleted `_SUCCESS`, before the new files land). With
+    * the rename, a reader sees either nothing or the complete artifact;
+    * the loser of a concurrent build race discards its staging copy.
+    * `_SUCCESS` at the artifact root still marks completeness (the cheap
+    * existence check; the atomic rename is what makes it trustworthy —
+    * it can never name a half-written directory). */
+  private[graft] def buildOnce(dirPath: String)(build: String => Unit): String = {
+    val dir = new java.io.File(dirPath)
+    if (!new java.io.File(dir, "_SUCCESS").exists) {
+      val staged = new java.io.File(dirPath + "_staging_" +
+        ProcessHandle.current().pid() + "_" + System.nanoTime())
+      build(staged.getAbsolutePath)
+      val marker = new java.io.File(staged, "_SUCCESS")
+      if (!marker.exists) {
+        java.nio.file.Files.createFile(marker.toPath); ()
+      }
+      try {
+        // a crashed writer can leave a markerless target behind: clear it
+        // before the move (rmdir is a no-op when absent)
+        graft.operators.Dedup.rmdir(dir)
+        java.nio.file.Files.move(staged.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch {
+        // another JVM completed the artifact between our check and move:
+        // keep theirs, drop ours. Any other failure (marker still absent)
+        // is a real error and propagates.
+        case e: java.nio.file.FileSystemException =>
+          if (new java.io.File(dir, "_SUCCESS").exists)
+            graft.operators.Dedup.rmdir(staged)
+          else throw e
+      }
+    }
+    dirPath
+  }
+
   /** The events table split into four untimed parquet files, built once
     * per (sfDir, content stamp) — the replayable fixture for
     * file-per-micro-batch streaming maintenance queries. */
@@ -170,10 +212,10 @@ object StreamingQueries {
     val tmp = System.getProperty("java.io.tmpdir")
     val splitDir = new java.io.File(tmp,
       "graft_mv_split_" + sourceStamp(s"$dir/events.parquet")).getAbsolutePath
-    if (!new java.io.File(splitDir, "_SUCCESS").exists)
+    buildOnce(splitDir) { staged =>
       graft.Tables.events(spark, dir).repartition(4)
-        .write.mode("overwrite").parquet(splitDir)
-    splitDir
+        .write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** The events table split into four EVENT-TIME-ORDERED parquet files
@@ -191,36 +233,31 @@ object StreamingQueries {
     val tmp = System.getProperty("java.io.tmpdir")
     val splitDir = new java.io.File(tmp,
       "graft_replay_split_" + sourceStamp(s"$dir/events.parquet")).getAbsolutePath
-    if (!new java.io.File(splitDir, "_SUCCESS").exists) {
+    buildOnce(splitDir) { stagedPath =>
       val ev = graft.Tables.events(spark, dir)
       val Array(mnRow) = ev.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts")))).collect()
       val (mn, mx) = (mnRow.getLong(0), mnRow.getLong(1))
       val width = (mx - mn) / 4 + 1
-      val staged = new java.io.File(splitDir + "_staging")
+      val staged = new java.io.File(stagedPath)
       (0 until 4).foreach { i =>
         ev.filter(unix_micros(col("ts")) >= mn + i * width &&
             unix_micros(col("ts")) < mn + (i + 1) * width)
           .coalesce(1)
-          .write.mode("overwrite").parquet(s"$staged/slice$i")
+          .write.mode("overwrite").parquet(s"$staged/work/slice$i")
       }
-      val out = new java.io.File(splitDir)
-      graft.operators.Dedup.rmdir(out); out.mkdirs()
       (0 until 4).foreach { i =>
-        val part = new java.io.File(s"$staged/slice$i").listFiles
+        val part = new java.io.File(s"$staged/work/slice$i").listFiles
           .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(out, f"slice-$i%04d.parquet")
+        val dst = new java.io.File(staged, f"slice-$i%04d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
         // the file source orders same-mtime files by path, but make the
         // replay order explicit anyway: strictly increasing mtimes
         dst.setLastModified(1700000000000L + i * 60000L)
         ()
       }
-      graft.operators.Dedup.rmdir(staged)
-      java.nio.file.Files.createFile(new java.io.File(out, "_SUCCESS").toPath)
-      ()
+      graft.operators.Dedup.rmdir(new java.io.File(staged, "work"))
     }
-    splitDir
   }
 
   /** Embeddings table split into 4 files so a file-per-trigger stream
@@ -231,10 +268,10 @@ object StreamingQueries {
     val tmp = System.getProperty("java.io.tmpdir")
     val splitDir = new java.io.File(tmp,
       "graft_emb_split_" + sourceStamp(s"$dir/embeddings.parquet")).getAbsolutePath
-    if (!new java.io.File(splitDir, "_SUCCESS").exists)
+    buildOnce(splitDir) { staged =>
       graft.Tables.embeddings(spark, dir).repartition(4)
-        .write.mode("overwrite").parquet(splitDir)
-    splitDir
+        .write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** Streaming maintenance of the IVF embedding store — the similarity
@@ -293,10 +330,10 @@ object StreamingQueries {
     val tmp = System.getProperty("java.io.tmpdir")
     val splitDir = new java.io.File(tmp,
       "graft_hh_split_" + sourceStamp(s"$dir/documents.parquet")).getAbsolutePath
-    if (!new java.io.File(splitDir, "_SUCCESS").exists)
+    buildOnce(splitDir) { staged =>
       graft.Tables.documents(spark, dir).repartition(4)
-        .write.mode("overwrite").parquet(splitDir)
-    splitDir
+        .write.mode("overwrite").parquet(staged)
+    }
   }
 
   def streamMvMaintain(spark: SparkSession, dir: String): DataFrame = {

@@ -590,24 +590,33 @@ class PipelineOpsSpec extends SparkSpec {
     // key length 16 = two 8-char blocks; pair (1,2) differs ONLY inside
     // the prefix block, pair (3,4) only inside the suffix block, pair
     // (5,6) is beyond maxDist everywhere
+    // (7,8): SHORT keys (< blockLen+1 chars) with a prefix typo — they
+    // share only the empty POSITIONAL second block (chars 9..16 of a
+    // 5-char string), which is exactly what the oracle's
+    // substring(key, 9, 8) computes; a suffix-anchored block (last 8
+    // chars = the whole short key) would miss this pair and diverge
+    // from the oracle on any sub-16-char key
     val rows = Seq(
       (1L, "Xbcdefghijklmnop"),
       (2L, "abcdefghijklmnop"),
       (3L, "qrstuvwxijklmnoX"),
       (4L, "qrstuvwxijklmnop"),
       (5L, "AAAAAAAAZZZZZZZZ"),
-      (6L, "BBBBBBBBYYYYYYYY")).toDF("doc_id", "head")
+      (6L, "BBBBBBBBYYYYYYYY"),
+      (7L, "short"),
+      (8L, "shirt")).toDF("doc_id", "head")
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("i", "j").as[(Long, Long)].collect().toSet
     val single = pairsOf(Dedup.fuzzyKeyPairs(rows, "doc_id", "head",
       prefixLen = 8, maxDist = 3))
     val multi = pairsOf(Dedup.fuzzyKeyPairsMultiBlock(rows, "doc_id", "head",
       blockLen = 8, maxDist = 3))
-    // single-pass prefix blocking: the prefix-typo pair escapes its block
+    // single-pass prefix blocking: the prefix-typo pairs escape their block
     assert(single == Set((3L, 4L)), s"got $single")
-    // multi-block: a single edit cannot sit in BOTH blocks — both
-    // distance-1 pairs are candidates and verify; (5,6) stays out
-    assert(multi == Set((1L, 2L), (3L, 4L)), s"got $multi")
+    // multi-block: a single edit cannot sit in BOTH positional blocks —
+    // the distance-1 pairs (including the short-key pair, blocked on the
+    // shared empty second block) are candidates and verify; (5,6) stays out
+    assert(multi == Set((1L, 2L), (3L, 4L), (7L, 8L)), s"got $multi")
   }
 
   test("mixToBudget: integer rate formula, cap at full keep, unlisted strata dropped") {
