@@ -1244,21 +1244,27 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
-  /** User-spend decile report — the ntile ranking window: per-user
-    * purchase totals (decimal-exact) cut into 10 equal-count buckets
-    * ordered by (total desc, user_id) — the tiebreaker makes the SQL
-    * ntile's remainder placement identical on both engines — then a
-    * bounded per-decile rollup (share of total spend per decile, one
-    * IEEE division against the scalar grand total). User grain, never
-    * event grain, past the first aggregate. */
+  /** User-spend decile report: per-user purchase totals (decimal-exact)
+    * cut into 10 equal-count buckets ordered by (total desc, user_id) —
+    * the tiebreaker makes the SQL ntile's remainder placement identical
+    * on both engines — then a bounded per-decile rollup (share of total
+    * spend per decile, one IEEE division against the scalar grand
+    * total). User grain, never event grain, past the first aggregate.
+    *
+    * The buckets come from [[graft.operators.Ranks.ntileByKeyDesc]] —
+    * the distributed prefix-sum rank with exact ntile arithmetic — NOT
+    * from `ntile(10).over(Window.orderBy(...))`: an unpartitioned ntile
+    * window moves every per-user row through ONE task, a single-machine
+    * wall at 100 TB user counts (the oracle's single-window SQL is the
+    * semantic spec; Ranks reproduces it hash-exactly). */
   def q76SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
-    val w = Window.orderBy(col("total").desc, col("user_id"))
     val tot = perUser.agg(sum(col("total")).as("grand"))
-    perUser.withColumn("decile", ntile(10).over(w).cast("long"))
+    graft.operators.Ranks
+      .ntileByKeyDesc(perUser, "total", "user_id", tiles = 10, outCol = "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("total")).cast("double").as("spend"))

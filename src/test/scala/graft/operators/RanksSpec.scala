@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranks must be HASH-IDENTICAL to the single-partition window forms it
+  * replaces (the oracle side keeps the plain SQL window): same rank as
+  * row_number over the full sort, same buckets as ntile — including the
+  * remainder placement, tie grouping, and the n < tiles degenerate. */
+class RanksSpec extends SparkSpec {
+
+  private def fixture(n: Int, dupEvery: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42 + n)
+    // heavy ties when dupEvery is small: key = value % dupEvery
+    (0 until n).map(i => (i.toLong, (rnd.nextInt(1000) % dupEvery).toLong))
+      .toDF("id", "k")
+      .repartition(7) // physical layout must not matter
+  }
+
+  test("globalRankDesc equals single-window row_number at several sizes and tie densities") {
+    for ((n, dup) <- Seq((1, 1), (9, 3), (100, 5), (1000, 13), (1000, 1))) {
+      val df = fixture(n, dup)
+      val (ranked, total) = Ranks.globalRankDesc(df, "k", "id", numRanges = 8)
+      assert(total == n)
+      val want = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("k").desc, col("id").asc)).cast("long"))
+      val diff = ranked.as("a").join(want.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.rank") =!= col("b.rank")).count()
+      assert(diff == 0, s"n=$n dup=$dup: $diff rank mismatches")
+    }
+  }
+
+  test("ntileByKeyDesc equals single-window ntile: remainders, ties, n < tiles") {
+    // 25 % 10 = 5 exercises remainder placement; 7 < 10 the degenerate;
+    // 1000 % 7 = 6 a non-decile tile count; dup=1 is ALL-ties
+    for ((n, dup, tiles) <- Seq((25, 4, 10), (7, 2, 10), (1000, 13, 7), (64, 1, 10))) {
+      val df = fixture(n, dup)
+      val got = Ranks.ntileByKeyDesc(df, "k", "id", tiles, outCol = "t", numRanges = 8)
+      val want = df.withColumn("t",
+        ntile(tiles).over(Window.orderBy(col("k").desc, col("id").asc)).cast("long"))
+      val diff = got.as("a").join(want.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.t") =!= col("b.t")).count()
+      assert(diff == 0, s"n=$n dup=$dup tiles=$tiles: $diff tile mismatches")
+    }
+  }
+}
