@@ -133,6 +133,36 @@ object PipelineQueries {
     * block rate; a production list is a pure data swap). */
   private val BlocklistTokens = Seq("dup")
 
+  /** doc_blocklist factored for spec access (BlocklistSpec pins the two
+    * cross-engine edge cases): ANY-hit drop report per source.
+    * n_kept = n_docs − n_blocked deliberately — a NULL text row (tokens
+    * → NULL → arrays_overlap NULL → `when` false) is then "not blocked
+    * hence kept" on BOTH engines, instead of falling out of both
+    * conditional sums on the Spark side while DuckDB's CASE..ELSE
+    * keeps it. */
+  private[graft] def blocklistReport(docs: DataFrame, tokens: Seq[String]): DataFrame = {
+    val hit = arrays_overlap(T.tokens(col("text")), lit(tokens.toArray))
+    docs
+      .withColumn("blocked", hit)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+      .withColumn("n_kept", col("n_docs") - col("n_blocked"))
+      .orderBy(col("source"))
+  }
+
+  /** The matching DuckDB oracle SQL, generated from the same token list
+    * with SQL-escaping (quote doubling) — a future token carrying a
+    * quote must not produce malformed oracle SQL while the Spark array
+    * literal works fine. */
+  private[graft] def blocklistOracleSql(tokens: Seq[String]): String = {
+    val listLit = tokens.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+       |  count(*)::BIGINT - sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 1 ELSE 0 END)::BIGINT AS n_kept
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Power-of-2 token-length bucket boundaries for doc_length_buckets —
     * one source of truth for the Spark CASE chain and the oracle SQL
     * (the corpus' token lengths are 10..99, so 16..128 spans them with
@@ -313,22 +343,10 @@ object PipelineQueries {
     // is dropped (Raffel et al. 2020 §2.2 dropped pages on a bad-word
     // list); the kept set plus a per-source drop report in one pass.
     // arrays_overlap against a broadcast literal list — scan-bound, no
-    // shuffle before the report's aggregate
-    "doc_blocklist" -> ((s, d) => {
-      val hit = arrays_overlap(T.tokens(col("text")),
-        lit(BlocklistTokens.toArray))
-      // n_kept = n_docs − n_blocked (not a second conditional sum): a NULL
-      // text row is then classified identically on both engines — it is
-      // "not blocked" hence kept — instead of falling out of BOTH counters
-      // on the Spark side while DuckDB's CASE..ELSE keeps it
-      Tables.documents(s, d)
-        .withColumn("blocked", hit)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
-        .withColumn("n_kept", col("n_docs") - col("n_blocked"))
-        .orderBy(col("source"))
-    }),
+    // shuffle before the report's aggregate. NULL-text and quote-token
+    // edge cases pinned by BlocklistSpec.
+    "doc_blocklist" -> ((s, d) =>
+      blocklistReport(Tables.documents(s, d), BlocklistTokens)),
 
     // length-bucketed batching: power-of-2 token-length buckets and the
     // padding overhead each would pay — the batch-shape economics of
@@ -1196,18 +1214,9 @@ object PipelineQueries {
          |  n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // generated from BlocklistTokens — same list literal both engines
-    // (tokens are SQL-escaped: a future token carrying a quote must not
-    // produce malformed oracle SQL while the Spark array literal works);
-    // n_kept = count(*) − n_blocked so a NULL text row (not blocked ⇒
-    // kept) classifies identically on both engines
-    "doc_blocklist" -> {
-      val listLit = BlocklistTokens.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
-      s"""SELECT source, count(*)::BIGINT AS n_docs,
-         |  sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
-         |  count(*)::BIGINT - sum(CASE WHEN list_has_any(${dTokens("text")}, [$listLit]) THEN 1 ELSE 0 END)::BIGINT AS n_kept
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin
-    },
+    // generated from BlocklistTokens via blocklistOracleSql — same list
+    // literal both engines, SQL-escaped; see blocklistReport's NULL note
+    "doc_blocklist" -> blocklistOracleSql(BlocklistTokens),
 
     // CASE chain generated from LengthBuckets — identical boundaries
     "doc_length_buckets" -> {
