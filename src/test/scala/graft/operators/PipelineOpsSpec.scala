@@ -619,6 +619,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(multi == Set((1L, 2L), (3L, 4L), (7L, 8L)), s"got $multi")
   }
 
+  test("fuzzy multi-block property: complete at substitution distance ≤1, sound at maxDist, superset of single-pass (150 random keys)") {
+    import spark.implicits._
+    // seeded generator — a 6-letter alphabet forces block collisions and
+    // ties; key lengths 4..20 cover short (< blockLen), two-block (16),
+    // and longer-than-two-blocks (where a substitution past 2·blockLen
+    // touches NEITHER block, so both match — still a candidate)
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdef"
+    def randKey(len: Int) =
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val keys = scala.collection.mutable.ArrayBuffer[String]()
+    for (_ <- 0 until 50) {
+      val len = 4 + rnd.nextInt(17)
+      val base = randKey(len)
+      keys += base
+      val p = rnd.nextInt(len)
+      keys += base.updated(p, alpha((alpha.indexOf(base(p)) + 1) % alpha.length))
+      if (rnd.nextBoolean()) { // a 2-substitution cousin: found iff blocked
+        val q = rnd.nextInt(len)
+        keys += base.updated(p, 'x').updated(q, 'y')
+      }
+    }
+    val ks = keys.toIndexedSeq
+    val rows = ks.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("doc_id", "head")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("i", "j").as[(Long, Long)].collect().toSet
+    val multi = pairSet(Dedup.fuzzyKeyPairsMultiBlock(rows, "doc_id", "head",
+      blockLen = 8, maxDist = 3))
+    val single = pairSet(Dedup.fuzzyKeyPairs(rows, "doc_id", "head",
+      prefixLen = 8, maxDist = 3))
+    // driver-side brute force (the all-pairs plan the operator exists to avoid)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val cur = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(b.length)
+    }
+    // soundness: every surfaced pair truly verifies at ≤ maxDist
+    multi.foreach { case (i, j) =>
+      assert(lev(ks(i.toInt), ks(j.toInt)) <= 3, s"unsound pair ($i,$j)") }
+    // single-pass candidates are a subset (multi unions in the second block)
+    assert(single.subsetOf(multi), s"single ⊄ multi: ${single -- multi}")
+    // completeness: every pair at SUBSTITUTION distance ≤ 1 (equal length,
+    // ≤1 differing position — the pigeonhole guarantee: one substitution
+    // cannot change both positional blocks) must be surfaced
+    var guaranteed = 0
+    for (i <- ks.indices; j <- (i + 1) until ks.size) {
+      val (a, b) = (ks(i), ks(j))
+      if (a.length == b.length && a.zip(b).count { case (x, y) => x != y } <= 1) {
+        guaranteed += 1
+        assert(multi.contains((i.toLong, j.toLong)),
+          s"missed substitution-dist-≤1 pair ($i,$j): '$a' vs '$b'")
+      }
+    }
+    assert(guaranteed >= 50, s"fixture too weak: only $guaranteed guaranteed pairs")
+  }
+
   test("mixToBudget: integer rate formula, cap at full keep, unlisted strata dropped") {
     import spark.implicits._
     // web: 40 tokens, code: 12 tokens, junk: unlisted ("t t" = 2 tokens
