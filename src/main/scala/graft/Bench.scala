@@ -200,17 +200,22 @@ object Bench {
     // by design — that IS the production architecture (one build per
     // corpus snapshot, many consumers) — but the bench must not hide the
     // build cost behind a warm cache that happens to survive across runs.
-    // So the cold build is forced HERE, before any consumer runs, and
-    // timed as its own line item (single pass: a cold build is one-shot
-    // by definition, min-of-two would just measure the warm no-op).
-    // Pseudo-name "artifact" selects it in filtered dev runs.
+    // So a cold build is timed HERE as its own line item, into a
+    // THROWAWAY scratch dir: deleting + rebuilding the shared artifact
+    // would yank a complete artifact from under a concurrently-running
+    // Verify JVM mid-scan (buildOnce only protects against half-written
+    // READS, not against deletion of a complete dir). Single pass: a cold
+    // build is one-shot by definition, min-of-two would measure the warm
+    // no-op. Pseudo-name "artifact" selects it in filtered dev runs.
     val artifact =
       if (only.forall(_.contains("artifact"))) {
-        val path = graft.queries.PipelineQueries.componentsArtifactPath(sfDir)
-        graft.operators.Dedup.rmdir(new java.io.File(path))
+        val scratch =
+          graft.queries.PipelineQueries.componentsArtifactPath(sfDir) + "_benchcold"
+        graft.operators.Dedup.rmdir(new java.io.File(scratch))
         val t0 = System.nanoTime()
-        graft.queries.PipelineQueries.componentsArtifactDir(spark, sfDir)
+        graft.queries.PipelineQueries.buildComponentsArtifact(spark, sfDir, scratch)
         val t = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.rmdir(new java.io.File(scratch))
         isolate()
         Seq("artifact:components" -> t)
       } else Nil

@@ -83,20 +83,29 @@ object PipelineQueries {
   private val ComponentsK = 3
   private val ComponentsThreshold = 0.5
 
-  private[graft] def componentsArtifactDir(s: SparkSession, d: String): String = {
-    StreamingQueries.buildOnce(componentsArtifactPath(d)) { staged =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, k = ComponentsK,
-          threshold = ComponentsThreshold,
-          dfCutoff = Some(Dedup.autoDfCutoff(docs)))
-        .select(col("i"), col("j"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nPairs = pairs.count()
-      Dedup.components(pairs).write.mode("overwrite").parquet(s"$staged/clusters")
-      pairs.unpersist(false)
-      s.range(1).select(lit(nPairs).as("n_pairs"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staged/meta")
-    }
+  private[graft] def componentsArtifactDir(s: SparkSession, d: String): String =
+    StreamingQueries.buildOnce(componentsArtifactPath(d))(
+      buildComponentsArtifact(s, d, _))
+
+  /** The artifact build itself, factored so Bench can time a COLD build
+    * into a throwaway scratch dir without ever deleting the shared
+    * artifact (a concurrent JVM may be mid-read of it; buildOnce protects
+    * against half-written reads, not against yanking a complete artifact
+    * from under a running scan). */
+  private[graft] def buildComponentsArtifact(s: SparkSession, d: String,
+      out: String): Unit = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, k = ComponentsK,
+        threshold = ComponentsThreshold,
+        dfCutoff = Some(Dedup.autoDfCutoff(docs)))
+      .select(col("i"), col("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    Dedup.components(pairs).write.mode("overwrite").parquet(s"$out/clusters")
+    pairs.unpersist(false)
+    s.range(1).select(lit(nPairs).as("n_pairs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+    ()
   }
 
   /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>. */
