@@ -75,4 +75,24 @@ class PlanContractSpec extends SparkSpec {
     // the projection (CodegenFallback) silently de-codegens the stage
     assert(!plan.contains("lambdafunction"), s"HOF back in the hot path:\n$plan")
   }
+
+  test("q76 deciles: every window is key-partitioned, offsets join broadcasts") {
+    val df = SparkEntry.queries("q76_spend_deciles")(spark, dir)
+    // the regression this pins: ntile over Window.orderBy with no
+    // partitionBy — one task holding every per-user row. The Ranks plan
+    // must window only within __pid ranges (exact check on the logical
+    // plan's Window nodes — the physical tree string doesn't distinguish
+    // an empty partition spec reliably)...
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the per-range row_number window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in q76 plan:\n$w"))
+    // ...and the ≤numRanges-row offsets table must broadcast, never
+    // shuffle the user-grain side for it
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
