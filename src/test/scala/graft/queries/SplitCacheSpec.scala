@@ -25,4 +25,40 @@ class SplitCacheSpec extends SparkSpec {
     }
     assert(s1 !== StreamingQueries.sourceStamp(p), "rewrite must change stamp")
   }
+
+  test("buildOnce: concurrent builders race safely, readers never see a partial artifact") {
+    val dir = Files.createTempDirectory("graft_once").toString + "/artifact"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // a deliberately SLOW two-file build: without staging+rename, a reader
+    // listing between the two writes would see half an artifact
+    def build(staged: String): Unit = {
+      builds.incrementAndGet()
+      val d = new java.io.File(staged); d.mkdirs()
+      Files.writeString(new java.io.File(d, "part-0").toPath, "alpha")
+      Thread.sleep(50)
+      Files.writeString(new java.io.File(d, "part-1").toPath, "beta")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val results = (0 until 4).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = StreamingQueries.buildOnce(dir)(build)
+      })
+    }.map(_.get())
+    pool.shutdown()
+    // every caller gets the same complete artifact: both parts + marker
+    results.foreach { p =>
+      assert(new java.io.File(p, "part-0").exists, "part-0 missing")
+      assert(new java.io.File(p, "part-1").exists, "part-1 missing")
+      assert(new java.io.File(p, "_SUCCESS").exists, "_SUCCESS missing")
+    }
+    // losers discarded their staging copies — no *_staging_* litter
+    val litter = new java.io.File(dir).getParentFile.listFiles
+      .filter(_.getName.contains("_staging_"))
+    assert(litter.isEmpty, s"staging litter: ${litter.mkString(", ")}")
+    // build ran at least once; a second sequential call is a no-op read
+    val before = builds.get()
+    assert(before >= 1)
+    StreamingQueries.buildOnce(dir)(build)
+    assert(builds.get() == before, "warm call must not rebuild")
+  }
 }
