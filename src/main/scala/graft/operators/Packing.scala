@@ -33,6 +33,26 @@ import org.apache.spark.sql.functions._
   * which is why a plain window-cumsum SQL oracle reproduces it exactly. */
 object Packing {
 
+  /** Per-range prefix offsets — the bounded driver step of the
+    * distributed prefix-sum idiom shared by [[packOffsets]],
+    * [[shuffledOrder]] and [[Ranks]]: one ≤#ranges-row aggregate of
+    * `weight` per `pidCol` (collected to the driver), prefix-summed in
+    * pid order. A plain sum per range (never a cumsum max) keeps the
+    * prefix arithmetic exact even if a caller-supplied weight misbehaves
+    * (e.g. negative on malformed rows). Returns the broadcastable
+    * (pidCol, "__off") frame plus the grand total. */
+  private[operators] def rangeOffsets(df: DataFrame, pidCol: String,
+      weight: Column): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df.groupBy(col(pidCol)).agg(sum(weight).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val prefix = pids.zip(
+      pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+    (prefix.toSeq.toDF(pidCol, "__off"), totals.values.sum)
+  }
+
   /** (doc_id, n_tokens, tok_offset, bin) per document; `tokenCount` is the
     * per-doc token count column (computed from `text` by default).
     *
@@ -62,20 +82,11 @@ object Packing {
       acc + when(col("doc_id") > lit(b), 1).otherwise(0)
     }
     val withPid = sized.withColumn("__pid", pid)
-    // bounded driver step 2: one row per range → prefix offsets. A plain
-    // sum per range (not a cumsum max) keeps the prefix arithmetic exact
-    // even if a caller-supplied tokenCount misbehaves (e.g. negative on
-    // malformed rows); the BIN assignment below, like the oracle's `//`,
+    // bounded driver step 2 ([[rangeOffsets]]): one row per range →
+    // prefix offsets. The BIN assignment below, like the oracle's `//`,
     // assumes the non-negative offsets of real token counts — negative
     // counts are out of contract for bins (`div` truncates toward zero).
-    val totals = withPid.groupBy(col("__pid"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = totals.keys.toSeq.sorted
-    val prefix: Map[Int, Long] = pids.zip(
-      pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
-    import spark.implicits._
-    val offsets = prefix.toSeq.toDF("__pid", "__offset")
+    val (offsets, _) = rangeOffsets(withPid, "__pid", col("n_tokens"))
     // local cumsum within each range (keyed window — parallel); the window
     // shuffle hashes on __pid, giving the same layout repartitionByRange
     // would have, minus its nondeterminism
@@ -88,7 +99,7 @@ object Packing {
     withPid.withColumn("__cum", sum(col("n_tokens")).over(w))
       .join(broadcast(offsets), Seq("__pid"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("__offset") + col("__cum") - col("n_tokens")).as("tok_offset"))
+        (col("__off") + col("__cum") - col("n_tokens")).as("tok_offset"))
       .withColumn("bin", expr(s"tok_offset div ${capacity}"))
       .orderBy(col("doc_id"))
   }
@@ -110,16 +121,10 @@ object Packing {
     * driver aggregate, one keyed window, one broadcast join. */
   def shuffledOrder(docs: DataFrame, idCol: String = "doc_id",
       salt: String = "shuf"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val withH = docs
       .withColumn("__h", md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
       .withColumn("__pid", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
-    val totals = withH.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = totals.keys.toSeq.sorted
-    val prefix = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
-    val offsets = prefix.toSeq.toDF("__pid", "__off")
+    val (offsets, _) = rangeOffsets(withH, "__pid", lit(1L))
     // ordering by the full key within a range is consistent with the
     // global key order: the range id IS the key's leading byte
     val w = Window.partitionBy(col("__pid"))

@@ -39,8 +39,6 @@ object Ranks {
   def globalRankDesc(df: DataFrame, keyCol: String, idCol: String,
       numRanges: Int = 32): (DataFrame, Long) = {
     require(numRanges > 0, "numRanges must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
     val withKd = df.withColumn("__kd", col(keyCol).cast("double"))
     val probs = (1 until numRanges).map(_.toDouble / numRanges).toArray
     val bounds =
@@ -53,12 +51,7 @@ object Ranks {
       acc + when(col("__kd") < lit(b), 1).otherwise(0)
     }
     val withPid = withKd.withColumn("__pid", pid)
-    val totals = withPid.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = totals.values.sum
-    val pids = totals.keys.toSeq.sorted
-    val prefix = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
-    val offsets = prefix.toSeq.toDF("__pid", "__off")
+    val (offsets, n) = Packing.rangeOffsets(withPid, "__pid", lit(1L))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(col(keyCol).desc, col(idCol).asc)
     val ranked = withPid.withColumn("__rn", row_number().over(w))

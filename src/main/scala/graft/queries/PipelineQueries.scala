@@ -544,7 +544,9 @@ object PipelineQueries {
           .select(col("doc_id"), substring(lower(col("text")), 1, 24).as("head")),
         "doc_id", "head", prefixLen = 8, maxDist = 3)),
 
-    // the recall remedy: prefix OR suffix block (two equi-joins unioned),
+    // the recall remedy: first-8 OR second-8 positional block (two
+    // equi-joins unioned — POSITIONAL, not suffix-anchored: see
+    // fuzzyKeyPairsMultiBlock's docstring for why last-8 diverges),
     // pigeonhole-guaranteed for distance-1 pairs on two-block keys —
     // a superset of dedup_fuzzy_pairs by construction
     "dedup_fuzzy_pairs_mp" -> ((s, d) =>
@@ -1345,7 +1347,7 @@ object PipelineQueries {
          |SELECT doc_id, string_agg(val, ',' ORDER BY d) AS vec
          |FROM filled GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // prefix ∪ suffix blocking (UNION dedups), same edit-distance DP;
+    // first-8 ∪ second-8 positional blocking (UNION dedups), same DP;
     // the 16-char key splits into exactly two 8-char blocks
     "dedup_fuzzy_pairs_mp" ->
       """WITH fk AS (SELECT doc_id, substring(lower(text), 1, 16) AS head,

@@ -177,29 +177,44 @@ object StreamingQueries {
     * it can never name a half-written directory). */
   private[graft] def buildOnce(dirPath: String)(build: String => Unit): String = {
     val dir = new java.io.File(dirPath)
-    if (!new java.io.File(dir, "_SUCCESS").exists) {
+    def complete = new java.io.File(dir, "_SUCCESS").exists
+    if (!complete) {
       val staged = new java.io.File(dirPath + "_staging_" +
         ProcessHandle.current().pid() + "_" + System.nanoTime())
-      build(staged.getAbsolutePath)
+      // a failed build must not litter /tmp: staging names are unique per
+      // attempt, so without cleanup every retry would strand another
+      // partial copy
+      try build(staged.getAbsolutePath)
+      catch { case e: Throwable =>
+        graft.operators.Dedup.rmdir(staged); throw e
+      }
       val marker = new java.io.File(staged, "_SUCCESS")
       if (!marker.exists) {
         java.nio.file.Files.createFile(marker.toPath); ()
       }
-      try {
-        // a crashed writer can leave a markerless target behind: clear it
-        // before the move (rmdir is a no-op when absent)
-        graft.operators.Dedup.rmdir(dir)
-        java.nio.file.Files.move(staged.toPath, dir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      } catch {
-        // another JVM completed the artifact between our check and move:
-        // keep theirs, drop ours. Any other failure (marker still absent)
-        // is a real error and propagates.
-        case e: java.nio.file.FileSystemException =>
-          if (new java.io.File(dir, "_SUCCESS").exists)
-            graft.operators.Dedup.rmdir(staged)
-          else throw e
+      // Commit = atomic move WITHOUT clearing the target first: a
+      // marker-present target is always a COMPLETE artifact (the marker is
+      // created in staging, so it becomes visible only via the atomic
+      // move) and must never be deleted — a concurrent JVM may be
+      // mid-scan of it. Move failure therefore means either a concurrent
+      // winner (marker present: keep theirs, drop ours) or a stale
+      // markerless leftover from a crashed pre-atomic-era writer (clear
+      // it, retry once; if the retry collides with a winner, theirs is
+      // complete and kept).
+      def tryMove(): Boolean =
+        try {
+          java.nio.file.Files.move(staged.toPath, dir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileSystemException => false }
+      if (!tryMove()) {
+        if (!complete) {
+          graft.operators.Dedup.rmdir(dir)
+          if (!tryMove() && !complete)
+            throw new java.io.IOException(
+              s"buildOnce could not publish $dirPath (target blocked, no winner)")
+        }
+        if (complete) graft.operators.Dedup.rmdir(staged)
       }
     }
     dirPath

@@ -15,9 +15,15 @@ import java.time.Instant
   * /stats (app.py:201-209). ServerSpec pins per-route behavior against a
   * hand-authored store; THIS spec pins that a store produced by the
   * ingest pipeline serves the same contract end-to-end. */
-class CanonicalE2eSpec extends graft.SparkSpec {
+class CanonicalE2eSpec extends graft.SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  override def afterAll(): Unit = {
+    server.stop() // release the dispatcher thread + bound port
+    super.afterAll()
+  }
 
   private val logListJson =
     """{"operators":[{"logs":[

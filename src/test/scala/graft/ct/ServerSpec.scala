@@ -7,7 +7,12 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SaveMode
 import graft.SparkSpec
 
-class ServerSpec extends SparkSpec {
+class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    server.stop() // release the shared dispatcher thread + bound port
+    super.afterAll()
+  }
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)

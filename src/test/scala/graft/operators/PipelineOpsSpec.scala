@@ -588,7 +588,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("fuzzy blocking: multi-block recovers prefix-typo pairs (pigeonhole), single-pass misses them") {
     import spark.implicits._
     // key length 16 = two 8-char blocks; pair (1,2) differs ONLY inside
-    // the prefix block, pair (3,4) only inside the suffix block, pair
+    // the first block, pair (3,4) only inside the second block, pair
     // (5,6) is beyond maxDist everywhere
     // (7,8): SHORT keys (< blockLen+1 chars) with a prefix typo — they
     // share only the empty POSITIONAL second block (chars 9..16 of a
