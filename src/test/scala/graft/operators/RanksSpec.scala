@@ -32,6 +32,17 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("empty input: rank and ntile both yield zero rows, no quantile failure") {
+    // approxQuantile over zero rows returns an empty cut-point array →
+    // one range, empty offsets, empty output; ntile's n=0 takes the
+    // q==0 degenerate path. Pins that the operator needs no non-empty
+    // precondition (a filter upstream of q76 may legitimately drain it).
+    val df = fixture(0, 1)
+    val (ranked, total) = Ranks.globalRankDesc(df, "k", "id", numRanges = 8)
+    assert(total == 0 && ranked.count() == 0)
+    assert(Ranks.ntileByKeyDesc(df, "k", "id", 10).count() == 0)
+  }
+
   test("ntileByKeyDesc equals single-window ntile: remainders, ties, n < tiles") {
     // 25 % 10 = 5 exercises remainder placement; 7 < 10 the degenerate;
     // 1000 % 7 = 6 a non-decile tile count; dup=1 is ALL-ties
