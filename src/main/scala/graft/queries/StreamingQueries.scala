@@ -39,14 +39,26 @@ object StreamingQueries {
     * knob: set shuffle partitions on the stream's session before first
     * start, ~2-4x cores (SCALE.md).
     */
+  /** Per-run streaming checkpoint directory — pure scratch (deleted on
+    * termination), so it lives on tmpfs when available: the state store's
+    * delta/snapshot files and the offset/commit WALs are rewritten every
+    * micro-batch, and a gate/bench run makes no durability claim for them
+    * — a production deployment points checkpointLocation at durable
+    * shared storage and pays its real latencies there. The parquet STATE
+    * tables of the foreachBatch queries (the maintained view itself) stay
+    * on disk: they are the production artifact, not scratch. */
+  private def scratchCkpt(name: String): String =
+    new java.io.File(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir"), name).getAbsolutePath
+
   private def runToCompletion(spark: SparkSession, prefix: String,
       build: SparkSession => DataFrame, order: Seq[String],
       mode: String = "append"): DataFrame = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val name = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = new java.io.File(
-      System.getProperty("java.io.tmpdir"), name).getAbsolutePath
+    val ckpt = scratchCkpt(name)
     val q = build(s).writeStream
       .outputMode(mode)
       .format("memory")
@@ -309,7 +321,7 @@ object StreamingQueries {
     val splitDir = embsSplit(spark, dir)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val storePath = new java.io.File(tmp, s"graft_emb_stream_$runId").getAbsolutePath
-    val ckpt = new java.io.File(tmp, s"graft_emb_sckpt_$runId").getAbsolutePath
+    val ckpt = scratchCkpt(s"graft_emb_sckpt_$runId")
     val src = spark.readStream
       .schema(graft.Tables.embeddings(spark, dir).schema)
       .option("maxFilesPerTrigger", "1")
@@ -357,7 +369,7 @@ object StreamingQueries {
     val splitDir = eventsSplit(spark, dir)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val statePath = new java.io.File(tmp, s"graft_mv_stream_$runId").getAbsolutePath
-    val ckpt = new java.io.File(tmp, s"graft_mv_ckpt_$runId").getAbsolutePath
+    val ckpt = scratchCkpt(s"graft_mv_ckpt_$runId")
     val src = spark.readStream
       .schema(graft.Tables.events(spark, dir).schema)
       .option("maxFilesPerTrigger", "1")
@@ -397,7 +409,7 @@ object StreamingQueries {
     val splitDir = eventsSplit(spark, dir)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val statePath = new java.io.File(tmp, s"graft_kmv_stream_$runId").getAbsolutePath
-    val ckpt = new java.io.File(tmp, s"graft_kmv_ckpt_$runId").getAbsolutePath
+    val ckpt = scratchCkpt(s"graft_kmv_ckpt_$runId")
     def mixed(c: org.apache.spark.sql.Column) =
       pmod(T.polyHash(c.cast("string")) * lit(1103515245L) + lit(12345L),
         lit(1000000007L))
@@ -467,7 +479,7 @@ object StreamingQueries {
     val splitDir = docsSplit(spark, dir)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val statePath = new java.io.File(tmp, s"graft_hh_stream_$runId").getAbsolutePath
-    val ckpt = new java.io.File(tmp, s"graft_hh_ckpt_$runId").getAbsolutePath
+    val ckpt = scratchCkpt(s"graft_hh_ckpt_$runId")
     val src = spark.readStream
       .schema(graft.Tables.documents(spark, dir).schema)
       .option("maxFilesPerTrigger", "1")
