@@ -3,7 +3,10 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 import graft.ct.{CertStore, PublicSuffix}
-import graft.expressions.ArrayExprs
+import graft.expressions.{ArrayExprs, KmvSketchAgg}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Property-based invariants (SURVEY §5.2) for the pure engine functions. */
@@ -137,6 +140,39 @@ object PropertySpec extends Properties("graft") {
         best
       }
       graft.operators.Funnel.referenceSeqCount(evs, 3) == brute(0)
+    }
+  }
+
+  property("kmv sketch buffer API: any split + serde + merge order equals k smallest distinct") = {
+    // Drives the REAL TypedImperativeAggregate buffer lifecycle exactly as
+    // Spark's partial aggregation does — per-partition update, serialize/
+    // deserialize across the (simulated) shuffle, merge on the reduce side
+    // — and checks the result against the sketch's defining model: the k
+    // smallest DISTINCT values of the whole stream, any fold order.
+    // stream_kmv's whole determinism argument (four incremental merges ==
+    // one-shot sketch) rests on this algebra; here it's pinned over random
+    // splits, duplicate-heavy values, nulls, and hostile merge orders.
+    val value: Gen[Option[Long]] = Gen.frequency(
+      8 -> Gen.choose(-40L, 40L).map(Some(_)),      // duplicate-heavy band
+      2 -> Gen.choose(Long.MinValue, Long.MaxValue).map(Some(_)),
+      1 -> Gen.const(None))                          // null inputs ignored
+    forAll(Gen.listOf(value), Gen.choose(1, 6), Gen.choose(1, 20)) {
+      (vs, nParts, k) =>
+        val agg = KmvSketchAgg(BoundReference(0, LongType, nullable = true), k)
+        val parts = vs.zipWithIndex.groupBy(_._2 % nParts)
+          .toSeq.sortBy(_._1).map(_._2.map(_._1))
+        val bufs = parts.map { p =>
+          val b = agg.createAggregationBuffer()
+          p.foreach(v => agg.update(b,
+            new GenericInternalRow(Array[Any](v.map(Long.box).orNull))))
+          agg.deserialize(agg.serialize(b)) // the shuffle path
+        }
+        // reduce in REVERSED partition order — result must not care
+        val acc = bufs.reverse.foldLeft(agg.createAggregationBuffer())(
+          (a, b) => agg.merge(a, b))
+        val got = agg.eval(acc).asInstanceOf[GenericArrayData]
+          .toLongArray().toSeq
+        got == vs.flatten.distinct.sorted.take(k)
     }
   }
 

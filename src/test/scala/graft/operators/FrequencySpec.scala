@@ -14,6 +14,32 @@ class FrequencySpec extends SparkSpec {
     assert(got.size <= 3, "capacity k-1 respected")
   }
 
+  test("misra-gries: random streams x capacities never evict a guaranteed-heavy item") {
+    // the MG guarantee the two-pass heavy hitter operators (batch +
+    // streaming) rely on: ANY item with count·k > n survives the sketch,
+    // whatever the arrival order — swept over random skewed streams,
+    // random capacities, and three hostile orders (shuffled, heavy-first
+    // so the heavy item's counter faces every later eviction, heavy-last
+    // so it must displace an already-full counter table)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 30) {
+      val n = 500 + rnd.nextInt(1500)
+      val k = 2 + rnd.nextInt(14)
+      val base = Seq.fill(n)(s"w${(math.pow(rnd.nextDouble(), 3) * 60).toInt}")
+      val orders = Seq(rnd.shuffle(base), base.sorted, base.sorted.reverse)
+      val counts = base.groupBy(identity).map { case (t, o) => t -> o.size }
+      for (stream <- orders) {
+        val got = Frequency.mgCandidates(stream.iterator, k).toSet
+        assert(got.size <= k - 1, s"capacity violated: ${got.size} vs k=$k")
+        counts.foreach { case (t, c) =>
+          if (c.toLong * k > n)
+            assert(got.contains(t),
+              s"heavy item $t (count $c, n=$n, k=$k) evicted")
+        }
+      }
+    }
+  }
+
   test("heavy hitters: deterministic exact set, invariant to partitioning") {
     val docs = Seq(
       (0L, ("alpha " * 40 + "beta " * 20 + "rare").trim),

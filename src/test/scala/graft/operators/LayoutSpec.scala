@@ -18,6 +18,45 @@ class LayoutSpec extends SparkSpec {
     assert(quad == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("zValue: monotone per coordinate; box membership implies corner z-bounds (randomized)") {
+    import spark.implicits._
+    // The property underlying every z-range scan: z is monotone in each
+    // coordinate, so a query box [alo,ahi]x[blo,bhi] confines its points'
+    // z-values to [z(alo,blo), z(ahi,bhi)] — the bound file-level
+    // statistics pruning exploits. 2000 seeded random (point, box) cases
+    // evaluated through the REAL expression in one Spark job.
+    val bits = 16
+    val lim = 1L << bits
+    val rnd = new scala.util.Random(42)
+    def bounded(hi: Long) = math.abs(rnd.nextLong()) % hi
+    val rows = Seq.fill(2000) {
+      val (alo, blo) = (bounded(lim), bounded(lim))
+      val (ahi, bhi) = (alo + bounded(lim - alo), blo + bounded(lim - blo))
+      // half the cases sample the point INSIDE the box (the claim's
+      // premise); the rest roam freely (no claim, just must not crash)
+      val (a, b) =
+        if (rnd.nextBoolean()) (alo + bounded(ahi - alo + 1), blo + bounded(bhi - blo + 1))
+        else (bounded(lim), bounded(lim))
+      (a, b, alo, ahi, blo, bhi)
+    }
+    val df = rows.toDF("a", "b", "alo", "ahi", "blo", "bhi")
+      .withColumn("z", Layout.zValue(col("a"), col("b"), bits))
+      .withColumn("zlo", Layout.zValue(col("alo"), col("blo"), bits))
+      .withColumn("zhi", Layout.zValue(col("ahi"), col("bhi"), bits))
+      .withColumn("za1", when(col("a") < lim - 1,
+        Layout.zValue(col("a") + 1, col("b"), bits)))
+      .withColumn("zb1", when(col("b") < lim - 1,
+        Layout.zValue(col("a"), col("b") + 1, bits)))
+    val inBox = col("a").between(col("alo"), col("ahi")) &&
+      col("b").between(col("blo"), col("bhi"))
+    assert(df.filter(inBox).count() > 500, "premise must be exercised")
+    assert(df.filter(inBox && (col("z") < col("zlo") || col("z") > col("zhi")))
+      .count() == 0, "a box point escaped its corner z-bounds")
+    assert(df.filter(col("za1").isNotNull && col("za1") <= col("z")).count() == 0 &&
+      df.filter(col("zb1").isNotNull && col("zb1") <= col("z")).count() == 0,
+      "z must be strictly monotone in each coordinate")
+  }
+
   test("z-ordered layout prunes files on BOTH dimensions; linear sort does not") {
     val events = Tables.events(spark, sf("sf0.001"))
       .select(col("event_id"), col("user_id"))
