@@ -209,13 +209,29 @@ object Bench {
     // no-op. Pseudo-name "artifact" selects it in filtered dev runs.
     val artifact =
       if (only.forall(_.contains("artifact"))) {
-        val scratch =
-          graft.queries.PipelineQueries.componentsArtifactPath(sfDir) + "_benchcold"
-        graft.operators.Dedup.rmdir(new java.io.File(scratch))
-        val t0 = System.nanoTime()
-        graft.queries.PipelineQueries.buildComponentsArtifact(spark, sfDir, scratch)
-        val t = (System.nanoTime() - t0) / 1e9
-        graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        val sharedPath = graft.queries.PipelineQueries.componentsArtifactPath(sfDir)
+        val t =
+          if (!new java.io.File(sharedPath, "_SUCCESS").exists) {
+            // fresh machine: the timed cold build doubles as the shared
+            // artifact's one build — publish it through buildOnce's
+            // atomic-rename commit so the first consumer query doesn't
+            // pay the same ~11 s build again inside its own pass
+            val t0 = System.nanoTime()
+            graft.queries.PipelineQueries.componentsArtifactDir(spark, sfDir)
+            (System.nanoTime() - t0) / 1e9
+          } else {
+            // shared artifact is warm: time the cold build into a
+            // THROWAWAY scratch dir — deleting + rebuilding the shared
+            // one would yank a complete artifact from under a
+            // concurrently-running Verify JVM mid-scan
+            val scratch = sharedPath + "_benchcold"
+            graft.operators.Dedup.rmdir(new java.io.File(scratch))
+            val t0 = System.nanoTime()
+            graft.queries.PipelineQueries.buildComponentsArtifact(spark, sfDir, scratch)
+            val dt = (System.nanoTime() - t0) / 1e9
+            graft.operators.Dedup.rmdir(new java.io.File(scratch))
+            dt
+          }
         isolate()
         Seq("artifact:components" -> t)
       } else Nil

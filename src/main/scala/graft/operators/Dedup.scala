@@ -941,14 +941,38 @@ object Dedup {
     * key shorter than 2·blockLen — keys shorter than blockLen+1 chars
     * all share the empty second block (they become mutual candidates;
     * the verifier keeps only true near-matches, so this costs
-    * candidates, never correctness — the short-key hot-block story is
-    * the same df-cutoff pattern as the shingle join). */
+    * candidates, never correctness).
+    *
+    * Scale hazard — a HOT block is quadratic: m keys sharing one block
+    * value (the empty second block of sub-blockLen keys is the likely
+    * offender) contribute m·(m−1)/2 candidate pairs, each paying a
+    * Levenshtein verify. Unlike the shingle join's df-cutoff there is NO
+    * exact re-add here — dropping a block drops real pairs — so the
+    * remedies are upstream (filter degenerate short keys; block on a
+    * longer normalized key) and the opt-in `maxBlockRows` circuit
+    * breaker: when set, one cheap aggregate pass checks every block's
+    * size and FAILS LOUDLY before launching a runaway join, naming the
+    * hot block. A production pipeline sets it to the largest block a
+    * task should verify (e.g. 10⁴ → ≤5·10⁷ pairs per block). */
   def fuzzyKeyPairsMultiBlock(df: DataFrame, idCol: String, keyCol: String,
-      blockLen: Int = 8, maxDist: Int = 3): DataFrame = {
+      blockLen: Int = 8, maxDist: Int = 3,
+      maxBlockRows: Option[Long] = None): DataFrame = {
     require(blockLen > 0 && maxDist >= 0, "blockLen > 0, maxDist >= 0")
     val keyed = df.select(col(idCol).as("id"), col(keyCol).as("key"),
       substring(col(keyCol), 1, blockLen).as("pb"),
       substring(col(keyCol), blockLen + 1, blockLen).as("sb"))
+    maxBlockRows.foreach { m =>
+      val hot = keyed.select(col("pb").as("blk"))
+        .unionAll(keyed.select(col("sb").as("blk")))
+        .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"fuzzy block '${r.getString(0)}' holds ${r.getLong(1)} keys " +
+          s"(> maxBlockRows=$m): the blocked join would be quadratic in it — " +
+          "filter degenerate keys upstream or raise blockLen"
+      })
+    }
     def candIn(block: String) =
       keyed.as("a").join(keyed.as("b"),
           col(s"a.$block") === col(s"b.$block") && col("a.id") < col("b.id"))

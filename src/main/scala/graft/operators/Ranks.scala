@@ -31,11 +31,14 @@ object Ranks {
   /** `df` + a 1-based `"rank"` column under (`keyCol` DESC, `idCol` ASC
     * — the tiebreak makes the rank total), plus the row count n (free:
     * the sum of the per-range totals the offsets already need).
-    * `keyCol` must be numeric and non-null (cast to double only for the
-    * cut points; the ORDERING uses the original column, so decimal
-    * exactness is preserved). Cost: three passes over `df` (cut points,
-    * range totals, output) — cache upstream first if it is more than a
-    * scan/aggregate, per the [[Packing.packOffsets]] note. */
+    * `keyCol` must be numeric (cast to double only for the cut points;
+    * the ORDERING uses the original column, so decimal exactness is
+    * preserved). NULL keys rank LAST — both Spark's `desc` default
+    * (desc_nulls_last) and DuckDB's default null order agree, so the
+    * single-window SQL oracle is still reproduced exactly. Cost: three
+    * passes over `df` (cut points, range totals, output) — cache
+    * upstream first if it is more than a scan/aggregate, per the
+    * [[Packing.packOffsets]] note. */
   def globalRankDesc(df: DataFrame, keyCol: String, idCol: String,
       numRanges: Int = 32): (DataFrame, Long) = {
     require(numRanges > 0, "numRanges must be positive")
@@ -46,10 +49,16 @@ object Ranks {
       else withKd.stat.approxQuantile("__kd", probs, 0.001)
     // range id = #{cut points strictly above this key}: ascending pid ⇔
     // descending key, equal keys always share a pid — a pure function of
-    // the key value, identical in the totals pass and the output pass
-    val pid = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+    // the key value, identical in the totals pass and the output pass.
+    // NULL keys (which approxQuantile ignores and a `< bound` probe
+    // would otherwise leave in pid 0, the TOP range) are routed to the
+    // LAST range, where the within-range desc sort's nulls-last default
+    // places them at the global tail — exactly the single-window order.
+    val cuts = bounds.distinct
+    val nonNullPid = cuts.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__kd") < lit(b), 1).otherwise(0)
     }
+    val pid = when(col("__kd").isNull, lit(cuts.length)).otherwise(nonNullPid)
     val withPid = withKd.withColumn("__pid", pid)
     val (offsets, n) = Packing.rangeOffsets(withPid, "__pid", lit(1L))
     val w = Window.partitionBy(col("__pid"))

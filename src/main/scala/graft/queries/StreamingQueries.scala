@@ -19,6 +19,27 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
+  /** Per-run streaming checkpoint directory — pure scratch (deleted on
+    * termination), so it lives on tmpfs when available: the state store's
+    * delta/snapshot files and the offset/commit WALs are rewritten every
+    * micro-batch, and a gate/bench run makes no durability claim for them
+    * — a production deployment points checkpointLocation at durable
+    * shared storage and pays its real latencies there. The parquet STATE
+    * tables of the foreachBatch queries (the maintained view itself) stay
+    * on disk: they are the production artifact, not scratch. */
+  private def scratchCkpt(name: String): String = {
+    // guard against container realities before leaving tmpdir: a default
+    // Docker /dev/shm is 64 MB (and can be mounted read-only) — a
+    // checkpoint that lands there would abort streams that ran fine on
+    // disk, so require writability and comfortable headroom
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= (1L << 30))
+        shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    new java.io.File(base, name).getAbsolutePath
+  }
+
   /** Drives a streaming aggregation to completion: append mode into a
     * uniquely-named memory sink with a fresh checkpoint, AvailableNow
     * trigger, blocking until the terminal no-data batch has flushed
@@ -39,19 +60,6 @@ object StreamingQueries {
     * knob: set shuffle partitions on the stream's session before first
     * start, ~2-4x cores (SCALE.md).
     */
-  /** Per-run streaming checkpoint directory — pure scratch (deleted on
-    * termination), so it lives on tmpfs when available: the state store's
-    * delta/snapshot files and the offset/commit WALs are rewritten every
-    * micro-batch, and a gate/bench run makes no durability claim for them
-    * — a production deployment points checkpointLocation at durable
-    * shared storage and pays its real latencies there. The parquet STATE
-    * tables of the foreachBatch queries (the maintained view itself) stay
-    * on disk: they are the production artifact, not scratch. */
-  private def scratchCkpt(name: String): String =
-    new java.io.File(
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-      else System.getProperty("java.io.tmpdir"), name).getAbsolutePath
-
   private def runToCompletion(spark: SparkSession, prefix: String,
       build: SparkSession => DataFrame, order: Seq[String],
       mode: String = "append"): DataFrame = {
@@ -187,15 +195,20 @@ object StreamingQueries {
     * `_SUCCESS` at the artifact root still marks completeness (the cheap
     * existence check; the atomic rename is what makes it trustworthy —
     * it can never name a half-written directory). */
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def buildOnce(dirPath: String)(build: String => Unit): String = {
     val dir = new java.io.File(dirPath)
     def complete = new java.io.File(dir, "_SUCCESS").exists
     if (!complete) {
+      // staging names are unique per ATTEMPT: pid separates JVMs, the
+      // atomic counter separates same-JVM threads (nanoTime alone can
+      // tie on coarse clocks), nanoTime separates pid-reuse across boots
       val staged = new java.io.File(dirPath + "_staging_" +
-        ProcessHandle.current().pid() + "_" + System.nanoTime())
-      // a failed build must not litter /tmp: staging names are unique per
-      // attempt, so without cleanup every retry would strand another
-      // partial copy
+        ProcessHandle.current().pid() + "_" + stagingSeq.incrementAndGet() +
+        "_" + System.nanoTime())
+      // a failed build must not litter /tmp: without cleanup every retry
+      // would strand another partial copy
       try build(staged.getAbsolutePath)
       catch { case e: Throwable =>
         graft.operators.Dedup.rmdir(staged); throw e
@@ -204,29 +217,47 @@ object StreamingQueries {
       if (!marker.exists) {
         java.nio.file.Files.createFile(marker.toPath); ()
       }
+      def moveInto(src: java.io.File, dst: java.io.File): Boolean =
+        try {
+          java.nio.file.Files.move(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileSystemException => false }
       // Commit = atomic move WITHOUT clearing the target first: a
       // marker-present target is always a COMPLETE artifact (the marker is
       // created in staging, so it becomes visible only via the atomic
       // move) and must never be deleted — a concurrent JVM may be
-      // mid-scan of it. Move failure therefore means either a concurrent
-      // winner (marker present: keep theirs, drop ours) or a stale
-      // markerless leftover from a crashed pre-atomic-era writer (clear
-      // it, retry once; if the retry collides with a winner, theirs is
-      // complete and kept).
-      def tryMove(): Boolean =
-        try {
-          java.nio.file.Files.move(staged.toPath, dir.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } catch { case _: java.nio.file.FileSystemException => false }
-      if (!tryMove()) {
+      // mid-scan of it. Move failure means either a concurrent winner
+      // (marker present: keep theirs, drop ours) or a stale markerless
+      // leftover from a crashed writer. The leftover is EVICTED by atomic
+      // rename — never rmdir'd in place: a complete artifact could land
+      // at the path between our `complete` probe and the cleanup, and a
+      // rename keeps it intact (inspect the evicted dir's marker, restore
+      // if it turns out complete) where a delete would yank it from under
+      // a concurrent reader mid-scan.
+      if (!moveInto(staged, dir)) {
         if (!complete) {
-          graft.operators.Dedup.rmdir(dir)
-          if (!tryMove() && !complete)
-            throw new java.io.IOException(
-              s"buildOnce could not publish $dirPath (target blocked, no winner)")
-        }
-        if (complete) graft.operators.Dedup.rmdir(staged)
+          val evictedDir = new java.io.File(dirPath + "_stale_" +
+            ProcessHandle.current().pid() + "_" + stagingSeq.incrementAndGet())
+          val evicted = moveInto(dir, evictedDir)
+          if (evicted && new java.io.File(evictedDir, "_SUCCESS").exists) {
+            // raced a winner: what we evicted is a COMPLETE artifact —
+            // restore it (or, if a third writer published meanwhile,
+            // drop it: same content stamp, equal by construction)
+            if (!moveInto(evictedDir, dir))
+              graft.operators.Dedup.rmdir(evictedDir)
+            graft.operators.Dedup.rmdir(staged)
+          } else {
+            if (evicted) graft.operators.Dedup.rmdir(evictedDir) // true stale
+            if (!moveInto(staged, dir)) {
+              val won = complete
+              graft.operators.Dedup.rmdir(staged)
+              if (!won)
+                throw new java.io.IOException(
+                  s"buildOnce could not publish $dirPath (target blocked, no winner)")
+            }
+          }
+        } else graft.operators.Dedup.rmdir(staged)
       }
     }
     dirPath

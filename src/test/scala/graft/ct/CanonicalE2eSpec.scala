@@ -20,8 +20,13 @@ class CanonicalE2eSpec extends graft.SparkSpec
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  // forcing the lazy `server` in afterAll would RE-RUN a failed
+  // ingest/store setup (failed lazy vals re-evaluate) and throw from
+  // teardown, masking the real test failure — only stop what started
+  @volatile private var serverStarted = false
+
   override def afterAll(): Unit = {
-    server.stop() // release the dispatcher thread + bound port
+    if (serverStarted) server.stop() // release dispatcher thread + port
     super.afterAll()
   }
 
@@ -46,8 +51,12 @@ class CanonicalE2eSpec extends graft.SparkSpec
     store
   }
 
-  private lazy val server = new Server(spark, () => CertStore.read(spark, storeDir),
-    storeDir, port = 0, now = () => ts("2024-01-15 12:00:00")).start()
+  private lazy val server = {
+    val s = new Server(spark, () => CertStore.read(spark, storeDir),
+      storeDir, port = 0, now = () => ts("2024-01-15 12:00:00")).start()
+    serverStarted = true
+    s
+  }
 
   private lazy val client = HttpClient.newHttpClient()
 

@@ -619,6 +619,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(multi == Set((1L, 2L), (3L, 4L), (7L, 8L)), s"got $multi")
   }
 
+  test("fuzzy blocking circuit breaker: hot block fails loudly, bounded blocks pass") {
+    import spark.implicits._
+    // five sub-blockLen keys all share the empty second block — the
+    // quadratic hot-block shape the breaker exists to catch
+    val rows = (0L until 5L).map(i => (i, s"k$i")).toDF("doc_id", "head")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fuzzyKeyPairsMultiBlock(rows, "doc_id", "head",
+        blockLen = 8, maxDist = 3, maxBlockRows = Some(3L)).count()
+    }
+    assert(e.getMessage.contains("maxBlockRows"), e.getMessage)
+    // a bound the blocks respect changes nothing vs the unguarded run
+    val guarded = Dedup.fuzzyKeyPairsMultiBlock(rows, "doc_id", "head",
+      blockLen = 8, maxDist = 3, maxBlockRows = Some(5L))
+    val plain = Dedup.fuzzyKeyPairsMultiBlock(rows, "doc_id", "head",
+      blockLen = 8, maxDist = 3)
+    assert(guarded.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("fuzzy multi-block property: complete at substitution distance ≤1, sound at maxDist, superset of single-pass (150 random keys)") {
     import spark.implicits._
     // seeded generator — a 6-letter alphabet forces block collisions and

@@ -43,6 +43,30 @@ class RanksSpec extends SparkSpec {
     assert(Ranks.ntileByKeyDesc(df, "k", "id", 10).count() == 0)
   }
 
+  test("NULL keys rank last, matching the single-window desc-nulls-last order") {
+    import spark.implicits._
+    // a `__kd < bound` range probe would silently drop null keys into
+    // the TOP range (the condition is null → otherwise-0); both Spark's
+    // desc default and DuckDB's default null order put them LAST, so the
+    // operator must too — pinned against the single-window oracle with
+    // nulls threaded through ties and both rank and ntile shapes
+    val rows = (0 until 200).map { i =>
+      (i.toLong, if (i % 7 == 0) None else Some((i % 13).toLong))
+    }
+    val df = rows.toDF("id", "k").repartition(5)
+    val (ranked, total) = Ranks.globalRankDesc(df, "k", "id", numRanges = 8)
+    assert(total == 200)
+    val want = df.withColumn("rank",
+      row_number().over(Window.orderBy(col("k").desc, col("id").asc)).cast("long"))
+    assert(ranked.as("a").join(want.as("b"), col("a.id") === col("b.id"))
+      .filter(col("a.rank") =!= col("b.rank")).count() == 0)
+    val gotT = Ranks.ntileByKeyDesc(df, "k", "id", 10, outCol = "t", numRanges = 8)
+    val wantT = df.withColumn("t",
+      ntile(10).over(Window.orderBy(col("k").desc, col("id").asc)).cast("long"))
+    assert(gotT.as("a").join(wantT.as("b"), col("a.id") === col("b.id"))
+      .filter(col("a.t") =!= col("b.t")).count() == 0)
+  }
+
   test("ntileByKeyDesc equals single-window ntile: remainders, ties, n < tiles") {
     // 25 % 10 = 5 exercises remainder placement; 7 < 10 the degenerate;
     // 1000 % 7 = 6 a non-decile tile count; dup=1 is ALL-ties
