@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Dev tool: builds an ADVERSARIAL scale-factor directory — a verbatim
+  * copy of a base testdata dir (default sf0.001) with edge-case rows
+  * appended to every table — so the ENTIRE declared-query gate
+  * (`Verify` + `tools/check_parity.py`) can be replayed against data
+  * the generator never produces: NULLs in aggregated/grouped/joined
+  * columns, empty and whitespace-only strings, quote/backslash/unicode
+  * text, regex-hostile tokens, boundary timestamps (exact window edges,
+  * exact session-gap ties), duplicate texts/vectors, the zero vector,
+  * dangling foreign keys.
+  *
+  * The point is CROSS-ENGINE SEMANTIC parity, not crash-resistance
+  * alone: both engines read the same files, so every divergence this
+  * surfaces is a place where Spark's and DuckDB's semantics differ on
+  * edge data — null propagation, division by zero, tokenization of
+  * empty strings, JSON parsing of malformed input — i.e. exactly the
+  * class of latent hash-gate failures a fixed uniform testdata never
+  * exercises.
+  *
+  * Usage: sbt "runMain graft.HostileGen [baseDir] [outDir]"
+  *        then: runMain graft.Verify <outDir> /tmp/vhostile
+  *              python3 tools/check_parity.py /tmp/vhostile <outDir>
+  *
+  * Appended ids live in 900000+ (documents/events/embeddings), far
+  * above the base ranges but below the 1e6 incremental-fixture bound
+  * (`PipelineQueries.incrementId`).
+  */
+object HostileGen {
+
+  // the testdata's timestamp columns read as TIMESTAMP_NTZ, whose
+  // external row type is LocalDateTime (a j.s.Timestamp fails conversion)
+  private def ts(s: String) =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+
+  /** Append `rows` (built against the table's own schema) and write —
+    * as a SINGLE FILE named `<table>.parquet`, matching the driver
+    * testdata layout exactly (batch and streaming sources, and the
+    * DuckDB oracle, all resolve the same path shape). */
+  private def copyPlus(spark: SparkSession, base: String, out: String,
+      table: String)(rows: DataFrame => Seq[Row]): Unit = {
+    val src = spark.read.parquet(s"$base/$table.parquet")
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(rows(src): _*), src.schema)
+    val work = s"$out/.work_$table"
+    src.unionByName(extra).coalesce(1)
+      .write.mode("overwrite").parquet(work)
+    val part = new java.io.File(work).listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(out, s"$table.parquet")
+    if (dst.exists) { graft.operators.Dedup.rmdir(dst); () }
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.operators.Dedup.rmdir(new java.io.File(work))
+  }
+
+  def generate(spark: SparkSession, base: String, out: String): Unit = {
+    copyPlus(spark, base, out, "documents") { _ => Seq(
+      // null / empty / whitespace / single-char text
+      Row(900001L, null, "en", "web", 0L),
+      Row(900002L, "", "en", "web", 0L),
+      Row(900003L, " \t\n  ", "en", "web", 5L),
+      Row(900004L, "a", "en", "web", 1L),
+      // quotes, backslashes, SQL-literal hostility
+      Row(900005L, "it's a 'quoted' text with \"doubles\" and \\ backslash; DROP TABLE--", "en", "web", 64L),
+      // unicode: accents, CJK, emoji, combining marks
+      Row(900006L, "héllo wörld 你好世界 🚀 éé", "zh", "web", 20L),
+      // exact duplicate pair (dedup family must pair them identically)
+      Row(900007L, "hostile duplicate sentinel text block alpha beta gamma", "en", "web", 54L),
+      Row(900008L, "hostile duplicate sentinel text block alpha beta gamma", "en", "books", 54L),
+      // regex-hostile + PII-shaped tokens
+      Row(900009L, "a.b@c.d 999-99-9999 256.300.1.2 $5.00 (a+b)*c [x]{2} a|b ^$", "en", "web", 60L),
+      // long repetitive doc (winnowing/repetition/chunking tails)
+      Row(900010L, Seq.fill(4000)("tok").mkString(" "), "en", "web", 15999L),
+      // null lang and null source (null GROUP BY keys / mix strata)
+      Row(900011L, "null lang sentinel words here", null, "web", 29L),
+      Row(900012L, "null source sentinel words here", "en", null, 31L))
+    }
+
+    copyPlus(spark, base, out, "events") { _ => Seq(
+      // NULL value: sum/avg/decimal-cast null propagation
+      Row(900001L, ts("2024-01-15 10:00:00.000001"), 3L, "purchase", null, "{}"),
+      // zero / negative / large-but-safe values
+      Row(900002L, ts("2024-01-15 10:00:01"), 3L, "purchase", 0.0, "{}"),
+      Row(900003L, ts("2024-01-15 10:00:02"), 3L, "purchase", -7.25, "{}"),
+      Row(900004L, ts("2024-01-15 10:00:03"), 3L, "purchase", 1000000.5, "{}"),
+      // exact (user, ts) tie — only event_id breaks it
+      Row(900005L, ts("2024-01-15 11:00:00"), 4L, "view", 1.0, "{}"),
+      Row(900006L, ts("2024-01-15 11:00:00"), 4L, "click", 2.0, "{}"),
+      // exact 10-min window boundary and 1 us before it
+      Row(900007L, ts("2024-01-15 12:00:00"), 5L, "view", 1.0, "{}"),
+      Row(900008L, ts("2024-01-15 11:59:59.999999"), 5L, "view", 1.0, "{}"),
+      // a gap of EXACTLY the 30-min session threshold (must break)
+      Row(900009L, ts("2024-01-15 13:00:00"), 6L, "view", 1.0, "{}"),
+      Row(900010L, ts("2024-01-15 13:30:00"), 6L, "view", 1.0, "{}"),
+      // single-event user at the far end of the time range
+      Row(900011L, ts("2024-01-29 23:00:00"), 13L, "signup", 0.5, "{}"),
+      // null event_type (null GROUP BY key; IN-list filters drop it)
+      Row(900012L, ts("2024-01-15 14:00:00"), 7L, null, 3.0, "{}"),
+      // malformed + quote-laden + unicode JSON props (q17_json)
+      Row(900013L, ts("2024-01-15 14:30:00"), 7L, "click", 1.0, "not json at all"),
+      Row(900014L, ts("2024-01-15 14:31:00"), 7L, "click", 1.0, """{"plan":"it's \"q\"","n":3}"""),
+      Row(900015L, ts("2024-01-15 14:32:00"), 7L, "click", 1.0, """{"plan":"你好"}"""),
+      Row(900016L, ts("2024-01-15 14:33:00"), 7L, "click", 1.0, null))
+    }
+
+    copyPlus(spark, base, out, "embeddings") { _ =>
+      val dim = 64
+      Seq(
+        // the zero vector: cosine division by zero on both engines
+        Row(900001L, Seq.fill(dim)(0.0f), 3),
+        // denormal-magnitude vector (norm underflow risk)
+        Row(900002L, Seq.fill(dim)(1e-30f), 4),
+        // exact duplicate of a constant unit-ish vector, twice
+        Row(900003L, Seq.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f), 5),
+        Row(900004L, Seq.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f), 5),
+        // all-negative vector and a null label
+        Row(900005L, Seq.fill(dim)(-0.5f), 6),
+        Row(900006L, Seq.tabulate(dim)(i => (i % 7).toFloat / 7f), null))
+    }
+
+    copyPlus(spark, base, out, "customer") { _ => Seq(
+      // null balance / segment, quote+unicode name
+      Row(900001L, "Cust O'Brien é", 3, null, null),
+      Row(900002L, "", 4, -999.99, "BUILDING"))
+    }
+
+    copyPlus(spark, base, out, "orders") { _ => Seq(
+      // dangling FK (no such customer) + null totalprice
+      Row(900001L, 999999L, "O", null, ts("2024-01-10 00:00:00"), "1-URGENT"),
+      Row(900002L, 1L, "", 0.0, ts("2024-01-11 00:00:00"), "5-LOW"))
+    }
+
+    copyPlus(spark, base, out, "lineitem") { _ => Seq(
+      // null part key (inner joins drop it on both engines), zero qty,
+      // null discount (price expressions null-propagate), null flag
+      Row(900001L, null, 1L, 1, 0.0, 100.0, null, 0.05, null, "O",
+        ts("2024-01-12 00:00:00")),
+      // dangling order key
+      Row(999999L, 1L, 1L, 1, 1.0, 50.0, 0.1, 0.02, "N", "O",
+        ts("2024-01-13 00:00:00")))
+    }
+
+    // dimensions copied verbatim (their queries join from the fact side)
+    for (t <- Seq("region", "nation", "supplier", "part"))
+      copyPlus(spark, base, out, t)(_ => Seq.empty)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.drop(1).headOption.getOrElse("/tmp/graft_hostile_sf")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out)
+    println(s"hostile testdata written to $out")
+    spark.stop()
+  }
+}

@@ -319,8 +319,12 @@ object TextFunctions {
     // simpler: fold keeping the best (score strictly greater wins; ties keep
     // the earlier = alphabetically smaller code)
     val first = scored.head
-    scored.tail.foldLeft(first) { (best, cand) =>
+    val folded = scored.tail.foldLeft(first) { (best, cand) =>
       when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
     }.getField("code")
+    // NULL text has no prediction: the fold's null-score comparisons would
+    // otherwise decay to the first code ('de') while a SQL CASE over null
+    // scores falls through to its ELSE — NULL is the value both agree on
+    when(text.isNotNull, folded)
   }
 }

@@ -26,8 +26,18 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Cosine similarity; NULL when either vector has zero norm — cosine is
+    * undefined there, Spark's ANSI mode would otherwise throw
+    * DIVIDE_BY_ZERO, and DuckDB's x/0.0 is already NULL, so NULL is the
+    * one value both engines agree on without any oracle-side change. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    cosineRatio(dot(a, b), sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** `d / den` with NULL on a zero denominator — for call sites that
+    * precompute/reuse norms (the broadcast-query kNN shape). Same
+    * zero-norm contract as [[cosine]]. */
+  def cosineRatio(d: Column, den: Column): Column =
+    when(den === 0.0, lit(null).cast("double")).otherwise(d / den)
 
   /** Multi-band random-hyperplane LSH buckets: array of nBands bucket ids,
     * band b's bit j set iff dot(v, w_{b·nPlanes+j}) > 0, plane components

@@ -418,6 +418,12 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), T.tokenHashes(col("text")).as("ths"))
       .select(col("doc_id"), T.shingleHashes(col("ths"), k).as("shs"))
+      // a doc with NO k-shingles (null text, < k tokens) has no defined
+      // signature: the min over an empty set is a sentinel, the band
+      // packing s1*HashMod + s2 overflows on it, and the oracle's
+      // Long.MaxValue seed would leak into sigs — absent on BOTH engines
+      // (dSigCtes mirrors this with len(shs) > 0)
+      .filter(size(col("shs")) > 0)
       .select(col("doc_id"), T.minhashSigFromHashes(col("shs")).as("sig"))
 
   /** MinHash-LSH dedup: band-join candidates, then exact-Jaccard verify —
@@ -721,7 +727,7 @@ object Dedup {
       // project to narrow rows immediately: the 2×64-double arrays must not
       // ride through millions of intermediate pair rows
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        (V.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        V.cosineRatio(V.dot(col("a.embedding"), col("b.embedding")), col("a.nrm") * col("b.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("i"), col("j"))
   }
@@ -764,8 +770,12 @@ object Dedup {
       sqrt(V.norm2(col("embedding"))).as("nrm"),
       V.lshBucket(col("embedding"), nPlanes).as("cell"))
 
-    // (2) bounded cell statistics: centroid of unit vectors, then max angle
-    val centSums = withB
+    // (2) bounded cell statistics: centroid of unit vectors, then max
+    // angle. Zero-norm vectors carry no direction: they are excluded from
+    // the statistics (x/0 has no unit vector), and excluding them keeps
+    // the triangle bound sound because their cosine against anything is
+    // NULL and can never clear the verify threshold.
+    val centSums = withB.filter(col("nrm") > 0.0)
       .select(col("cell"), posexplode(transform(col("embedding"), x => x / col("nrm")))
         .as(Seq("dim", "u")))
       .groupBy("cell", "dim").agg(sum("u").as("s"))
@@ -778,7 +788,7 @@ object Dedup {
       }
     val centDf = spark.createDataFrame(centSums.toSeq.map { case (c, v) => (c, v.toSeq) })
       .toDF("cell", "cent")
-    val radii = withB.join(broadcast(centDf), "cell")
+    val radii = withB.filter(col("nrm") > 0.0).join(broadcast(centDf), "cell")
       .select(col("cell"), (V.dot(col("embedding"), col("cent")) / col("nrm")).as("cosc"))
       .groupBy("cell").agg(min("cosc").as("mincos"))
       .collect()
@@ -810,7 +820,7 @@ object Dedup {
       .join(withB.as("va"), col("i") === col("va.vec_id"))
       .join(withB.as("vb"), col("j") === col("vb.vec_id"))
       .select(col("i"), col("j"),
-        (V.dot(col("va.embedding"), col("vb.embedding")) / (col("va.nrm") * col("vb.nrm"))).as("cos_sim"))
+        V.cosineRatio(V.dot(col("va.embedding"), col("vb.embedding")), col("va.nrm") * col("vb.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("i"), col("j"))
   }
@@ -871,7 +881,7 @@ object Dedup {
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cluster").as("cluster"),
         col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        (V.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        V.cosineRatio(V.dot(col("a.embedding"), col("b.embedding")), col("a.nrm") * col("b.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("i"), col("j"))
   }
@@ -892,7 +902,7 @@ object Dedup {
       .join(withNorm.as("va"), col("i") === col("va.vec_id"))
       .join(withNorm.as("vb"), col("j") === col("vb.vec_id"))
       .select(col("i"), col("j"),
-        (V.dot(col("va.embedding"), col("vb.embedding")) / (col("va.nrm") * col("vb.nrm"))).as("cos_sim"))
+        V.cosineRatio(V.dot(col("va.embedding"), col("vb.embedding")), col("va.nrm") * col("vb.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("i"), col("j"))
   }

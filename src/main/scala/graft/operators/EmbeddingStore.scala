@@ -191,7 +191,7 @@ object EmbeddingStore {
     scoped
       .crossJoin(broadcast(q))
       .withColumn("cos_sim",
-        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("embedding"), col("q_emb")), sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col(partitionCol).as("bucket"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)

@@ -222,9 +222,15 @@ object Multimodal {
     * column (e.g. from a binaryFile source, or a spec injecting real
     * image bytes) is kept; otherwise the UTF-8 text bytes stand in for a
     * media blob. */
-  def withPayload(docs: DataFrame): DataFrame =
-    if (docs.columns.contains("content")) docs
-    else docs.withColumn("content", col("text").cast("binary"))
+  def withPayload(docs: DataFrame): DataFrame = {
+    val attached =
+      if (docs.columns.contains("content")) docs
+      else docs.withColumn("content", col("text").cast("binary"))
+    // a row with no payload bytes has nothing to decode — absent from
+    // every multimodal output (the decode kernels would NPE on null
+    // arrays; the declared oracles mirror with WHERE text IS NOT NULL)
+    attached.filter(col("content").isNotNull)
+  }
 
   /** Batch decode: one decoder instantiation per partition (the expensive
     * part for real codecs), streaming through the rows.

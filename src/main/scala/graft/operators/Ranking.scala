@@ -94,9 +94,10 @@ object Ranking {
     val dense = embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
-        (graft.functions.VectorFunctions.dot(col("embedding"), col("qe")) /
-          (sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))) *
-            sqrt(graft.functions.VectorFunctions.norm2(col("qe"))))).as("cos_sim"))
+        graft.functions.VectorFunctions.cosineRatio(
+          graft.functions.VectorFunctions.dot(col("embedding"), col("qe")),
+          sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))) *
+            sqrt(graft.functions.VectorFunctions.norm2(col("qe")))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_id")).limit(depth)
       .withColumn("r_dense", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))

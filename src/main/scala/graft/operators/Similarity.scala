@@ -28,7 +28,7 @@ object Similarity {
     embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cos_sim",
-        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("embedding"), col("q_emb")), sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -119,7 +119,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col("bucket") === col("q_bucket"))
       .withColumn("cos_sim",
-        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("embedding"), col("q_emb")), sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -148,7 +148,7 @@ object Similarity {
       .limit(rescoreDepth)
     candidates
       .withColumn("cos_sim",
-        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("emb"), col("q_emb")), sqrt(V.norm2(col("emb"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -231,7 +231,7 @@ object Similarity {
     approx.join(base, Seq("vec_id"))
       .crossJoin(broadcast(q))
       .withColumn("cos_sim",
-        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("emb"), col("q_emb")), sqrt(V.norm2(col("emb"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -267,7 +267,7 @@ object Similarity {
       .join(cells.join(broadcast(probeCells), Seq("cid")), Seq("vec_id"))
       .crossJoin(broadcast(qEmb))
       .withColumn("cos_sim",
-        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("embedding"), col("q_emb")), sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("cid").as("cell"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -357,7 +357,7 @@ object Similarity {
       .join(probed, Seq("vec_id"))
       .crossJoin(broadcast(qEmb))
       .withColumn("cos_sim",
-        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("emb"), col("q_emb")), sqrt(V.norm2(col("emb"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("cid").as("cell"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -401,7 +401,7 @@ object Similarity {
       .join(broadcast(probe), Seq("query_id", "cid"), "left")
       .withColumn("in_probe", coalesce(col("in_probe"), lit(false)))
       .withColumn("cos_sim",
-        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("embedding"), col("q_emb")), sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .withColumn("rn_all", row_number().over(wq))
       .withColumn("rn_probe", sum(when(col("in_probe"), 1L).otherwise(0L))
         .over(wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -496,7 +496,7 @@ object Similarity {
       .join(broadcast(cand), Seq("query_id", "vec_id"), "left")
       .withColumn("is_cand", coalesce(col("is_cand"), lit(false)))
       .withColumn("cos_sim",
-        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("emb"), col("q_emb")), sqrt(V.norm2(col("emb"))) * col("q_nrm")))
       .withColumn("rn_all", row_number().over(wq))
       .withColumn("rn_cand", sum(when(col("is_cand"), 1L).otherwise(0L))
         .over(wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -572,7 +572,7 @@ object Similarity {
       .join(broadcast(cand), Seq("query_id", "vec_id"), "left")
       .withColumn("is_cand", coalesce(col("is_cand"), lit(false)))
       .withColumn("cos_sim",
-        V.dot(col("emb"), col("q_emb")) / (sqrt(V.norm2(col("emb"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("emb"), col("q_emb")), sqrt(V.norm2(col("emb"))) * col("q_nrm")))
       .withColumn("rn_all", row_number().over(wq))
       .withColumn("rn_cand", sum(when(col("is_cand"), 1L).otherwise(0L))
         .over(wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -605,7 +605,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxFlips)
       .withColumn("cos_sim",
-        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("embedding"), col("q_emb")), sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .select(col("vec_id"), col("label"), col("bucket"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -637,7 +637,7 @@ object Similarity {
     val ranked = bucketed.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(q))
       .withColumn("cos_sim",
-        V.dot(col("embedding"), col("q_emb")) / (sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
+        V.cosineRatio(V.dot(col("embedding"), col("q_emb")), sqrt(V.norm2(col("embedding"))) * col("q_nrm")))
       .withColumn("in_probe",
         bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxFlips)
       .withColumn("rn_all", row_number().over(wq))
@@ -677,8 +677,8 @@ object Similarity {
     val scored = embeddings.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"), col("label"),
-        (V.dot(col("embedding"), col("q_emb")) /
-          (sqrt(V.norm2(col("embedding"))) * col("q_nrm"))).as("cos_sim"))
+        V.cosineRatio(V.dot(col("embedding"), col("q_emb")),
+          sqrt(V.norm2(col("embedding"))) * col("q_nrm")).as("cos_sim"))
     val wLocal = Window.partitionBy(col("query_id"), col("pid"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     val wGlobal = Window.partitionBy(col("query_id"))

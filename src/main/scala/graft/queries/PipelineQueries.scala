@@ -245,7 +245,8 @@ object PipelineQueries {
   private val dSigCtes: String =
     s"""ths AS (SELECT doc_id, ${dTokenHashes("text")} AS ths FROM documents),
        |shs AS (SELECT doc_id, ${dShingleHashes("ths", 3)} AS shs FROM ths),
-       |sig AS (SELECT doc_id, ${dMinhashSig("shs")} AS sig FROM shs)""".stripMargin
+       |sig AS (SELECT doc_id, ${dMinhashSig("shs")} AS sig FROM shs
+       |       WHERE len(shs) > 0)""".stripMargin
 
   /** Left-fold double dot product of two list expressions. */
   private def dDot(a: String, b: String): String =
@@ -441,6 +442,9 @@ object PipelineQueries {
 
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
+        // a NULL text has no fingerprint — absent on both engines (the
+        // oracle's inner join against the token-derived sim CTE drops it)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"), T.tokenHashes(col("text")).as("phs"))
         .select(
           col("doc_id"),
@@ -917,6 +921,7 @@ object PipelineQueries {
             lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
           .otherwise(lit("")))
       Tables.documents(s, d)
+        .filter(col("text").isNotNull) // no text, nothing to scrub (oracle mirrors)
         .select(col("doc_id"), planted.as("pt"))
         .select(col("doc_id"),
           regexp_count(col("pt"), lit(T.EmailRe)).cast("long").as("n_emails"),
@@ -1290,7 +1295,8 @@ object PipelineQueries {
         s"WHEN $rest THEN '$c'"
       }.mkString("\n    ")
       s"""SELECT doc_id, s_${codes.mkString(", s_")},
-         |  CASE $caseArms ELSE '${codes.last}' END AS predicted
+         |  CASE WHEN s_${codes.head} IS NULL THEN NULL
+         |    $caseArms ELSE '${codes.last}' END AS predicted
          |FROM (SELECT doc_id, $scoreCols FROM documents) t
          |ORDER BY doc_id""".stripMargin
     },
@@ -2019,7 +2025,7 @@ object PipelineQueries {
          |fsh AS (SELECT doc_id, unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM fths),
          |fsizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
          |fshs AS (SELECT doc_id, h, ${dShingleHashes("ths", 3)} AS shs FROM fths),
-         |fsig AS (SELECT doc_id, h, ${dMinhashSig("shs")} AS sig FROM fshs),
+         |fsig AS (SELECT doc_id, h, ${dMinhashSig("shs")} AS sig FROM fshs WHERE len(shs) > 0),
          |fbands AS (SELECT doc_id, h, fbj.r AS band_idx,
          |           sig[fbj.r*$r+1] * $P + sig[fbj.r*$r+$r] AS band_val
          |           FROM fsig, range(${T.MinhashBands}) fbj(r)),
@@ -2049,7 +2055,7 @@ object PipelineQueries {
          |nsh AS (SELECT doc_id, unnest(list_distinct(${dShingleIds("ths", 3)})) AS sh FROM nths),
          |nsizes AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY doc_id),
          |nshs AS (SELECT doc_id, ${dShingleHashes("ths", 3)} AS shs FROM nths),
-         |nsig AS (SELECT doc_id, ${dMinhashSig("shs")} AS sig FROM nshs),
+         |nsig AS (SELECT doc_id, ${dMinhashSig("shs")} AS sig FROM nshs WHERE len(shs) > 0),
          |nbands AS (SELECT doc_id, nbj.r AS band_idx,
          |           sig[nbj.r*$r+1] * $P + sig[nbj.r*$r+$r] AS band_val
          |           FROM nsig, range(${T.MinhashBands}) nbj(r)),
@@ -2089,7 +2095,7 @@ object PipelineQueries {
          |  CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END ||
          |  ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) ||
          |  CASE WHEN doc_id % 2 = 0 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS pt
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |psc AS (SELECT doc_id, pt,
          |  regexp_replace(regexp_replace(regexp_replace(pt,
          |    '${T.EmailRe}', '<EMAIL>', 'g'),
@@ -2400,13 +2406,13 @@ object PipelineQueries {
         |  (octet_length(encode(text)) % 640 + 16)::BIGINT AS width,
         |  ((octet_length(encode(text)) * 7) % 480 + 16)::BIGINT AS height,
         |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "multimodal_resize" ->
       """WITH mm AS (SELECT doc_id,
         |  (octet_length(encode(text)) % 640 + 16)::BIGINT AS width,
         |  ((octet_length(encode(text)) * 7) % 480 + 16)::BIGINT AS height
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, width, height,
         |  CASE WHEN greatest(width, height) > 224
         |    THEN floor(width * 224 / greatest(width, height))::BIGINT ELSE width END AS out_width,
@@ -2417,7 +2423,8 @@ object PipelineQueries {
 
     "multimodal_frames" ->
       """WITH mf AS (SELECT doc_id,
-        |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames FROM documents)
+        |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, n_frames, unnest(range(0, n_frames, ceil(n_frames / 4.0)::BIGINT)) AS frame_idx
         |FROM mf ORDER BY doc_id, frame_idx""".stripMargin,
 
@@ -2427,7 +2434,7 @@ object PipelineQueries {
       }.mkString(",\n  ")
       s"""SELECT doc_id,
          |  $feats
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
     },
 
     // the WAV params are pure doc_id arithmetic; Spark's values come from

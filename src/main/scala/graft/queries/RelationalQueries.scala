@@ -534,8 +534,11 @@ object RelationalQueries {
     val apx = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_quantity, 0.5, 100)").as("apx"))
-    Tables.lineitem(spark, dir)
-      .join(broadcast(apx), Seq("l_returnflag"))
+    Tables.lineitem(spark, dir).as("li")
+      // null-safe equality: GROUP BY keeps a NULL flag group, and its
+      // sketch row must survive the re-join (plain = would drop it)
+      .join(broadcast(apx).as("ax"), col("li.l_returnflag") <=> col("ax.l_returnflag"))
+      .drop(col("ax.l_returnflag"))
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
@@ -555,8 +558,10 @@ object RelationalQueries {
     * its own semantics). The ORDER BY carries event_id so the ordering is
     * total: NTILE over a tied prefix is engine-dependent otherwise. */
   def q39Ntile(spark: SparkSession, dir: String): DataFrame = {
+    // asc_nulls_last: Spark's bare asc sorts NULLs FIRST, DuckDB's
+    // default sorts them LAST — ntile bucket membership depends on it
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
+      .orderBy(col("value").asc_nulls_last, col("event_id").asc)
     Tables.events(spark, dir)
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .groupBy(col("event_type"), col("quartile"))
@@ -642,8 +647,9 @@ object RelationalQueries {
     * makes rank = row_number, so both are exact integer ratios computed
     * identically by any engine. */
   def q44WindowDist(spark: SparkSession, dir: String): DataFrame = {
+    // asc_nulls_last mirrors DuckDB's default null order (see q39)
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
+      .orderBy(col("value").asc_nulls_last, col("event_id").asc)
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
         percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
@@ -693,6 +699,11 @@ object RelationalQueries {
     val q = dec("l_quantity")
     val p = dec("l_extendedprice")
     val n = col("n").cast("double")
+    // NULL on a zero denominator (single-row group, zero-variance group):
+    // DuckDB's x/0.0 is already NULL, Spark's ANSI mode throws — the
+    // guard makes both engines agree without touching the oracle
+    def safeDiv(a: Column, b: Column): Column =
+      when(b === 0.0, lit(null).cast("double")).otherwise(a / b)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -704,15 +715,15 @@ object RelationalQueries {
         sum(p * p).cast("double").as("spp"))
       .select(
         col("l_returnflag"), col("n"),
-        ((n * col("sqp") - col("sq") * col("sp")) /
-          (sqrt(n * col("sqq") - col("sq") * col("sq")) *
-            sqrt(n * col("spp") - col("sp") * col("sp"))))
+        safeDiv(n * col("sqp") - col("sq") * col("sp"),
+          sqrt(n * col("sqq") - col("sq") * col("sq")) *
+            sqrt(n * col("spp") - col("sp") * col("sp")))
           .cast("float").as("corr_qty_price"),
-        ((col("sqp") - col("sq") * col("sp") / n) / (n - lit(1.0)))
+        safeDiv(col("sqp") - col("sq") * col("sp") / n, n - lit(1.0))
           .cast("float").as("covar_qty_price"),
-        sqrt((n * col("sqq") - col("sq") * col("sq")) / (n * (n - lit(1.0))))
+        sqrt(safeDiv(n * col("sqq") - col("sq") * col("sq"), n * (n - lit(1.0))))
           .cast("float").as("std_qty"),
-        sqrt((n * col("spp") - col("sp") * col("sp")) / (n * (n - lit(1.0))))
+        sqrt(safeDiv(n * col("spp") - col("sp") * col("sp"), n * (n - lit(1.0))))
           .cast("float").as("std_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -1117,7 +1128,9 @@ object RelationalQueries {
       when(lag(cents, i).over(w).isNotNull, lit(math.pow(0.5, i + 1)))
         .otherwise(lit(0.0))
     }.reduceLeft(_ + _)
-    Tables.events(spark, dir).select(
+    // the smoother is a statement about VALUES: NULL-value events carry
+    // no sample and are excluded on both engines (oracle WHERE mirrors)
+    Tables.events(spark, dir).filter(col("value").isNotNull).select(
         col("user_id"), col("event_id"), col("ts"), col("value"),
         (num / den / lit(100.0)).as("ewma"))
       .orderBy(col("user_id"), col("event_id"))
@@ -1304,8 +1317,11 @@ object RelationalQueries {
     * day rollup. */
   def q75SessionConversion(spark: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // strict >: a gap of EXACTLY the threshold still belongs to the same
+    // session — session_window's empirically-pinned inclusive-gap merge,
+    // which every session oracle in this repo now mirrors
     val newS = when(unix_micros(col("ts")) -
-        unix_micros(lag(col("ts"), 1).over(wOrd)) >= 1800000000L, 1)
+        unix_micros(lag(col("ts"), 1).over(wOrd)) > 1800000000L, 1)
       .when(lag(col("ts"), 1).over(wOrd).isNull, 1)
       .otherwise(0)
     val sessions = Tables.events(spark, dir)
@@ -1569,7 +1585,7 @@ object RelationalQueries {
       """WITH d AS (
         |  SELECT user_id, event_id, ts, event_type,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1611,15 +1627,20 @@ object RelationalQueries {
     // weight literals are exact decimal spellings of 2^-(i+1)
     "q64_ewma" -> {
       val taps = 16
+      // ::DOUBLE on every weight literal: DuckDB types a bare decimal
+      // literal as DECIMAL (E-notation as DOUBLE), so without the cast
+      // the lag-chain silently mixes decimal and double arithmetic and
+      // the final double conversion can land one ulp away from the
+      // engine's all-double fold (surfaced by the adversarial gate)
       val num = (0 until taps).map(i =>
-        s"coalesce(lag(cents, $i) OVER w * ${math.pow(0.5, i + 1)}, 0)")
+        s"coalesce(lag(cents, $i) OVER w * ${math.pow(0.5, i + 1)}::DOUBLE, 0)")
         .mkString(" + ")
       val den = (0 until taps).map(i =>
-        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN ${math.pow(0.5, i + 1)} ELSE 0 END")
+        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN ${math.pow(0.5, i + 1)}::DOUBLE ELSE 0 END")
         .mkString(" + ")
       s"""WITH c AS (SELECT user_id, event_id, ts, value,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-         |  FROM events)
+         |  FROM events WHERE value IS NOT NULL)
          |SELECT user_id, event_id, ts, value, ($num) / ($den) / 100.0 AS ewma
          |FROM c
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1995,8 +2016,10 @@ object RelationalQueries {
     "q1_agg" -> q1AggSql,
     "q17_json" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |  CAST(sum(CAST(CASE WHEN json_valid(props)
+        |    THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(CASE WHEN json_valid(props)
+        |    THEN json_extract_string(props, '$.k') END AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q27_pivot" ->
       """SELECT l_returnflag,
@@ -2033,7 +2056,7 @@ object RelationalQueries {
       """WITH d AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -735,7 +735,7 @@ object StreamingQueries {
     "stream_anomaly" ->
       """WITH c AS (SELECT user_id, event_id, ts, value,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |p AS (SELECT user_id, event_id, ts, value, cents,
         |    count(*) OVER w AS np,
         |    coalesce(sum(cents) OVER w, 0) AS s,
@@ -763,17 +763,19 @@ object StreamingQueries {
     // with the window
     "stream_ewma_replay" -> {
       val taps = 16
+      // ::DOUBLE on every weight literal — see the q64 oracle note (bare
+      // decimal literals are DECIMAL-typed in DuckDB)
       val num = (0 until taps).map(i =>
-        s"coalesce(lag(cents, $i) OVER w * ${math.pow(0.5, i + 1)}, 0)")
+        s"coalesce(lag(cents, $i) OVER w * ${math.pow(0.5, i + 1)}::DOUBLE, 0)")
         .mkString(" + ")
       val den = (0 until taps).map(i =>
-        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN ${math.pow(0.5, i + 1)} ELSE 0 END")
+        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN ${math.pow(0.5, i + 1)}::DOUBLE ELSE 0 END")
         .mkString(" + ")
       s"""WITH m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
          |             - INTERVAL 30 MINUTE AS wm FROM events),
          |c AS (SELECT user_id, event_id, ts, value,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-         |  FROM events, m WHERE ts <= wm)
+         |  FROM events, m WHERE ts <= wm AND value IS NOT NULL)
          |SELECT user_id, event_id, ts, value, ($num) / ($den) / 100.0 AS ewma
          |FROM c
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -833,7 +835,7 @@ object StreamingQueries {
     "stream_anomaly_replay" ->
       """WITH c AS (SELECT user_id, event_id, ts, value,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |p AS (SELECT user_id, event_id, ts, value, cents,
         |    count(*) OVER w AS np,
         |    coalesce(sum(cents) OVER w, 0) AS s,
@@ -928,14 +930,14 @@ object StreamingQueries {
         |ORDER BY win_start, event_type""".stripMargin,
 
     // gaps-and-islands sessionization (same break rule as q26's oracle:
-    // a gap of EXACTLY the 30 min threshold starts a new session, matching
-    // session_window's exclusive end), session end = last event + gap,
-    // emitted iff the terminal watermark passed the end
+    // a gap of EXACTLY the 30 min threshold still MERGES — session_window's
+    // inclusive-gap merge, empirically pinned), session end = last event
+    // + gap, emitted iff the terminal watermark passed the end
     "stream_sessions" ->
       """WITH d AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -962,7 +964,7 @@ object StreamingQueries {
       """WITH d AS (
         |  SELECT user_id, event_id, ts, event_type,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -175,9 +175,12 @@ object EventStreams {
       .select(col("a_id"), col("b_id"), col("user_id"), col("a_ts"), col("b_ts"))
   }
 
+  // value is Option: an event row with NULL value must flow through the
+  // typed ops with SQL null semantics (a bare Double field makes the
+  // encoder throw NOT_NULL_ASSERT_VIOLATION on real-world data)
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double)
-  case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
+      event_type: String, value: Option[Double])
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Option[Double],
       last_ts: Timestamp)
   /** Internal state: the value sum is EXACT integer cents (each value
     * rounded to 2 dp HALF_UP — the same rule as Spark's double →
@@ -187,7 +190,7 @@ object EventStreams {
     * hash-match a batch oracle. */
   // not private: Spark's encoder codegen cannot access private nested
   // case classes ("Private member cannot be accessed")
-  case class UserState(n: Long, cents: Long, lastTsUs: Long)
+  case class UserState(n: Long, cents: Long, hasValue: Boolean, lastTsUs: Long)
 
   // java.sql.Timestamp keeps sub-second precision in getNanos, not
   // getTime (ms) — state tracks full epoch MICROseconds or max(ts)
@@ -213,20 +216,25 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserState, UserAgg](GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, false, Long.MinValue))
+          // SQL aggregate semantics: count(*) counts every event, sum
+          // skips NULLs, and a key whose values are ALL null sums to NULL
           val next = batch.foldLeft(prev) { (acc, e) =>
-            UserState(acc.n + 1, acc.cents + cents(e.value),
+            UserState(acc.n + 1, acc.cents + e.value.fold(0L)(cents),
+              acc.hasValue || e.value.isDefined,
               math.max(acc.lastTsUs, tsToMicros(e.ts)))
           }
           state.update(next)
           // cents/100.0 is the nearest double to the exact decimal total —
           // identical to CAST(DECIMAL AS DOUBLE) in any engine
-          UserAgg(userId, next.n, next.cents / 100.0, microsToTs(next.lastTsUs))
+          UserAgg(userId, next.n,
+            if (next.hasValue) Some(next.cents / 100.0) else None,
+            microsToTs(next.lastTsUs))
       }
   }
 
   case class LatestState(user_id: Long, ts_us: Long, event_id: Long,
-    event_type: String, value: Double, deleted: Boolean)
+    event_type: String, value: Option[Double], deleted: Boolean)
 
   /** Streaming CDC latest-state with tombstones (the streaming face of
     * operators.Merge): per key, state is the (event-time, id)-max change
@@ -355,7 +363,11 @@ object EventStreams {
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .movePointRight(2).longValueExact()
-    events.as[Event]
+    // the z-test is a statement about VALUES: an event with NULL value
+    // carries no sample, so the op runs on the value-bearing subset (its
+    // oracle filters WHERE value IS NOT NULL identically) — e.value.get
+    // below is safe by this filter
+    events.filter(col("value").isNotNull).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AnomalyState, AnomalyRow](
           OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -364,12 +376,12 @@ object EventStreams {
           val evs = batch.toArray.sortBy(e => (tsToMicros(e.ts), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
           evs.foreach { e =>
-            val c = cents(e.value)
+            val c = cents(e.value.get)
             if (st.n >= minPrior) {
               val dev = BigInt(c) * st.n - BigInt(st.cents)
               val varTerm = BigInt(st.n) * st.sqCents - BigInt(st.cents) * st.cents
               if (dev * dev > BigInt(kSigma.toLong * kSigma) * varTerm)
-                out += AnomalyRow(userId, e.event_id, tsToMicros(e.ts), e.value,
+                out += AnomalyRow(userId, e.event_id, tsToMicros(e.ts), e.value.get,
                   st.n, st.cents.toDouble / (100.0 * st.n))
             }
             st = AnomalyState(st.n + 1, st.cents + c, st.sqCents + c * c)
@@ -432,14 +444,18 @@ object EventStreams {
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .movePointRight(2).longValueExact()
-    events.withWatermark("ts", watermark).as[Event]
+    // filter AFTER withWatermark: the watermark column still advances on
+    // every event's time (the oracle's wm is max(ts) over ALL events) —
+    // only the value-less rows are kept out of the buffer/fold
+    events.withWatermark("ts", watermark)
+      .filter(col("value").isNotNull).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AnomalyBufState, AnomalyRow](
           OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[AnomalyBufState]) =>
           val prev = state.getOption.getOrElse(
             AnomalyBufState(0L, 0L, 0L, Nil, Nil, Nil))
-          val incoming = batch.map(e => (tsToMicros(e.ts), e.event_id, e.value))
+          val incoming = batch.map(e => (tsToMicros(e.ts), e.event_id, e.value.get))
           val buffered =
             prev.bufTsUs.lazyZip(prev.bufId).lazyZip(prev.bufValue).toSeq
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -480,13 +496,14 @@ object EventStreams {
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .movePointRight(2).longValueExact()
-    events.withWatermark("ts", watermark).as[Event]
+    events.withWatermark("ts", watermark)
+      .filter(col("value").isNotNull).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[EwmaBufState, EwmaRow](
           OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[EwmaBufState]) =>
           val prev = state.getOption.getOrElse(EwmaBufState(Nil, Nil, Nil, Nil))
-          val incoming = batch.map(e => (tsToMicros(e.ts), e.event_id, e.value))
+          val incoming = batch.map(e => (tsToMicros(e.ts), e.event_id, e.value.get))
           val buffered =
             prev.bufTsUs.lazyZip(prev.bufId).lazyZip(prev.bufValue).toSeq
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -623,7 +640,9 @@ object EventStreams {
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .movePointRight(2).longValueExact()
-    events.as[Event]
+    // a NULL-value event carries nothing to smooth — the op runs on the
+    // value-bearing subset, mirrored by the oracle's value IS NOT NULL
+    events.filter(col("value").isNotNull).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[EwmaState, EwmaRow](
           OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -631,13 +650,13 @@ object EventStreams {
           var tapsNow = state.getOption.map(_.taps.toList).getOrElse(Nil)
           val evs = batch.toArray.sortBy(e => (tsToMicros(e.ts), e.event_id))
           val out = evs.map { e =>
-            tapsNow = (cents(e.value) :: tapsNow).take(taps)
+            tapsNow = (cents(e.value.get) :: tapsNow).take(taps)
             var num = 0.0; var den = 0.0
             tapsNow.zipWithIndex.foreach { case (c, i) =>
               val w = math.pow(0.5, i + 1)
               num += c.toDouble * w; den += w
             }
-            EwmaRow(userId, e.event_id, e.ts, e.value, num / den / 100.0)
+            EwmaRow(userId, e.event_id, e.ts, e.value.get, num / den / 100.0)
           }
           state.update(EwmaState(tapsNow))
           out.iterator

@@ -34,8 +34,8 @@ class BufferedReplaySpec extends SparkSpec {
 
     // user 1: eight 1.00-valued priors + a 9.00 spike (id 10)
     val priors = (1 to 9).map(i =>
-      Event(i.toLong, ts(f"2024-01-01 00:${(i - 1) * 5}%02d:00"), 1, "click", 1.0))
-    writeBatch(dir, priors :+ Event(10, ts("2024-01-01 00:45:00"), 1, "click", 9.0))
+      Event(i.toLong, ts(f"2024-01-01 00:${(i - 1) * 5}%02d:00"), 1, "click", Some(1.0)))
+    writeBatch(dir, priors :+ Event(10, ts("2024-01-01 00:45:00"), 1, "click", Some(9.0)))
 
     val q = EventStreams.runToMemory(
       EventStreams.anomaliesBuffered(spark,
@@ -50,8 +50,8 @@ class BufferedReplaySpec extends SparkSpec {
     // genuinely LATE event (00:01 < current watermark 00:15) whose 500.00
     // value WOULD flag enormously if it were ever folded
     writeBatch(dir, Seq(
-      Event(11, ts("2024-01-01 03:00:00"), 1, "click", 1.0),
-      Event(12, ts("2024-01-01 00:01:00"), 1, "click", 500.0)))
+      Event(11, ts("2024-01-01 03:00:00"), 1, "click", Some(1.0)),
+      Event(12, ts("2024-01-01 00:01:00"), 1, "click", Some(500.0))))
     q.processAllAvailable()
     q.stop()
 
@@ -69,7 +69,7 @@ class BufferedReplaySpec extends SparkSpec {
 
     writeBatch(dir, (1 to 4).map(i =>
       Event(i.toLong, ts(f"2024-01-01 00:${(i - 1) * 10}%02d:00"), 1, "click",
-        i.toDouble)))
+        Some(i.toDouble))))
     val q = EventStreams.runToMemory(
       EventStreams.ewmaBuffered(spark,
         EventStreams.readEvents(spark, dir)).toDF(),
@@ -81,7 +81,7 @@ class BufferedReplaySpec extends SparkSpec {
     assert(first == Map(1L -> 1.0), s"got $first")
 
     // advance far enough to decide ids 2-4; id 5 itself stays undecided
-    writeBatch(dir, Seq(Event(5, ts("2024-01-01 02:00:00"), 1, "click", 9.0)))
+    writeBatch(dir, Seq(Event(5, ts("2024-01-01 02:00:00"), 1, "click", Some(9.0))))
     q.processAllAvailable()
     q.stop()
     val all = spark.table("ewma_buf_out")

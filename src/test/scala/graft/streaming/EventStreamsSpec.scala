@@ -20,9 +20,9 @@ class EventStreamsSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("ckpt").toString
 
     writeBatch(dir, Seq(
-      Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
-      Event(2, ts("2024-01-01 00:05:00"), 2, "click", 2.0),
-      Event(3, ts("2024-01-01 00:12:00"), 1, "view", 3.0)))
+      Event(1, ts("2024-01-01 00:01:00"), 1, "click", Some(1.0)),
+      Event(2, ts("2024-01-01 00:05:00"), 2, "click", Some(2.0)),
+      Event(3, ts("2024-01-01 00:12:00"), 1, "view", Some(3.0))))
 
     val q = EventStreams.runToMemory(
       EventStreams.windowedStats(EventStreams.readEvents(spark, dir),
@@ -33,7 +33,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("win_out").count() == 0)
 
     // advance event time far enough to close both earlier windows
-    writeBatch(dir, Seq(Event(4, ts("2024-01-01 01:00:00"), 3, "click", 4.0)))
+    writeBatch(dir, Seq(Event(4, ts("2024-01-01 01:00:00"), 3, "click", Some(4.0))))
     q.processAllAvailable()
     val rows = spark.table("win_out")
       .select("win_start", "event_type", "n", "sum_value")
@@ -43,7 +43,7 @@ class EventStreamsSpec extends SparkSpec {
       (ts("2024-01-01 00:10:00"), "view", 1L, 3.0)))
 
     // a row far behind the watermark must be dropped, not re-open its window
-    writeBatch(dir, Seq(Event(5, ts("2024-01-01 00:01:30"), 9, "click", 100.0)))
+    writeBatch(dir, Seq(Event(5, ts("2024-01-01 00:01:30"), 9, "click", Some(100.0))))
     q.processAllAvailable()
     assert(spark.table("win_out").count() == rows.size)
     q.stop()
@@ -55,8 +55,8 @@ class EventStreamsSpec extends SparkSpec {
 
     // user 1: two events 5 min apart (one session), then a 2h gap
     writeBatch(dir, Seq(
-      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
-      Event(2, ts("2024-01-01 00:05:00"), 1, "click", 2.0)))
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", Some(1.0)),
+      Event(2, ts("2024-01-01 00:05:00"), 1, "click", Some(2.0))))
     val q = EventStreams.runToMemory(
       EventStreams.sessionStats(EventStreams.readEvents(spark, dir),
         gap = "30 minutes", watermark = "10 minutes"),
@@ -64,7 +64,7 @@ class EventStreamsSpec extends SparkSpec {
     q.processAllAvailable()
     assert(spark.table("sess_out").count() == 0) // session still open
 
-    writeBatch(dir, Seq(Event(3, ts("2024-01-01 02:00:00"), 1, "view", 5.0)))
+    writeBatch(dir, Seq(Event(3, ts("2024-01-01 02:00:00"), 1, "view", Some(5.0))))
     q.processAllAvailable()
     val rows = spark.table("sess_out")
       .select("user_id", "s_start", "n", "sum_value")
@@ -77,8 +77,8 @@ class EventStreamsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("events-dd").toString
     val ckpt = Files.createTempDirectory("ckpt-dd").toString
     writeBatch(dir, Seq(
-      Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
-      Event(2, ts("2024-01-01 00:02:00"), 2, "click", 2.0)))
+      Event(1, ts("2024-01-01 00:01:00"), 1, "click", Some(1.0)),
+      Event(2, ts("2024-01-01 00:02:00"), 2, "click", Some(2.0))))
     val q = EventStreams.runToMemory(
       EventStreams.dedupedEvents(EventStreams.readEvents(spark, dir),
         watermark = "30 minutes"),
@@ -87,8 +87,8 @@ class EventStreamsSpec extends SparkSpec {
     // an at-least-once upstream replays event 2 (same id, same payload) in
     // a later micro-batch, plus a genuinely new event
     writeBatch(dir, Seq(
-      Event(2, ts("2024-01-01 00:02:00"), 2, "click", 2.0),
-      Event(3, ts("2024-01-01 00:03:00"), 1, "view", 3.0)))
+      Event(2, ts("2024-01-01 00:02:00"), 2, "click", Some(2.0)),
+      Event(3, ts("2024-01-01 00:03:00"), 1, "view", Some(3.0))))
     q.processAllAvailable()
     try {
       val ids = spark.table("dd_out").select("event_id").as[Long].collect().sorted
@@ -101,9 +101,9 @@ class EventStreamsSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("ckpt2").toString
 
     writeBatch(dir, Seq(
-      Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.5),
-      Event(2, ts("2024-01-01 00:00:02"), 1, "view", 2.5),
-      Event(3, ts("2024-01-01 00:00:03"), 2, "click", 10.0)))
+      Event(1, ts("2024-01-01 00:00:01"), 1, "click", Some(1.5)),
+      Event(2, ts("2024-01-01 00:00:02"), 1, "view", Some(2.5)),
+      Event(3, ts("2024-01-01 00:00:03"), 2, "click", Some(10.0))))
 
     val q = EventStreams.runToMemory(
       EventStreams.runningUserAggs(spark,
@@ -111,7 +111,7 @@ class EventStreamsSpec extends SparkSpec {
       "user_out", ckpt, OutputMode.Update())
     q.processAllAvailable()
 
-    writeBatch(dir, Seq(Event(4, ts("2024-01-01 00:01:00"), 1, "click", 6.0)))
+    writeBatch(dir, Seq(Event(4, ts("2024-01-01 00:01:00"), 1, "click", Some(6.0))))
     q.processAllAvailable()
 
     // latest state per user: user 1 saw 3 events across two batches
@@ -126,9 +126,9 @@ class EventStreamsSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("ckpt3").toString
 
     writeBatch(dir, Seq(
-      Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
-      Event(2, ts("2024-01-01 00:00:02"), 1, "error", 0.0), // tombstone so far
-      Event(3, ts("2024-01-01 00:00:01"), 2, "view", 2.0)))
+      Event(1, ts("2024-01-01 00:00:01"), 1, "click", Some(1.0)),
+      Event(2, ts("2024-01-01 00:00:02"), 1, "error", Some(0.0)), // tombstone so far
+      Event(3, ts("2024-01-01 00:00:01"), 2, "view", Some(2.0))))
     val q = EventStreams.runToMemory(
       EventStreams.latestState(spark,
         EventStreams.readEvents(spark, dir), tombstone = "error").toDF(),
@@ -143,7 +143,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(afterB1(1L) == (2L, true) && afterB1(2L) == (3L, false))
 
     // a later batch revives user 1 (state carried across micro-batches)
-    writeBatch(dir, Seq(Event(4, ts("2024-01-01 00:01:00"), 1, "view", 5.0)))
+    writeBatch(dir, Seq(Event(4, ts("2024-01-01 00:01:00"), 1, "view", Some(5.0))))
     q.processAllAvailable()
     q.stop()
     val terminal = spark.table("lstate_out")
@@ -182,10 +182,10 @@ class EventStreamsSpec extends SparkSpec {
     // user 2: a perfectly steady series (zero variance) stays silent for
     // the steady value; the z-test's strict > never fires on dev == 0.
     val steady = (0 until 9).map(i => Event(10 + i,
-      ts(f"2024-01-01 00:0$i:00"), 1, "m", if (i % 2 == 0) 10.0 else 10.02))
-    val spike = Event(19, ts("2024-01-01 00:09:30"), 1, "m", 500.0)
+      ts(f"2024-01-01 00:0$i:00"), 1, "m", Some(if (i % 2 == 0) 10.0 else 10.02)))
+    val spike = Event(19, ts("2024-01-01 00:09:30"), 1, "m", Some(500.0))
     val flat = (0 until 10).map(i => Event(20 + i,
-      ts(f"2024-01-01 01:0$i:00"), 2, "m", 7.0))
+      ts(f"2024-01-01 01:0$i:00"), 2, "m", Some(7.0)))
     writeBatch(dir, steady :+ spike)
     writeBatch(dir, flat)
     val q = EventStreams.runToMemory(
@@ -205,13 +205,13 @@ class EventStreamsSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("ckpt-ewma").toString
     val vals = Seq(10.0, 20.0, 40.0, 80.0, 160.0)
     writeBatch(dir, vals.take(3).zipWithIndex.map { case (v, i) =>
-      Event(i + 1, ts(f"2024-01-01 00:0$i:00"), 1, "m", v) })
+      Event(i + 1, ts(f"2024-01-01 00:0$i:00"), 1, "m", Some(v)) })
     val q = EventStreams.runToMemory(
       EventStreams.ewma(spark, EventStreams.readEvents(spark, dir)).toDF(),
       "ewma_out", ckpt, OutputMode.Update())
     q.processAllAvailable()
     writeBatch(dir, vals.drop(3).zipWithIndex.map { case (v, i) =>
-      Event(i + 4, ts(f"2024-01-01 00:0${i + 3}:00"), 1, "m", v) })
+      Event(i + 4, ts(f"2024-01-01 00:0${i + 3}:00"), 1, "m", Some(v)) })
     q.processAllAvailable()
     q.stop()
     val got = spark.table("ewma_out")
