@@ -119,6 +119,13 @@ object HostileGen {
         // all-negative vector and a null label
         Row(900005L, Seq.fill(dim)(-0.5f), 6),
         Row(900006L, Seq.tabulate(dim)(i => (i % 7).toFloat / 7f), null))
+        // NULL / wrong-dimension vectors are NOT planted here: mismatched
+        // dims have no portable dot-product semantics (Spark's fold and
+        // DuckDB's range-index disagree by construction), so the engine
+        // REJECTS them loudly at the read boundary instead of silently
+        // diverging — Tables.embeddings' contract guard, pinned by
+        // EdgeSemanticsSpec, exactly as production vector stores
+        // (fixed-dim indexes) refuse them at ingestion
     }
 
     copyPlus(spark, base, out, "customer") { _ => Seq(

@@ -81,6 +81,33 @@ class EdgeSemanticsSpec extends SparkSpec {
     assert(got(1).isNullAt(1), "null text must predict NULL")
   }
 
+  test("embeddings loader: NULL or wrong-dim vector fails loudly at scan, clean table passes") {
+    val dir = java.nio.file.Files.createTempDirectory("emb-contract").toString
+    def write(rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val work = s"$dir/work"
+      rows.toDF("vec_id", "embedding", "label").coalesce(1)
+        .write.mode("overwrite").parquet(work)
+      val part = new java.io.File(work).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, "embeddings.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    // the contract is validated EAGERLY, once per file version (cached
+    // by content stamp) — the loader call itself throws on a bad table
+    write(Seq((1L, Seq(1f, 2f), 0), (2L, Seq(3f, 4f), 1)))
+    assert(Tables.embeddings(spark, dir)
+      .select("embedding").collect().length == 2) // clean: no error
+    write(Seq((1L, Seq(1f, 2f), 0), (2L, Seq(3f), 1))) // dim 1 vs 2
+    val e = intercept[Exception] {
+      Tables.embeddings(spark, dir).select("embedding").collect()
+    }
+    assert(e.getMessage.contains("contract violation") ||
+      Option(e.getCause).exists(_.getMessage.contains("contract violation")),
+      s"want a loud contract error, got: ${e.getMessage}")
+  }
+
   test("ntile over a nullable key: NULL rows bucket LAST (DuckDB's null order)") {
     val df = Seq[(Long, Option[Double])](
       (1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, Some(4.0))
