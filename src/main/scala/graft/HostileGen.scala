@@ -147,7 +147,11 @@ object HostileGen {
         ts("2024-01-12 00:00:00")),
       // dangling order key
       Row(999999L, 1L, 1L, 1, 1.0, 50.0, 0.1, 0.02, "N", "O",
-        ts("2024-01-13 00:00:00")))
+        ts("2024-01-13 00:00:00")),
+      // NULL quantity: rank/range-frame windows order by it (null
+      // position + peer-group semantics must agree across engines)
+      Row(900002L, 2L, 2L, 2, null, 75.0, 0.0, 0.01, "A", "F",
+        ts("2024-01-14 00:00:00")))
     }
 
     // dimensions copied verbatim (their queries join from the fact side)

@@ -1925,7 +1925,7 @@ object PipelineQueries {
            |  FROM pge e JOIN pg${i - 1} p ON e.src = p.id JOIN pgd d ON e.src = d.src
            |  GROUP BY e.dst),
            |pg$i AS (SELECT c.dst AS id,
-           |  (1.0 - 0.85) / n::DOUBLE + 0.85 * (c.s::DOUBLE / 1e9) AS pr
+           |  (1.0::DOUBLE - 0.85::DOUBLE) / n::DOUBLE + 0.85 * (c.s::DOUBLE / 1e9) AS pr
            |  FROM pgc$i c, pgn)""".stripMargin
       s"""WITH $dJaccardCtes,
          |pge AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),

@@ -235,7 +235,10 @@ object RelationalQueries {
 
   /** Numeric RANGE frame: peers within 5 quantity units contribute. */
   def q20RangeFrame(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    // asc_nulls_last: DuckDB's default null order (a NULL quantity row
+    // must be the same peer group at the same end on both engines)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").asc_nulls_last)
       .rangeBetween(-5, Window.currentRow)
     Tables.lineitem(spark, dir)
       .filter(col("l_suppkey") <= 5)
