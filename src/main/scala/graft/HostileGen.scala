@@ -30,10 +30,17 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object HostileGen {
 
-  // the testdata's timestamp columns read as TIMESTAMP_NTZ, whose
+  // the TPC-H tables' timestamp columns read as TIMESTAMP_NTZ, whose
   // external row type is LocalDateTime (a j.s.Timestamp fails conversion)
   private def ts(s: String) =
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+
+  // events go through Tables.events (schema-adaptive: handles the
+  // TIMESTAMP(NANOS) generator variant too), which yields TimestampType —
+  // whose external row type is Instant (values are UTC in this repo)
+  private def tsI(s: String) =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
 
   /** Append `rows` (built against the table's own schema) and write —
     * as a SINGLE FILE named `<table>.parquet`, matching the driver
@@ -41,7 +48,14 @@ object HostileGen {
     * DuckDB oracle, all resolve the same path shape). */
   private def copyPlus(spark: SparkSession, base: String, out: String,
       table: String)(rows: DataFrame => Seq[Row]): Unit = {
-    val src = spark.read.parquet(s"$base/$table.parquet")
+    // events go through the schema-adaptive loader: the generator has
+    // shipped both TIMESTAMP(NANOS) and micros encodings, and a plain
+    // read rejects the NANOS variant outright (see Tables.events); the
+    // hostile copy is then always micros TimestampType, which Tables
+    // handles on the way back in
+    val src =
+      if (table == "events") graft.Tables.events(spark, base)
+      else spark.read.parquet(s"$base/$table.parquet")
     val extra = spark.createDataFrame(
       java.util.Arrays.asList(rows(src): _*), src.schema)
     val work = s"$out/.work_$table"
@@ -81,33 +95,37 @@ object HostileGen {
 
     copyPlus(spark, base, out, "events") { _ => Seq(
       // NULL value: sum/avg/decimal-cast null propagation
-      Row(900001L, ts("2024-01-15 10:00:00.000001"), 3L, "purchase", null, "{}"),
+      Row(900001L, tsI("2024-01-15 10:00:00.000001"), 3L, "purchase", null, "{}"),
       // zero / negative / large-but-safe values
-      Row(900002L, ts("2024-01-15 10:00:01"), 3L, "purchase", 0.0, "{}"),
-      Row(900003L, ts("2024-01-15 10:00:02"), 3L, "purchase", -7.25, "{}"),
-      Row(900004L, ts("2024-01-15 10:00:03"), 3L, "purchase", 1000000.5, "{}"),
+      Row(900002L, tsI("2024-01-15 10:00:01"), 3L, "purchase", 0.0, "{}"),
+      Row(900003L, tsI("2024-01-15 10:00:02"), 3L, "purchase", -7.25, "{}"),
+      Row(900004L, tsI("2024-01-15 10:00:03"), 3L, "purchase", 1000000.5, "{}"),
       // exact (user, ts) tie — only event_id breaks it
-      Row(900005L, ts("2024-01-15 11:00:00"), 4L, "view", 1.0, "{}"),
-      Row(900006L, ts("2024-01-15 11:00:00"), 4L, "click", 2.0, "{}"),
+      Row(900005L, tsI("2024-01-15 11:00:00"), 4L, "view", 1.0, "{}"),
+      Row(900006L, tsI("2024-01-15 11:00:00"), 4L, "click", 2.0, "{}"),
       // exact 10-min window boundary and 1 us before it
-      Row(900007L, ts("2024-01-15 12:00:00"), 5L, "view", 1.0, "{}"),
-      Row(900008L, ts("2024-01-15 11:59:59.999999"), 5L, "view", 1.0, "{}"),
+      Row(900007L, tsI("2024-01-15 12:00:00"), 5L, "view", 1.0, "{}"),
+      Row(900008L, tsI("2024-01-15 11:59:59.999999"), 5L, "view", 1.0, "{}"),
       // a gap of EXACTLY the 30-min session threshold (must break)
-      Row(900009L, ts("2024-01-15 13:00:00"), 6L, "view", 1.0, "{}"),
-      Row(900010L, ts("2024-01-15 13:30:00"), 6L, "view", 1.0, "{}"),
+      Row(900009L, tsI("2024-01-15 13:00:00"), 6L, "view", 1.0, "{}"),
+      Row(900010L, tsI("2024-01-15 13:30:00"), 6L, "view", 1.0, "{}"),
       // single-event user at the far end of the time range
-      Row(900011L, ts("2024-01-29 23:00:00"), 13L, "signup", 0.5, "{}"),
+      Row(900011L, tsI("2024-01-29 23:00:00"), 13L, "signup", 0.5, "{}"),
       // null event_type (null GROUP BY key; IN-list filters drop it)
-      Row(900012L, ts("2024-01-15 14:00:00"), 7L, null, 3.0, "{}"),
+      Row(900012L, tsI("2024-01-15 14:00:00"), 7L, null, 3.0, "{}"),
+      // a user whose LATEST event has NULL type: latest-state/CDC must
+      // keep the row on both engines (NULL IS DISTINCT FROM tombstone)
+      Row(900017L, tsI("2024-01-30 23:59:00"), 12L, null, 2.0, "{}"),
       // malformed + quote-laden + unicode JSON props (q17_json)
-      Row(900013L, ts("2024-01-15 14:30:00"), 7L, "click", 1.0, "not json at all"),
-      Row(900014L, ts("2024-01-15 14:31:00"), 7L, "click", 1.0, """{"plan":"it's \"q\"","n":3}"""),
-      Row(900015L, ts("2024-01-15 14:32:00"), 7L, "click", 1.0, """{"plan":"你好"}"""),
-      Row(900016L, ts("2024-01-15 14:33:00"), 7L, "click", 1.0, null))
+      Row(900013L, tsI("2024-01-15 14:30:00"), 7L, "click", 1.0, "not json at all"),
+      Row(900014L, tsI("2024-01-15 14:31:00"), 7L, "click", 1.0, """{"plan":"it's \"q\"","n":3}"""),
+      Row(900015L, tsI("2024-01-15 14:32:00"), 7L, "click", 1.0, """{"plan":"你好"}"""),
+      Row(900016L, tsI("2024-01-15 14:33:00"), 7L, "click", 1.0, null))
     }
 
-    copyPlus(spark, base, out, "embeddings") { _ =>
-      val dim = 64
+    copyPlus(spark, base, out, "embeddings") { src =>
+      val dim = src.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).first().getInt(0)
       Seq(
         // the zero vector: cosine division by zero on both engines
         Row(900001L, Seq.fill(dim)(0.0f), 3),

@@ -107,38 +107,37 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   /** Embeddings with the fixed-dimension contract ENFORCED at the read
-    * boundary: a NULL vector or a vector whose length disagrees with the
-    * table's first row has no portable similarity semantics (Spark's
-    * dot fold and a SQL range-index formulation disagree by
-    * construction), so — like any production vector index — the engine
-    * refuses it loudly at scan time instead of silently computing
-    * garbage. The guard is an inline codegen'd projection (no extra
-    * pass); the expected dim is probed from one row (a bounded lookup,
-    * cached per (path) by the session's FileIndex). */
-  // validated (path, content stamp)s: ONE validation scan per file
-  // version — the once-per-corpus-snapshot ingestion check a production
-  // vector store runs, cached so query builds never re-pay it and query
-  // PLANS carry no per-row guard (a wrapping projection would re-copy
-  // the array on the ANN hot path)
+    * boundary: a NULL vector or a mixed-dimension table has no portable
+    * similarity semantics (Spark's dot fold and a SQL range-index
+    * formulation disagree by construction), so — like any production
+    * vector index — the engine refuses it loudly instead of silently
+    * computing garbage. ONE null-skipping validation scan per file
+    * content-version (cached below), the once-per-corpus-snapshot
+    * ingestion check a real vector store runs; query plans carry no
+    * per-row guard (a wrapping projection would re-copy the array on
+    * the ANN hot path — measured). */
   private val embChecked = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def embeddings(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "embeddings")
     val path = s"$d/embeddings.parquet"
     val stamp = fileStamp(new java.io.File(path))
     if (embChecked.get(path) != stamp) {
-      val dim = raw.select(size(col("embedding"))).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0)
-      val bad = raw
-        .filter(col("embedding").isNull || size(col("embedding")) =!= dim)
-        .select(col("vec_id"), size(col("embedding")).as("dim"))
-        .limit(1).collect()
-      require(bad.isEmpty, {
-        val r = bad.head
-        s"embeddings contract violation at $path: vec_id ${r.get(0)} has dim " +
-          s"${Option(r.get(1)).getOrElse("NULL")} (expected $dim, null forbidden) — " +
-          "mismatched dims have no portable similarity semantics; " +
-          "validate/quarantine at ingestion"
-      })
+      // one null-skipping aggregate pass: min/max dims + null count — a
+      // NULL first row or a wrong-dim first row can't skew the expected
+      // dim or mask the message (and it is half the cost of probe+scan)
+      val r = raw.agg(
+        min(size(col("embedding"))).as("mn"),
+        max(size(col("embedding"))).as("mx"),
+        coalesce(sum(when(col("embedding").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("nulls")).head() // coalesce: empty table sums to NULL
+      val nulls = r.getLong(2)
+      require(nulls == 0L && (r.isNullAt(0) || r.getInt(0) == r.getInt(1)),
+        s"embeddings contract violation at $path: " +
+          (if (nulls > 0) s"$nulls NULL vector(s); " else "") +
+          (if (!r.isNullAt(0) && r.getInt(0) != r.getInt(1))
+             s"mixed dims [${r.getInt(0)}, ${r.getInt(1)}]; " else "") +
+          "mismatched/NULL vectors have no portable similarity semantics — " +
+          "validate/quarantine at ingestion")
       embChecked.put(path, stamp)
     }
     raw

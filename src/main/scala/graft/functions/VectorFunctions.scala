@@ -33,11 +33,16 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     cosineRatio(dot(a, b), sqrt(norm2(a)) * sqrt(norm2(b)))
 
-  /** `d / den` with NULL on a zero denominator — for call sites that
-    * precompute/reuse norms (the broadcast-query kNN shape). Same
-    * zero-norm contract as [[cosine]]. */
-  def cosineRatio(d: Column, den: Column): Column =
-    when(den === 0.0, lit(null).cast("double")).otherwise(d / den)
+  /** `a / b` with NULL on a zero denominator — DuckDB's x/0.0 value
+    * under Spark's ANSI mode. THE single home of the cross-engine
+    * zero-division contract (q48's statistics and every cosine below
+    * share it). */
+  def safeDiv(a: Column, b: Column): Column =
+    when(b === 0.0, lit(null).cast("double")).otherwise(a / b)
+
+  /** [[safeDiv]] for call sites that precompute/reuse norms (the
+    * broadcast-query kNN shape). Same zero-norm contract as [[cosine]]. */
+  def cosineRatio(d: Column, den: Column): Column = safeDiv(d, den)
 
   /** Multi-band random-hyperplane LSH buckets: array of nBands bucket ids,
     * band b's bit j set iff dot(v, w_{b·nPlanes+j}) > 0, plane components

@@ -547,11 +547,16 @@ object RelationalQueries {
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
         count(lit(1)).as("n"),
         sum(when(col("l_quantity") <= col("apx"), 1L).otherwise(0L)).as("cnt_le"),
-        sum(when(col("l_quantity") < col("apx"), 1L).otherwise(0L)).as("cnt_lt"))
+        sum(when(col("l_quantity") < col("apx"), 1L).otherwise(0L)).as("cnt_lt"),
+        first(col("apx")).as("apx")) // group-constant; carried for the vacuous case
       .select(col("l_returnflag"), col("med_qty"), col("n"),
-        (col("cnt_le").cast("double") >= (lit(0.5) - lit(eps)) * col("n").cast("double"))
+        // a group with NO non-null quantities has a NULL sketch value and
+        // a vacuously-true accuracy guarantee — the oracle pins `true`
+        when(col("apx").isNull, lit(true)).otherwise(
+          col("cnt_le").cast("double") >= (lit(0.5) - lit(eps)) * col("n").cast("double"))
           .as("rank_lo"),
-        (col("cnt_lt").cast("double") < (lit(0.5) + lit(eps)) * col("n").cast("double"))
+        when(col("apx").isNull, lit(true)).otherwise(
+          col("cnt_lt").cast("double") < (lit(0.5) + lit(eps)) * col("n").cast("double"))
           .as("rank_hi"))
       .orderBy(col("l_returnflag"))
   }
@@ -703,10 +708,9 @@ object RelationalQueries {
     val p = dec("l_extendedprice")
     val n = col("n").cast("double")
     // NULL on a zero denominator (single-row group, zero-variance group):
-    // DuckDB's x/0.0 is already NULL, Spark's ANSI mode throws — the
-    // guard makes both engines agree without touching the oracle
+    // the shared cross-engine zero-division contract
     def safeDiv(a: Column, b: Column): Column =
-      when(b === 0.0, lit(null).cast("double")).otherwise(a / b)
+      graft.functions.VectorFunctions.safeDiv(a, b)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(

@@ -772,7 +772,7 @@ object StreamingQueries {
         s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN ${math.pow(0.5, i + 1)}::DOUBLE ELSE 0 END")
         .mkString(" + ")
       s"""WITH m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
-         |             - INTERVAL 30 MINUTE AS wm FROM events),
+         |             - INTERVAL 30 MINUTE AS wm FROM events WHERE value IS NOT NULL),
          |c AS (SELECT user_id, event_id, ts, value,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
          |  FROM events, m WHERE ts <= wm AND value IS NOT NULL)
@@ -782,12 +782,18 @@ object StreamingQueries {
          |ORDER BY user_id, event_id""".stripMargin
     },
 
-    // q36's join-chain funnel over the DECIDED prefix (wm computed over
-    // ALL events — the stream's watermark column sits before the type
-    // filter); users whose qualifying events are all undecided are absent
+    // q36's join-chain funnel over the DECIDED prefix. The wm is computed
+    // over the TYPE-FILTERED stream: although the engine writes
+    // withWatermark BEFORE the filter, Catalyst pushes a predicate that
+    // does not reference the event-time column below the
+    // EventTimeWatermark operator, so the executed plan's watermark
+    // tracks the filtered source — the oracle mirrors the plan, not the
+    // source-code order. Users whose qualifying events are all undecided
+    // are absent.
     "stream_funnel_replay" ->
       """WITH m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
-        |             - INTERVAL 30 MINUTE AS wm FROM events),
+        |             - INTERVAL 30 MINUTE AS wm FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
         |ff AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events, m
         |  WHERE event_type IN ('view', 'click', 'purchase') AND ts <= wm),
         |f1 AS (SELECT user_id, t AS t0 FROM ff WHERE et = 'view'),
@@ -806,9 +812,11 @@ object StreamingQueries {
         |FROM fu ORDER BY fu.user_id""".stripMargin,
 
     // q46's recursive-CTE state machine over the decided prefix
+    // same filtered-stream wm as stream_funnel_replay (pushdown note there)
     "stream_seq_replay" ->
       """WITH RECURSIVE m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
-        |             - INTERVAL 30 MINUTE AS wm FROM events),
+        |             - INTERVAL 30 MINUTE AS wm FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
         |sq AS (SELECT user_id, epoch_us(ts) AS t,
         |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
         |         WHEN 'purchase' THEN 3 END AS s
@@ -844,7 +852,7 @@ object StreamingQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |m AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
-        |             - INTERVAL 30 MINUTE AS wm FROM events)
+        |             - INTERVAL 30 MINUTE AS wm FROM events WHERE value IS NOT NULL)
         |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
         |  np::BIGINT AS n_prior,
         |  CAST(s AS DOUBLE) / (100.0 * np) AS mean_prior
@@ -860,7 +868,7 @@ object StreamingQueries {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, ts_us, event_id, event_type, "value"
-        |FROM sm WHERE rn = 1 AND event_type <> 'error'
+        |FROM sm WHERE rn = 1 AND event_type IS DISTINCT FROM 'error'
         |ORDER BY user_id""".stripMargin,
     // the batch funnel's join-chain oracle, verbatim — terminal streaming
     // state and the batch DP must agree on every user

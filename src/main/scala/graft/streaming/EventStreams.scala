@@ -444,9 +444,12 @@ object EventStreams {
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .movePointRight(2).longValueExact()
-    // filter AFTER withWatermark: the watermark column still advances on
-    // every event's time (the oracle's wm is max(ts) over ALL events) —
-    // only the value-less rows are kept out of the buffer/fold
+    // The filter is written after withWatermark, but Catalyst pushes a
+    // predicate that does not reference the event-time column BELOW the
+    // EventTimeWatermark operator — so the executed plan's watermark
+    // tracks the FILTERED stream (equivalent to a source that never
+    // carried the value-less rows). The oracle computes wm over the same
+    // filtered set; don't "fix" the order here without changing it there.
     events.withWatermark("ts", watermark)
       .filter(col("value").isNotNull).as[Event]
       .groupByKey(_.user_id)
