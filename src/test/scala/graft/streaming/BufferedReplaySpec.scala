@@ -63,6 +63,45 @@ class BufferedReplaySpec extends SparkSpec {
     spark.catalog.dropTempView("anom_buf_out")
   }
 
+  test("watermark tracks the FILTERED stream: pushdown moves the type filter below EventTimeWatermark") {
+    // The replay oracles compute their terminal watermark over the
+    // type/value-FILTERED events, because Catalyst pushes a predicate
+    // that does not reference the event-time column below the
+    // EventTimeWatermark operator — even when withWatermark is written
+    // first. This spec pins that behavior: the corpus's LATEST event is
+    // a non-qualifying type; if it advanced the watermark, the last
+    // qualifying events (31+ min before it) would be decided and a
+    // second sequence counted. If a future Spark
+    // version stops pushing the predicate, this test flips — and the
+    // four *_replay oracles must flip their wm CTEs with it.
+    val dir = Files.createTempDirectory("events-wm-push").toString
+    val ckpt = Files.createTempDirectory("ckpt-wm-push").toString
+    writeBatch(dir, Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "view", Some(1.0)),
+      Event(2, ts("2024-01-01 00:01:00"), 1, "click", Some(1.0)),
+      Event(3, ts("2024-01-01 00:02:00"), 1, "purchase", Some(1.0)),
+      // one full hour later: a qualifying event...
+      Event(4, ts("2024-01-01 01:02:00"), 1, "view", Some(1.0)),
+      Event(5, ts("2024-01-01 01:03:00"), 1, "click", Some(1.0)),
+      Event(6, ts("2024-01-01 01:04:00"), 1, "purchase", Some(1.0)),
+      // ...and the corpus's latest event, NON-qualifying, 31 min after
+      // the last qualifying one: filtered-stream wm = 01:04 − 30 min =
+      // 00:34 → the second sequence stays undecided (count 1);
+      // unfiltered wm would be 01:35 − 30 min = 01:05 > 01:04 → the
+      // purchase at 01:04 would be decided and the count would read 2
+      Event(7, ts("2024-01-01 01:35:00"), 1, "error", Some(1.0))))
+    val q = EventStreams.runToMemory(
+      EventStreams.seqCountBuffered(spark, EventStreams.readEvents(spark, dir),
+        Seq("view", "click", "purchase")).toDF(),
+      "wm_push_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("wm_push_out")
+      .select("user_id", "n_matches").as[(Long, Long)].collect()
+    assert(counts.map(_._2).max == 1L,
+      s"filtered-stream watermark must leave the second sequence undecided: ${counts.toSeq}")
+  }
+
   test("ewmaBuffered: emits exactly the decided prefix, in-order smoothing") {
     val dir = Files.createTempDirectory("events-ewma-buf").toString
     val ckpt = Files.createTempDirectory("ckpt-ewma-buf").toString
