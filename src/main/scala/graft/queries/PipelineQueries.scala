@@ -432,11 +432,25 @@ object PipelineQueries {
     }),
 
     "doc_langid" -> ((s, d) => {
-      val scores = T.stopwords.sortBy(_._1).map { case (code, set) =>
+      val langs = T.stopwords.sortBy(_._1)
+      val scores = langs.map { case (code, set) =>
         T.stopwordHits(col("text"), set).cast("long").as(s"s_$code")
       }
+      // predicted re-derives from the ALREADY-COMPUTED score columns in a
+      // second projection (a fold over 5 small ints) — calling
+      // T.langId(text) here would re-tokenize per language inside a
+      // conditional branch, which Spark's subexpression elimination
+      // cannot share with the score columns (measured 4x on this query)
+      val first = struct(col(s"s_${langs.head._1}").as("score"),
+        lit(langs.head._1).as("code"))
+      val folded = langs.tail.foldLeft(first) { case (best, (code, _)) =>
+        val cand = struct(col(s"s_$code").as("score"), lit(code).as("code"))
+        when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
+      }.getField("code")
       Tables.documents(s, d)
-        .select(col("doc_id") +: scores :+ T.langId(col("text")).as("predicted"): _*)
+        .select(col("doc_id") +: scores: _*)
+        .withColumn("predicted",
+          when(col(s"s_${langs.head._1}").isNotNull, folded))
         .orderBy(col("doc_id"))
     }),
 
