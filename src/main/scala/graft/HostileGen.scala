@@ -172,8 +172,19 @@ object HostileGen {
         ts("2024-01-14 00:00:00")))
     }
 
-    // dimensions copied verbatim (their queries join from the fact side)
-    for (t <- Seq("region", "nation", "supplier", "part"))
+    copyPlus(spark, base, out, "supplier") { _ => Seq(
+      // null balance and a dangling nation key (joins drop it, aggs keep)
+      Row(900001L, "Suppliér 'quote'", 999, null))
+    }
+
+    copyPlus(spark, base, out, "part") { _ => Seq(
+      // null type/brand (null GROUP BY keys), zero retail price, unicode
+      Row(900001L, "høstile pärt", null, null, 0, 0.0))
+    }
+
+    // region/nation copied verbatim (tiny closed-key dimensions: every
+    // query joins them from the fact side on generated keys)
+    for (t <- Seq("region", "nation"))
       copyPlus(spark, base, out, t)(_ => Seq.empty)
   }
 
