@@ -51,7 +51,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     runOnce() // warmup
-    math.min(runOnce(), runOnce())
+    val p1 = runOnce()
+    val p2 = runOnce()
+    var best = math.min(p1, p2)
+    // Disagreement guard (round 7: the driver's run read two queries 8×
+    // above the builder's on identical code — both post-warmup passes
+    // landed inside one sustained disturbance). When the two passes
+    // disagree by >30% on a ≥0.5 s query, the min is NOT yet a
+    // steady-state number: take up to two extra passes until one lands
+    // within 30% of the running min. Cheap (extra passes only on noisy
+    // entries) and bounded.
+    var spread = math.abs(p1 - p2)
+    var extra = 0
+    while (best >= 0.5 && spread > 0.3 * best && extra < 2) {
+      val p = runOnce()
+      spread = math.abs(p - best)
+      best = math.min(best, p)
+      extra += 1
+    }
+    best
   }
 
   /** Isolation between queries: 128 queries share one JVM, and the heavy
@@ -63,6 +81,71 @@ object Bench {
   private def isolate(): Unit = {
     SparkSession.active.catalog.clearCache()
     System.gc()
+  }
+
+  /** Deterministic engine warm-up, run ONCE before any timing (round-7
+    * verdict ask #1): the driver's bench and the builder's bench run
+    * identical code in different environments, and whichever query ran
+    * first used to pay whatever first-touch cost the environment had
+    * pending — PSL-trie class-init, interpreter→C2 compilation of the
+    * DER-parse/shingle hot paths, shuffle/output-committer directory
+    * creation — turning per-query numbers into lottery tickets
+    * (ct_ingest_pipeline: 0.60 s builder vs 4.90 s driver on the same
+    * commit). Every such cost is forced HERE, then the JVM is held until
+    * the JIT compile queue drains, so the first timed query starts from
+    * the same warm state on any machine. Reported as its own
+    * `prewarm:engine` line item, EXCLUDED from the headline total (it is
+    * bench-harness setup, not engine work). */
+  private def prewarm(spark: SparkSession): Double = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    def drain(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    // PSL trie: strict val on the object — first touch parses ~10k rules
+    graft.ct.PublicSuffix.baseDomain("warm.example.co.uk")
+    // ingest hot path: base64 → DER parse → explode → PSL UDF → dedup,
+    // small enough to be fast, large enough to push the parse methods
+    // through C1 into the C2 compile queue
+    val leaf = graft.ct.DemoFixture.leafB64
+    val raw = spark.range(500).select(
+      lit("Warm Log").as("log_name"),
+      col("id").as("entry_index"),
+      lit(leaf).as("leaf_input")).as[graft.ct.RawEntry]
+    drain(graft.ct.IngestPipeline.certDomains(raw,
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+    // shingle/candidate-join hot path (the dedup_ngram family)
+    val filler = concat_ws(" ", (0 until 12).map(i =>
+      concat(lit(s"w${i}_"),
+        pmod(col("id") * lit(2654435761L) + lit(i * 7919), lit(1000L)))): _*)
+    val docs = spark.range(300).select(col("id").as("doc_id"), filler.as("text"))
+    drain(graft.operators.Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5))
+    // first parquet write (output-committer + scratch dirs) and first
+    // shuffle (local shuffle dirs) of the JVM
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prewarm").toFile
+    try {
+      spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+        .write.mode("overwrite").parquet(s"$tmp/t")
+      drain(spark.read.parquet(s"$tmp/t").groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s")))
+    } finally graft.operators.Dedup.rmdir(tmp)
+    // hold until the background C2 queue drains: three consecutive 500 ms
+    // windows with <50 ms of compiler time, max 60 s — compile threads
+    // stealing cores DURING early timed queries is exactly the sustained
+    // disturbance min-of-two cannot see past
+    val cb = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (cb != null && cb.isCompilationTimeMonitoringSupported) {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var last = cb.getTotalCompilationTime
+      var quiet = 0
+      while (quiet < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val now = cb.getTotalCompilationTime
+        if (now - last < 50) quiet += 1 else quiet = 0
+        last = now
+      }
+    }
+    isolate()
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def run(name: String, build: () => DataFrame): (String, Double) =
@@ -207,9 +290,28 @@ object Bench {
     // READS, not against deletion of a complete dir). Single pass: a cold
     // build is one-shot by definition, min-of-two would measure the warm
     // no-op. Pseudo-name "artifact" selects it in filtered dev runs.
+    // engine warm-up BEFORE any timing (skipped in filtered dev runs
+    // unless asked for by name — dev iterations trade determinism for
+    // the ~10 s; the driver's unfiltered run always gets it)
+    val warm =
+      if (only.forall(_.contains("prewarm")))
+        Seq("prewarm:engine" -> prewarm(spark))
+      else Nil
     val artifact =
       if (only.forall(_.contains("artifact"))) {
         val sharedPath = graft.queries.PipelineQueries.componentsArtifactPath(sfDir)
+        // time the cold build into a THROWAWAY scratch dir — deleting +
+        // rebuilding the shared one would yank a complete artifact from
+        // under a concurrently-running Verify JVM mid-scan
+        def timeScratchBuild(): Double = {
+          val scratch = sharedPath + "_benchcold"
+          graft.operators.Dedup.rmdir(new java.io.File(scratch))
+          val t0 = System.nanoTime()
+          graft.queries.PipelineQueries.buildComponentsArtifact(spark, sfDir, scratch)
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.operators.Dedup.rmdir(new java.io.File(scratch))
+          dt
+        }
         val t =
           if (!new java.io.File(sharedPath, "_SUCCESS").exists) {
             // fresh machine: the timed cold build doubles as the shared
@@ -218,20 +320,14 @@ object Bench {
             // pay the same ~11 s build again inside its own pass
             val t0 = System.nanoTime()
             graft.queries.PipelineQueries.componentsArtifactDir(spark, sfDir)
-            (System.nanoTime() - t0) / 1e9
-          } else {
-            // shared artifact is warm: time the cold build into a
-            // THROWAWAY scratch dir — deleting + rebuilding the shared
-            // one would yank a complete artifact from under a
-            // concurrently-running Verify JVM mid-scan
-            val scratch = sharedPath + "_benchcold"
-            graft.operators.Dedup.rmdir(new java.io.File(scratch))
-            val t0 = System.nanoTime()
-            graft.queries.PipelineQueries.buildComponentsArtifact(spark, sfDir, scratch)
             val dt = (System.nanoTime() - t0) / 1e9
-            graft.operators.Dedup.rmdir(new java.io.File(scratch))
-            dt
-          }
+            // race guard: if a CONCURRENT JVM published between the
+            // _SUCCESS probe and the timed call, buildOnce returned
+            // without building and dt is a near-zero no-op, not a cold
+            // build — discard it and time a scratch build instead (a
+            // genuinely tiny corpus re-pays one sub-second build, fine)
+            if (dt < 1.0) timeScratchBuild() else dt
+          } else timeScratchBuild()
         isolate()
         Seq("artifact:components" -> t)
       } else Nil
@@ -240,13 +336,15 @@ object Bench {
     val declared = names.map(n => run(n, () => SparkEntry.queries(n)(spark, sfDir)))
     // the pseudo-name "skew" selects the planted-distribution cases,
     // which have no SparkEntry entry of their own
-    val results = artifact ++ declared ++
+    val results = warm ++ artifact ++ declared ++
       (if (only.forall(_.contains("skew"))) skewCases(spark) else Nil)
 
     // the deliberately-naive counterfactual shapes (the thing the remedy
     // beats) are reported per-query but kept out of the headline total —
-    // they measure the problem, not the engine
-    val naive = Set("skew_ngram_unguarded", "skew_join_plain", "skew_distinct_plain")
+    // they measure the problem, not the engine; prewarm is bench-harness
+    // setup, likewise reported but not engine work
+    val naive = Set("skew_ngram_unguarded", "skew_join_plain", "skew_distinct_plain",
+      "prewarm:engine")
     val ok = results.filterNot(r => naive(r._1)).map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
 

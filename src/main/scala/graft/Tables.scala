@@ -77,13 +77,34 @@ object Tables {
       col("event_type"), col("value"), col("props"))
   }
 
-  // one min/max scan per (JVM, path); re-probed only if the file changes
-  // (mtime+size), so a testdata regeneration mid-session re-validates
+  // one min/max scan per (JVM, path); re-probed only if the file changes.
+  // The stamp is size+mtime PLUS a CRC32 of each file's first and last
+  // 4 KiB: a regeneration that lands on the same byte length within the
+  // mtime granularity still flips the parquet footer (row-group stats,
+  // creation metadata live there), so content changes can't slip past the
+  // cached validation. ~8 KiB of I/O per file per probe — negligible.
   private val tsChecked = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def contentCrc(f: java.io.File): Long = {
+    if (!f.isFile) return 0L // missing path / nested dir: size+mtime only
+    val crc = new java.util.zip.CRC32()
+    val len = f.length()
+    val buf = new Array[Byte](4096)
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val n1 = raf.read(buf); if (n1 > 0) crc.update(buf, 0, n1)
+      if (len > 4096) {
+        raf.seek(math.max(len - 4096, n1.toLong))
+        val n2 = raf.read(buf); if (n2 > 0) crc.update(buf, 0, n2)
+      }
+    } finally raf.close()
+    crc.getValue
+  }
   private def fileStamp(p: java.io.File): String =
     if (p.isDirectory)
-      p.listFiles.sortBy(_.getName).map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    else s"${p.length}:${p.lastModified}"
+      p.listFiles.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}:${contentCrc(f)}")
+        .mkString("|")
+    else s"${p.length}:${p.lastModified}:${contentCrc(p)}"
   private[graft] def checkEventsTs(s: SparkSession, d: String, df: DataFrame): Unit = {
     val path = s"$d/events.parquet"
     val stamp = fileStamp(new java.io.File(path))

@@ -972,14 +972,21 @@ object Dedup {
       substring(col(keyCol), 1, blockLen).as("pb"),
       substring(col(keyCol), blockLen + 1, blockLen).as("sb"))
     maxBlockRows.foreach { m =>
-      val hot = keyed.select(col("pb").as("blk"))
-        .unionAll(keyed.select(col("sb").as("blk")))
-        .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      // counted PER COLUMN: the two candidate joins are independent
+      // (pb===pb, sb===sb), so a value with x pb-rows and y sb-rows costs
+      // C(x,2)+C(y,2) pairs, never C(x+y,2) — a summed count would abort
+      // runs whose per-column blocks are all within bound. NULL blocks
+      // (NULL keys) are excluded outright: an equi-join never matches
+      // NULL, so they contribute zero pairs regardless of size.
+      val hot = keyed.select(col("pb").as("blk"), lit("pb").as("bcol"))
+        .unionAll(keyed.select(col("sb").as("blk"), lit("sb").as("bcol")))
+        .filter(col("blk").isNotNull)
+        .groupBy(col("blk"), col("bcol")).agg(count(lit(1)).as("n"))
         .filter(col("n") > m).limit(1).collect()
       require(hot.isEmpty, {
         val r = hot.head
-        s"fuzzy block '${r.getString(0)}' holds ${r.getLong(1)} keys " +
-          s"(> maxBlockRows=$m): the blocked join would be quadratic in it — " +
+        s"fuzzy ${r.getString(1)} block '${r.getString(0)}' holds ${r.getLong(2)} " +
+          s"keys (> maxBlockRows=$m): the blocked join would be quadratic in it — " +
           "filter degenerate keys upstream or raise blockLen"
       })
     }

@@ -221,14 +221,22 @@ object Multimodal {
   /** Attach a binary payload column. A pre-existing `content` binary
     * column (e.g. from a binaryFile source, or a spec injecting real
     * image bytes) is kept; otherwise the UTF-8 text bytes stand in for a
-    * media blob. */
+    * media blob.
+    *
+    * CONTRACT: NULL-payload rows are dropped on BOTH paths — a row with
+    * no bytes has nothing to decode, and the decode kernels stream raw
+    * arrays (a null would NPE mid-partition). This applies to
+    * caller-supplied `content` columns too: a sparse binary column
+    * (e.g. a mixed-modality table where only some rows carry media)
+    * loses its NULL rows here, so callers who need those rows in the
+    * output must branch upstream (filter + union, or coalesce a
+    * sentinel payload) rather than expect a NULL-metadata passthrough.
+    * The declared oracles mirror the synthesized path's drop with
+    * WHERE text IS NOT NULL. */
   def withPayload(docs: DataFrame): DataFrame = {
     val attached =
       if (docs.columns.contains("content")) docs
       else docs.withColumn("content", col("text").cast("binary"))
-    // a row with no payload bytes has nothing to decode — absent from
-    // every multimodal output (the decode kernels would NPE on null
-    // arrays; the declared oracles mirror with WHERE text IS NOT NULL)
     attached.filter(col("content").isNotNull)
   }
 

@@ -1585,9 +1585,11 @@ object RelationalQueries {
         |SELECT decile, n_users, spend, spend / grand AS spend_share
         |FROM g, t ORDER BY decile""".stripMargin,
 
-    // q26's gaps-and-islands break rule (a gap of EXACTLY 30 min starts a
-    // new session), session-grain converted flag, day rollup with exact
-    // integer counts and one IEEE division
+    // q26's gaps-and-islands break rule — strict `>`: a gap of EXACTLY
+    // 30 min MERGES (matches session_window's inclusive-gap semantics;
+    // do not "fix" back to >=, that reintroduces the cross-engine
+    // divergence the hostile gate caught) — session-grain converted
+    // flag, day rollup with exact integer counts and one IEEE division
     "q75_session_conversion" ->
       """WITH d AS (
         |  SELECT user_id, event_id, ts, event_type,

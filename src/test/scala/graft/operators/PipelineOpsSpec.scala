@@ -635,6 +635,22 @@ class PipelineOpsSpec extends SparkSpec {
     val plain = Dedup.fuzzyKeyPairsMultiBlock(rows, "doc_id", "head",
       blockLen = 8, maxDist = 3)
     assert(guarded.collect().toSeq == plain.collect().toSeq)
+    // the breaker counts pb and sb PER COLUMN: "abcdefgh" below is the
+    // primary block of 3 keys and the secondary block of 3 others —
+    // summed that is 6 > 3, but each join sees only 3, so the run is
+    // within bound and must NOT abort; 5 NULL keys form a 5-row NULL
+    // "block" that an equi-join never matches, so they must not count
+    // toward any bound either
+    val mixed = (Seq("abcdefghXXXX", "abcdefghYYYY", "abcdefghZZZZ",
+        "qqqqqqqqabcdefgh", "wwwwwwwwabcdefgh", "rrrrrrrrabcdefgh")
+        .zipWithIndex.map { case (k, i) => (i.toLong, k) } ++
+      (10L until 15L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("doc_id", "head")
+    val bounded = Dedup.fuzzyKeyPairsMultiBlock(mixed, "doc_id", "head",
+      blockLen = 8, maxDist = 3, maxBlockRows = Some(3L))
+    val unguardedMixed = Dedup.fuzzyKeyPairsMultiBlock(mixed, "doc_id", "head",
+      blockLen = 8, maxDist = 3)
+    assert(bounded.collect().toSeq == unguardedMixed.collect().toSeq)
   }
 
   test("fuzzy multi-block property: complete at substitution distance ≤1, sound at maxDist, superset of single-pass (150 random keys)") {
