@@ -123,6 +123,49 @@ object HostileGen {
       Row(900016L, tsI("2024-01-15 14:33:00"), 7L, "click", 1.0, null))
     }
 
+    // Second pass over the COMPOSED events table (base + edge rows above,
+    // read back from `out` so the rows above already count toward the
+    // span): plant watermark-BOUNDARY rows for the replay split's
+    // adversarial rule (StreamingQueries.eventsSplitByTime) — rows whose
+    // ts is EXACTLY sliceMax(i) − 30 min, i.e. exactly the watermark
+    // slice i establishes. Odd event_ids get delivered one file LATE by
+    // the split; the even-id tie partner stays on time, creating a
+    // cross-file (ts, event_id) tie. The buffered *_replay operators
+    // must admit them (not strictly late), merge them into the per-key
+    // buffer, and fold in (ts, id) order — BufferedReplaySpec pins the
+    // mechanism, this data makes the full 4-slice gate exercise it.
+    // All planted ts are interior (30 min below a slice max), so they
+    // shift neither the global span nor any slice max.
+    copyPlus(spark, out, out, "events") { src =>
+      import org.apache.spark.sql.functions.{col, max, min, unix_micros, when}
+      val us = unix_micros(col("ts"))
+      val Array(mm) = src.agg(min(us), max(us)).collect()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val width = (mx - mn) / 4 + 1
+      val baseSlice = when(us < mn + width, 0)
+        .when(us < mn + 2 * width, 1)
+        .when(us < mn + 3 * width, 2)
+        .otherwise(3)
+      val sliceMax = src.groupBy(baseSlice.as("sl")).agg(max(us).as("mx"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def boundary(i: Int): Option[java.time.Instant] =
+        sliceMax.get(i).map(_ - 1800000000L)
+          .filter(_ >= mn + i.toLong * width) // degenerate <30 min slice: skip
+          .map(b => java.time.Instant.ofEpochSecond(
+            Math.floorDiv(b, 1000000L), Math.floorMod(b, 1000000L) * 1000L))
+      boundary(0).toSeq.flatMap(b0 => Seq(
+        // lone boundary row, odd id → arrives one file late
+        Row(900021L, b0, 3L, "click", 4.5, "{}"))) ++
+      boundary(1).toSeq.flatMap(b1 => Seq(
+        // ts-tie pair: odd id 900023 arrives one file LATE yet must fold
+        // BEFORE the on-time even id 900024 — the hard direction of the
+        // cross-file tie straddle (smaller id on the late side)
+        Row(900023L, b1, 4L, "click", 3.5, "{}"),
+        Row(900024L, b1, 4L, "view", 2.0, "{}"))) ++
+      boundary(2).toSeq.flatMap(b2 => Seq(
+        Row(900025L, b2, 6L, "view", 1.25, "{}")))
+    }
+
     copyPlus(spark, base, out, "embeddings") { src =>
       val dim = src.select(org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.col("embedding"))).first().getInt(0)

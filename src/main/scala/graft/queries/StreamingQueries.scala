@@ -284,23 +284,53 @@ object StreamingQueries {
     * CDC tail, CT logs) actually provides, and it is what lets the
     * watermark advance monotonically without classifying whole slices
     * as late: slice k's min ts ≥ slice k−1's max ts > slice k−1's
-    * watermark. Ties in ts never straddle a slice boundary (the cut is
-    * on the ts VALUE), so the per-key (ts, event_id) fold order is
-    * identical no matter which batch delivered each event. */
+    * watermark.
+    *
+    * ADVERSARIAL boundary rule: a row whose ts is EXACTLY its slice's
+    * max(ts) − 30 min — i.e. exactly the watermark the slice will
+    * establish — and whose event_id is ODD is delivered one file LATE
+    * (moved into the next slice). That is the worst lateness the
+    * watermark contract admits: during slice k+1's batch the watermark
+    * is at most maxRaw(k) − 30 min (less for the type/value-filtered
+    * streams), so the moved row is never STRICTLY behind it and must be
+    * admitted, merged into the still-buffered per-key arrivals, and
+    * folded in (ts, event_id) order — including ts TIES that straddle
+    * the file boundary when the even-id tie partner stayed on time
+    * (pinned by BufferedReplaySpec's boundary case; HostileGen plants
+    * exactly these rows). On data with no exact-boundary odd-id row the
+    * rule no-ops and the split is the plain time slicing. */
   private def eventsSplitByTime(spark: SparkSession, dir: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
+    // _v2: the boundary rule changed the fixture's content contract —
+    // a cached pre-rule split must not be reused for the hostile gate
     val splitDir = new java.io.File(tmp,
-      "graft_replay_split_" + sourceStamp(s"$dir/events.parquet")).getAbsolutePath
+      "graft_replay_split_v2_" + sourceStamp(s"$dir/events.parquet")).getAbsolutePath
     buildOnce(splitDir) { stagedPath =>
       val ev = graft.Tables.events(spark, dir)
-      val Array(mnRow) = ev.agg(min(unix_micros(col("ts"))),
-        max(unix_micros(col("ts")))).collect()
+      val us = unix_micros(col("ts"))
+      val Array(mnRow) = ev.agg(min(us), max(us)).collect()
       val (mn, mx) = (mnRow.getLong(0), mnRow.getLong(1))
       val width = (mx - mn) / 4 + 1
+      // integer range tests, not float division — a µs value at an exact
+      // slice edge must never round across it
+      val baseSlice = when(us < mn + width, 0)
+        .when(us < mn + 2 * width, 1)
+        .when(us < mn + 3 * width, 2)
+        .otherwise(3).cast("int")
+      // per-slice raw max → the boundary value (slice's eventual
+      // watermark); 4 values, driver-side
+      val sliceMax = ev.groupBy(baseSlice.as("sl"))
+        .agg(max(us).as("mx")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val boundaryOf = (0 until 4).foldLeft(lit(Long.MinValue)) { (acc, i) =>
+        sliceMax.get(i).map(m => when(baseSlice === i, lit(m - 1800000000L))
+          .otherwise(acc)).getOrElse(acc)
+      }
+      val dest = baseSlice + when(us === boundaryOf &&
+        col("event_id") % 2 === 1 && baseSlice < 3, 1).otherwise(0)
       val staged = new java.io.File(stagedPath)
       (0 until 4).foreach { i =>
-        ev.filter(unix_micros(col("ts")) >= mn + i * width &&
-            unix_micros(col("ts")) < mn + (i + 1) * width)
+        ev.filter(dest === i)
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$staged/work/slice$i")
       }

@@ -102,6 +102,63 @@ class BufferedReplaySpec extends SparkSpec {
       s"filtered-stream watermark must leave the second sequence undecided: ${counts.toSeq}")
   }
 
+  test("watermark-BOUNDARY row arriving in a later file: admitted, folded in (ts,id) order across the file boundary") {
+    // The worst LEGAL lateness of a log-structured replay: a row whose
+    // event time is EXACTLY the watermark its preceding file established.
+    // Spark's stateful late-row filter removes rows STRICTLY behind the
+    // watermark, so the boundary row must be admitted — and because the
+    // key receives the late row as INCOMING data in its batch, splitRipe
+    // merges it with the still-buffered earlier arrivals and folds in
+    // (ts, event_id) order even when its ts-tie partner arrived one file
+    // EARLIER with a LARGER id. This is the case the hostile replay
+    // split plants at every slice boundary (eventsSplitByTime's odd-id
+    // boundary rule). Both files are pre-written and replayed with
+    // maxFilesPerTrigger=1 — the gate's AvailableNow shape, where file
+    // batches run back-to-back with no interleaved no-data flush (a LIVE
+    // stream that idles between the files would flush the tie partner at
+    // the earlier watermark, which is why the replay fixture never makes
+    // a boundary row arrive MORE than one file late).
+    val dir = Files.createTempDirectory("events-wmb-buf").toString
+    val ckpt = Files.createTempDirectory("ckpt-wmb-buf").toString
+
+    // file 1: ids 1, 3, 9 — max ts 00:40 → wm after batch 0 = 00:10
+    writeBatch(dir, Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", Some(1.0)),
+      Event(3, ts("2024-01-01 00:10:00"), 1, "click", Some(3.0)),
+      Event(9, ts("2024-01-01 00:40:00"), 1, "click", Some(9.0))))
+    // file 2: id 2 at EXACTLY that watermark (00:10), tying id 3's ts
+    // with a SMALLER id; id 10 only advances the terminal wm to 01:00
+    writeBatch(dir, Seq(
+      Event(2, ts("2024-01-01 00:10:00"), 1, "click", Some(5.0)),
+      Event(10, ts("2024-01-01 01:30:00"), 1, "click", Some(1.0))))
+    // deterministic replay order: file 1 strictly older than file 2
+    val parts = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L) }
+
+    val src = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.runToMemory(
+      EventStreams.ewmaBuffered(spark, src).toDF(),
+      "wmb_buf_out", ckpt, OutputMode.Update())
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("wmb_buf_out")
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    // terminal wm = 01:00: ids 1, 2, 3, 9 decided; 10 undecided. The
+    // boundary row was NOT late-dropped (ts == wm, not <), and the fold
+    // order is (ts, id) — id 2 between id 1 and its tie partner id 3.
+    assert(all.keySet == Set(1L, 2L, 3L, 9L), s"got ${all.keySet}")
+    assert(math.abs(all(2L) - (5.0 * 0.5 + 1.0 * 0.25) / 0.75) < 1e-12,
+      s"id 2 must fold after id 1 only: ${all(2L)}")
+    assert(math.abs(all(3L) - (3.0 * 0.5 + 5.0 * 0.25 + 1.0 * 0.125) / 0.875) < 1e-12,
+      s"id 3 must fold after the boundary row id 2: ${all(3L)}")
+    assert(math.abs(all(9L) -
+      (9.0 * 0.5 + 3.0 * 0.25 + 5.0 * 0.125 + 1.0 * 0.0625) / 0.9375) < 1e-12)
+    spark.catalog.dropTempView("wmb_buf_out")
+  }
+
   test("ewmaBuffered: emits exactly the decided prefix, in-order smoothing") {
     val dir = Files.createTempDirectory("events-ewma-buf").toString
     val ckpt = Files.createTempDirectory("ckpt-ewma-buf").toString
