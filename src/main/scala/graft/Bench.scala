@@ -331,12 +331,34 @@ object Bench {
         isolate()
         Seq("artifact:components" -> t)
       } else Nil
+    // Incremental artifact maintenance (round-7 verdict ask #4): the
+    // append path must cost ∝ increment, not ∝ corpus — timed against a
+    // corpus-only base artifact built UNTIMED in a scratch dir (the
+    // base build is the artifact:components story, already its own line
+    // item). 90/10 doc split by id; ids stay disjoint by construction.
+    val artifactIncr =
+      if (only.forall(o => o.contains("artifact") || o.contains("artifact_incr"))) {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val increment = docs.filter(col("doc_id") % 10 === 0)
+        val scratch = graft.queries.PipelineQueries.componentsArtifactPath(sfDir) +
+          "_incrbase"
+        graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        graft.queries.PipelineQueries.buildComponentsArtifactFrom(spark, corpus, scratch)
+        isolate()
+        val t0 = System.nanoTime()
+        graft.queries.PipelineQueries.appendComponentsArtifact(spark, scratch, increment)
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        isolate()
+        Seq("artifact:components_incr" -> dt)
+      } else Nil
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val declared = names.map(n => run(n, () => SparkEntry.queries(n)(spark, sfDir)))
     // the pseudo-name "skew" selects the planted-distribution cases,
     // which have no SparkEntry entry of their own
-    val results = warm ++ artifact ++ declared ++
+    val results = warm ++ artifact ++ artifactIncr ++ declared ++
       (if (only.forall(_.contains("skew"))) skewCases(spark) else Nil)
 
     // the deliberately-naive counterfactual shapes (the thing the remedy

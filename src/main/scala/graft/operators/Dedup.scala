@@ -358,6 +358,17 @@ object Dedup {
         Option(lastGuardedShingles.getAndSet(p)).foreach(_.unpersist(false))
         p
       } else shRaw
+    pairsFromShingles(sh, threshold, dfCutoff)
+  }
+
+  /** [[ngramJaccardPairs]]' pair pipeline over an EXPLICIT shingle frame
+    * — the artifact build hands in its freshly-WRITTEN parquet index
+    * (derive once, read everywhere: the 8-byte (doc_id, sh) grain scans
+    * cheaper than re-shingling raw text, and at 100 TB the index is the
+    * only thing the pair join ever reads). Semantics identical to the
+    * docs-frame entry point by construction. */
+  private[graft] def pairsFromShingles(sh: DataFrame, threshold: Double,
+      dfCutoff: Option[Long]): DataFrame = {
     val inter = dfCutoff match {
       case None =>
         sh.as("a").join(sh.as("b"),
@@ -373,7 +384,7 @@ object Dedup {
         // it), and (b) makes the guard's reach observable: the excluded-
         // shingle count is logged per the no-silent-caps discipline. The
         // require() keeps an adversarial corpus from melting the driver.
-        val spark = docs.sparkSession
+        val spark = sh.sparkSession
         import spark.implicits._
         val maxHot = 1000000
         val hotIds = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -403,6 +414,74 @@ object Dedup {
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("inter"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Public face of [[shingleRows]]: the distinct (doc_id, sh) k-shingle
+    * index of a corpus — the PERSISTED artifact incremental near-dup
+    * maintenance rides (written bucketed by `sh` at 100 TB; every
+    * increment equi-joins its own shingles against it instead of
+    * re-shingling the corpus). */
+  def shingleIndex(docs: DataFrame, k: Int = 3): DataFrame = shingleRows(docs, k)
+
+  /** Incremental [[ngramJaccardPairs]]: every pair with at least one
+    * endpoint in `increment` — increment×corpus AND increment-internal —
+    * under the corpus SNAPSHOT's guard decisions, computed from the
+    * persisted index without ever re-pairing the corpus.
+    *
+    * Inputs are the snapshot artifacts: `corpusShingles` = the full
+    * [[shingleIndex]]; `corpusSizes` = (doc_id, n) distinct-shingle
+    * counts; `hotShingles` = the shingles the snapshot's df cutoff cut
+    * from candidate generation (possibly empty). The cut set is FIXED
+    * snapshot metadata: an increment that pushes a previously-rare
+    * shingle over the cutoff does NOT re-cut it here (re-evaluated at
+    * the next full snapshot rebuild — the compaction step), which is
+    * what makes the incremental result EQUAL to a cold
+    * [[ngramJaccardPairs]] over corpus∪increment whenever the union's
+    * hot set matches the snapshot's (spec-pinned in ComponentsIncrSpec).
+    *
+    * Shape mirrors the guarded cold path exactly: candidates from RARE
+    * shingle equi-joins only (increment-side shingles against the corpus
+    * index, plus the increment self-join — never corpus×corpus), hot
+    * intersection contribution re-added per surfaced pair, jaccard from
+    * FULL per-doc sizes. Cost tracks |increment| and the index buckets
+    * it touches. doc_ids of the two frames must be disjoint (same
+    * contract as [[incrementalNearDups]]). */
+  def incrementalNgramPairs(increment: DataFrame, corpusShingles: DataFrame,
+      corpusSizes: DataFrame, hotShingles: DataFrame, k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val incSh = shingleRows(increment, k)
+    val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val incRare = incSh.join(broadcast(hotShingles), Seq("sh"), "left_anti")
+    val corpusRare = corpusShingles.join(broadcast(hotShingles), Seq("sh"), "left_anti")
+    // increment×corpus candidates: one hash join per shared rare shingle;
+    // least/greatest normalizes to the cold build's i < j orientation
+    val xc = incRare.as("a").join(corpusRare.as("b"), col("a.sh") === col("b.sh"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+    // increment-internal candidates (the small² self-join)
+    val xi = incRare.as("a").join(incRare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val interRare = xc.union(xi)
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter_rare"))
+    // hot contribution re-added for surfaced candidates only (bounded:
+    // |pairs| × hot shingles per doc — the cold guard's own economics)
+    val hotAll = corpusShingles.join(broadcast(hotShingles), Seq("sh"), "left_semi")
+      .union(incSh.join(broadcast(hotShingles), Seq("sh"), "left_semi"))
+    val interHot = interRare.select(col("i"), col("j"))
+      .join(hotAll.as("ha"), col("i") === col("ha.doc_id"))
+      .join(hotAll.as("hb"), col("j") === col("hb.doc_id") && col("ha.sh") === col("hb.sh"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter_hot"))
+    val sizes = corpusSizes.union(incSizes)
+    interRare.join(interHot, Seq("i", "j"), "left")
+      .select(col("i"), col("j"),
+        (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
       .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))

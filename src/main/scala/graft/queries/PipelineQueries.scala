@@ -93,11 +93,34 @@ object PipelineQueries {
     * against half-written reads, not against yanking a complete artifact
     * from under a running scan). */
   private[graft] def buildComponentsArtifact(s: SparkSession, d: String,
-      out: String): Unit = {
-    val docs = Tables.documents(s, d)
-    val pairs = Dedup.ngramJaccardPairs(docs, k = ComponentsK,
-        threshold = ComponentsThreshold,
-        dfCutoff = Some(Dedup.autoDfCutoff(docs)))
+      out: String): Unit =
+    buildComponentsArtifactFrom(s, Tables.documents(s, d), out)
+
+  /** Cold build over an explicit docs frame. Besides `clusters/` +
+    * `meta/`, the artifact persists the SNAPSHOT INDEX incremental
+    * maintenance needs ([[appendComponentsArtifact]]): `shingles/` (the
+    * full (doc_id, sh) index — bucketed by sh at 100 TB), `sizes/`
+    * (per-doc distinct-shingle counts) and `hot/` (the shingles the
+    * snapshot's df cutoff cut from candidate generation — FIXED until
+    * the next full rebuild, the compaction step). One extra shingle
+    * pass vs the pair build; at 100 TB the pair build would read these
+    * from the written index instead of re-deriving (fused here for
+    * simplicity at gate scale). */
+  private[graft] def buildComponentsArtifactFrom(s: SparkSession,
+      docs: DataFrame, out: String): Unit = {
+    val cutoff = Dedup.autoDfCutoff(docs)
+    // index FIRST: raw text is shingled exactly once; the pair build,
+    // sizes and hot set all read the written 8-byte (doc_id, sh) grain
+    Dedup.shingleIndex(docs, ComponentsK)
+      .write.mode("overwrite").parquet(s"$out/shingles")
+    val shWritten = s.read.parquet(s"$out/shingles")
+    shWritten.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$out/sizes")
+    shWritten.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cutoff).select(col("sh"))
+      .write.mode("overwrite").parquet(s"$out/hot")
+    val pairs = Dedup.pairsFromShingles(shWritten, ComponentsThreshold,
+        dfCutoff = Some(cutoff))
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
@@ -108,9 +131,66 @@ object PipelineQueries {
     ()
   }
 
-  /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>. */
+  /** Incremental artifact maintenance — merge an increment's near-dup
+    * edges into a PRIVATE artifact dir IN PLACE, without re-pairing the
+    * corpus (round-7 verdict ask #4): new edges from
+    * [[Dedup.incrementalNgramPairs]] against the persisted index, then
+    * components of (old clusters as star edges) ∪ (new edges) — the old
+    * cluster table IS a spanning forest of the old pair graph, so the
+    * merged components (and their min-doc_id labels) equal a cold
+    * rebuild over corpus∪increment under the snapshot's cut set
+    * (ComponentsIncrSpec pins hash-equality). Appends: `shingles/` and
+    * `sizes/` grow by parquet dir-append (cost ∝ increment); `clusters/`
+    * + `meta/` are rewritten via stage-then-swap (the cluster table is
+    * the SMALL output grain, never corpus-scale); `hot/` is untouched
+    * snapshot metadata. NOT concurrency-safe by design — a SHARED
+    * artifact is immutable (buildOnce); production appends land in a
+    * staging copy and swap atomically, exactly like the cold build. */
+  private[graft] def appendComponentsArtifact(s: SparkSession, dir: String,
+      increment: DataFrame): Unit = {
+    val oldClusters = s.read.parquet(s"$dir/clusters")
+    val corpusSh = s.read.parquet(s"$dir/shingles")
+    val sizes = s.read.parquet(s"$dir/sizes")
+    val hot = s.read.parquet(s"$dir/hot")
+    val oldNPairs = s.read.parquet(s"$dir/meta").head.getLong(0)
+    val newPairs = Dedup.incrementalNgramPairs(increment, corpusSh, sizes, hot,
+        ComponentsK, ComponentsThreshold)
+      .select(col("i"), col("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNew = newPairs.count()
+    val star = oldClusters.select(col("cluster_id").as("i"), col("doc_id").as("j"))
+    // components() fully materializes its result (driver union-find or
+    // its own checkpoint parquet) before returning, so staging the write
+    // and swapping afterwards never reads through the dir being replaced
+    val merged = Dedup.components(star.union(newPairs))
+    val stagedC = s"$dir/clusters_staged"
+    merged.write.mode("overwrite").parquet(stagedC)
+    newPairs.unpersist(false)
+    val stagedM = s"$dir/meta_staged"
+    s.range(1).select(lit(oldNPairs + nNew).as("n_pairs"))
+      .coalesce(1).write.mode("overwrite").parquet(stagedM)
+    def swap(staged: String, live: String): Unit = {
+      graft.operators.Dedup.rmdir(new java.io.File(live))
+      java.nio.file.Files.move(new java.io.File(staged).toPath,
+        new java.io.File(live).toPath)
+      ()
+    }
+    swap(stagedC, s"$dir/clusters")
+    swap(stagedM, s"$dir/meta")
+    val incSh = Dedup.shingleIndex(increment, ComponentsK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incSh.write.mode("append").parquet(s"$dir/shingles")
+    incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$dir/sizes")
+    incSh.unpersist(false)
+    ()
+  }
+
+  /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>.
+    * `idx1` versions the layout — pre-index artifacts (no shingles/hot/
+    * sizes) must not be reused now that append reads them. */
   private[graft] def componentsArtifactPath(d: String): String = {
-    val params = s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf"
+    val params = s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx1"
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_components_${params}_" +
         StreamingQueries.sourceStamp(s"$d/documents.parquet")).getAbsolutePath

@@ -1,0 +1,130 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.PipelineQueries
+
+/** Pins the incremental components-artifact contract (round-7 verdict
+  * ask #4): appending an increment to a corpus-snapshot artifact via
+  * [[PipelineQueries.appendComponentsArtifact]] must produce clusters
+  * AND the n_pairs meta HASH-EQUAL to a cold
+  * [[PipelineQueries.buildComponentsArtifactFrom]] over corpus∪increment
+  * — including when the snapshot's df-cutoff guard is armed (a hot
+  * boilerplate shingle cut from candidate generation on both paths) —
+  * and the appended artifact must itself accept FURTHER appends (the
+  * index files grow with each increment, so maintenance chains).
+  *
+  * Equality precondition (documented on incrementalNgramPairs): the
+  * increment must not push a previously-rare shingle over the snapshot
+  * cutoff — the cut set is snapshot metadata, re-evaluated only at the
+  * next full rebuild. The fixtures honor it: the planted hot phrase is
+  * already hot in the corpus alone, and every other shingle's union df
+  * stays far below the cutoff.
+  */
+class ComponentsIncrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus: 20 docs sharing a 3-token boilerplate prefix (one shingle at
+  // df 20 > autoDfCutoff's floor of 16 → the guard arms and cuts it)
+  // with unique 12-token tails (every other shingle df ≤ 2), plus two
+  // near-dup families:
+  //   {1, 2} — identical tails (cross-corpus pair)
+  //   {10, 11} — identical tails
+  // Increment (ids 101+): 101 near-dups corpus doc 1 (cross-boundary
+  // edge that must MERGE into cluster {1,2}), 102/103 are an
+  // increment-internal pair, 104 is novel, 105 near-dups corpus doc 10.
+  private def tail(seed: Int): String =
+    (0 until 12).map(i => s"w${seed}_$i").mkString(" ")
+
+  private def doc(id: Long, t: String): (Long, String) =
+    (id, s"common boiler plate $t")
+
+  private def corpusDocs: DataFrame =
+    ((1L to 20L).map { id =>
+      val t = id match {
+        case 2 => tail(1)   // near-dup of doc 1
+        case 11 => tail(10) // near-dup of doc 10
+        case n => tail(n.toInt)
+      }
+      doc(id, t)
+    }).toDF("doc_id", "text")
+
+  private def incrementDocs: DataFrame =
+    Seq(
+      doc(101L, tail(1) + " extra"), // near-dup of corpus docs 1 and 2
+      doc(102L, tail(301)),          // increment-internal pair with 103
+      doc(103L, tail(301) + " tailbit"),
+      doc(104L, tail(400)),          // novel
+      doc(105L, tail(10))            // near-dup of corpus docs 10 and 11
+    ).toDF("doc_id", "text")
+
+  private def readClusters(dir: String): Seq[(Long, Long)] =
+    spark.read.parquet(s"$dir/clusters")
+      .select(col("doc_id"), col("cluster_id")).as[(Long, Long)]
+      .collect().toSeq.sorted
+
+  private def readNPairs(dir: String): Long =
+    spark.read.parquet(s"$dir/meta").head.getLong(0)
+
+  test("append == cold rebuild over the union (clusters + n_pairs), guard armed") {
+    val base = Files.createTempDirectory("comp-incr-base").toString
+    val cold = Files.createTempDirectory("comp-incr-cold").toString
+    try {
+      // the planted boilerplate must actually arm the guard, or this
+      // spec stops covering the hot re-add path
+      assert(Dedup.autoDfCutoff(corpusDocs) < 20,
+        "fixture regression: cutoff must sit below the boilerplate df")
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      assert(spark.read.parquet(s"$base/hot").count() >= 1L,
+        "fixture regression: the boilerplate shingle must be hot")
+      PipelineQueries.buildComponentsArtifactFrom(spark,
+        corpusDocs.unionByName(incrementDocs), cold)
+      PipelineQueries.appendComponentsArtifact(spark, base, incrementDocs)
+      assert(readClusters(base) == readClusters(cold))
+      assert(readNPairs(base) == readNPairs(cold))
+      // sanity on the semantics themselves: the cross-boundary edge
+      // merged 101 into the {1,2} cluster (min-label 1), 105 into
+      // {10,11}, and {102,103} formed a new increment-internal cluster
+      val m = readClusters(base).toMap
+      assert(m(101L) == 1L && m(2L) == 1L, s"got $m")
+      assert(m(105L) == 10L && m(11L) == 10L, s"got $m")
+      assert(m(102L) == 102L && m(103L) == 102L, s"got $m")
+      assert(!m.contains(104L), "novel doc must stay a singleton (absent)")
+    } finally {
+      Dedup.rmdir(new java.io.File(base))
+      Dedup.rmdir(new java.io.File(cold))
+    }
+  }
+
+  test("appends chain: two successive increments equal one cold union build") {
+    val base = Files.createTempDirectory("comp-incr-chain").toString
+    val cold = Files.createTempDirectory("comp-incr-chain-cold").toString
+    try {
+      val inc1 = incrementDocs.filter(col("doc_id") <= 103L)
+      val inc2 = incrementDocs.filter(col("doc_id") > 103L)
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      PipelineQueries.appendComponentsArtifact(spark, base, inc1)
+      PipelineQueries.appendComponentsArtifact(spark, base, inc2)
+      PipelineQueries.buildComponentsArtifactFrom(spark,
+        corpusDocs.unionByName(incrementDocs), cold)
+      assert(readClusters(base) == readClusters(cold))
+      assert(readNPairs(base) == readNPairs(cold))
+    } finally {
+      Dedup.rmdir(new java.io.File(base))
+      Dedup.rmdir(new java.io.File(cold))
+    }
+  }
+
+  test("empty increment is a no-op") {
+    val base = Files.createTempDirectory("comp-incr-empty").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      val before = (readClusters(base), readNPairs(base))
+      PipelineQueries.appendComponentsArtifact(spark, base,
+        incrementDocs.filter(lit(false)))
+      assert((readClusters(base), readNPairs(base)) == before)
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+}
