@@ -45,7 +45,10 @@ object KMeans {
   private[operators] def dist2(e: Column, c: Column): Column =
     graft.expressions.ArrayExprs.l2_dist2(e.cast("array<double>"), c)
 
-  /** Centroids → (cid, cent) with double components. */
+  /** Centroids → (cid, cent) with double components. The global window
+    * runs over the k rows the .limit cut (k centroids, never the corpus)
+    * — its `WindowExec: No Partition Defined` warning is expected and
+    * bounded, not a scale hazard. */
   private def initCentroids(embs: DataFrame, k: Int): DataFrame =
     embs.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("cent"))

@@ -87,6 +87,10 @@ object Ranking {
     val lex = bm25(docs, terms)
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(depth)
+      // global window over a ≤depth-row frame (the .limit above) — the
+      // `WindowExec: No Partition Defined` warning it logs is expected
+      // and bounded; rewriting via Ranks.globalRankDesc would trade one
+      // single-task pass over ≤1000 rows for three corpus passes
       .withColumn("r_lex", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
     val q = embeddings.filter(col("vec_id") === queryId)
@@ -99,6 +103,7 @@ object Ranking {
           sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))) *
             sqrt(graft.functions.VectorFunctions.norm2(col("qe")))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_id")).limit(depth)
+      // bounded global window, same note as r_lex above
       .withColumn("r_dense", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
     lex.join(dense, Seq("doc_id"), "full_outer")

@@ -67,6 +67,38 @@ class RanksSpec extends SparkSpec {
       .filter(col("a.t") =!= col("b.t")).count() == 0)
   }
 
+  test("degenerate corners: all-equal keys, ALL-NULL keys, n < tiles, numRanges=1 — each vs the single-window oracle") {
+    import spark.implicits._
+    // the four adversarial distributions the round-7 verdict named (#6):
+    //  - all-equal keys: every cut point collapses → one range holds
+    //    every row (single-task fallback, still correct);
+    //  - ALL-NULL keys: approxQuantile sees zero non-null values → no
+    //    cuts; every row routes through the null→last-range rule;
+    //  - n < tiles: rank r → bucket r (the q==0 path);
+    //  - numRanges=1: no cut points at all — the explicit single-range
+    //    configuration, not an emergent one.
+    val cases: Seq[(String, Seq[(Long, Option[Long])], Int, Int)] = Seq(
+      ("all-equal", (0 until 100).map(i => (i.toLong, Some(7L))), 8, 10),
+      ("all-null", (0 until 100).map(i => (i.toLong, None: Option[Long])), 8, 10),
+      ("n<tiles", (0 until 3).map(i => (i.toLong, Some(i.toLong % 2))), 8, 10),
+      ("numRanges=1", (0 until 200).map(i => (i.toLong, Some(i.toLong % 13))), 1, 7),
+      ("numRanges=1 all-null", (0 until 50).map(i => (i.toLong, None: Option[Long])), 1, 5))
+    for ((name, rows, numRanges, tiles) <- cases) {
+      val df = rows.toDF("id", "k").repartition(5)
+      val (ranked, total) = Ranks.globalRankDesc(df, "k", "id", numRanges)
+      assert(total == rows.length, s"$name: total")
+      val want = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("k").desc, col("id").asc)).cast("long"))
+      assert(ranked.as("a").join(want.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.rank") =!= col("b.rank")).count() == 0, s"$name: rank")
+      val gotT = Ranks.ntileByKeyDesc(df, "k", "id", tiles, outCol = "t", numRanges)
+      val wantT = df.withColumn("t",
+        ntile(tiles).over(Window.orderBy(col("k").desc, col("id").asc)).cast("long"))
+      assert(gotT.as("a").join(wantT.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.t") =!= col("b.t")).count() == 0, s"$name: ntile")
+    }
+  }
+
   test("ntileByKeyDesc equals single-window ntile: remainders, ties, n < tiles") {
     // 25 % 10 = 5 exercises remainder placement; 7 < 10 the degenerate;
     // 1000 % 7 = 6 a non-decile tile count; dup=1 is ALL-ties
