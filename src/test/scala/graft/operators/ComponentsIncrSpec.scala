@@ -117,6 +117,56 @@ class ComponentsIncrSpec extends SparkSpec {
     }
   }
 
+  test("randomized property: append == cold union build on seeded corpora (3 seeds)") {
+    // The constructed cases above choose which pairs exist; here the
+    // RANDOM corpus decides — near-dups of every strength (appended
+    // token, substituted token, exact copy), increment-internal dups,
+    // and novel docs, with jaccards landing on both sides of the 0.5
+    // threshold. The property is PATH EQUALITY: whatever the pair set
+    // is, append must reproduce the cold union build bit-for-bit.
+    // Vocab is wide (8k tokens over ≤65 docs) so no shingle approaches
+    // the df cutoff — the fixed-cut-set precondition holds by
+    // construction.
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      def randTokens(): Vector[String] =
+        Vector.fill(10 + rnd.nextInt(5))(s"v${rnd.nextInt(8000)}")
+      val corpusToks = (1L to 50L).map(id => id -> randTokens()).toMap
+      val corpus = corpusToks.toSeq.sortBy(_._1)
+        .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      val incRows = (0 until 15).map { i =>
+        val id = 1001L + i
+        val text = i match {
+          case j if j < 3 => // exact copy of a random corpus doc
+            corpusToks(1L + rnd.nextInt(50)).mkString(" ")
+          case j if j < 6 => // appended-token near-dup (high jaccard)
+            (corpusToks(1L + rnd.nextInt(50)) :+ s"x$j").mkString(" ")
+          case j if j < 9 => // substituted-token variant (may fall under 0.5)
+            val t = corpusToks(1L + rnd.nextInt(50))
+            t.updated(rnd.nextInt(t.length), s"y$j").mkString(" ")
+          case 9 | 10 => // increment-internal exact pair
+            "shared increment pair text " + (0 until 8).map(k => s"p${seed}_$k").mkString(" ")
+          case _ => randTokens().mkString(" ")
+        }
+        (id, text)
+      }
+      val increment = incRows.toDF("doc_id", "text")
+      val base = Files.createTempDirectory(s"comp-incr-rnd-$seed").toString
+      val cold = Files.createTempDirectory(s"comp-incr-rndc-$seed").toString
+      try {
+        PipelineQueries.buildComponentsArtifactFrom(spark, corpus, base)
+        PipelineQueries.appendComponentsArtifact(spark, base, increment)
+        PipelineQueries.buildComponentsArtifactFrom(spark,
+          corpus.unionByName(increment), cold)
+        assert(readClusters(base) == readClusters(cold), s"seed $seed: clusters")
+        assert(readNPairs(base) == readNPairs(cold), s"seed $seed: n_pairs")
+      } finally {
+        Dedup.rmdir(new java.io.File(base))
+        Dedup.rmdir(new java.io.File(cold))
+      }
+    }
+  }
+
   test("empty increment is a no-op") {
     val base = Files.createTempDirectory("comp-incr-empty").toString
     try {
