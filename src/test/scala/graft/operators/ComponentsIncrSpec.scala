@@ -167,6 +167,48 @@ class ComponentsIncrSpec extends SparkSpec {
     }
   }
 
+  test("hostile edge docs (NULL/empty/sub-k texts, exact dup of corpus edge doc): append == cold") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // shingle-less docs (NULL text, empty, whitespace, < k tokens) are
+    // absent from the pair graph on BOTH paths (the shingleRows
+    // contract); they must not break the index writes, the sizes join,
+    // or the components merge — and a real near-dup in the same
+    // increment must still pair. Rows built via an explicit schema:
+    // toDF can't infer nullable text from a Seq of tuples with nulls.
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    def frame(rows: Seq[(Long, String)]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+    val corpus = frame(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, null), (4L, ""), (5L, "one two"), // shingle-less corpus docs
+      (6L, "totally different text about other things entirely")))
+    val increment = frame(Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta"), // near-dup of {1,2}
+      (102L, null), (103L, " \t "), (104L, "xy"), // shingle-less increment docs
+      (105L, "novel words nothing shares with anything else here")))
+    val base = Files.createTempDirectory("comp-incr-hostile").toString
+    val cold = Files.createTempDirectory("comp-incr-hostile-cold").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpus, base)
+      PipelineQueries.appendComponentsArtifact(spark, base, increment)
+      PipelineQueries.buildComponentsArtifactFrom(spark,
+        corpus.unionByName(increment), cold)
+      assert(readClusters(base) == readClusters(cold))
+      assert(readNPairs(base) == readNPairs(cold))
+      val m = readClusters(base).toMap
+      assert(m(101L) == 1L && m(2L) == 1L, s"got $m")
+      assert(Seq(3L, 4L, 5L, 102L, 103L, 104L, 105L).forall(!m.contains(_)),
+        s"shingle-less/novel docs must be absent: $m")
+    } finally {
+      Dedup.rmdir(new java.io.File(base))
+      Dedup.rmdir(new java.io.File(cold))
+    }
+  }
+
   test("empty increment is a no-op") {
     val base = Files.createTempDirectory("comp-incr-empty").toString
     try {
