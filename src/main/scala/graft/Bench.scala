@@ -44,16 +44,22 @@ object Bench {
     * post-warmup passes is the steady-state cost of the PLAN — the
     * number plan-shape comparisons across rounds actually want — at the
     * price of one extra pass per query. */
-  private def timed(build: () => DataFrame): Double = {
+  /** Per-query pass-to-pass spread ((max−min)/min over the timed
+    * passes), keyed by query name — written into bench_full.json beside
+    * the timings so a cross-environment reader can tell a noisy number
+    * from a plan change without re-running (round 7's weak flags were
+    * exactly this adjudication, done blind). */
+  private val spreads =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+  private def timed(build: () => DataFrame): (Double, Double) = {
     def runOnce(): Double = {
       val t0 = System.nanoTime()
       build().write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
     runOnce() // warmup
-    val p1 = runOnce()
-    val p2 = runOnce()
-    var best = math.min(p1, p2)
+    val passes = scala.collection.mutable.ArrayBuffer(runOnce(), runOnce())
     // Disagreement guard (round 7: the driver's run read two queries 8×
     // above the builder's on identical code — both post-warmup passes
     // landed inside one sustained disturbance). When the two passes
@@ -61,15 +67,11 @@ object Bench {
     // steady-state number: take up to two extra passes until one lands
     // within 30% of the running min. Cheap (extra passes only on noisy
     // entries) and bounded.
-    var spread = math.abs(p1 - p2)
-    var extra = 0
-    while (best >= 0.5 && spread > 0.3 * best && extra < 2) {
-      val p = runOnce()
-      spread = math.abs(p - best)
-      best = math.min(best, p)
-      extra += 1
-    }
-    best
+    while (passes.min >= 0.5 &&
+        passes.takeRight(2).max - passes.min > 0.3 * passes.min &&
+        passes.size < 4)
+      passes += runOnce()
+    (passes.min, (passes.max - passes.min) / passes.min)
   }
 
   /** Isolation between queries: 128 queries share one JVM, and the heavy
@@ -171,7 +173,11 @@ object Bench {
   }
 
   private def run(name: String, build: () => DataFrame): (String, Double) =
-    name -> (try timed(build) catch { case e: Throwable =>
+    name -> (try {
+      val (best, spread) = timed(build)
+      spreads(name) = spread
+      best
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] $name failed: ${e.getMessage}")
       -1.0
     } finally isolate())
@@ -397,8 +403,15 @@ object Bench {
     // clobber the last full sweep's snapshot — it goes to a partial file.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // pass-to-pass spread per query ((max−min)/min, 2 decimals): the
+    // noise bar a reader needs to adjudicate a cross-run delta as
+    // variance vs plan change. Full file only — the driver's printed
+    // line stays minimal.
+    val fullSpread = spreads.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread":$fullSpread,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get(
         if (only.isEmpty) "bench_full.json" else "bench_partial.json")
