@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// surface deprecation details at compile time (kept warning-visible on
+// purpose; the six standing ones are triaged in code comments or benign)
+scalacOptions += "-deprecation"

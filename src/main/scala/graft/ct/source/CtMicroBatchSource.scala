@@ -92,7 +92,7 @@ object CtOffset {
   def fromJson(s: String): CtOffset = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
     val out = Map.newBuilder[String, Long]
-    root.fields().forEachRemaining(e => out += (e.getKey -> e.getValue.asLong()))
+    root.properties().forEach(e => out += (e.getKey -> e.getValue.asLong()))
     CtOffset(out.result())
   }
 }

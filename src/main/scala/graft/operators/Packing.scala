@@ -132,7 +132,7 @@ object Packing {
     withH.withColumn("__rn", row_number().over(w))
       .join(broadcast(offsets), Seq("__pid"))
       .select((col("__off") + col("__rn") - 1).cast("long").as("pos") +:
-        docs.columns.map(col): _*)
+        docs.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Overlapping token-window chunking — the RAG-indexing / long-doc

@@ -136,7 +136,7 @@ object ScaleJoins {
     val sketchAgg = column(new BloomFilterAggregate(
       expression(xxhash64(col(smallKey))), Literal(expectedItems), Literal(numBits)
     ).toAggregateExpression())
-    val sketch = small.select(sketchAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val sketch = small.select(sketchAgg.as("bf")).head().getAs[Array[Byte]](0)
     val mightContain = column(BloomFilterMightContain(
       Literal(sketch, BinaryType), expression(xxhash64(col(bigKey)))))
     big.filter(mightContain)

@@ -152,7 +152,7 @@ object PipelineQueries {
     val corpusSh = s.read.parquet(s"$dir/shingles")
     val sizes = s.read.parquet(s"$dir/sizes")
     val hot = s.read.parquet(s"$dir/hot")
-    val oldNPairs = s.read.parquet(s"$dir/meta").head.getLong(0)
+    val oldNPairs = s.read.parquet(s"$dir/meta").head().getLong(0)
     val newPairs = Dedup.incrementalNgramPairs(increment, corpusSh, sizes, hot,
         ComponentsK, ComponentsThreshold)
       .select(col("i"), col("j"))
@@ -200,7 +200,7 @@ object PipelineQueries {
     s.read.parquet(componentsArtifactDir(s, d) + "/clusters")
 
   private def componentsPairCount(s: SparkSession, d: String): Long =
-    s.read.parquet(componentsArtifactDir(s, d) + "/meta").head.getLong(0)
+    s.read.parquet(componentsArtifactDir(s, d) + "/meta").head().getLong(0)
 
   private def incrementId(docId: org.apache.spark.sql.Column) =
     when(docId >= 1000000L, raise_error(lit(
