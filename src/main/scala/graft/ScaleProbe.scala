@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured scaling decades ABOVE the largest shipped testdata
+  * SF. The sf0.01→sf0.1 decade in SCALE.md is overhead-dominated (most
+  * entries run well under a second at sf0.01, so fixed job-setup cost
+  * hides the compute curve); this probe builds ×10 and ×100 corpora in
+  * /tmp and re-times a representative subset of the declared queries on
+  * them, giving two compute-dominated decades.
+  *
+  * Replica model — "independent shards", chosen so both candidate and
+  * answer volume scale EXACTLY linearly with the corpus and the runtime
+  * curve is therefore interpretable on its own:
+  *  - documents: every whitespace token is prefixed with a replica tag
+  *    (`r7x` + token). The tag map is a bijection per replica, so every
+  *    shingle set, Jaccard value, MinHash signature and duplicate
+  *    cluster inside a replica is isomorphic to the base corpus, while
+  *    no shingle matches across replicas — the corpus behaves as N
+  *    independent shards of identical internal duplicate structure.
+  *  - embeddings: each replica applies its own deterministic sign-flip
+  *    pattern (a diagonal orthogonal transform), preserving all
+  *    within-replica norms and cosines exactly while cross-replica
+  *    cosines collapse to ~N(0, 1/dim) noise — far below every
+  *    similarity threshold in the suite.
+  *  - events: id/user offsets per replica, timestamps untouched — the
+  *    streaming key space (and so state size) scales with the corpus,
+  *    watermark semantics unchanged.
+  *
+  * Stated limitation (also noted in SCALE.md): under this model no
+  * shingle's document frequency grows with the corpus, so the relative
+  * df-cutoff guard (autoDfCutoff = 0.4 % of n) is idle at every scale —
+  * the guarded regime is separately measured by the 20M-row planted
+  * skew fixtures in Bench. What this probe pins is the complement: that
+  * the candidate-generation equi-joins, verification joins, LSH
+  * banding, component builds and streaming state scale linearly when
+  * the data volume does.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe [scale ...]"   (default 1 10 100)
+  * Prints one JSON line per (scale, query) with both timed passes; the
+  * min is the headline number. dedup_clusters reports pass1 = artifact
+  * cold build + read, pass2 = warm artifact read (the two passes are
+  * different operations there by design, not noise).
+  */
+object ScaleProbe {
+
+  private val Version = "v1"
+
+  private def ceilLog2(n: Int): Int =
+    if (n <= 1) 0 else 32 - Integer.numberOfLeadingZeros(n - 1)
+
+  /** One probe entry: the builder additionally receives the replica
+    * count, so scaled-parameter variants can apply the documented scale
+    * rules (p ∝ log n, k ∝ n). `maxScale` caps entries whose FIXED
+    * declared parameters are known-quadratic — running them at ×100
+    * would take hours to demonstrate what ×10 already demonstrates. */
+  private case class P(name: String, maxScale: Int,
+      build: (SparkSession, String, Int) => DataFrame)
+
+  private def declared(q: String): (SparkSession, String, Int) => DataFrame =
+    (s, d, _) => SparkEntry.queries(q)(s, d)
+
+  /** Probed per scale: codegen scans, the n-gram/MinHash candidate
+    * joins, embedding LSH/exact/SemDeDup (fixed-parameter demos AND the
+    * scale-rule variants), brute-force kNN, the pair-graph + PageRank
+    * path, the components artifact build, streaming session windows. */
+  private val Probe = Seq(
+    P("doc_langid", 100, declared("doc_langid")),
+    P("dedup_ngram_pairs", 100, declared("dedup_ngram_pairs")),
+    P("dedup_minhash_pairs", 100, declared("dedup_minhash_pairs")),
+    // fixed p=3 → 8 buckets/band → candidates Θ(n²/2^p): the measured
+    // quadratic cliff (2.0 s → 217 s across ×1→×10); capped at ×10
+    P("dedup_embedding_lsh", 10, declared("dedup_embedding_lsh")),
+    // exact IVF on the sign-flip corpus = the docstring's stated worst
+    // case (uniform vectors, loose threshold): pruning power ~0; ×10 only
+    P("dedup_embedding_pairs", 10, declared("dedup_embedding_pairs")),
+    // SemDeDup with its documented rule k ∝ n (mean cluster size const):
+    // the FLAT path — training O(n·k·iters) + assignment O(n·k), i.e.
+    // O(n²) twice under this rule; measured 15× across its last decade
+    P("dedup_semantic_scaledk", 100, (s, d, n) =>
+      operators.Dedup.semanticNearDups(Tables.embeddings(s, d),
+        k = 8 * n, iters = 2, threshold = 0.45)),
+    // same rule, SCALE path: centroids trained on the 1/max(1,n/10)
+    // hash-sample (≥ ~25 vectors/cluster at every scale here) and
+    // assignment via the two-level O(n·√k) route — the configuration
+    // whose curve should stay ~linear where the flat twin turns n²
+    P("dedup_semantic_hier", 100, (s, d, n) =>
+      operators.Dedup.semanticNearDups(Tables.embeddings(s, d),
+        k = 8 * n, iters = 2, threshold = 0.45,
+        hierProbe = Some(1), trainDenom = Some(math.max(1, n / 10)))),
+    P("emb_knn", 100, declared("emb_knn")),
+    P("graph_pagerank", 100, declared("graph_pagerank")),
+    P("dedup_clusters", 100, declared("dedup_clusters")),
+    P("stream_sessions", 100, declared("stream_sessions")),
+    // the docstring's scale rule applied: p = log2(nVectors / target)
+    // holds bucket occupancy ~constant (target ≈ 50 here, the base
+    // corpus is 2000 vectors × n replicas) → candidates (and runtime)
+    // ∝ n. Capped at ×10 in the DEFAULT verify shape: even with linear
+    // candidate count, the default's second verify join shuffles rows
+    // carrying a full embedding per candidate (~150M × ~600 B ≈ 90 GB at
+    // ×100) — measured to exhaust first an 8 GB heap, then 79 GB of
+    // spill disk. That wall is the reason inlineVerify exists.
+    P("dedup_embedding_lsh_scaledp", 10, (s, d, n) =>
+      operators.Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d),
+        threshold = 0.45, nPlanes = ceilLog2(40 * n), nBands = 32)),
+    // same scale rule + inline verify: cosine computed inside the band
+    // join, so wide rows ride only the linear n·B band sort and every
+    // shuffled candidate is a narrow (i, j, cos_sim). LAST on purpose:
+    // still the heaviest entry, and an executor-thread OOM in local
+    // mode kills the whole JVM — running it last loses nothing else.
+    P("dedup_embedding_lsh_inline", 100, (s, d, n) =>
+      operators.Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d),
+        threshold = 0.45, nPlanes = ceilLog2(40 * n), nBands = 32,
+        inlineVerify = true)))
+
+  private def replicate(spark: SparkSession, base: String, out: String,
+      n: Int): Unit = {
+    val outF = new java.io.File(out)
+    val marker = new java.io.File(outF, s".complete_${Version}_x$n")
+    if (marker.exists()) return
+    graft.operators.Dedup.rmdir(outF)
+    outF.mkdirs()
+    val reps = broadcast(spark.range(n).select(col("id").cast("int").as("rep")))
+
+    // documents: tag every token; n_chars re-derived so the
+    // length-consistency semantics of the base table carry over
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val tag = concat(lit("r"), col("rep"), lit("x"))
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep").cast("long") * 10000L).as("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), w => concat(tag, w)), " "))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(math.max(8, n / 4))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: per-replica deterministic sign flip (orthogonal, so
+    // within-replica cosines are bit-preserved up to float rounding)
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep").cast("long") * 10000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (pmod(hash(col("rep"), i), lit(2)) * 2 - 1).cast("float"))
+            .cast("float")).as("embedding"),
+        col("label"))
+      .repartition(math.max(4, n / 8))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // events: a single FILE named events.parquet — the streaming
+    // sources pathGlobFilter-match that exact name (HostileGen does the
+    // same move-the-part-file dance for the same reason)
+    val work = s"$out/.work_events"
+    Tables.events(spark, base).crossJoin(reps)
+      .select(
+        (col("event_id") + col("rep").cast("long") * 10000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep").cast("long") * 10000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(work)
+    val part = new java.io.File(work).listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(outF, "events.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.operators.Dedup.rmdir(new java.io.File(work))
+
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    ()
+  }
+
+  private def isolate(): Unit = {
+    SparkSession.active.catalog.clearCache()
+    System.gc()
+  }
+
+  private def once(build: () => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    build().write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions are a SCALE KNOB (SCALE.md "Knobs that change at
+    // 100 TB"): the ×100 corpus needs more of them than task threads so
+    // per-task aggregate state fits the heap — overridable independently
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = System.getProperty("java.io.tmpdir")
+    for (n <- scales) {
+      val dir = new java.io.File(tmp, s"graft_scale_x$n").getAbsolutePath
+      replicate(spark, base, dir, n)
+      // dev-only entry filter for re-timing a single probe without the
+      // whole sweep (comma-separated names)
+      val onlyP = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      for (p <- Probe if n <= p.maxScale && onlyP.forall(_.contains(p.name))) {
+        val build = () => p.build(spark, dir, n)
+        // a failing entry (analysis error, resource exhaustion that the
+        // JVM survives) must not silently eat the remaining entries —
+        // note: an executor-thread OOM in local mode still kills the
+        // whole JVM (Spark's uncaught-exception handler), which is why
+        // the heaviest entry sits last in `Probe`
+        try {
+          val t1 = once(build); isolate()
+          // a second pass separates steady-state from first-touch (and
+          // for dedup_clusters deliberately measures the warm artifact
+          // read); skipped when the first pass already ran minutes — at
+          // that length JIT/cache noise is a rounding error on the
+          // exponent
+          val t2 = if (t1 > 120) Double.NaN else { val t = once(build); isolate(); t }
+          val t2s = if (t2.isNaN) "null" else f"$t2%.3f"
+          println(f"""{"probe":"${p.name}","scale":$n,"pass1":$t1%.3f,"pass2":$t2s}""")
+        } catch { case e: Exception =>
+          println(s"""{"probe":"${p.name}","scale":$n,"error":"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").replaceAll("[\"\n]", " ").take(200)}"}""")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -950,8 +950,55 @@ object Dedup {
     * composes via [[components]]/[[survivors]] exactly like the other pair
     * operators. */
   def semanticNearDups(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
-      threshold: Double = 0.45): DataFrame = {
-    val asg = KMeans.lloyd(embeddings, k, iters).select(col("vec_id"), col("cluster"))
+      threshold: Double = 0.45,
+      maxClusterRows: Option[Long] = None,
+      hierProbe: Option[Int] = None,
+      trainDenom: Option[Int] = None): DataFrame = {
+    // Opt-in scale paths, both default-off so the declared query's plan
+    // is untouched. Under the k ∝ n sizing rule the flat path is O(n²)
+    // twice over — Lloyd TRAINING is O(n·k·iters) and the final
+    // ASSIGNMENT O(n·k) — and the two knobs remove one each:
+    //  - trainDenom = Some(d): train centroids on the deterministic
+    //    1/d hash-sample of vectors (standard k-means practice — the
+    //    codebook needs a representative sample, not the corpus), then
+    //    assign ALL vectors under those centroids. Training drops to
+    //    O((n/d)·k·iters).
+    //  - hierProbe = Some(p): assign via the two-level
+    //    [[KMeans.assignCellsHier]] route (kSuper = ⌈√k⌉, nProbe = p) —
+    //    assignment drops to O(n·√k); exact for p ≥ kSuper, standard
+    //    IVF residency approximation below that (acceptable for
+    //    SemDeDup blocking by the same argument as the cluster split
+    //    documented above).
+    val asg = (hierProbe, trainDenom) match {
+      case (None, None) =>
+        KMeans.lloyd(embeddings, k, iters).select(col("vec_id"), col("cluster"))
+      case (hp, td) =>
+        val trainSet = td.fold(embeddings) { d =>
+          require(d > 0, "trainDenom must be positive")
+          embeddings.filter(pmod(hash(col("vec_id")), lit(d)) === 0)
+        }
+        val cents = KMeans.centroidsAfter(trainSet, k, iters)
+        val cells = hp.fold(KMeans.assignCells(embeddings, cents)) { p =>
+          val kSuper = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+          KMeans.assignCellsHier(embeddings, cents, kSuper, p)
+        }
+        cells.select(col("vec_id"), col("cid").as("cluster"))
+    }
+    // Opt-in hot-cluster circuit breaker, same contract as the LSH
+    // `maxBucketRows` above: the within-cluster pair join is C(|cell|, 2)
+    // per cell, so one cluster past the bound means a quadratic join —
+    // fail loudly naming it; the remedy is the documented k ∝ n rule
+    // (mean cluster size held at ~10³-10⁴).
+    maxClusterRows.foreach { m =>
+      val hot = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"k-means cluster ${r.get(0)} holds ${r.getLong(1)} vectors " +
+          s"(> maxClusterRows=$m): the within-cluster pair join would be " +
+          "quadratic in it — raise k (k ∝ n holds mean cluster size constant)"
+      })
+    }
     val withNorm = embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"),
         sqrt(V.norm2(col("embedding"))).as("nrm"))
@@ -966,24 +1013,81 @@ object Dedup {
   }
 
   def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double = 0.45,
-      nPlanes: Int = 3, nBands: Int = 32): DataFrame = {
+      nPlanes: Int = 3, nBands: Int = 32,
+      maxBucketRows: Option[Long] = None,
+      inlineVerify: Boolean = false): DataFrame = {
     val withNorm = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"),
       sqrt(V.norm2(col("embedding"))).as("nrm"))
     val bands = withNorm.select(col("vec_id"),
       posexplode(V.lshBands(col("embedding"), nPlanes, nBands)).as(Seq("band_idx", "bucket")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .distinct()
-    cand
-      .join(withNorm.as("va"), col("i") === col("va.vec_id"))
-      .join(withNorm.as("vb"), col("j") === col("vb.vec_id"))
-      .select(col("i"), col("j"),
-        V.cosineRatio(V.dot(col("va.embedding"), col("vb.embedding")), col("va.nrm") * col("vb.nrm")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
-      .orderBy(col("i"), col("j"))
+    // Opt-in hot-bucket circuit breaker (same contract as the fuzzy
+    // blocking `maxBlockRows`): candidate pairs inside one bucket are
+    // C(occ, 2), and with FIXED nPlanes mean occupancy grows ∝ n, so the
+    // band self-join is Θ(B·n²/2^p) — ScaleProbe measured ×119 runtime
+    // for a ×10 corpus at the p=3 default. One cheap aggregate pass
+    // FAILS LOUDLY before launching the runaway join, naming the hot
+    // bucket; the remedies are the scale rules documented above — grow
+    // nPlanes with log n (hold occupancy constant) or use
+    // [[semanticNearDups]] with k ∝ n for the low-threshold regime.
+    maxBucketRows.foreach { m =>
+      val hot = bands.groupBy(col("band_idx"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > m).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"LSH bucket (band=${r.get(0)}, bucket=${r.get(1)}) holds ${r.getLong(2)} " +
+          s"vectors (> maxBucketRows=$m): the band self-join would be quadratic " +
+          "in it — raise nPlanes (p ≈ log2(n/targetOccupancy)) or use " +
+          "semanticNearDups(k ∝ n) for the low-threshold regime"
+      })
+    }
+    // Two verify shapes with identical output, different shuffle economics:
+    //
+    //  default (distinct-then-join): dedup candidate pairs first, then
+    //  re-join both vectors by vec_id. Cosine is computed once per
+    //  DISTINCT pair — but the second verify join shuffles rows already
+    //  carrying one full embedding, i.e. candidates × vector-width bytes.
+    //  ScaleProbe measured that wall: at a ×100 corpus (200k vectors,
+    //  ~150M candidates) the wide-row shuffle wanted ~90 GB of spill.
+    //
+    //  inlineVerify: carry (embedding, nrm) on the band rows and compute
+    //  cosine INSIDE the band self-join, filter to ≥ threshold, and only
+    //  then distinct. Wide rows ride only the n·B band sort (linear in
+    //  the corpus); every shuffled candidate row is a narrow (i, j,
+    //  cos_sim). The price is up to B× redundant cosine computes for
+    //  pairs colliding in several bands — pure CPU, no memory footprint
+    //  — which is the right trade at scale (same per-pair value in every
+    //  band, so the post-filter distinct is exact). This is the shape to
+    //  use beyond ~10⁵ vectors per box; the PQ-coded ADC in the IVF+PQ
+    //  operators is the same idea taken further (verify on 64×-smaller
+    //  codes first).
+    if (inlineVerify) {
+      val wide = withNorm.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(V.lshBands(col("embedding"), nPlanes, nBands)).as(Seq("band_idx", "bucket")))
+      wide.as("a").join(wide.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          V.cosineRatio(V.dot(col("a.embedding"), col("b.embedding")),
+            col("a.nrm") * col("b.nrm")).as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+        .distinct()
+        .orderBy(col("i"), col("j"))
+    } else {
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+        .distinct()
+      cand
+        .join(withNorm.as("va"), col("i") === col("va.vec_id"))
+        .join(withNorm.as("vb"), col("j") === col("vb.vec_id"))
+        .select(col("i"), col("j"),
+          V.cosineRatio(V.dot(col("va.embedding"), col("vb.embedding")), col("va.nrm") * col("vb.nrm")).as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+        .orderBy(col("i"), col("j"))
+    }
   }
 
   /** Blocked fuzzy key matching — the record-linkage pattern (near-equal

@@ -243,6 +243,14 @@ class PipelineOpsSpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), "verify step must keep only true >= threshold pairs")
     assert(lsh == exact, s"tuned (p=3, B=32) recall on sf0.001 is 100% (missed ${exact -- lsh})")
+    // the inline-verify shape (cosine inside the band join, distinct
+    // after the threshold filter) must produce the identical rows —
+    // pairs AND IEEE cosine values — as the distinct-then-join default
+    val inline = Dedup.embeddingNearDupsLsh(embs, 0.45, inlineVerify = true)
+      .collect().map(_.toSeq).toSeq
+    val deflt = Dedup.embeddingNearDupsLsh(embs, 0.45)
+      .collect().map(_.toSeq).toSeq
+    assert(inline == deflt, "inlineVerify must be output-identical to the default shape")
   }
 
   test("semantic dedup: exactly the co-clustered near-dup pairs, equi-join plan") {
@@ -265,6 +273,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
     assert(plan.contains("Join [cluster") || plan.contains("Join [coalesce(cluster"),
       s"pair generation must equi-join on the cluster id:\n$plan")
+  }
+
+  test("embedding blocker circuit breakers: hot bucket/cluster fail loudly, bounded runs unchanged") {
+    // p=3 gives 8 buckets per band, so SOME bucket holds >= 2 vectors on
+    // any non-trivial fixture — a bound of 1 must trip the LSH breaker
+    val eL = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsLsh(embs, 0.45, maxBucketRows = Some(1L)).count()
+    }
+    assert(eL.getMessage.contains("maxBucketRows"), eL.getMessage)
+    // a bound the buckets respect changes nothing vs the unguarded run
+    val guardedL = Dedup.embeddingNearDupsLsh(embs, 0.45,
+      maxBucketRows = Some(1000000L)).collect().toSeq
+    val plainL = Dedup.embeddingNearDupsLsh(embs, 0.45).collect().toSeq
+    assert(guardedL == plainL)
+    // same contract for the SemDeDup hot-cluster breaker
+    val eS = intercept[IllegalArgumentException] {
+      Dedup.semanticNearDups(embs, k = 8, iters = 2, threshold = 0.45,
+        maxClusterRows = Some(1L)).count()
+    }
+    assert(eS.getMessage.contains("maxClusterRows"), eS.getMessage)
+    val guardedS = Dedup.semanticNearDups(embs, k = 8, iters = 2,
+      threshold = 0.45, maxClusterRows = Some(1000000L)).collect().toSeq
+    val plainS = Dedup.semanticNearDups(embs, k = 8, iters = 2,
+      threshold = 0.45).collect().toSeq
+    assert(guardedS == plainS)
   }
 
   test("phrase search: exact occurrence counts, overlaps, repeated terms") {
@@ -978,6 +1011,56 @@ class PipelineOpsSpec extends SparkSpec {
     val reparted = KMeans.lloyd(pts.repartition(7), k = 3, iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reparted == got, "assignment must not depend on partitioning")
+  }
+
+  test("hierarchical assignment: full probe bit-equal to flat, nProbe=1 sound") {
+    val cents = KMeans.centroidsAfter(embs, k = 8, iters = 2)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val flat = toMap(KMeans.assignCells(embs, cents))
+    // nProbe >= kSuper searches every centroid: output must be
+    // BIT-identical to the flat pass, d2 doubles included
+    val full = toMap(KMeans.assignCellsHier(embs, cents, kSuper = 3, nProbe = 3))
+    assert(full == flat, "full-probe hierarchical assignment must equal flat")
+    // nProbe=1: the IVF residency approximation — every vector keeps
+    // exactly one row, and its d2 is a true distance to the assigned
+    // centroid, so it can never beat the exact min
+    val h1 = toMap(KMeans.assignCellsHier(embs, cents, kSuper = 3, nProbe = 1))
+    assert(h1.keySet == flat.keySet, "no vector may be dropped or duplicated")
+    h1.foreach { case (id, (_, d2)) =>
+      assert(d2 >= flat(id)._2, s"vec $id: approx d2 $d2 beats exact ${flat(id)._2}")
+    }
+    val agree = h1.count { case (id, (cid, _)) => cid == flat(id)._1 }
+    assert(agree.toDouble / flat.size >= 0.7,
+      s"nProbe=1 agreement collapsed: $agree/${flat.size}")
+    // determinism across repartitioning, like the flat pass
+    val reparted = toMap(KMeans.assignCellsHier(
+      Tables.embeddings(spark, sf("sf0.001")).repartition(7), cents, 3, 1))
+    assert(reparted == h1, "hier assignment must not depend on partitioning")
+  }
+
+  test("semantic dedup scale path: full-probe == default; sampled+probed sound") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val dflt = rows(Dedup.semanticNearDups(embs, k = 8, iters = 2, threshold = 0.45))
+    // hierProbe >= kSuper (3 for k=8) makes assignment exact, so the
+    // pair output — values included — must match the default plan
+    val full = rows(Dedup.semanticNearDups(embs, k = 8, iters = 2,
+      threshold = 0.45, hierProbe = Some(3)))
+    assert(full == dflt, "full-probe hier path must reproduce the default output")
+    // the full scale configuration (sampled training + 1-probe
+    // assignment) is approximate by design: pin well-formedness and
+    // determinism, not equality
+    val scale = Dedup.semanticNearDups(embs, k = 8, iters = 2, threshold = 0.45,
+      hierProbe = Some(1), trainDenom = Some(2))
+    val got = scale.collect()
+    got.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "pairs must be i < j")
+      assert(r.getDouble(3) >= 0.45, "verify filter must hold")
+    }
+    val again = Dedup.semanticNearDups(embs, k = 8, iters = 2, threshold = 0.45,
+      hierProbe = Some(1), trainDenom = Some(2)).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "sampled+probed path must be run-to-run deterministic")
   }
 
   test("JSONL round-trip preserves escape-hostile text exactly") {
