@@ -1039,6 +1039,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted == h1, "hier assignment must not depend on partitioning")
   }
 
+  test("hierarchical assignment degenerate corners match flat where exactness holds") {
+    val cents = KMeans.centroidsAfter(embs, k = 8, iters = 2)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val flat = toMap(KMeans.assignCells(embs, cents))
+    // kSuper=1: one super-cell holds every centroid, so even nProbe=1
+    // searches them all — bit-equal to flat by construction
+    assert(toMap(KMeans.assignCellsHier(embs, cents, kSuper = 1, nProbe = 1)) == flat,
+      "kSuper=1 must degenerate to the flat pass")
+    // nProbe far beyond the super-cell count: the probe slice clamps,
+    // every centroid searched — bit-equal, no duplicated vectors
+    assert(toMap(KMeans.assignCellsHier(embs, cents, kSuper = 3, nProbe = 100)) == flat,
+      "overflowing nProbe must clamp to all super-cells and equal flat")
+    // kSuper >= k: super-clustering the 8 centroids into 8 super-cells
+    // (some may come out empty — exactly the empty-cell exclusion path);
+    // full probe still searches everything reachable and must be exact
+    assert(toMap(KMeans.assignCellsHier(embs, cents, kSuper = 8, nProbe = 8)) == flat,
+      "kSuper=k full probe must equal flat despite empty super-cells")
+    // k=1 corpus-wide single centroid: both levels collapse to one row
+    val c1 = KMeans.centroidsAfter(embs, k = 1, iters = 1)
+    assert(toMap(KMeans.assignCellsHier(embs, c1, kSuper = 1, nProbe = 1)) ==
+      toMap(KMeans.assignCells(embs, c1)), "k=1 must match flat trivially")
+  }
+
   test("semantic dedup scale path: full-probe == default; sampled+probed sound") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     val dflt = rows(Dedup.semanticNearDups(embs, k = 8, iters = 2, threshold = 0.45))
