@@ -1063,6 +1063,64 @@ class PipelineOpsSpec extends SparkSpec {
       toMap(KMeans.assignCells(embs, c1)), "k=1 must match flat trivially")
   }
 
+  test("hierarchical assignment plan: broadcast routing join, no cartesian") {
+    val cents = KMeans.centroidsAfter(embs, k = 8, iters = 2)
+    val plan = KMeans.assignCellsHier(embs, cents, kSuper = 3, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    // the vector→centroid routing must be a hash equi-join on the probed
+    // super-cell id with the k-row members table broadcast — the
+    // docstring's "identical shuffle volume to flat" claim rests on it
+    assert(plan.contains("BroadcastHashJoin [scid"),
+      s"routing must broadcast-hash-join on scid:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
+
+  test("scale paths on hostile edge vectors: zero vector, exact dups, antipodes") {
+    // the declared queries' hostile gate covers only the default shapes;
+    // this pins the opt-in scale paths on the same edge classes. Full
+    // probe (hierProbe >= kSuper = 2 for k=3) and an everything-sample
+    // (trainDenom=1) are exactness-preserving, so both must reproduce
+    // the default output on data with a zero-norm vector (NULL cosine —
+    // must pair with nothing), bit-equal duplicates and an antipodal pair
+    val hostile = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),                // zero vector
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),                // exact duplicate of 1
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),            // near-dup of 1/2
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0f, 0.95f, 0.05f, 0f)),
+      (6L, Array(-1f, 0f, 0f, 0f)),               // antipode of 1
+      (7L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val dflt = rows(Dedup.semanticNearDups(hostile, k = 3, iters = 2, threshold = 0.8))
+    val scale = rows(Dedup.semanticNearDups(hostile, k = 3, iters = 2,
+      threshold = 0.8, hierProbe = Some(2), trainDenom = Some(1)))
+    assert(scale == dflt, "exact scale configuration must survive hostile vectors")
+    assert(!dflt.exists(r => r(1) == 0L || r(2) == 0L),
+      "the zero-norm vector must pair with nothing (NULL cosine)")
+    val lshD = rows(Dedup.embeddingNearDupsLsh(hostile, 0.8, nPlanes = 2, nBands = 8))
+    val lshI = rows(Dedup.embeddingNearDupsLsh(hostile, 0.8, nPlanes = 2, nBands = 8,
+      inlineVerify = true))
+    assert(lshI == lshD, "inlineVerify must match on hostile vectors")
+    assert(!lshD.exists(r => r(0) == 0L || r(1) == 0L),
+      "LSH must never emit the zero-norm vector")
+  }
+
+  test("inlineVerify == default across parameter grid") {
+    // divergence risks the single pinned point can't see: band counts
+    // that change redundant-compute multiplicity, plane counts that
+    // change bucket widths, thresholds on both sides of the fixture's
+    // cosine spectrum — the two shapes must stay row- AND value-equal
+    for (p <- Seq(2, 5); b <- Seq(8, 32); t <- Seq(0.30, 0.60)) {
+      val d = Dedup.embeddingNearDupsLsh(embs, t, nPlanes = p, nBands = b)
+        .collect().map(_.toSeq).toSeq
+      val i = Dedup.embeddingNearDupsLsh(embs, t, nPlanes = p, nBands = b,
+        inlineVerify = true).collect().map(_.toSeq).toSeq
+      assert(i == d, s"inlineVerify diverged at nPlanes=$p nBands=$b t=$t")
+    }
+  }
+
   test("semantic dedup scale path: full-probe == default; sampled+probed sound") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     val dflt = rows(Dedup.semanticNearDups(embs, k = 8, iters = 2, threshold = 0.45))
