@@ -104,6 +104,32 @@ object ScaleProbe {
     P("dedup_embedding_lsh_scaledp", 10, (s, d, n) =>
       operators.Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d),
         threshold = 0.45, nPlanes = ceilLog2(40 * n), nBands = 32)),
+    // the at-rest store's SERVING path under the scale rule: the store is
+    // written once per scale with p = log2(16n) (cell occupancy held
+    // ~125), then probed with knnProbeVector — the pure partition-pruned
+    // path with no store-wide id lookup. Like dedup_clusters, the two
+    // passes measure different operations by design: pass1 = cold store
+    // build (linear write) + probe, pass2 = probe alone, which should be
+    // corpus-size-INDEPENDENT (rows read ≈ occupancy·(p+1) under
+    // Hamming≤1 multi-probe — grows with log n only) — the property that
+    // makes the layout the serving shape at 10⁹ vectors
+    P("emb_store_probe_scaledp", 100, (s, d, n) => {
+      val p = ceilLog2(16 * n)
+      val path = new java.io.File(d, s"emb_store_p$p").getAbsolutePath
+      val marker = new java.io.File(path, "_STORE_COMPLETE")
+      if (!marker.exists()) {
+        operators.EmbeddingStore.write(Tables.embeddings(s, d), path, nPlanes = p)
+        java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      }
+      // dev knobs for attributing probe cost: FLIPS=0 reads 1 cell vs
+      // p+1 (latency barely moving between them = discovery-bound, the
+      // measurement that motivated directRead); DIRECT=0 re-times the
+      // full-discovery shape
+      operators.EmbeddingStore.knnProbeVector(s, path,
+        Array.tabulate(64)(i => math.sin(i + 1.0)), k = 10, nPlanes = p,
+        maxFlips = sys.env.getOrElse("SPARK_GRAFT_STORE_FLIPS", "1").toInt,
+        directRead = sys.env.getOrElse("SPARK_GRAFT_STORE_DIRECT", "1") == "1")
+    }),
     // same scale rule + inline verify: cosine computed inside the band
     // join, so wide rows ride only the linear n·B band sort and every
     // shuffled candidate is a narrow (i, j, cos_sim). LAST on purpose:

@@ -51,6 +51,44 @@ class EmbeddingStoreSpec extends SparkSpec {
     assert(got.filterNot(_ == 0L).take(inMemIds.length).toSeq == inMemIds.toSeq)
   }
 
+  test("directRead probe: identical output, opens only probed cell dirs") {
+    val dir = Files.createTempDirectory("embstore-direct").toString
+    EmbeddingStore.write(embs, dir, nPlanes = 4)
+    val qVec = embs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    // the serving shape must be row- and value-identical to the
+    // discovery shape at every flip count, including flips where some
+    // neighbor cells have no directory (skipped driver-side, which is
+    // exactly what the partition filter does to them under discovery)
+    for (flips <- Seq(0, 1, 2)) {
+      val listed = EmbeddingStore.knnProbeVector(spark, dir, qVec,
+        k = 11, nPlanes = 4, maxFlips = flips).collect().map(_.toSeq).toSeq
+      val direct = EmbeddingStore.knnProbeVector(spark, dir, qVec,
+        k = 11, nPlanes = 4, maxFlips = flips, directRead = true)
+      assert(direct.collect().map(_.toSeq).toSeq == listed,
+        s"directRead diverged at maxFlips=$flips")
+      // the scan's file index must hold at most the probed cell count —
+      // direct read never discovers the rest of the store
+      val scan = direct.queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }.head
+      val rootDirs = scan.relation.location.rootPaths.length
+      val probedCount = Map(0 -> 1, 1 -> 5, 2 -> 11)(flips) // Σ C(4, ≤f)
+      assert(rootDirs <= probedCount,
+        s"direct read must root at ≤$probedCount probed cells, got $rootDirs")
+    }
+    // a query vector landing in a cell with no directory and no existing
+    // neighbors: empty result, correct schema, no exception
+    val farQ = Array.fill(64)(0.0)
+    val empty = EmbeddingStore.knnProbeVector(spark, dir, farQ,
+      k = 5, nPlanes = 4, maxFlips = 0, directRead = true)
+    val alsoListed = EmbeddingStore.knnProbeVector(spark, dir, farQ,
+      k = 5, nPlanes = 4, maxFlips = 0)
+    assert(empty.collect().map(_.toSeq).toSeq ==
+      alsoListed.collect().map(_.toSeq).toSeq,
+      "missing-cell probe must agree between shapes (possibly empty)")
+  }
+
   test("append routes to existing cells; recluster compacts without changing probes") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("embstore-incr").toString
