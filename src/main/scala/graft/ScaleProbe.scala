@@ -104,6 +104,29 @@ object ScaleProbe {
     P("dedup_embedding_lsh_scaledp", 10, (s, d, n) =>
       operators.Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d),
         threshold = 0.45, nPlanes = ceilLog2(40 * n), nBands = 32)),
+    // incremental artifact maintenance, the serving-case append: a FIXED
+    // 500-doc increment's pair computation against the ×n artifact's
+    // persisted index (k=3/t=0.5 — the artifact's own parameters). The
+    // increment re-ids replica-0's first 500 docs (disjoint doc_ids,
+    // shingles shared with exactly their origin replica), so true-pair
+    // volume is increment-bounded at every scale. What should grow is
+    // nothing; what the default shape actually pays is the corpus-index
+    // SHUFFLE (every rare corpus row moves to the sh-hash join), the
+    // twin probes the broadcast semi-join pushdown that holds the
+    // shuffle at candidate volume
+    P("artifact_incr_pairs", 100, (s, d, n) =>
+      operators.Dedup.incrementalNgramPairs(
+        incrementOf(s, d),
+        s.read.parquet(artifactOf(s, d) + "/shingles"),
+        s.read.parquet(artifactOf(s, d) + "/sizes"),
+        s.read.parquet(artifactOf(s, d) + "/hot"), k = 3, threshold = 0.5)),
+    P("artifact_incr_pairs_semi", 100, (s, d, n) =>
+      operators.Dedup.incrementalNgramPairs(
+        incrementOf(s, d),
+        s.read.parquet(artifactOf(s, d) + "/shingles"),
+        s.read.parquet(artifactOf(s, d) + "/sizes"),
+        s.read.parquet(artifactOf(s, d) + "/hot"), k = 3, threshold = 0.5,
+        broadcastIncrementShingles = true)),
     // the at-rest store's SERVING path under the scale rule: the store is
     // written once per scale with p = log2(16n) (cell occupancy held
     // ~125), then probed with knnProbeVector — the pure partition-pruned
@@ -139,6 +162,19 @@ object ScaleProbe {
       operators.Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d),
         threshold = 0.45, nPlanes = ceilLog2(40 * n), nBands = 32,
         inlineVerify = true)))
+
+  /** The ×n corpus's components artifact (cold-built on first touch via
+    * the same stamped buildOnce the declared queries use). */
+  private def artifactOf(s: SparkSession, d: String): String =
+    graft.queries.PipelineQueries.componentsArtifactDir(s, d)
+
+  /** Fixed-size serving-case increment: replica-0's first 500 docs
+    * re-identified out of the corpus id space (disjoint doc_ids — the
+    * incremental contract; shingles shared with exactly their origin
+    * replica, so true pairs stay increment-bounded at every scale). */
+  private def incrementOf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 500)
+      .withColumn("doc_id", col("doc_id") + 100000000L)
 
   private def replicate(spark: SparkSession, base: String, out: String,
       n: Int): Unit = {

@@ -454,11 +454,27 @@ object Dedup {
     * contract as [[incrementalNearDups]]). */
   def incrementalNgramPairs(increment: DataFrame, corpusShingles: DataFrame,
       corpusSizes: DataFrame, hotShingles: DataFrame, k: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      broadcastIncrementShingles: Boolean = false): DataFrame = {
     val incSh = shingleRows(increment, k)
     val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val incRare = incSh.join(broadcast(hotShingles), Seq("sh"), "left_anti")
-    val corpusRare = corpusShingles.join(broadcast(hotShingles), Seq("sh"), "left_anti")
+    // Opt-in serving-case pushdown: the xc equi-join below keeps only
+    // corpus rows whose shingle ALSO occurs in the increment, but the
+    // default plan discovers that at the join — AFTER shuffling the
+    // corpus index's every rare row. When the increment is small (the
+    // hourly-append case: increment ≪ corpus), its distinct rare
+    // shingle set is broadcastable, and semi-joining the corpus side
+    // down at the SCAN means the corpus-wide shuffle carries only
+    // matching rows (≈ candidate volume). Default-off because the knob
+    // inverts at corpus-scale increments, where the broadcast itself
+    // would be the wall — same contract as every scale knob here.
+    // Output is identical either way (spec-pinned): the semi-join
+    // removes only rows the equi-join was about to drop.
+    val corpusRare0 = corpusShingles.join(broadcast(hotShingles), Seq("sh"), "left_anti")
+    val corpusRare = if (broadcastIncrementShingles)
+      corpusRare0.join(broadcast(incRare.select(col("sh")).distinct()), Seq("sh"), "left_semi")
+    else corpusRare0
     // increment×corpus candidates: one hash join per shared rare shingle;
     // least/greatest normalizes to the cold build's i < j orientation
     val xc = incRare.as("a").join(corpusRare.as("b"), col("a.sh") === col("b.sh"))

@@ -98,6 +98,25 @@ class ComponentsIncrSpec extends SparkSpec {
     }
   }
 
+  test("broadcastIncrementShingles pushdown: identical pairs, guard armed") {
+    val base = Files.createTempDirectory("comp-incr-semi").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      def pairs(push: Boolean) = Dedup.incrementalNgramPairs(incrementDocs,
+          spark.read.parquet(s"$base/shingles"),
+          spark.read.parquet(s"$base/sizes"),
+          spark.read.parquet(s"$base/hot"), k = 3, threshold = 0.5,
+          broadcastIncrementShingles = push)
+        .collect().map(_.toSeq).toSeq
+      val dflt = pairs(push = false)
+      // the fixture surfaces cross-boundary, increment-internal and
+      // hot-contribution pairs — a diverging pushdown could not hide
+      assert(dflt.nonEmpty)
+      assert(pairs(push = true) == dflt,
+        "the semi-join pushdown must not change a single pair or value")
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
   test("appends chain: two successive increments equal one cold union build") {
     val base = Files.createTempDirectory("comp-incr-chain").toString
     val cold = Files.createTempDirectory("comp-incr-chain-cold").toString
