@@ -153,6 +153,17 @@ object ScaleProbe {
         maxFlips = sys.env.getOrElse("SPARK_GRAFT_STORE_FLIPS", "1").toInt,
         directRead = sys.env.getOrElse("SPARK_GRAFT_STORE_DIRECT", "1") == "1")
     }),
+    // the store's id-probe twin pair, sharing one sidecar-enabled store
+    // per scale: the default shape pays a store-wide scan for the
+    // id → cell lookup (vec_id cannot prune cell partitions) PLUS full
+    // discovery; the direct shape resolves the id through one 16-byte-row
+    // sidecar partition and opens only the probed cells
+    P("emb_store_idprobe", 100, (s, d, n) =>
+      operators.EmbeddingStore.knnProbe(s, idStoreOf(s, d, n), queryId = 0L,
+        k = 10, nPlanes = ceilLog2(16 * n), maxFlips = 1)),
+    P("emb_store_idprobe_direct", 100, (s, d, n) =>
+      operators.EmbeddingStore.knnProbe(s, idStoreOf(s, d, n), queryId = 0L,
+        k = 10, nPlanes = ceilLog2(16 * n), maxFlips = 1, directRead = true)),
     // same scale rule + inline verify: cosine computed inside the band
     // join, so wide rows ride only the linear n·B band sort and every
     // shuffled candidate is a narrow (i, j, cos_sim). LAST on purpose:
@@ -175,6 +186,21 @@ object ScaleProbe {
   private def incrementOf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < 500)
       .withColumn("doc_id", col("doc_id") + 100000000L)
+
+  /** The ×n corpus's sidecar-enabled embedding store under the scale
+    * rule p = log2(16n), built once per scale (marker-guarded). */
+  private def idStoreOf(s: SparkSession, d: String, n: Int): String = {
+    val p = ceilLog2(16 * n)
+    val path = new java.io.File(d, s"emb_store_idx_p$p").getAbsolutePath
+    val marker = new java.io.File(path, "_STORE_COMPLETE")
+    if (!marker.exists()) {
+      operators.EmbeddingStore.write(Tables.embeddings(s, d), path,
+        nPlanes = p, idIndex = true)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      ()
+    }
+    path
+  }
 
   private def replicate(spark: SparkSession, base: String, out: String,
       n: Int): Unit = {

@@ -22,10 +22,26 @@ object EmbeddingStore {
 
   val partitionCol = "lsh_bucket"
 
+  /** The opt-in id→cell sidecar lives under an underscore-prefixed dir,
+    * which Spark's file listing skips — the main store's partition
+    * discovery and schema never see it. */
+  val idIndexDir = "_idx"
+  private val IdIndexParts = 64L
+
   /** Write the corpus partitioned by LSH cell (one shuffle on the cell id,
-    * large sorted files per cell — the CertStore discipline). */
+    * large sorted files per cell — the CertStore discipline). With
+    * `idIndex` the write also maintains the (vec_id → cell) sidecar that
+    * [[knnProbe]]'s `directRead` serving path resolves ids through:
+    * narrow 16-byte rows, Hive-partitioned by `idp = vec_id mod 64` so a
+    * point lookup opens ONE sidecar partition instead of scanning the
+    * store (whose id lookup is otherwise a full-corpus read — vec_id
+    * cannot prune cell partitions). Default-off: the sidecar is extra
+    * write cost the declared demo queries don't pay; a serving
+    * deployment turns it on at write time (or fronts the store with a
+    * real KV index — this sidecar is that index expressed in the same
+    * parquet layout discipline as the store itself). */
   def write(embeddings: DataFrame, path: String, nPlanes: Int = 4,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
+      mode: SaveMode = SaveMode.Overwrite, idIndex: Boolean = false): Unit = {
     embeddings
       .withColumn(partitionCol, V.lshBucket(col("embedding"), nPlanes))
       .repartition(col(partitionCol))
@@ -33,6 +49,16 @@ object EmbeddingStore {
       .write.mode(mode)
       .partitionBy(partitionCol)
       .parquet(path)
+    if (idIndex)
+      embeddings
+        .select(col("vec_id"), V.lshBucket(col("embedding"), nPlanes).as("bucket"),
+          pmod(col("vec_id"), lit(IdIndexParts)).as("idp"))
+        .repartition(col("idp"))
+        .sortWithinPartitions("vec_id")
+        .write.mode(mode)
+        .partitionBy("idp")
+        .parquet(s"$path/$idIndexDir")
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -47,8 +73,9 @@ object EmbeddingStore {
     * uniqueness across batches (same contract as any append-only store).
     * Each append adds ≤ one file per touched cell — after many increments
     * run [[recluster]], the compaction analog for this layout. */
-  def append(embeddings: DataFrame, path: String, nPlanes: Int = 4): Unit =
-    write(embeddings, path, nPlanes, SaveMode.Append)
+  def append(embeddings: DataFrame, path: String, nPlanes: Int = 4,
+      idIndex: Boolean = false): Unit =
+    write(embeddings, path, nPlanes, SaveMode.Append, idIndex)
 
   /** Cell compaction ("recluster"): cells whose directories have
     * fragmented past `maxFilesPerCell` (the drift signature of repeated
@@ -139,7 +166,41 @@ object EmbeddingStore {
     * neighbor cells (multi-probe recall recovery), still as an enumerated
     * partition predicate via isin. */
   def knnProbe(spark: SparkSession, path: String, queryId: Long, k: Int = 10,
-      nPlanes: Int = 4, maxFlips: Int = 0): DataFrame = {
+      nPlanes: Int = 4, maxFlips: Int = 0, directRead: Boolean = false): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // `directRead` with the sidecar present resolves id → cell through
+    // ONE sidecar partition (16-byte rows, idp = vec_id mod 64) and then
+    // reads only the probed cell dirs — no store-wide scan, no full
+    // listing. Without the sidecar it degrades to the default shape
+    // (correct, slower) so the flag is safe on any store.
+    val idx = new org.apache.hadoop.fs.Path(path, idIndexDir)
+    if (directRead && fs.exists(idx)) {
+      val part = new org.apache.hadoop.fs.Path(idx,
+        s"idp=${java.lang.Math.floorMod(queryId, IdIndexParts)}")
+      val qBucket = (if (fs.exists(part))
+          spark.read.option("basePath", idx.toString).parquet(part.toString)
+            .filter(col("vec_id") === queryId)
+            .select(col("bucket")).limit(1).collect().headOption
+        else None)
+        .getOrElse(throw new IllegalArgumentException(
+          s"queryId $queryId not found in embedding store at $path"))
+        .getLong(0)
+      // the query vector from its own (direct-read) cell
+      val qVec = directStore(spark, path, fs, Seq(qBucket))
+        .filter(col("vec_id") === queryId)
+        .select(col("embedding").cast("array<double>"))
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"id index maps $queryId to cell $qBucket but the cell lacks it " +
+            s"(stale sidecar — rewrite with idIndex = true)"))
+        .getSeq[Double](0)
+      import spark.implicits._
+      val q = Seq((qVec, math.sqrt(qVec.map(x => x * x).sum))).toDF("q_emb", "q_nrm")
+      val store = directStore(spark, path, fs, probedBuckets(qBucket, nPlanes, maxFlips))
+      return probeCells(store, q, qBucket, nPlanes, maxFlips,
+        excludeId = Some(queryId), k)
+    }
     val store = read(spark, path)
     // ONE lookup fetches bucket + embedding together (a vec_id predicate
     // cannot prune cell partitions, so this is the single unavoidable
@@ -185,19 +246,30 @@ object EmbeddingStore {
     // with.
     val store =
       if (!directRead) read(spark, path)
-      else {
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val dirs = probedBuckets(qBucket, nPlanes, maxFlips)
-          .map(b => new org.apache.hadoop.fs.Path(path, s"$partitionCol=$b"))
-          .filter(fs.exists(_)).map(_.toString)
-        if (dirs.isEmpty) read(spark, path).filter(lit(false)) // empty, same schema
-        else spark.read.option("basePath", path).parquet(dirs: _*)
-      }
+      else directStore(spark, path,
+        new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        probedBuckets(qBucket, nPlanes, maxFlips))
     val qNrm = math.sqrt(query.map(x => x * x).sum)
     import spark.implicits._
     val q = Seq((query.toSeq, qNrm)).toDF("q_emb", "q_nrm")
     probeCells(store, q, qBucket, nPlanes, maxFlips, excludeId = None, k)
+  }
+
+  /** The direct-read shape both serving probes share: open exactly the
+    * given (existing) cell directories under basePath — the partition
+    * column still derives from the dir names, and nothing else is
+    * listed. The bounded per-cell existence checks stand in for the
+    * catalog/manifest lookup a deployment-scale store fronts this with;
+    * cells with no directory contribute no rows, exactly as the
+    * partition filter treats them under full discovery. */
+  private def directStore(spark: SparkSession, path: String,
+      fs: org.apache.hadoop.fs.FileSystem, buckets: Seq[Long]): DataFrame = {
+    val dirs = buckets
+      .map(b => new org.apache.hadoop.fs.Path(path, s"$partitionCol=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) read(spark, path).filter(lit(false)) // empty, same schema
+    else spark.read.option("basePath", path).parquet(dirs: _*)
   }
 
   /** The multi-probe cell set: the query's cell plus every ≤ maxFlips

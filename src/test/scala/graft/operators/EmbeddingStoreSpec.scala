@@ -89,6 +89,39 @@ class EmbeddingStoreSpec extends SparkSpec {
       "missing-cell probe must agree between shapes (possibly empty)")
   }
 
+  test("id-sidecar directRead probe: identical to the store-scan shape") {
+    val dir = Files.createTempDirectory("embstore-idx").toString
+    // sidecar-less store first: directRead must silently degrade to the
+    // default shape (correct on any store, faster only with the sidecar)
+    EmbeddingStore.write(embs, dir, nPlanes = 4)
+    def probe(direct: Boolean, id: Long = 0L) =
+      EmbeddingStore.knnProbe(spark, dir, id, k = 10, nPlanes = 4,
+        maxFlips = 1, directRead = direct).collect().map(_.toSeq).toSeq
+    val want = probe(direct = false)
+    assert(probe(direct = true) == want, "no sidecar: directRead must fall back")
+
+    // sidecar-enabled store: identical output through the id index
+    EmbeddingStore.write(embs, dir, nPlanes = 4, idIndex = true)
+    assert(probe(direct = true) == want,
+      "sidecar directRead must match the store-scan probe exactly")
+    // ids landing in different idp partitions all resolve
+    for (id <- Seq(1L, 63L, 64L, 100L))
+      assert(probe(direct = true, id) == probe(direct = false, id),
+        s"id $id diverged through the sidecar")
+    // a missing id errors through the sidecar too
+    intercept[IllegalArgumentException] { probe(direct = true, id = 999999L) }
+
+    // append with idIndex maintains the sidecar: appended ids resolve and
+    // probes stay equal to the store-scan shape over the grown store
+    val extra = embs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    EmbeddingStore.append(extra, dir, nPlanes = 4, idIndex = true)
+    assert(probe(direct = true, 1000001L) == probe(direct = false, 1000001L),
+      "appended id must resolve through the appended sidecar")
+    assert(probe(direct = true) == probe(direct = false),
+      "post-append probes must stay identical between shapes")
+  }
+
   test("append routes to existing cells; recluster compacts without changing probes") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("embstore-incr").toString
