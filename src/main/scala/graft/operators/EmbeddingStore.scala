@@ -42,6 +42,16 @@ object EmbeddingStore {
     * parquet layout discipline as the store itself). */
   def write(embeddings: DataFrame, path: String, nPlanes: Int = 4,
       mode: SaveMode = SaveMode.Overwrite, idIndex: Boolean = false): Unit = {
+    // An append onto a store that carries a sidecar MUST maintain it
+    // regardless of the flag — an id the sidecar lacks would make the
+    // directRead probe miss a vector the store holds. Probed before the
+    // main write because a static-mode Overwrite deletes the whole dir
+    // (stale sidecars can therefore never survive an overwrite).
+    val maintainIdx = idIndex || (mode == SaveMode.Append && {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        embeddings.sparkSession.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(path, idIndexDir))
+    })
     embeddings
       .withColumn(partitionCol, V.lshBucket(col("embedding"), nPlanes))
       .repartition(col(partitionCol))
@@ -49,7 +59,7 @@ object EmbeddingStore {
       .write.mode(mode)
       .partitionBy(partitionCol)
       .parquet(path)
-    if (idIndex)
+    if (maintainIdx)
       embeddings
         .select(col("vec_id"), V.lshBucket(col("embedding"), nPlanes).as("bucket"),
           pmod(col("vec_id"), lit(IdIndexParts)).as("idp"))

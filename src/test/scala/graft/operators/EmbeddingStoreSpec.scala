@@ -120,6 +120,19 @@ class EmbeddingStoreSpec extends SparkSpec {
       "appended id must resolve through the appended sidecar")
     assert(probe(direct = true) == probe(direct = false),
       "post-append probes must stay identical between shapes")
+    // an append WITHOUT the flag must still maintain an existing sidecar
+    // (a stale sidecar would make directRead miss vectors the store holds)
+    val extra2 = embs.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    EmbeddingStore.append(extra2, dir, nPlanes = 4)
+    assert(probe(direct = true, 2000001L) == probe(direct = false, 2000001L),
+      "flagless append onto a sidecar store must keep the sidecar current")
+    // recluster compacts cell files without touching bucket assignment:
+    // the sidecar stays valid and both probe shapes agree afterwards
+    EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 1)
+    assert(probe(direct = true) == probe(direct = false),
+      "post-recluster probes must stay identical between shapes")
+    assert(probe(direct = true, 2000001L) == probe(direct = false, 2000001L))
   }
 
   test("append routes to existing cells; recluster compacts without changing probes") {
