@@ -138,7 +138,7 @@ object ScaleProbe {
     // makes the layout the serving shape at 10⁹ vectors
     P("emb_store_probe_scaledp", 100, (s, d, n) => {
       val p = ceilLog2(16 * n)
-      val path = new java.io.File(d, s"emb_store_p$p").getAbsolutePath
+      val path = new java.io.File(storesDirFor(d), s"emb_store_p$p").getAbsolutePath
       val marker = new java.io.File(path, "_STORE_COMPLETE")
       if (!marker.exists()) {
         operators.EmbeddingStore.write(Tables.embeddings(s, d), path, nPlanes = p)
@@ -187,11 +187,22 @@ object ScaleProbe {
     Tables.documents(s, d).filter(col("doc_id") < 500)
       .withColumn("doc_id", col("doc_id") + 100000000L)
 
+  /** Probe-owned store dirs live in a SIBLING of the corpus dir — a
+    * store written inside it would sit beside the corpus parquet and
+    * break any reader that lists the corpus dir (Spark refuses the
+    * mixed partitioned/unpartitioned structure:
+    * CONFLICTING_DIRECTORY_STRUCTURES, caught by the ×1 sweep). */
+  private def storesDirFor(d: String): java.io.File = {
+    val f = new java.io.File(d + "_stores")
+    f.mkdirs()
+    f
+  }
+
   /** The ×n corpus's sidecar-enabled embedding store under the scale
     * rule p = log2(16n), built once per scale (marker-guarded). */
   private def idStoreOf(s: SparkSession, d: String, n: Int): String = {
     val p = ceilLog2(16 * n)
-    val path = new java.io.File(d, s"emb_store_idx_p$p").getAbsolutePath
+    val path = new java.io.File(storesDirFor(d), s"emb_store_idx_p$p").getAbsolutePath
     val marker = new java.io.File(path, "_STORE_COMPLETE")
     if (!marker.exists()) {
       operators.EmbeddingStore.write(Tables.embeddings(s, d), path,
