@@ -45,7 +45,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val Version = "v1"
+  // v2: fixed-width replica tag (see below) — prefix-free by
+  // construction. Bumping this regenerates the corpora AND (the marker
+  // names embed it) every probe-owned store built from them.
+  private val Version = "v2"
 
   private def ceilLog2(n: Int): Int =
     if (n <= 1) 0 else 32 - Integer.numberOfLeadingZeros(n - 1)
@@ -70,14 +73,14 @@ object ScaleProbe {
     P("dedup_ngram_pairs", 100, declared("dedup_ngram_pairs")),
     P("dedup_minhash_pairs", 100, declared("dedup_minhash_pairs")),
     // fixed p=3 → 8 buckets/band → candidates Θ(n²/2^p): the measured
-    // quadratic cliff (2.0 s → 217 s across ×1→×10); capped at ×10
+    // quadratic cliff (1.91 s → 217 s across ×1→×10); capped at ×10
     P("dedup_embedding_lsh", 10, declared("dedup_embedding_lsh")),
     // exact IVF on the sign-flip corpus = the docstring's stated worst
     // case (uniform vectors, loose threshold): pruning power ~0; ×10 only
     P("dedup_embedding_pairs", 10, declared("dedup_embedding_pairs")),
     // SemDeDup with its documented rule k ∝ n (mean cluster size const):
     // the FLAT path — training O(n·k·iters) + assignment O(n·k), i.e.
-    // O(n²) twice under this rule; measured 15× across its last decade
+    // O(n²) twice under this rule; measured 18× across its last decade
     P("dedup_semantic_scaledk", 100, (s, d, n) =>
       operators.Dedup.semanticNearDups(Tables.embeddings(s, d),
         k = 8 * n, iters = 2, threshold = 0.45)),
@@ -139,7 +142,7 @@ object ScaleProbe {
     P("emb_store_probe_scaledp", 100, (s, d, n) => {
       val p = ceilLog2(16 * n)
       val path = new java.io.File(storesDirFor(d), s"emb_store_p$p").getAbsolutePath
-      val marker = new java.io.File(path, "_STORE_COMPLETE")
+      val marker = new java.io.File(path, s"_STORE_COMPLETE_$Version")
       if (!marker.exists()) {
         operators.EmbeddingStore.write(Tables.embeddings(s, d), path, nPlanes = p)
         java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
@@ -203,7 +206,7 @@ object ScaleProbe {
   private def idStoreOf(s: SparkSession, d: String, n: Int): String = {
     val p = ceilLog2(16 * n)
     val path = new java.io.File(storesDirFor(d), s"emb_store_idx_p$p").getAbsolutePath
-    val marker = new java.io.File(path, "_STORE_COMPLETE")
+    val marker = new java.io.File(path, s"_STORE_COMPLETE_$Version")
     if (!marker.exists()) {
       operators.EmbeddingStore.write(Tables.embeddings(s, d), path,
         nPlanes = p, idIndex = true)
@@ -225,7 +228,13 @@ object ScaleProbe {
     // documents: tag every token; n_chars re-derived so the
     // length-consistency semantics of the base table carry over
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    val tag = concat(lit("r"), col("rep"), lit("x"))
+    // FIXED-WIDTH tag ("r007x"), so tags are prefix-free across replicas
+    // by construction — a variable-width "r7x" could collide ("r1x" +
+    // token "2xfoo" == "r12x" + token "foo") if any base token matched
+    // ^\d+x; the base corpus has none (verified: 0 of 270k tokens at
+    // sf0.1), but the invariant the whole measurement model rests on
+    // should not depend on the vocabulary
+    val tag = concat(lit("r"), lpad(col("rep").cast("string"), 3, "0"), lit("x"))
     docs.crossJoin(reps)
       .select(
         (col("doc_id") + col("rep").cast("long") * 10000L).as("doc_id"),
@@ -327,7 +336,7 @@ object ScaleProbe {
           println(f"""{"probe":"${p.name}","scale":$n,"pass1":$t1%.3f,"pass2":$t2s}""")
         } catch { case e: Exception =>
           println(s"""{"probe":"${p.name}","scale":$n,"error":"${e.getClass.getSimpleName}: ${
-            Option(e.getMessage).getOrElse("").replaceAll("[\"\n]", " ").take(200)}"}""")
+            Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r]", " ").take(200)}"}""")
         }
       }
     }

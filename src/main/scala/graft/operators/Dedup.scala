@@ -308,6 +308,11 @@ object Dedup {
   private val lastGuardedShingles =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** One-slot cache for the semantic-dedup breaker's persisted
+    * assignment — same discipline as [[lastGuardedShingles]]. */
+  private val lastSemanticAsg =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** The skew-guard cutoff heuristic: max(16, 0.4 % of the corpus). At
     * sf0.1 this actively drops the df 21–25 shingle tail while every
     * qualifying pair still shares a df ≤ 10 shingle (measured). */
@@ -1004,9 +1009,17 @@ object Dedup {
     // `maxBucketRows` above: the within-cluster pair join is C(|cell|, 2)
     // per cell, so one cluster past the bound means a quadratic join —
     // fail loudly naming it; the remedy is the documented k ∝ n rule
-    // (mean cluster size held at ~10³-10⁴).
-    maxClusterRows.foreach { m =>
-      val hot = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    // (mean cluster size held at ~10³-10⁴). The breaker's aggregate
+    // executes the whole clustering lineage, so when armed the
+    // assignment is persisted (one-slot cache, bounded at n narrow
+    // rows) — otherwise the pair join would pay the O(n·k)
+    // train-and-assign a second time, doubling exactly the work the
+    // breaker exists to bound.
+    val asgChecked = maxClusterRows.fold(asg) { m =>
+      val a = asg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Option(lastSemanticAsg.getAndSet(a))
+        .foreach(old => if (old ne a) old.unpersist(false))
+      val hot = a.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .filter(col("n") > m).limit(1).collect()
       require(hot.isEmpty, {
         val r = hot.head
@@ -1014,11 +1027,12 @@ object Dedup {
           s"(> maxClusterRows=$m): the within-cluster pair join would be " +
           "quadratic in it — raise k (k ∝ n holds mean cluster size constant)"
       })
+      a
     }
     val withNorm = embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"),
         sqrt(V.norm2(col("embedding"))).as("nrm"))
-      .join(asg, Seq("vec_id"))
+      .join(asgChecked, Seq("vec_id"))
     withNorm.as("a").join(withNorm.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cluster").as("cluster"),
@@ -1040,7 +1054,7 @@ object Dedup {
     // Opt-in hot-bucket circuit breaker (same contract as the fuzzy
     // blocking `maxBlockRows`): candidate pairs inside one bucket are
     // C(occ, 2), and with FIXED nPlanes mean occupancy grows ∝ n, so the
-    // band self-join is Θ(B·n²/2^p) — ScaleProbe measured ×119 runtime
+    // band self-join is Θ(B·n²/2^p) — ScaleProbe measured ×114 runtime
     // for a ×10 corpus at the p=3 default. One cheap aggregate pass
     // FAILS LOUDLY before launching the runaway join, naming the hot
     // bucket; the remedies are the scale rules documented above — grow

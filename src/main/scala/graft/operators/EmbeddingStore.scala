@@ -42,16 +42,17 @@ object EmbeddingStore {
     * parquet layout discipline as the store itself). */
   def write(embeddings: DataFrame, path: String, nPlanes: Int = 4,
       mode: SaveMode = SaveMode.Overwrite, idIndex: Boolean = false): Unit = {
-    // An append onto a store that carries a sidecar MUST maintain it
-    // regardless of the flag — an id the sidecar lacks would make the
-    // directRead probe miss a vector the store holds. Probed before the
-    // main write because a static-mode Overwrite deletes the whole dir
-    // (stale sidecars can therefore never survive an overwrite).
-    val maintainIdx = idIndex || (mode == SaveMode.Append && {
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        embeddings.sparkSession.sparkContext.hadoopConfiguration)
-      fs.exists(new org.apache.hadoop.fs.Path(path, idIndexDir))
-    })
+    // The sidecar must never be PARTIAL: a sidecar that lacks an id the
+    // store holds makes the directRead probe error on a real vector. So
+    // an append onto a sidecar-carrying store maintains it regardless of
+    // the flag, and an idIndex append onto a sidecar-LESS store
+    // backfills the whole store (read back once) instead of writing a
+    // sidecar of just the increment. Sidecar presence is probed before
+    // the main write; a static-mode Overwrite deletes the whole dir, so
+    // stale sidecars cannot survive overwrites either.
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    val hadIdx = fs.exists(new org.apache.hadoop.fs.Path(path, idIndexDir))
     embeddings
       .withColumn(partitionCol, V.lshBucket(col("embedding"), nPlanes))
       .repartition(col(partitionCol))
@@ -59,15 +60,26 @@ object EmbeddingStore {
       .write.mode(mode)
       .partitionBy(partitionCol)
       .parquet(path)
-    if (maintainIdx)
-      embeddings
-        .select(col("vec_id"), V.lshBucket(col("embedding"), nPlanes).as("bucket"),
+    def writeIdx(rows: DataFrame, m: SaveMode): Unit =
+      rows
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
           pmod(col("vec_id"), lit(IdIndexParts)).as("idp"))
         .repartition(col("idp"))
         .sortWithinPartitions("vec_id")
-        .write.mode(mode)
+        .write.mode(m)
         .partitionBy("idp")
         .parquet(s"$path/$idIndexDir")
+    val incIdxRows = embeddings.select(col("vec_id"),
+      V.lshBucket(col("embedding"), nPlanes).as("bucket"))
+    if (mode != SaveMode.Append) {
+      if (idIndex) writeIdx(incIdxRows, mode)
+    } else if (hadIdx) writeIdx(incIdxRows, SaveMode.Append)
+    else if (idIndex)
+      // first-idIndex-on-append backfill: the store (which now includes
+      // the increment) is read back once; partition-dir bucket values
+      // are type-inferred on read, hence writeIdx's cast to long
+      writeIdx(read(embeddings.sparkSession, path)
+        .select(col("vec_id"), col(partitionCol).as("bucket")), SaveMode.Overwrite)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -278,8 +290,19 @@ object EmbeddingStore {
     val dirs = buckets
       .map(b => new org.apache.hadoop.fs.Path(path, s"$partitionCol=$b"))
       .filter(fs.exists(_)).map(_.toString)
-    if (dirs.isEmpty) read(spark, path).filter(lit(false)) // empty, same schema
-    else spark.read.option("basePath", path).parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.option("basePath", path).parquet(dirs: _*)
+    else {
+      // all probed cells absent: an empty frame with the store schema,
+      // WITHOUT paying the whole-store file discovery this shape exists
+      // to avoid — one root listing finds any single cell dir to borrow
+      // the schema from (a store with no cells at all falls back to the
+      // full read, which is then trivially cheap)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
+        .map(_.getPath).find(_.getName.startsWith(partitionCol + "="))
+        .map(p0 => spark.read.option("basePath", path).parquet(p0.toString))
+        .getOrElse(read(spark, path))
+        .filter(lit(false))
+    }
   }
 
   /** The multi-probe cell set: the query's cell plus every ≤ maxFlips

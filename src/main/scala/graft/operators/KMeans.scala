@@ -122,7 +122,7 @@ object KMeans {
   /** Two-level cell assignment — an IVF built over the centroid table
     * itself. Flat [[assignCells]] evaluates n·k distances; under the
     * SemDeDup sizing rule k ∝ n (mean cell size held ~10³-10⁴) that is
-    * O(n²) compute — ScaleProbe measured the semantic-dedup entry at 15×
+    * O(n²) compute — ScaleProbe measured the semantic-dedup entry at 18×
     * across its last ×10 decade for exactly this reason. The fix is the
     * same residency trick the ANN operators already use, applied to
     * assignment: cluster the k centroids into `kSuper` ≈ √k super-cells
@@ -163,7 +163,11 @@ object KMeans {
     // broadcastable in the first place
     val cents = centroids
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastHierCents.getAndSet(cents)).foreach(_.unpersist(false))
+    // `ne` guard: persist() returns the same Dataset reference, so a
+    // repeat call with the same centroid frame would otherwise evict the
+    // cache it just (re-)registered
+    Option(lastHierCents.getAndSet(cents))
+      .foreach(old => if (old ne cents) old.unpersist(false))
     val centsAsEmb =
       cents.select(col("cid").as("vec_id"), col("cent").as("embedding"))
     val superCents = centroidsAfter(centsAsEmb, kSuper, iters = 2)

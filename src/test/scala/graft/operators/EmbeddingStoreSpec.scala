@@ -135,6 +135,22 @@ class EmbeddingStoreSpec extends SparkSpec {
     assert(probe(direct = true, 2000001L) == probe(direct = false, 2000001L))
   }
 
+  test("first idIndex append onto a sidecar-less store backfills every id") {
+    val dir = Files.createTempDirectory("embstore-backfill").toString
+    EmbeddingStore.write(embs, dir, nPlanes = 4) // no sidecar
+    val extra = embs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    EmbeddingStore.append(extra, dir, nPlanes = 4, idIndex = true)
+    def probe(direct: Boolean, id: Long) =
+      EmbeddingStore.knnProbe(spark, dir, id, k = 10, nPlanes = 4,
+        maxFlips = 1, directRead = direct).collect().map(_.toSeq).toSeq
+    // a sidecar holding only the appended batch would error here on the
+    // pre-existing id — the backfill must cover the WHOLE store
+    for (id <- Seq(0L, 63L, 1000001L))
+      assert(probe(direct = true, id) == probe(direct = false, id),
+        s"id $id must resolve through the backfilled sidecar")
+  }
+
   test("append routes to existing cells; recluster compacts without changing probes") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("embstore-incr").toString
