@@ -137,22 +137,13 @@ object HostileGen {
     // All planted ts are interior (30 min below a slice max), so they
     // shift neither the global span nor any slice max.
     copyPlus(spark, out, out, "events") { src =>
-      import org.apache.spark.sql.functions.{col, max, min, unix_micros, when}
-      val us = unix_micros(col("ts"))
-      val Array(mm) = src.agg(min(us), max(us)).collect()
-      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
-      val width = (mx - mn) / 4 + 1
-      val baseSlice = when(us < mn + width, 0)
-        .when(us < mn + 2 * width, 1)
-        .when(us < mn + 3 * width, 2)
-        .otherwise(3)
-      val sliceMax = src.groupBy(baseSlice.as("sl")).agg(max(us).as("mx"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // slice/boundary values from THE shared definition the replay
+      // split routes by (StreamingQueries.ReplaySlicing) — a private
+      // re-derivation here could drift and silently no-op the rule
+      val spec = graft.queries.StreamingQueries.ReplaySlicing.of(src)
       def boundary(i: Int): Option[java.time.Instant] =
-        sliceMax.get(i).map(_ - 1800000000L)
-          .filter(_ >= mn + i.toLong * width) // degenerate <30 min slice: skip
-          .map(b => java.time.Instant.ofEpochSecond(
-            Math.floorDiv(b, 1000000L), Math.floorMod(b, 1000000L) * 1000L))
+        spec.boundaryUs(i).map(b => java.time.Instant.ofEpochSecond(
+          Math.floorDiv(b, 1000000L), Math.floorMod(b, 1000000L) * 1000L))
       boundary(0).toSeq.flatMap(b0 => Seq(
         // lone boundary row, odd id → arrives one file late
         Row(900021L, b0, 3L, "click", 4.5, "{}"))) ++

@@ -225,9 +225,24 @@ object ScaleProbe {
     outF.mkdirs()
     val reps = broadcast(spark.range(n).select(col("id").cast("int").as("rep")))
 
+    // The fixed per-replica id strides below assume the base corpus fits
+    // inside them (true for the shipped sf0.1: 5000 docs / 2000 vectors /
+    // ~60k events). A LARGER base pointed at via SPARK_GRAFT_SF_DIR would
+    // silently alias ids across replicas — breaking the independent-shard
+    // measurement model with no error (ADVICE r8) — so the assumption is
+    // a loud precondition, one bounded max() per replicated id column.
+    def checkStride(df: DataFrame, idCol: String, stride: Long): Unit = {
+      val mx = df.agg(max(col(idCol))).head().getLong(0)
+      require(mx < stride,
+        s"replica stride $stride too small for $base: max($idCol) = $mx — " +
+          "ids would alias across replicas; probe a base corpus that fits " +
+          "the stride (or raise the strides in ScaleProbe.replicate)")
+    }
+
     // documents: tag every token; n_chars re-derived so the
     // length-consistency semantics of the base table carry over
     val docs = spark.read.parquet(s"$base/documents.parquet")
+    checkStride(docs, "doc_id", 10000L)
     // FIXED-WIDTH tag ("r007x"), so tags are prefix-free across replicas
     // by construction — a variable-width "r7x" could collide ("r1x" +
     // token "2xfoo" == "r12x" + token "foo") if any base token matched
@@ -250,6 +265,7 @@ object ScaleProbe {
     // embeddings: per-replica deterministic sign flip (orthogonal, so
     // within-replica cosines are bit-preserved up to float rounding)
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    checkStride(emb, "vec_id", 10000L)
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("rep").cast("long") * 10000L).as("vec_id"),
@@ -264,6 +280,8 @@ object ScaleProbe {
     // sources pathGlobFilter-match that exact name (HostileGen does the
     // same move-the-part-file dance for the same reason)
     val work = s"$out/.work_events"
+    checkStride(Tables.events(spark, base), "event_id", 10000000L)
+    checkStride(Tables.events(spark, base), "user_id", 10000L)
     Tables.events(spark, base).crossJoin(reps)
       .select(
         (col("event_id") + col("rep").cast("long") * 10000000L).as("event_id"),

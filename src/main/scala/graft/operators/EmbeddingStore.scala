@@ -42,17 +42,25 @@ object EmbeddingStore {
     * parquet layout discipline as the store itself). */
   def write(embeddings: DataFrame, path: String, nPlanes: Int = 4,
       mode: SaveMode = SaveMode.Overwrite, idIndex: Boolean = false): Unit = {
-    // The sidecar must never be PARTIAL: a sidecar that lacks an id the
-    // store holds makes the directRead probe error on a real vector. So
+    // The sidecar must never be PARTIAL or STALE: a sidecar that lacks
+    // an id the store holds makes the directRead probe error on a real
+    // vector, and one that maps ids to removed cells resolves wrong. So
     // an append onto a sidecar-carrying store maintains it regardless of
     // the flag, and an idIndex append onto a sidecar-LESS store
     // backfills the whole store (read back once) instead of writing a
-    // sidecar of just the increment. Sidecar presence is probed before
-    // the main write; a static-mode Overwrite deletes the whole dir, so
-    // stale sidecars cannot survive overwrites either.
+    // sidecar of just the increment.
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       embeddings.sparkSession.sparkContext.hadoopConfiguration)
     val hadIdx = fs.exists(new org.apache.hadoop.fs.Path(path, idIndexDir))
+    // A non-Append write with idIndex=false must not leave the old
+    // sidecar behind. A static-mode Overwrite happens to delete the
+    // whole dir, but that is a session conf away from not holding
+    // (partitionOverwriteMode=dynamic rewrites only touched cell dirs,
+    // leaving _idx in place → directRead would resolve ids against the
+    // PREVIOUS corpus) — so the removal is explicit, not an overwrite
+    // side effect.
+    if (mode != SaveMode.Append && !idIndex && hadIdx)
+      fs.delete(new org.apache.hadoop.fs.Path(path, idIndexDir), true)
     embeddings
       .withColumn(partitionCol, V.lshBucket(col("embedding"), nPlanes))
       .repartition(col(partitionCol))
@@ -295,14 +303,39 @@ object EmbeddingStore {
       // all probed cells absent: an empty frame with the store schema,
       // WITHOUT paying the whole-store file discovery this shape exists
       // to avoid — one root listing finds any single cell dir to borrow
-      // the schema from (a store with no cells at all falls back to the
-      // full read, which is then trivially cheap)
+      // the schema from. A store with NO cell dirs at all gets an
+      // explicit empty frame with the documented store schema: the old
+      // fallback read(spark, path) over a parquet-less dir would throw
+      // AnalysisException (unable to infer schema), not return empty
+      // (ADVICE r8).
       fs.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
         .map(_.getPath).find(_.getName.startsWith(partitionCol + "="))
-        .map(p0 => spark.read.option("basePath", path).parquet(p0.toString))
-        .getOrElse(read(spark, path))
-        .filter(lit(false))
+        .map(p0 => spark.read.option("basePath", path).parquet(p0.toString)
+          .filter(lit(false)))
+        .getOrElse(emptyStoreFrame(spark))
     }
+  }
+
+  /** The documented store row shape, as an explicitly-empty frame — the
+    * degenerate directStore result for a store holding no cells (never
+    * written, or emptied). Column types match what a written store reads
+    * back as: the embedding column float (the corpus dtype) and the
+    * partition column long (probeCells compares it against long bucket
+    * ids; Hive dir-value inference would give int/long by content, and
+    * both satisfy the same comparisons on a real store). */
+  private def emptyStoreFrame(spark: SparkSession): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(partitionCol,
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** The multi-probe cell set: the query's cell plus every ≤ maxFlips

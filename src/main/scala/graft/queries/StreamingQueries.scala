@@ -263,6 +263,58 @@ object StreamingQueries {
     dirPath
   }
 
+  /** THE slice/boundary arithmetic of the 4-slice time-ordered replay
+    * split, shared between [[eventsSplitByTime]]'s routing and
+    * HostileGen's watermark-boundary planting. One definition on
+    * purpose (ADVICE r8): two private copies of the slice-width /
+    * boundary math could drift, and a drifted HostileGen would plant
+    * rows that no longer land exactly on sliceMax(i) − 30 min — the
+    * odd-id boundary rule would silently no-op and the hostile gate
+    * would quietly stop exercising the cross-file ts-tie case. */
+  private[graft] object ReplaySlicing {
+    val NSlices = 4
+    /** The 30-min watermark every replayed stream uses (µs). */
+    val WatermarkUs = 1800000000L
+
+    /** Slicing state of an events frame: span min, slice width, and each
+      * slice's raw max(ts) µs — everything both users derive from. */
+    private[graft] case class SliceSpec(mn: Long, width: Long,
+        sliceMax: Map[Int, Long]) {
+      /** Per-row slice id over unix_micros(ts) — integer range tests,
+        * not float division: a µs value at an exact slice edge must
+        * never round across it. */
+      def sliceExpr: org.apache.spark.sql.Column = {
+        val us = unix_micros(col("ts"))
+        when(us < mn + width, 0)
+          .when(us < mn + 2 * width, 1)
+          .when(us < mn + 3 * width, 2)
+          .otherwise(3).cast("int")
+      }
+      /** The watermark-boundary µs slice i will establish (its raw max
+        * − 30 min); None for an absent or degenerate (< 30 min of span)
+        * slice. The degenerate filter is behavior-neutral for routing —
+        * a boundary below the slice's start can match no row OF that
+        * slice — and is what lets planting skip slices that cannot
+        * carry an interior boundary row. */
+      def boundaryUs(i: Int): Option[Long] =
+        sliceMax.get(i).map(_ - WatermarkUs).filter(_ >= mn + i.toLong * width)
+    }
+
+    /** Derive the slicing state (two bounded driver-side aggregates:
+      * the 2-value span row and the ≤ NSlices per-slice maxima). */
+    def of(ev: DataFrame): SliceSpec = {
+      val us = unix_micros(col("ts"))
+      val Array(mnRow) = ev.agg(min(us), max(us)).collect()
+      val (mn, mx) = (mnRow.getLong(0), mnRow.getLong(1))
+      val width = (mx - mn) / NSlices + 1
+      val pre = SliceSpec(mn, width, Map.empty)
+      val sliceMax = ev.groupBy(pre.sliceExpr.as("sl"))
+        .agg(max(us).as("mx")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      pre.copy(sliceMax = sliceMax)
+    }
+  }
+
   /** The events table split into four untimed parquet files, built once
     * per (sfDir, content stamp) — the replayable fixture for
     * file-per-micro-batch streaming maintenance queries. */
@@ -308,24 +360,13 @@ object StreamingQueries {
     buildOnce(splitDir) { stagedPath =>
       val ev = graft.Tables.events(spark, dir)
       val us = unix_micros(col("ts"))
-      val Array(mnRow) = ev.agg(min(us), max(us)).collect()
-      val (mn, mx) = (mnRow.getLong(0), mnRow.getLong(1))
-      val width = (mx - mn) / 4 + 1
-      // integer range tests, not float division — a µs value at an exact
-      // slice edge must never round across it
-      val baseSlice = when(us < mn + width, 0)
-        .when(us < mn + 2 * width, 1)
-        .when(us < mn + 3 * width, 2)
-        .otherwise(3).cast("int")
-      // per-slice raw max → the boundary value (slice's eventual
-      // watermark); 4 values, driver-side
-      val sliceMax = ev.groupBy(baseSlice.as("sl"))
-        .agg(max(us).as("mx")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val boundaryOf = (0 until 4).foldLeft(lit(Long.MinValue)) { (acc, i) =>
-        sliceMax.get(i).map(m => when(baseSlice === i, lit(m - 1800000000L))
-          .otherwise(acc)).getOrElse(acc)
-      }
+      val spec = ReplaySlicing.of(ev)
+      val baseSlice = spec.sliceExpr
+      val boundaryOf = (0 until ReplaySlicing.NSlices)
+        .foldLeft(lit(Long.MinValue)) { (acc, i) =>
+          spec.boundaryUs(i).map(b => when(baseSlice === i, lit(b))
+            .otherwise(acc)).getOrElse(acc)
+        }
       val dest = baseSlice + when(us === boundaryOf &&
         col("event_id") % 2 === 1 && baseSlice < 3, 1).otherwise(0)
       val staged = new java.io.File(stagedPath)
