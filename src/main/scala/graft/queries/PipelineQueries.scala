@@ -126,81 +126,213 @@ object PipelineQueries {
     val nPairs = pairs.count()
     Dedup.components(pairs).write.mode("overwrite").parquet(s"$out/clusters")
     pairs.unpersist(false)
-    s.range(1).select(lit(nPairs).as("n_pairs"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+    // snapshot accounting for meta (one bounded aggregate each):
+    //  - the index-integrity tokens appendComponentsArtifact validates
+    //    against (doc and row counts of the persisted index), so a torn
+    //    append is DETECTED on the next append instead of silently
+    //    losing pairs against the unindexed increment;
+    //  - the hot-set drift floor: the largest document frequency among
+    //    NON-hot shingles at build time — appends keep a running max of
+    //    the same quantity over the shingles they touch, and the
+    //    rebuild_recommended flag trips when it crosses the cutoff.
+    val Array(idxAgg) = s.read.parquet(s"$out/sizes")
+      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+    val maxNonhotDf = shWritten.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cutoff)
+      .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
+    writeMeta(s, s"$out/meta", Meta(nPairs, cutoff,
+      idxAgg.getLong(0), idxAgg.getLong(1), maxNonhotDf,
+      rebuildRecommended = false))
+  }
+
+  /** The artifact's meta row — build/maintenance accounting the
+    * consumers and the append path read by NAME (never by position). */
+  private[graft] case class Meta(nPairs: Long, cutoff: Long,
+      nDocsIndexed: Long, nShingleRows: Long, maxNonhotDf: Long,
+      rebuildRecommended: Boolean)
+
+  private def writeMeta(s: SparkSession, path: String, m: Meta): Unit = {
+    s.range(1).select(lit(m.nPairs).as("n_pairs"), lit(m.cutoff).as("cutoff"),
+        lit(m.nDocsIndexed).as("n_docs_indexed"),
+        lit(m.nShingleRows).as("n_shingle_rows"),
+        lit(m.maxNonhotDf).as("max_nonhot_df"),
+        lit(m.rebuildRecommended).as("rebuild_recommended"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
     ()
   }
 
+  private[graft] def readMeta(s: SparkSession, dir: String): Meta = {
+    val r = s.read.parquet(metaDirOf(dir)).head()
+    Meta(r.getAs[Long]("n_pairs"), r.getAs[Long]("cutoff"),
+      r.getAs[Long]("n_docs_indexed"), r.getAs[Long]("n_shingle_rows"),
+      r.getAs[Long]("max_nonhot_df"), r.getAs[Boolean]("rebuild_recommended"))
+  }
+
+  /** Pointer-versioned clusters/meta — the artifact's MUTABLE grain.
+    * `CURRENT` (a one-line file at the artifact root) names the live
+    * epoch; absent = epoch 0 = the cold build's plain `clusters/` +
+    * `meta/`. An append never rewrites in place: it writes
+    * `clusters_v<N+1>` + `meta_v<N+1>`, appends the (append-only)
+    * index dirs, then publishes with ONE atomic replace of CURRENT —
+    * so a concurrent reader always resolves a COMPLETE epoch: the
+    * epoch it read was fully written before the flip made it
+    * resolvable, and epochs are GC'd only when they fall TWO behind
+    * (an in-flight reader of the previous epoch keeps an intact
+    * directory). Pinned by ComponentsStagedSpec. */
+  private[graft] def currentEpoch(dir: String): Long = {
+    val f = new java.io.File(dir, "CURRENT")
+    if (f.exists)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    else 0L
+  }
+
+  private def epochDir(dir: String, name: String, epoch: Long): String =
+    if (epoch == 0L) s"$dir/$name" else s"$dir/${name}_v$epoch"
+
+  private[graft] def clustersDirOf(dir: String): String =
+    epochDir(dir, "clusters", currentEpoch(dir))
+
+  private[graft] def metaDirOf(dir: String): String =
+    epochDir(dir, "meta", currentEpoch(dir))
+
   /** Incremental artifact maintenance — merge an increment's near-dup
-    * edges into a PRIVATE artifact dir IN PLACE, without re-pairing the
-    * corpus (round-7 verdict ask #4): new edges from
+    * edges into a PRIVATE artifact, without re-pairing the corpus
+    * (round-7 verdict ask #4): new edges from
     * [[Dedup.incrementalNgramPairs]] against the persisted index, then
     * components of (old clusters as star edges) ∪ (new edges) — the old
     * cluster table IS a spanning forest of the old pair graph, so the
     * merged components (and their min-doc_id labels) equal a cold
     * rebuild over corpus∪increment under the snapshot's cut set
-    * (ComponentsIncrSpec pins hash-equality). Appends: `shingles/` and
-    * `sizes/` grow by parquet dir-append (cost ∝ increment); `clusters/`
-    * + `meta/` are rewritten via stage-then-swap (the cluster table is
-    * the SMALL output grain, never corpus-scale); `hot/` is untouched
-    * snapshot metadata. NOT concurrency-safe by design — a SHARED
-    * artifact is immutable (buildOnce); production appends land in a
-    * staging copy and swap atomically, exactly like the cold build. */
+    * (ComponentsIncrSpec pins hash-equality).
+    *
+    * STAGED publication (round-9 asks #2/#6 + ADVICE r8): nothing a
+    * reader can resolve is ever touched mid-append. The new
+    * `clusters_v<N+1>`/`meta_v<N+1>` epoch dirs are written fully, the
+    * append-only `shingles/`/`sizes/` grow by parquet dir-append (cost
+    * ∝ increment; existing files are never rewritten, so a reader
+    * mid-scan of the index is unaffected), and the CURRENT pointer is
+    * replaced in ONE atomic file move — a concurrent reader of the live
+    * artifact sees the old complete state or the new complete state,
+    * never a partial one. A crash at ANY point leaves the live epoch
+    * resolving to complete data; a crash that tears the index (between
+    * the two index appends, or after them but before the flip) is
+    * caught LOUDLY by the next append's meta-count validation instead
+    * of silently losing pairs against the unindexed increment.
+    *
+    * HOT-SET DRIFT detection (round-9 ask #2): equality-to-cold holds
+    * only while no increment pushes a previously-rare shingle over the
+    * snapshot cutoff. Every append folds the touched shingles' total
+    * document frequencies into meta's `max_nonhot_df` running max and
+    * trips `rebuild_recommended` when it crosses the cutoff — the
+    * "rebuild is due" signal is measured, not guessed.
+    *
+    * Still SINGLE-WRITER for appends (two concurrent appends would race
+    * the pointer); a SHARED artifact stays immutable (buildOnce). */
   private[graft] def appendComponentsArtifact(s: SparkSession, dir: String,
       increment: DataFrame): Unit = {
-    val oldClusters = s.read.parquet(s"$dir/clusters")
+    val epoch = currentEpoch(dir)
+    val meta = readMeta(s, dir)
+    // torn-append validation: the persisted index must match the meta
+    // accounting exactly — three bounded aggregates (count/sum over the
+    // per-doc sizes table, row count of the shingle index; the latter
+    // is footer-metadata work for parquet). Any mismatch means a prior
+    // append crashed between its index appends and its pointer flip:
+    // re-running it would double-append the increment's index rows and
+    // corrupt every later jaccard, so fail loudly instead.
+    val sizesDf = s.read.parquet(s"$dir/sizes")
+    val Array(szAgg) = sizesDf
+      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+    val shCount = s.read.parquet(s"$dir/shingles").count()
+    require(szAgg.getLong(0) == meta.nDocsIndexed &&
+        szAgg.getLong(1) == meta.nShingleRows && shCount == meta.nShingleRows,
+      s"torn append detected at $dir: index holds ${szAgg.getLong(0)} docs / " +
+        s"${szAgg.getLong(1)} size rows / $shCount shingle rows but meta " +
+        s"records ${meta.nDocsIndexed} docs / ${meta.nShingleRows} rows — " +
+        "a prior append crashed between its index appends and its pointer " +
+        "flip; rebuild the artifact (cold build) before appending again")
     val corpusSh = s.read.parquet(s"$dir/shingles")
-    val sizes = s.read.parquet(s"$dir/sizes")
     val hot = s.read.parquet(s"$dir/hot")
-    val oldNPairs = s.read.parquet(s"$dir/meta").head().getLong(0)
-    val newPairs = Dedup.incrementalNgramPairs(increment, corpusSh, sizes, hot,
+    val newPairs = Dedup.incrementalNgramPairs(increment, corpusSh, sizesDf, hot,
         ComponentsK, ComponentsThreshold)
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = newPairs.count()
+    val oldClusters = s.read.parquet(epochDir(dir, "clusters", epoch))
     val star = oldClusters.select(col("cluster_id").as("i"), col("doc_id").as("j"))
     // components() fully materializes its result (driver union-find or
-    // its own checkpoint parquet) before returning, so staging the write
-    // and swapping afterwards never reads through the dir being replaced
+    // its own checkpoint parquet) before returning — the staged epoch
+    // write below never reads through anything it replaces
     val merged = Dedup.components(star.union(newPairs))
-    val stagedC = s"$dir/clusters_staged"
-    merged.write.mode("overwrite").parquet(stagedC)
-    newPairs.unpersist(false)
-    val stagedM = s"$dir/meta_staged"
-    s.range(1).select(lit(oldNPairs + nNew).as("n_pairs"))
-      .coalesce(1).write.mode("overwrite").parquet(stagedM)
-    def swap(staged: String, live: String): Unit = {
-      graft.operators.Dedup.rmdir(new java.io.File(live))
-      java.nio.file.Files.move(new java.io.File(staged).toPath,
-        new java.io.File(live).toPath)
-      ()
-    }
-    swap(stagedC, s"$dir/clusters")
-    swap(stagedM, s"$dir/meta")
     val incSh = Dedup.shingleIndex(increment, ComponentsK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val Array(incAgg) = incSizes
+      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+    // drift: total df (corpus index + this increment) of every NON-hot
+    // shingle the increment touches — cost ∝ the index buckets the
+    // increment's distinct shingles hash to, the same economics as the
+    // pair join itself. Shingles untouched by any increment keep their
+    // build-time df, which meta's running max already covers.
+    val touched = incSh.groupBy(col("sh")).agg(count(lit(1)).as("inc_df"))
+      .join(broadcast(hot), Seq("sh"), "left_anti")
+    val corpusDfTouched = corpusSh
+      .join(touched.select(col("sh")), Seq("sh"), "left_semi")
+      .groupBy(col("sh")).agg(count(lit(1)).as("corpus_df"))
+    val touchedMax = touched.join(corpusDfTouched, Seq("sh"), "left")
+      .select((col("inc_df") + coalesce(col("corpus_df"), lit(0L))).as("df_total"))
+      .agg(coalesce(max(col("df_total")), lit(0L))).head().getLong(0)
+    val newMaxNonhot = math.max(meta.maxNonhotDf, touchedMax)
+    // stage the new epoch (invisible until the flip)
+    val next = epoch + 1
+    merged.write.mode("overwrite").parquet(epochDir(dir, "clusters", next))
+    writeMeta(s, epochDir(dir, "meta", next), Meta(
+      nPairs = meta.nPairs + nNew, cutoff = meta.cutoff,
+      nDocsIndexed = meta.nDocsIndexed + incAgg.getLong(0),
+      nShingleRows = meta.nShingleRows + incAgg.getLong(1),
+      maxNonhotDf = newMaxNonhot,
+      rebuildRecommended = newMaxNonhot > meta.cutoff))
+    newPairs.unpersist(false)
+    // index appends BEFORE the flip: the new epoch's meta accounts for
+    // them, so a crash after either append (or before the flip) is the
+    // torn state the validation above catches on the next append
     incSh.write.mode("append").parquet(s"$dir/shingles")
-    incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(s"$dir/sizes")
+    incSizes.write.mode("append").parquet(s"$dir/sizes")
     incSh.unpersist(false)
-    ()
+    // publish: ONE atomic replace of the pointer file
+    val cur = new java.io.File(dir, "CURRENT")
+    val tmp = new java.io.File(dir, s".CURRENT_tmp_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, cur.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC epochs ≥ 2 behind the new pointer (an in-flight reader of the
+    // PREVIOUS epoch keeps an intact dir; anything older has had a full
+    // append's grace). Sweep all stale epochs so crash-skipped GCs are
+    // recovered on the next append.
+    Seq("clusters", "meta").foreach { name =>
+      (0L to next - 2).foreach { e =>
+        val f = new java.io.File(epochDir(dir, name, e))
+        if (f.exists) graft.operators.Dedup.rmdir(f)
+      }
+    }
   }
 
   /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>.
-    * `idx1` versions the layout — pre-index artifacts (no shingles/hot/
-    * sizes) must not be reused now that append reads them. */
+    * `idx2` versions the layout — `idx1` artifacts carry the old
+    * single-column meta (no integrity tokens / drift fields) and must
+    * not be reused now that append validates and maintains them. */
   private[graft] def componentsArtifactPath(d: String): String = {
-    val params = s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx1"
+    val params = s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx2"
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_components_${params}_" +
         StreamingQueries.sourceStamp(s"$d/documents.parquet")).getAbsolutePath
   }
 
   private def componentsArtifact(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(componentsArtifactDir(s, d) + "/clusters")
+    s.read.parquet(clustersDirOf(componentsArtifactDir(s, d)))
 
   private def componentsPairCount(s: SparkSession, d: String): Long =
-    s.read.parquet(componentsArtifactDir(s, d) + "/meta").head().getLong(0)
+    readMeta(s, componentsArtifactDir(s, d)).nPairs
 
   private def incrementId(docId: org.apache.spark.sql.Column) =
     when(docId >= 1000000L, raise_error(lit(

@@ -60,13 +60,15 @@ class ComponentsIncrSpec extends SparkSpec {
       doc(105L, tail(10))            // near-dup of corpus docs 10 and 11
     ).toDF("doc_id", "text")
 
+  // resolved through the epoch pointer: after appends the live
+  // clusters/meta sit in versioned dirs published via CURRENT
   private def readClusters(dir: String): Seq[(Long, Long)] =
-    spark.read.parquet(s"$dir/clusters")
+    spark.read.parquet(PipelineQueries.clustersDirOf(dir))
       .select(col("doc_id"), col("cluster_id")).as[(Long, Long)]
       .collect().toSeq.sorted
 
   private def readNPairs(dir: String): Long =
-    spark.read.parquet(s"$dir/meta").head.getLong(0)
+    PipelineQueries.readMeta(spark, dir).nPairs
 
   test("append == cold rebuild over the union (clusters + n_pairs), guard armed") {
     val base = Files.createTempDirectory("comp-incr-base").toString

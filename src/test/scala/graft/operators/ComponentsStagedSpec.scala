@@ -1,0 +1,146 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.PipelineQueries
+
+/** Pins the round-9 maintenance contracts of the components artifact:
+  *
+  *  - HOT-SET DRIFT (ask #2): `appendComponentsArtifact` keeps a
+  *    running max of the non-hot shingle document frequencies it
+  *    touches and trips meta's `rebuild_recommended` exactly when an
+  *    increment pushes one over the snapshot cutoff — below the
+  *    cutoff the flag stays false and append remains hash-equal to a
+  *    cold union rebuild.
+  *  - STAGED PUBLICATION (ask #6 + ADVICE r8): appends publish a new
+  *    clusters/meta epoch via one atomic pointer replace; the
+  *    previous epoch's dirs survive one full append (a concurrent
+  *    reader never sees a partial or vanished state), older epochs
+  *    are GC'd.
+  *  - TORN-APPEND DETECTION (ADVICE r8): an index inconsistent with
+  *    meta's accounting (the signature of a crash between a prior
+  *    append's index appends and its pointer flip) fails the next
+  *    append loudly instead of silently corrupting later pair sets.
+  */
+class ComponentsStagedSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus tuned to the autoDfCutoff floor (max(16, 0.4%·n) = 16 for
+  // small corpora): 16 docs share a 3-token prefix, so its shingle has
+  // df = 16 — AT the cutoff, hence NON-hot (hot is df > cutoff) with
+  // zero headroom. Unique 12-token tails keep every other shingle rare.
+  private def tail(seed: Int): String =
+    (0 until 12).map(i => s"w${seed}_$i").mkString(" ")
+
+  private def corpusDocs: DataFrame =
+    ((1L to 30L).map { id =>
+      val prefix = if (id <= 16L) "edge boiler plate " else ""
+      // 29/30 are a near-dup pair so the base cluster table is non-empty
+      // (the staged-publication case compares real content across epochs)
+      val t = if (id == 30L) tail(29) + " extra" else tail(id.toInt)
+      (id, prefix + t)
+    }).toDF("doc_id", "text")
+
+  private def buildBase(): String = {
+    val base = Files.createTempDirectory("comp-staged").toString
+    PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+    base
+  }
+
+  private def readClusters(dir: String): Seq[(Long, Long)] =
+    spark.read.parquet(PipelineQueries.clustersDirOf(dir))
+      .select(col("doc_id"), col("cluster_id")).as[(Long, Long)]
+      .collect().toSeq.sorted
+
+  test("drift flag: below-cutoff increment stays equal to cold and unflagged; " +
+      "a cutoff-crossing increment trips rebuild_recommended") {
+    val base = buildBase()
+    val cold = Files.createTempDirectory("comp-staged-cold").toString
+    try {
+      val m0 = PipelineQueries.readMeta(spark, base)
+      assert(m0.cutoff == 16L, s"fixture: cutoff must be the floor, got $m0")
+      assert(m0.maxNonhotDf == 16L,
+        s"fixture: the prefix shingle must sit AT the cutoff, got $m0")
+      assert(!m0.rebuildRecommended)
+
+      // append 1: no prefix, all-fresh tails — nothing approaches the
+      // cutoff; equality to the cold union build must hold and the
+      // flag must stay down (the running max keeps the build-time 16)
+      val incBelow = Seq((101L, tail(500)), (102L, tail(500) + " extra"))
+        .toDF("doc_id", "text")
+      PipelineQueries.appendComponentsArtifact(spark, base, incBelow)
+      val m1 = PipelineQueries.readMeta(spark, base)
+      assert(m1.maxNonhotDf == 16L && !m1.rebuildRecommended, s"got $m1")
+      PipelineQueries.buildComponentsArtifactFrom(spark,
+        corpusDocs.unionByName(incBelow), cold)
+      assert(readClusters(base) == readClusters(cold))
+
+      // append 2: one more doc carrying the prefix — the df-16 shingle
+      // reaches 17 > cutoff, exactly the condition under which a cold
+      // rebuild would have CUT it; the flag must trip
+      val incCross = Seq((103L, "edge boiler plate " + tail(600)))
+        .toDF("doc_id", "text")
+      PipelineQueries.appendComponentsArtifact(spark, base, incCross)
+      val m2 = PipelineQueries.readMeta(spark, base)
+      assert(m2.maxNonhotDf == 17L && m2.rebuildRecommended,
+        s"crossing the cutoff must trip the flag: $m2")
+    } finally {
+      Dedup.rmdir(new java.io.File(base))
+      Dedup.rmdir(new java.io.File(cold))
+    }
+  }
+
+  test("staged publication: the previous epoch survives one append intact, " +
+      "older epochs are GC'd, the pointer flip is the only mutation") {
+    val base = buildBase()
+    try {
+      val inc = (n: Long) => Seq((100L + n, tail(700 + n.toInt)))
+        .toDF("doc_id", "text")
+      val v0Clusters = new java.io.File(base, "clusters")
+      val v0Content = readClusters(base)
+      assert(PipelineQueries.currentEpoch(base) == 0L)
+
+      PipelineQueries.appendComponentsArtifact(spark, base, inc(1))
+      assert(PipelineQueries.currentEpoch(base) == 1L)
+      assert(PipelineQueries.clustersDirOf(base).endsWith("clusters_v1"))
+      // the epoch-0 dirs a concurrent reader may be mid-scan of are
+      // intact — same files, same content
+      assert(v0Clusters.isDirectory,
+        "previous epoch must survive the append that replaced it")
+      assert(spark.read.parquet(v0Clusters.getPath)
+        .select(col("doc_id"), col("cluster_id")).as[(Long, Long)]
+        .collect().toSeq.sorted == v0Content)
+
+      PipelineQueries.appendComponentsArtifact(spark, base, inc(2))
+      assert(PipelineQueries.currentEpoch(base) == 2L)
+      // now epoch 0 has had a full append's grace and is GC'd; epoch 1
+      // (the new previous) survives
+      assert(!v0Clusters.exists, "epoch two behind the pointer must be GC'd")
+      assert(!new java.io.File(base, "meta").exists)
+      assert(new java.io.File(base, "clusters_v1").isDirectory)
+
+      PipelineQueries.appendComponentsArtifact(spark, base, inc(3))
+      assert(!new java.io.File(base, "clusters_v1").exists)
+      assert(new java.io.File(base, "clusters_v2").isDirectory)
+      assert(new java.io.File(base, "clusters_v3").isDirectory)
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
+  test("torn append fails loudly: index rows beyond meta's accounting " +
+      "(crash-between-append-and-flip signature) block further appends") {
+    val base = buildBase()
+    try {
+      // simulate the crash window: an increment's shingle rows landed in
+      // the index but no pointer flip recorded them (meta unchanged)
+      Dedup.shingleIndex(Seq((999L, tail(900))).toDF("doc_id", "text"), 3)
+        .write.mode("append").parquet(s"$base/shingles")
+      val e = intercept[IllegalArgumentException] {
+        PipelineQueries.appendComponentsArtifact(spark, base,
+          Seq((104L, tail(901))).toDF("doc_id", "text"))
+      }
+      assert(e.getMessage.contains("torn append"), e.getMessage)
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+}
