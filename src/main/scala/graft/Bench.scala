@@ -52,7 +52,30 @@ object Bench {
   private val spreads =
     scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-  private def timed(build: () => DataFrame): (Double, Double) = {
+  /** The last committed full sweep's per-query numbers (bench_full.json
+    * in the working dir, absent on a fresh checkout) — the
+    * cross-environment reference the convergence floor below compares
+    * against. Parsed with a 10-line extractor on purpose: the file is
+    * machine-written single-line JSON from this object. */
+  private lazy val committedFull: Map[String, Double] = {
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val start = s.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else {
+          val body = s.substring(start + 11, s.indexOf('}', start))
+          "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  private def timed(build: () => DataFrame,
+      committed: Option[Double] = None): (Double, Double) = {
     def runOnce(): Double = {
       val t0 = System.nanoTime()
       build().write.mode("overwrite").format("noop").save()
@@ -70,6 +93,16 @@ object Bench {
     while (passes.min >= 0.5 &&
         passes.takeRight(2).max - passes.min > 0.3 * passes.min &&
         passes.size < 4)
+      passes += runOnce()
+    // Cross-environment convergence floor (round-8 verdict ask #5): the
+    // in-run guard only sees PASS spread, so a sustained disturbance
+    // that inflates every pass equally slips through it — exactly the
+    // residual 1.2-1.5× driver-vs-builder entries of round 8. When the
+    // run disagrees >25% with the COMMITTED full sweep's number on a
+    // ≥0.5 s entry, demand a third timed pass (and a fourth if still
+    // both noisy and divergent) before accepting the min.
+    while (committed.exists(c => c >= 0.5 && passes.min >= 0.5 &&
+        (passes.min - c).abs > 0.25 * c) && passes.size < 3)
       passes += runOnce()
     (passes.min, (passes.max - passes.min) / passes.min)
   }
@@ -174,7 +207,7 @@ object Bench {
 
   private def run(name: String, build: () => DataFrame): (String, Double) =
     name -> (try {
-      val (best, spread) = timed(build)
+      val (best, spread) = timed(build, committedFull.get(name))
       spreads(name) = spread
       best
     } catch { case e: Throwable =>
