@@ -204,6 +204,37 @@ class EmbeddingStoreSpec extends SparkSpec {
     assert(EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 2).isEmpty)
   }
 
+  test("non-Append write with idIndex=false removes a stale sidecar even under " +
+      "dynamic partitionOverwriteMode") {
+    val dir = Files.createTempDirectory("embstore-stale-idx").toString
+    val idx = new java.io.File(dir, EmbeddingStore.idIndexDir)
+    EmbeddingStore.write(embs, dir, nPlanes = 4, idIndex = true)
+    assert(idx.isDirectory)
+    // dynamic overwrite rewrites only touched cell dirs — the mode under
+    // which the old sidecar would have survived an in-place Overwrite
+    // (ADVICE r8); the explicit removal must not depend on the conf
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try EmbeddingStore.write(embs, dir, nPlanes = 4)
+    finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    assert(!idx.exists, "stale sidecar must be removed by an idIndex=false overwrite")
+    // and the store stays probe-able through the default shape
+    assert(EmbeddingStore.knnProbe(spark, dir, 0L, 5, nPlanes = 4,
+      directRead = true).count() == 5L)
+  }
+
+  test("directRead against a store with no cell directories returns the " +
+      "documented empty frame instead of throwing") {
+    val dir = Files.createTempDirectory("embstore-empty").toString
+    // a root with no cell dirs at all (never written / emptied)
+    val out = EmbeddingStore.knnProbeVector(spark, dir,
+      Array.tabulate(8)(_.toDouble), k = 5, nPlanes = 4, directRead = true)
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "label", "bucket", "cos_sim"))
+    assert(out.count() == 0L)
+  }
+
   test("recluster recovers a cell from a crash between the two swap renames") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("embstore-crash").toString
