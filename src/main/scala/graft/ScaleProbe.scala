@@ -96,6 +96,31 @@ object ScaleProbe {
     P("graph_pagerank", 100, declared("graph_pagerank")),
     P("dedup_clusters", 100, declared("dedup_clusters")),
     P("stream_sessions", 100, declared("stream_sessions")),
+    // streaming family ×10 (round-9 verdict ask #3): the heavy stateful
+    // entries replayed over the ×n events corpus — 4 time-ordered
+    // micro-batches of n× the rows, key space (users) scaling with the
+    // corpus. The size-independence ARGUMENT (state is O(keys), each
+    // batch one pass) becomes a measured curve: time should scale ~
+    // linearly with rows (the replay reads everything once), per-key
+    // state never rescanned. Heaviest of the family per BENCH_r08:
+    // the Misra-Gries heavy hitters, the (ts,id)-ordered buffered EWMA
+    // replay, and the foreachBatch-maintained embedding store.
+    P("stream_heavy_hitters", 10, declared("stream_heavy_hitters")),
+    P("stream_ewma_replay", 10, declared("stream_ewma_replay")),
+    P("stream_emb_store", 10, declared("stream_emb_store")),
+    // artifact cold build ×10/×100 (round-9 verdict ask #4): the one
+    // bench line whose superlinear risk (candidate-pair volume in the
+    // banded equi-join + the components merge) had no measured curve.
+    // Scratch dir per scale, rebuilt per pass — pass2 is the
+    // warm-cache steady state of the same build, not a no-op.
+    P("artifact_components_build", 100, (s, d, n) => {
+      val scratch = new java.io.File(storesDirFor(d),
+        "components_build_scratch").getAbsolutePath
+      graft.operators.Dedup.rmdir(new java.io.File(scratch))
+      graft.queries.PipelineQueries.buildComponentsArtifactFrom(
+        s, Tables.documents(s, d), scratch)
+      s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
+    }),
     // the docstring's scale rule applied: p = log2(nVectors / target)
     // holds bucket occupancy ~constant (target ≈ 50 here, the base
     // corpus is 2000 vectors × n replicas) → candidates (and runtime)
