@@ -1,0 +1,75 @@
+#!/usr/bin/env bash
+# Round-close ritual, codified (it previously lived in prose and had to
+# be reconstructed from a crashed session transcript).
+#
+#   bash tools/close_ritual.sh [--skip-bench]
+#
+# Sequence (each step must be green before the next is worth running):
+#   1. full `sbt test`
+#   2. PlanAudit at sf0.01 — PLANS.md must come out diff-clean
+#      (PlansDocSpec enforces the same thing, but regenerating here
+#      catches a forgotten commit of PLANS.md itself)
+#   3. HostileGen — regenerate the adversarial corpus
+#   4. the five-leg parity matrix:
+#        default   sf0.01      197 declared queries
+#        default   sf0.001     197
+#        hostile   (generated) 197
+#        knobs     sf0.01      198 (five scale knobs forced on via
+#                                   SPARK_GRAFT_KNOBS=1 + sweep-only
+#                                   knob_incr_ngram_pairs; KNOBSWEEP.md)
+#        knobs-hostile         198
+#   5. full Bench at sf0.1 on an OTHERWISE-IDLE machine (~15 min wall;
+#      concurrent CPU work pollutes timings by ~10%+) — refreshes
+#      bench_full.json, which must then be committed.
+#
+# Logs land in /tmp/{test,verify,parity,bench}_close*.log; the script
+# exits non-zero on the first red step.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/5 sbt test"
+sbt -batch test > /tmp/test_close.log 2>&1 \
+  || { tail -30 /tmp/test_close.log; exit 1; }
+grep -E 'Tests: succeeded' /tmp/test_close.log | tail -1
+
+echo "== 2/5 PlanAudit (PLANS.md must stay diff-clean)"
+sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.01" \
+  > /tmp/planaudit_close.log 2>&1 || { tail -20 /tmp/planaudit_close.log; exit 1; }
+git diff --quiet PLANS.md \
+  || { echo "PLANS.md drifted — review & commit:"; git diff --stat PLANS.md; exit 1; }
+
+echo "== 3/5 HostileGen"
+sbt -batch "runMain graft.HostileGen" > /tmp/hg_close.log 2>&1 \
+  || { tail -20 /tmp/hg_close.log; exit 1; }
+
+echo "== 4/5 parity matrix (5 legs)"
+for run in \
+    "default:/root/testdata/sf0.01:/tmp/vclose_001:" \
+    "default0001:/root/testdata/sf0.001:/tmp/vclose_0001:" \
+    "hostile:/tmp/graft_hostile_sf:/tmp/vclose_host:" \
+    "knobs:/root/testdata/sf0.01:/tmp/vclose_knob:1" \
+    "knobs-hostile:/tmp/graft_hostile_sf:/tmp/vclose_knobhost:1"; do
+  IFS=: read -r tag sf out knob <<< "$run"
+  rm -rf "$out"
+  env ${knob:+SPARK_GRAFT_KNOBS=1} SPARK_GRAFT_CPUS=8 \
+    sbt -batch "runMain graft.Verify $sf $out" > "/tmp/verify_close_$tag.log" 2>&1 \
+    || { echo "$tag: Verify FAILED"; tail -20 "/tmp/verify_close_$tag.log"; exit 1; }
+  if python3 tools/check_parity.py "$out" "$sf" > "/tmp/parity_close_$tag.log" 2>&1; then
+    echo "$tag: OK $(grep -c '^OK' "/tmp/parity_close_$tag.log")"
+  else
+    echo "$tag: FAIL"; grep -v '^OK' "/tmp/parity_close_$tag.log" | head -5; exit 1
+  fi
+done
+
+if [[ "${1:-}" == "--skip-bench" ]]; then
+  echo "== 5/5 bench SKIPPED (--skip-bench)"; exit 0
+fi
+echo "== 5/5 full bench at sf0.1 (machine must be otherwise idle)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+  > /tmp/bench_close.log 2>&1 || { tail -20 /tmp/bench_close.log; exit 1; }
+python3 - <<'EOF'
+import json
+j = json.load(open("bench_full.json"))
+print(f"bench total: {j['value']:.1f} s over {len(j['queries'])} entries")
+EOF
+echo "remember: commit bench_full.json (and PLANS.md if regenerated)"
