@@ -65,7 +65,8 @@ if [[ "${1:-}" == "--skip-bench" ]]; then
   echo "== 5/5 bench SKIPPED (--skip-bench)"; exit 0
 fi
 echo "== 5/5 full bench at sf0.1 (machine must be otherwise idle)"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" \
   > /tmp/bench_close.log 2>&1 || { tail -20 /tmp/bench_close.log; exit 1; }
 python3 - <<'EOF'
 import json
