@@ -373,7 +373,7 @@ object Dedup {
     * only thing the pair join ever reads). Semantics identical to the
     * docs-frame entry point by construction. */
   private[graft] def pairsFromShingles(sh: DataFrame, threshold: Double,
-      dfCutoff: Option[Long]): DataFrame = {
+      dfCutoff: Option[Long], dfTable: Option[DataFrame] = None): DataFrame = {
     val inter = dfCutoff match {
       case None =>
         sh.as("a").join(sh.as("b"),
@@ -392,7 +392,11 @@ object Dedup {
         val spark = sh.sparkSession
         import spark.implicits._
         val maxHot = 1000000
-        val hotIds = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        // a caller that already aggregated the per-shingle df (the
+        // artifact cold build derives hot/ and the drift floor from the
+        // same table) passes it in so the full-index shuffle runs once
+        val hotIds = dfTable
+          .getOrElse(sh.groupBy("sh").agg(count(lit(1)).as("df")))
           .filter(col("df") > cutoff).select(col("sh"))
           .limit(maxHot + 1).as[Long].collect()
         require(hotIds.length <= maxHot,
@@ -473,7 +477,9 @@ object Dedup {
     // down at the SCAN means the corpus-wide shuffle carries only
     // matching rows (≈ candidate volume). Default-off because the knob
     // inverts at corpus-scale increments, where the broadcast itself
-    // would be the wall — same contract as every scale knob here.
+    // would be the wall — same contract as every scale knob here; the
+    // artifact append (PipelineQueries.appendComponentsArtifact) picks
+    // it ADAPTIVELY from the increment's measured shingle-row count.
     // Output is identical either way (spec-pinned): the semi-join
     // removes only rows the equi-join was about to drop.
     val corpusRare0 = corpusShingles.join(broadcast(hotShingles), Seq("sh"), "left_anti")

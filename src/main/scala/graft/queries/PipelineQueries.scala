@@ -83,6 +83,14 @@ object PipelineQueries {
   private val ComponentsK = 3
   private val ComponentsThreshold = 0.5
 
+  /** Broadcast-safety cap for the append's adaptive increment-shingle
+    * pushdown: an increment whose shingle-ROW count (which bounds its
+    * distinct-shingle count) stays under this takes the broadcast
+    * semi-join shapes; above it the append degrades to the plain
+    * shuffle joins. 2M longs ≈ 16 MB on the driver — the same order as
+    * Spark's own broadcast-join economics. */
+  private val IncrementBroadcastMaxShingleRows = 2L * 1000 * 1000
+
   private[graft] def componentsArtifactDir(s: SparkSession, d: String): String =
     StreamingQueries.buildOnce(componentsArtifactPath(d))(
       buildComponentsArtifact(s, d, _))
@@ -116,11 +124,17 @@ object PipelineQueries {
     val shWritten = s.read.parquet(s"$out/shingles")
     shWritten.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$out/sizes")
-    shWritten.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cutoff).select(col("sh"))
+    // the per-shingle df shuffle runs ONCE: hot/, the pair build's hot-id
+    // collect, and meta's drift floor all derive from this persisted
+    // table ((sh, df) grain, O(distinct shingles) rows — spillable, and
+    // at 100 TB it's the df sidecar a compaction would persist anyway;
+    // previously each consumer re-aggregated the full index)
+    val dfT = shWritten.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dfT.filter(col("df") > cutoff).select(col("sh"))
       .write.mode("overwrite").parquet(s"$out/hot")
     val pairs = Dedup.pairsFromShingles(shWritten, ComponentsThreshold,
-        dfCutoff = Some(cutoff))
+        dfCutoff = Some(cutoff), dfTable = Some(dfT))
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
@@ -137,9 +151,9 @@ object PipelineQueries {
     //    rebuild_recommended flag trips when it crosses the cutoff.
     val Array(idxAgg) = s.read.parquet(s"$out/sizes")
       .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
-    val maxNonhotDf = shWritten.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cutoff)
+    val maxNonhotDf = dfT.filter(col("df") <= cutoff)
       .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
+    dfT.unpersist(false)
     writeMeta(s, s"$out/meta", Meta(nPairs, cutoff,
       idxAgg.getLong(0), idxAgg.getLong(1), maxNonhotDf,
       rebuildRecommended = false))
@@ -261,8 +275,33 @@ object PipelineQueries {
         "flip; rebuild the artifact (cold build) before appending again")
     val corpusSh = s.read.parquet(s"$dir/shingles")
     val hot = s.read.parquet(s"$dir/hot")
+    // increment accounting FIRST: its shingle-row count (one bounded
+    // aggregate over the increment alone) is also the broadcast-safety
+    // measurement the plan choices below key off
+    val incSh = Dedup.shingleIndex(increment, ComponentsK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val Array(incAgg) = incSizes
+      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+    // ADAPTIVE pushdown (the serving-case economics, decided by
+    // measurement instead of a knob): when the increment's shingle rows
+    // fit a broadcast (row count bounds the distinct set, 8-byte grain
+    // → ≤ ~17 MB at the cap), semi-joining the increment's rare-shingle
+    // set into the corpus-index scans holds the corpus-wide shuffles at
+    // candidate volume — both for the pair join inside
+    // incrementalNgramPairs and for the drift probe below. A
+    // corpus-scale increment (backfill, not serving) exceeds the cap
+    // and takes the plain shuffle shapes, where the broadcast itself
+    // would be the wall. Output is identical either way (the semi-join
+    // removes only rows the equi-join drops; ComponentsIncrSpec pins
+    // both shapes pair-for-pair).
+    val pushdown = incAgg.getLong(1) <= IncrementBroadcastMaxShingleRows
+    System.err.println(s"[components] append: ${incAgg.getLong(0)} docs / " +
+      s"${incAgg.getLong(1)} shingle rows -> " +
+      (if (pushdown) "broadcast pushdown shapes" else "plain shuffle shapes"))
     val newPairs = Dedup.incrementalNgramPairs(increment, corpusSh, sizesDf, hot,
-        ComponentsK, ComponentsThreshold)
+        ComponentsK, ComponentsThreshold,
+        broadcastIncrementShingles = pushdown)
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = newPairs.count()
@@ -272,25 +311,20 @@ object PipelineQueries {
     // its own checkpoint parquet) before returning — the staged epoch
     // write below never reads through anything it replaces
     val merged = Dedup.components(star.union(newPairs))
-    val incSh = Dedup.shingleIndex(increment, ComponentsK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val Array(incAgg) = incSizes
-      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
     // drift: total df (corpus index + this increment) of every NON-hot
-    // shingle the increment touches. The touched set is BROADCAST into
-    // the corpus-index scan (it is increment-bounded — the append
-    // serving contract, increment ≪ corpus — exactly the economics of
-    // broadcastIncrementShingles), so the corpus side ships only
-    // matching rows to the df aggregate instead of the whole index:
-    // without the hint this accounting pass re-shuffled the full index
-    // per append, measured +2.5 s on the sf0.1 bench line. Shingles
-    // untouched by any increment keep their build-time df, which
-    // meta's running max already covers.
+    // shingle the increment touches. Under the same adaptive decision
+    // the touched set is broadcast into the corpus-index scan, so the
+    // corpus side ships only matching rows to the df aggregate instead
+    // of the whole index (measured +2.5 s per append without the hint);
+    // above the cap it degrades to the plain shuffle join rather than
+    // melting the driver. Shingles untouched by any increment keep
+    // their build-time df, which meta's running max already covers.
     val touched = incSh.groupBy(col("sh")).agg(count(lit(1)).as("inc_df"))
       .join(broadcast(hot), Seq("sh"), "left_anti")
+    val touchedKeys = touched.select(col("sh"))
     val corpusDfTouched = corpusSh
-      .join(broadcast(touched.select(col("sh"))), Seq("sh"), "left_semi")
+      .join(if (pushdown) broadcast(touchedKeys) else touchedKeys,
+        Seq("sh"), "left_semi")
       .groupBy(col("sh")).agg(count(lit(1)).as("corpus_df"))
     val touchedMax = touched.join(corpusDfTouched, Seq("sh"), "left")
       .select((col("inc_df") + coalesce(col("corpus_df"), lit(0L))).as("df_total"))
