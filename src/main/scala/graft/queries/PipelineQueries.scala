@@ -241,9 +241,14 @@ object PipelineQueries {
     * "rebuild is due" signal is measured, not guessed.
     *
     * Still SINGLE-WRITER for appends (two concurrent appends would race
-    * the pointer); a SHARED artifact stays immutable (buildOnce). */
+    * the pointer); a SHARED artifact stays immutable (buildOnce).
+    *
+    * `broadcastCap` overrides the adaptive pushdown's broadcast-safety
+    * bound (shingle rows) — production uses the default; specs pass 0
+    * to force the plain-shuffle shapes and pin their equality. */
   private[graft] def appendComponentsArtifact(s: SparkSession, dir: String,
-      increment: DataFrame): Unit = {
+      increment: DataFrame,
+      broadcastCap: Long = IncrementBroadcastMaxShingleRows): Unit = {
     val epoch = currentEpoch(dir)
     val meta = readMeta(s, dir)
     // torn-append validation: the persisted index must match the meta
@@ -295,7 +300,7 @@ object PipelineQueries {
     // would be the wall. Output is identical either way (the semi-join
     // removes only rows the equi-join drops; ComponentsIncrSpec pins
     // both shapes pair-for-pair).
-    val pushdown = incAgg.getLong(1) <= IncrementBroadcastMaxShingleRows
+    val pushdown = incAgg.getLong(1) <= broadcastCap
     System.err.println(s"[components] append: ${incAgg.getLong(0)} docs / " +
       s"${incAgg.getLong(1)} shingle rows -> " +
       (if (pushdown) "broadcast pushdown shapes" else "plain shuffle shapes"))

@@ -119,6 +119,26 @@ class ComponentsIncrSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
+  test("append with the plain-shuffle shapes (broadcastCap=0) equals cold") {
+    // small increments take the adaptive broadcast pushdown by default,
+    // so without this case the append's plain-shuffle branch (the
+    // corpus-scale-increment degradation) would be spec-uncovered
+    val base = Files.createTempDirectory("comp-incr-plain").toString
+    val cold = Files.createTempDirectory("comp-incr-plain-cold").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      PipelineQueries.buildComponentsArtifactFrom(spark,
+        corpusDocs.unionByName(incrementDocs), cold)
+      PipelineQueries.appendComponentsArtifact(spark, base, incrementDocs,
+        broadcastCap = 0L)
+      assert(readClusters(base) == readClusters(cold))
+      assert(readNPairs(base) == readNPairs(cold))
+    } finally {
+      Dedup.rmdir(new java.io.File(base))
+      Dedup.rmdir(new java.io.File(cold))
+    }
+  }
+
   test("appends chain: two successive increments equal one cold union build") {
     val base = Files.createTempDirectory("comp-incr-chain").toString
     val cold = Files.createTempDirectory("comp-incr-chain-cold").toString
