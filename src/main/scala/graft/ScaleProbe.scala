@@ -155,6 +155,27 @@ object ScaleProbe {
         s.read.parquet(artifactOf(s, d) + "/sizes"),
         s.read.parquet(artifactOf(s, d) + "/hot"), k = 3, threshold = 0.5,
         broadcastIncrementShingles = true)),
+    // the FULL serving append at ×n — everything an hourly append pays
+    // beyond the pair computation the twins above isolate: torn-append
+    // validation (bounded index aggregates), the adaptive-pushdown pair
+    // join, the star-edge component merge, the drift probe's
+    // touched-shingle df accounting, the staged epoch write and the
+    // pointer flip + GC. Appends CHAIN on a private copy of the ×n
+    // artifact (pass1 = first append on a fresh copy; pass2 = the
+    // steady-state append on the grown artifact — the operational
+    // cadence), each with fresh disjoint ids so the incremental
+    // contract holds per pass. The curve to watch: the validation +
+    // drift terms scan the (growing) corpus index, so their share
+    // should grow ~linearly per decade while the pair/merge terms stay
+    // increment-bounded.
+    P("artifact_append_full", 100, (s, d, n) => {
+      val scratch = appendScratchOf(s, d)
+      val seq = appendSeq.incrementAndGet()
+      val inc = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + 200000000L + seq * 10000L)
+      graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc)
+      s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
+    }),
     // the at-rest store's SERVING path under the scale rule: the store is
     // written once per scale with p = log2(16n) (cell occupancy held
     // ~125), then probed with knnProbeVector — the pure partition-pruned
@@ -214,6 +235,44 @@ object ScaleProbe {
   private def incrementOf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < 500)
       .withColumn("doc_id", col("doc_id") + 100000000L)
+
+  /** Per-append id sequence for the full-append probe (stride 10000 ≫
+    * the 500-doc increment; base 2e8 keeps it disjoint from both the
+    * corpus id space and [[incrementOf]]'s 1e8 range). */
+  private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val appendScratchReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A PRIVATE copy of the ×n artifact for the full-append probe — the
+    * shared artifact must stay immutable (other entries read it, and
+    * buildOnce's contract is immutability). Copied fresh once per JVM
+    * run, so a previous run's chained appends (whose increment ids
+    * would collide with this run's restarted sequence) never leak in. */
+  private def appendScratchOf(s: SparkSession, d: String): String = {
+    val src = artifactOf(s, d)
+    val out = new java.io.File(storesDirFor(d),
+      "components_append_scratch").getAbsolutePath
+    if (appendScratchReady.add(out)) {
+      graft.operators.Dedup.rmdir(new java.io.File(out))
+      copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
+    }
+    out
+  }
+
+  private def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally walk.close()
+  }
 
   /** Probe-owned store dirs live in a SIBLING of the corpus dir — a
     * store written inside it would sit beside the corpus parquet and
