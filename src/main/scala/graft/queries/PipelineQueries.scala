@@ -193,21 +193,63 @@ object PipelineQueries {
     * resolvable, and epochs are GC'd only when they fall TWO behind
     * (an in-flight reader of the previous epoch keeps an intact
     * directory). Pinned by ComponentsStagedSpec. */
-  private[graft] def currentEpoch(dir: String): Long = {
-    val f = new java.io.File(dir, "CURRENT")
+  /** Generation pointer — the artifact's COMPACTION grain, one level
+    * above epochs. `GEN` (a one-line file at the artifact root) names
+    * the live generation subdirectory; absent = generation 0 = the
+    * cold build's root layout, so every artifact written before
+    * compaction existed resolves unchanged. Each generation carries a
+    * full artifact (clusters/meta epochs + its own index dirs);
+    * [[compactComponentsArtifact]] publishes a new one with the same
+    * atomic-pointer discipline appends use for epochs. */
+  private[graft] def genDirOf(dir: String): String = {
+    val f = new java.io.File(dir, "GEN")
+    if (f.exists)
+      s"$dir/${new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim}"
+    else dir
+  }
+
+  private def genNumberOf(dir: String): Long = {
+    val f = new java.io.File(dir, "GEN")
+    if (f.exists)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.stripPrefix("gen-").toLong
+    else 0L
+  }
+
+  /** Epoch of a GENERATION root (no generation resolution — internal). */
+  private def rawEpoch(genRoot: String): Long = {
+    val f = new java.io.File(genRoot, "CURRENT")
     if (f.exists)
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
     else 0L
   }
 
+  private[graft] def currentEpoch(dir: String): Long = rawEpoch(genDirOf(dir))
+
   private def epochDir(dir: String, name: String, epoch: Long): String =
     if (epoch == 0L) s"$dir/$name" else s"$dir/${name}_v$epoch"
 
-  private[graft] def clustersDirOf(dir: String): String =
-    epochDir(dir, "clusters", currentEpoch(dir))
+  /** ONE atomic replace of a pointer file — the only mutation a reader
+    * can ever race, for epochs (CURRENT) and generations (GEN) alike. */
+  private def publishPointer(root: String, name: String, value: String): Unit = {
+    val cur = new java.io.File(root, name)
+    val tmp = new java.io.File(root, s".${name}_tmp_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.write(tmp.toPath, value.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, cur.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
-  private[graft] def metaDirOf(dir: String): String =
-    epochDir(dir, "meta", currentEpoch(dir))
+  private[graft] def clustersDirOf(dir: String): String = {
+    val g = genDirOf(dir)
+    epochDir(g, "clusters", rawEpoch(g))
+  }
+
+  private[graft] def metaDirOf(dir: String): String = {
+    val g = genDirOf(dir)
+    epochDir(g, "meta", rawEpoch(g))
+  }
 
   /** Incremental artifact maintenance — merge an increment's near-dup
     * edges into a PRIVATE artifact, without re-pairing the corpus
@@ -249,7 +291,10 @@ object PipelineQueries {
   private[graft] def appendComponentsArtifact(s: SparkSession, dir: String,
       increment: DataFrame,
       broadcastCap: Long = IncrementBroadcastMaxShingleRows): Unit = {
-    val epoch = currentEpoch(dir)
+    // everything below operates INSIDE the live generation: its index
+    // dirs, its epoch pointer. Compaction swaps generations wholesale.
+    val gen = genDirOf(dir)
+    val epoch = rawEpoch(gen)
     val meta = readMeta(s, dir)
     // torn-append validation: the persisted index must match the meta
     // accounting exactly — three bounded aggregates (count/sum over the
@@ -258,7 +303,7 @@ object PipelineQueries {
     // append crashed between its index appends and its pointer flip:
     // re-running it would double-append the increment's index rows and
     // corrupt every later jaccard, so fail loudly instead.
-    val sizesDf = s.read.parquet(s"$dir/sizes")
+    val sizesDf = s.read.parquet(s"$gen/sizes")
     val Array(szAgg) = sizesDf
       .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
     // the shingle-index row count comes from parquet row-group metadata
@@ -268,7 +313,7 @@ object PipelineQueries {
       val key = "spark.sql.parquet.aggregatePushdown"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "true")
-      try s.read.parquet(s"$dir/shingles").count()
+      try s.read.parquet(s"$gen/shingles").count()
       finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     }
     require(szAgg.getLong(0) == meta.nDocsIndexed &&
@@ -278,8 +323,8 @@ object PipelineQueries {
         s"records ${meta.nDocsIndexed} docs / ${meta.nShingleRows} rows — " +
         "a prior append crashed between its index appends and its pointer " +
         "flip; rebuild the artifact (cold build) before appending again")
-    val corpusSh = s.read.parquet(s"$dir/shingles")
-    val hot = s.read.parquet(s"$dir/hot")
+    val corpusSh = s.read.parquet(s"$gen/shingles")
+    val hot = s.read.parquet(s"$gen/hot")
     // increment accounting FIRST: its shingle-row count (one bounded
     // aggregate over the increment alone) is also the broadcast-safety
     // measurement the plan choices below key off
@@ -310,7 +355,7 @@ object PipelineQueries {
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = newPairs.count()
-    val oldClusters = s.read.parquet(epochDir(dir, "clusters", epoch))
+    val oldClusters = s.read.parquet(epochDir(gen, "clusters", epoch))
     val star = oldClusters.select(col("cluster_id").as("i"), col("doc_id").as("j"))
     // components() fully materializes its result (driver union-find or
     // its own checkpoint parquet) before returning — the staged epoch
@@ -337,8 +382,8 @@ object PipelineQueries {
     val newMaxNonhot = math.max(meta.maxNonhotDf, touchedMax)
     // stage the new epoch (invisible until the flip)
     val next = epoch + 1
-    merged.write.mode("overwrite").parquet(epochDir(dir, "clusters", next))
-    writeMeta(s, epochDir(dir, "meta", next), Meta(
+    merged.write.mode("overwrite").parquet(epochDir(gen, "clusters", next))
+    writeMeta(s, epochDir(gen, "meta", next), Meta(
       nPairs = meta.nPairs + nNew, cutoff = meta.cutoff,
       nDocsIndexed = meta.nDocsIndexed + incAgg.getLong(0),
       nShingleRows = meta.nShingleRows + incAgg.getLong(1),
@@ -348,25 +393,68 @@ object PipelineQueries {
     // index appends BEFORE the flip: the new epoch's meta accounts for
     // them, so a crash after either append (or before the flip) is the
     // torn state the validation above catches on the next append
-    incSh.write.mode("append").parquet(s"$dir/shingles")
-    incSizes.write.mode("append").parquet(s"$dir/sizes")
+    incSh.write.mode("append").parquet(s"$gen/shingles")
+    incSizes.write.mode("append").parquet(s"$gen/sizes")
     incSh.unpersist(false)
     // publish: ONE atomic replace of the pointer file
-    val cur = new java.io.File(dir, "CURRENT")
-    val tmp = new java.io.File(dir, s".CURRENT_tmp_${ProcessHandle.current().pid()}")
-    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, cur.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    publishPointer(gen, "CURRENT", next.toString)
     // GC epochs ≥ 2 behind the new pointer (an in-flight reader of the
     // PREVIOUS epoch keeps an intact dir; anything older has had a full
     // append's grace). Sweep all stale epochs so crash-skipped GCs are
     // recovered on the next append.
     Seq("clusters", "meta").foreach { name =>
       (0L to next - 2).foreach { e =>
-        val f = new java.io.File(epochDir(dir, name, e))
+        val f = new java.io.File(epochDir(gen, name, e))
         if (f.exists) graft.operators.Dedup.rmdir(f)
       }
+    }
+  }
+
+  /** STAGED COMPACTION — the remedy the hot-set drift flag calls for,
+    * without ever yanking the artifact from a reader. When
+    * `rebuild_recommended` trips (an increment pushed a once-rare
+    * shingle over the snapshot cutoff, so append-to-cold equality no
+    * longer holds for FUTURE appends), the operator re-derives the
+    * whole artifact — cutoff, hot set, index, clusters — from the
+    * caller's corpus-of-record (`docs` = everything ever built or
+    * appended; the artifact persists shingle HASHES, not text, so the
+    * raw corpus is the caller's to supply, same as the cold build's).
+    *
+    * Publication mirrors the append's epoch discipline one level up:
+    * the new generation is cold-built COMPLETE inside `gen-<g+1>/`
+    * (invisible — nothing resolves it), then ONE atomic replace of the
+    * `GEN` pointer makes it live. A reader mid-scan of the old
+    * generation keeps intact directories until the generation falls
+    * TWO behind (the next compaction), the same grace epochs get.
+    * Appends continue on the new generation with a fresh drift floor —
+    * `rebuild_recommended` comes out false by construction. Same
+    * SINGLE-WRITER contract as appends (compaction and appends must
+    * not race each other; readers are never blocked). */
+  private[graft] def compactComponentsArtifact(s: SparkSession, dir: String,
+      docs: DataFrame): Unit = {
+    val next = genNumberOf(dir) + 1
+    val nextDir = s"$dir/gen-$next"
+    // a crashed prior compaction may have left a partial gen dir —
+    // never resolvable (the pointer still names the old generation),
+    // so clearing it is invisible too
+    Dedup.rmdir(new java.io.File(nextDir))
+    buildComponentsArtifactFrom(s, docs, nextDir)
+    publishPointer(dir, "GEN", s"gen-$next")
+    // GC generations ≥ 2 behind, sweeping stale ones from crash-skipped
+    // GCs. Generation 0 is the cold build's ROOT layout: its artifact
+    // dirs (all epochs) live at the artifact root itself.
+    (0L to next - 2).foreach { g =>
+      if (g == 0L) {
+        Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter { f =>
+            val n = f.getName
+            n == "shingles" || n == "sizes" || n == "hot" ||
+              n == "clusters" || n.startsWith("clusters_v") ||
+              n == "meta" || n.startsWith("meta_v")
+          }.foreach(Dedup.rmdir)
+        new java.io.File(dir, "CURRENT").delete()
+        ()
+      } else Dedup.rmdir(new java.io.File(s"$dir/gen-$g"))
     }
   }
 
