@@ -52,15 +52,24 @@ object EmbeddingStore {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       embeddings.sparkSession.sparkContext.hadoopConfiguration)
     val hadIdx = fs.exists(new org.apache.hadoop.fs.Path(path, idIndexDir))
-    // A non-Append write with idIndex=false must not leave the old
-    // sidecar behind. A static-mode Overwrite happens to delete the
-    // whole dir, but that is a session conf away from not holding
+    // An Overwrite with idIndex=false must not leave the old sidecar
+    // behind. A static-mode Overwrite happens to delete the whole dir,
+    // but that is a session conf away from not holding
     // (partitionOverwriteMode=dynamic rewrites only touched cell dirs,
     // leaving _idx in place → directRead would resolve ids against the
     // PREVIOUS corpus) — so the removal is explicit, not an overwrite
-    // side effect.
-    if (mode != SaveMode.Append && !idIndex && hadIdx)
+    // side effect. Overwrite ONLY (ADVICE r9): Ignore on an existing
+    // store is a data no-op and ErrorIfExists throws before writing —
+    // neither replaces the vectors, so stripping a valid sidecar there
+    // would break directRead on a store whose data never changed.
+    if (mode == SaveMode.Overwrite && !idIndex && hadIdx)
       fs.delete(new org.apache.hadoop.fs.Path(path, idIndexDir), true)
+    // Ignore-mode writes onto an EXISTING store are data no-ops; the
+    // sidecar writes below must no-op with them, or an idIndex=true
+    // Ignore call would write a sidecar of just the ignored increment
+    // (partial: directRead would error on every pre-existing id).
+    val ignoredNoop = mode == SaveMode.Ignore &&
+      fs.exists(new org.apache.hadoop.fs.Path(path))
     embeddings
       .withColumn(partitionCol, V.lshBucket(col("embedding"), nPlanes))
       .repartition(col(partitionCol))
@@ -80,7 +89,7 @@ object EmbeddingStore {
     val incIdxRows = embeddings.select(col("vec_id"),
       V.lshBucket(col("embedding"), nPlanes).as("bucket"))
     if (mode != SaveMode.Append) {
-      if (idIndex) writeIdx(incIdxRows, mode)
+      if (idIndex && !ignoredNoop) writeIdx(incIdxRows, mode)
     } else if (hadIdx) writeIdx(incIdxRows, SaveMode.Append)
     else if (idIndex)
       // first-idIndex-on-append backfill: the store (which now includes

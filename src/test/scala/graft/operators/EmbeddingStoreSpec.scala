@@ -204,7 +204,7 @@ class EmbeddingStoreSpec extends SparkSpec {
     assert(EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 2).isEmpty)
   }
 
-  test("non-Append write with idIndex=false removes a stale sidecar even under " +
+  test("Overwrite with idIndex=false removes a stale sidecar even under " +
       "dynamic partitionOverwriteMode") {
     val dir = Files.createTempDirectory("embstore-stale-idx").toString
     val idx = new java.io.File(dir, EmbeddingStore.idIndexDir)
@@ -222,6 +222,32 @@ class EmbeddingStoreSpec extends SparkSpec {
     // and the store stays probe-able through the default shape
     assert(EmbeddingStore.knnProbe(spark, dir, 0L, 5, nPlanes = 4,
       directRead = true).count() == 5L)
+  }
+
+  test("Ignore-mode write on an existing store is a full no-op: the valid " +
+      "sidecar survives and no partial sidecar is written (ADVICE r9)") {
+    val dir = Files.createTempDirectory("embstore-ignore-idx").toString
+    val idx = new java.io.File(dir, EmbeddingStore.idIndexDir)
+    EmbeddingStore.write(embs, dir, nPlanes = 4, idIndex = true)
+    val want = EmbeddingStore.knnProbe(spark, dir, 0L, 5, nPlanes = 4,
+      directRead = true).collect().map(_.toSeq).toSeq
+    // idIndex=false Ignore: the data write no-ops, so the sidecar —
+    // still valid for vectors that were never rewritten — must survive
+    EmbeddingStore.write(embs.limit(3), dir, nPlanes = 4,
+      mode = org.apache.spark.sql.SaveMode.Ignore)
+    assert(idx.isDirectory, "Ignore on an existing store must not strip the sidecar")
+    assert(EmbeddingStore.knnProbe(spark, dir, 0L, 5, nPlanes = 4,
+      directRead = true).collect().map(_.toSeq).toSeq == want)
+    // idIndex=true Ignore: the data write no-ops, so the sidecar write
+    // must no-op too — a sidecar of just the ignored increment would be
+    // PARTIAL (directRead would error on every pre-existing id)
+    val before = Option(idx.listFiles()).toSeq.flatten.map(_.getName).sorted
+    EmbeddingStore.write(embs.limit(3), dir, nPlanes = 4,
+      mode = org.apache.spark.sql.SaveMode.Ignore, idIndex = true)
+    assert(Option(idx.listFiles()).toSeq.flatten.map(_.getName).sorted == before,
+      "Ignore must not rewrite the sidecar of an ignored data write")
+    assert(EmbeddingStore.knnProbe(spark, dir, 0L, 5, nPlanes = 4,
+      directRead = true).collect().map(_.toSeq).toSeq == want)
   }
 
   test("directRead against a store with no cell directories returns the " +
