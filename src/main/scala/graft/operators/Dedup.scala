@@ -316,8 +316,15 @@ object Dedup {
   /** The skew-guard cutoff heuristic: max(16, 0.4 % of the corpus). At
     * sf0.1 this actively drops the df 21–25 shingle tail while every
     * qualifying pair still shares a df ≤ 10 shingle (measured). */
-  def autoDfCutoff(docs: DataFrame): Long =
-    math.max(16L, (docs.count() * 0.004).toLong)
+  def autoDfCutoff(docs: DataFrame): Long = autoDfCutoffFor(docs.count())
+
+  /** [[autoDfCutoff]] as a pure function of the corpus size — the ONE
+    * formula, shared with the components artifact's drift detection,
+    * which must recompute the cutoff a cold rebuild WOULD use over the
+    * appended corpus (the cutoff grows with n, so append-to-cold
+    * equality can break in both directions; see
+    * PipelineQueries.appendComponentsArtifact). */
+  def autoDfCutoffFor(nDocs: Long): Long = math.max(16L, (nDocs * 0.004).toLong)
 
   /** Document pairs with k-shingle Jaccard ≥ threshold.
     *
@@ -461,10 +468,17 @@ object Dedup {
     * FULL per-doc sizes. Cost tracks |increment| and the index buckets
     * it touches. doc_ids of the two frames must be disjoint (same
     * contract as [[incrementalNearDups]]). */
-  def incrementalNgramPairs(increment: DataFrame, corpusShingles: DataFrame,
+  def incrementalNgramPairs(increment: DataFrame, corpusShingles0: DataFrame,
       corpusSizes: DataFrame, hotShingles: DataFrame, k: Int = 3,
       threshold: Double = 0.5,
       broadcastIncrementShingles: Boolean = false): DataFrame = {
+    // normalize to the (doc_id, sh) grain: the persisted index is
+    // bucketed by a derived `shb` partition column at rest (layout
+    // _idx3), and that column must neither widen the joins below nor
+    // break the hotAll union's schema — callers may pass the raw read
+    // (possibly pre-pruned to the touched buckets, which composes with
+    // this projection)
+    val corpusShingles = corpusShingles0.select(col("doc_id"), col("sh"))
     val incSh = shingleRows(increment, k)
     val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val incRare = incSh.join(broadcast(hotShingles), Seq("sh"), "left_anti")

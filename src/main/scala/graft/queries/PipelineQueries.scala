@@ -91,6 +91,33 @@ object PipelineQueries {
     * Spark's own broadcast-join economics. */
   private val IncrementBroadcastMaxShingleRows = 2L * 1000 * 1000
 
+  /** The shingle index is PARTITIONED at rest by `shb = sh mod 64`
+    * (layout `_idx3`, the 100 TB remedy SCALE.md round 9 named): a
+    * serving append touches a bounded shingle set, so every
+    * corpus-index read on the append path filters to the touched
+    * buckets FIRST — parquet PartitionFilters prune whole directories
+    * instead of scanning the full index and filtering rows (the ×100
+    * probe's residual scan term). 64 buckets keeps the per-write file
+    * count sane on local[32]; at real 100 TB the same layout carries
+    * more buckets — the constant is baked into the layout version, so
+    * changing it can never silently mix layouts. */
+  private[graft] val ShingleBuckets = 64
+
+  private def shingleBucket(sh: Column): Column =
+    pmod(sh, lit(ShingleBuckets.toLong)).cast("int")
+
+  /** Read the bucketed shingle index with an EXPLICIT schema: an
+    * all-shingle-less corpus writes zero partition directories, and
+    * schema inference over an empty partitioned dir throws where the
+    * unpartitioned layout read an empty (but schema-bearing) file. */
+  private def readShingleIndex(s: SparkSession, genRoot: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("sh", LongType),
+        StructField("shb", IntegerType))))
+      .parquet(s"$genRoot/shingles")
+  }
+
   private[graft] def componentsArtifactDir(s: SparkSession, d: String): String =
     StreamingQueries.buildOnce(componentsArtifactPath(d))(
       buildComponentsArtifact(s, d, _))
@@ -116,12 +143,16 @@ object PipelineQueries {
     * simplicity at gate scale). */
   private[graft] def buildComponentsArtifactFrom(s: SparkSession,
       docs: DataFrame, out: String): Unit = {
-    val cutoff = Dedup.autoDfCutoff(docs)
+    val nDocsTotal = docs.count()
+    val cutoff = Dedup.autoDfCutoffFor(nDocsTotal)
     // index FIRST: raw text is shingled exactly once; the pair build,
-    // sizes and hot set all read the written 8-byte (doc_id, sh) grain
+    // sizes and hot set all read the written 8-byte (doc_id, sh) grain.
+    // Bucketed by sh (layout _idx3) so the append path's corpus-index
+    // reads prune partitions instead of scanning the full index.
     Dedup.shingleIndex(docs, ComponentsK)
-      .write.mode("overwrite").parquet(s"$out/shingles")
-    val shWritten = s.read.parquet(s"$out/shingles")
+      .withColumn("shb", shingleBucket(col("sh")))
+      .write.mode("overwrite").partitionBy("shb").parquet(s"$out/shingles")
+    val shWritten = readShingleIndex(s, out)
     shWritten.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$out/sizes")
     // the per-shingle df shuffle runs ONCE: hot/, the pair build's hot-id
@@ -133,7 +164,8 @@ object PipelineQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dfT.filter(col("df") > cutoff).select(col("sh"))
       .write.mode("overwrite").parquet(s"$out/hot")
-    val pairs = Dedup.pairsFromShingles(shWritten, ComponentsThreshold,
+    val pairs = Dedup.pairsFromShingles(
+        shWritten.select(col("doc_id"), col("sh")), ComponentsThreshold,
         dfCutoff = Some(cutoff), dfTable = Some(dfT))
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -145,24 +177,37 @@ object PipelineQueries {
     //    against (doc and row counts of the persisted index), so a torn
     //    append is DETECTED on the next append instead of silently
     //    losing pairs against the unindexed increment;
-    //  - the hot-set drift floor: the largest document frequency among
-    //    NON-hot shingles at build time — appends keep a running max of
-    //    the same quantity over the shingles they touch, and the
-    //    rebuild_recommended flag trips when it crosses the cutoff.
+    //  - the drift floors, both directions (ADVICE r9): the largest
+    //    document frequency among NON-hot shingles (appends keep a
+    //    running max of the same quantity over the shingles they touch;
+    //    rebuild_recommended trips when it crosses the cutoff) AND the
+    //    smallest document frequency among HOT shingles (the cutoff a
+    //    cold rebuild would use GROWS with appended docs — once it
+    //    reaches this floor, cold would DECLASSIFY a snapshot-hot
+    //    shingle and discover pairs the fixed cut set never will).
     val Array(idxAgg) = s.read.parquet(s"$out/sizes")
       .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
-    val maxNonhotDf = dfT.filter(col("df") <= cutoff)
-      .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
+    val Array(dfAgg) = dfT.agg(
+      coalesce(max(when(col("df") <= cutoff, col("df"))), lit(0L)),
+      coalesce(min(when(col("df") > cutoff, col("df"))), lit(Long.MaxValue)))
+      .collect()
     dfT.unpersist(false)
     writeMeta(s, s"$out/meta", Meta(nPairs, cutoff,
-      idxAgg.getLong(0), idxAgg.getLong(1), maxNonhotDf,
+      idxAgg.getLong(0), idxAgg.getLong(1), dfAgg.getLong(0),
+      nDocsTotal = nDocsTotal, minHotDf = dfAgg.getLong(1),
       rebuildRecommended = false))
   }
 
   /** The artifact's meta row — build/maintenance accounting the
-    * consumers and the append path read by NAME (never by position). */
+    * consumers and the append path read by NAME (never by position).
+    * `nDocsTotal` counts EVERY corpus doc (shingle-less included — the
+    * cutoff formula runs over raw corpus size), vs `nDocsIndexed` which
+    * counts docs with index rows; `minHotDf` is the declassification
+    * floor for the reverse drift direction (Long.MaxValue = no hot
+    * shingles, nothing to declassify). */
   private[graft] case class Meta(nPairs: Long, cutoff: Long,
       nDocsIndexed: Long, nShingleRows: Long, maxNonhotDf: Long,
+      nDocsTotal: Long, minHotDf: Long,
       rebuildRecommended: Boolean)
 
   private def writeMeta(s: SparkSession, path: String, m: Meta): Unit = {
@@ -170,6 +215,8 @@ object PipelineQueries {
         lit(m.nDocsIndexed).as("n_docs_indexed"),
         lit(m.nShingleRows).as("n_shingle_rows"),
         lit(m.maxNonhotDf).as("max_nonhot_df"),
+        lit(m.nDocsTotal).as("n_docs_total"),
+        lit(m.minHotDf).as("min_hot_df"),
         lit(m.rebuildRecommended).as("rebuild_recommended"))
       .coalesce(1).write.mode("overwrite").parquet(path)
     ()
@@ -179,7 +226,8 @@ object PipelineQueries {
     val r = s.read.parquet(metaDirOf(dir)).head()
     Meta(r.getAs[Long]("n_pairs"), r.getAs[Long]("cutoff"),
       r.getAs[Long]("n_docs_indexed"), r.getAs[Long]("n_shingle_rows"),
-      r.getAs[Long]("max_nonhot_df"), r.getAs[Boolean]("rebuild_recommended"))
+      r.getAs[Long]("max_nonhot_df"), r.getAs[Long]("n_docs_total"),
+      r.getAs[Long]("min_hot_df"), r.getAs[Boolean]("rebuild_recommended"))
   }
 
   /** Pointer-versioned clusters/meta — the artifact's MUTABLE grain.
@@ -313,7 +361,7 @@ object PipelineQueries {
       val key = "spark.sql.parquet.aggregatePushdown"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "true")
-      try s.read.parquet(s"$gen/shingles").count()
+      try readShingleIndex(s, gen).count()
       finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     }
     require(szAgg.getLong(0) == meta.nDocsIndexed &&
@@ -323,16 +371,34 @@ object PipelineQueries {
         s"records ${meta.nDocsIndexed} docs / ${meta.nShingleRows} rows — " +
         "a prior append crashed between its index appends and its pointer " +
         "flip; rebuild the artifact (cold build) before appending again")
-    val corpusSh = s.read.parquet(s"$gen/shingles")
     val hot = s.read.parquet(s"$gen/hot")
-    // increment accounting FIRST: its shingle-row count (one bounded
-    // aggregate over the increment alone) is also the broadcast-safety
-    // measurement the plan choices below key off
+    // increment accounting FIRST: its raw doc count feeds the
+    // recomputed-cutoff drift check, and its shingle-row count (one
+    // bounded aggregate over the increment alone) is the
+    // broadcast-safety measurement the plan choices below key off
+    val incDocsTotal = increment.count()
     val incSh = Dedup.shingleIndex(increment, ComponentsK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val Array(incAgg) = incSizes
       .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+    // BUCKET PRUNING (layout _idx3 — the 100 TB scan-term remedy): every
+    // corpus-index read below only ever matches shingles the increment
+    // touches (candidate + drift joins) or the bounded hot set (the
+    // intersection re-add), so the scan is pre-filtered to those
+    // partitions — parquet PartitionFilters skip whole `shb=` dirs; the
+    // bounded collects (≤ ShingleBuckets values each) replace a
+    // full-index read with a touched-bucket read
+    val touchedBuckets = incSh.select(shingleBucket(col("sh")).as("shb"))
+      .distinct().collect().map(_.getInt(0))
+    val hotBuckets = hot.select(shingleBucket(col("sh")).as("shb"))
+      .distinct().collect().map(_.getInt(0))
+    val buckets = (touchedBuckets ++ hotBuckets).distinct.toSeq
+    System.err.println(s"[components] append: pruning corpus-index scans to " +
+      s"${buckets.size}/$ShingleBuckets shingle buckets")
+    val corpusSh =
+      if (buckets.isEmpty) readShingleIndex(s, gen).filter(lit(false))
+      else readShingleIndex(s, gen).filter(col("shb").isin(buckets: _*))
     // ADAPTIVE pushdown (the serving-case economics, decided by
     // measurement instead of a knob): when the increment's shingle rows
     // fit a broadcast (row count bounds the distinct set, 8-byte grain
@@ -380,6 +446,17 @@ object PipelineQueries {
       .select((col("inc_df") + coalesce(col("corpus_df"), lit(0L))).as("df_total"))
       .agg(coalesce(max(col("df_total")), lit(0L))).head().getLong(0)
     val newMaxNonhot = math.max(meta.maxNonhotDf, touchedMax)
+    // drift, BOTH directions (ADVICE r9): (a) an increment pushed a
+    // once-rare shingle over the snapshot cutoff (running max crosses
+    // it), and (b) the cutoff a cold rebuild would use over the GROWN
+    // corpus reaches the snapshot's least-frequent hot shingle — cold
+    // would then declassify it and generate candidates from a shingle
+    // the fixed cut set excludes. Both flags are monotone (the max and
+    // the corpus size only grow), and a tripped flag stays tripped.
+    val newDocsTotal = meta.nDocsTotal + incDocsTotal
+    val grownCutoff = Dedup.autoDfCutoffFor(newDocsTotal)
+    val drift = newMaxNonhot > meta.cutoff || grownCutoff >= meta.minHotDf ||
+      meta.rebuildRecommended
     // stage the new epoch (invisible until the flip)
     val next = epoch + 1
     merged.write.mode("overwrite").parquet(epochDir(gen, "clusters", next))
@@ -388,12 +465,14 @@ object PipelineQueries {
       nDocsIndexed = meta.nDocsIndexed + incAgg.getLong(0),
       nShingleRows = meta.nShingleRows + incAgg.getLong(1),
       maxNonhotDf = newMaxNonhot,
-      rebuildRecommended = newMaxNonhot > meta.cutoff))
+      nDocsTotal = newDocsTotal, minHotDf = meta.minHotDf,
+      rebuildRecommended = drift))
     newPairs.unpersist(false)
     // index appends BEFORE the flip: the new epoch's meta accounts for
     // them, so a crash after either append (or before the flip) is the
     // torn state the validation above catches on the next append
-    incSh.write.mode("append").parquet(s"$gen/shingles")
+    incSh.withColumn("shb", shingleBucket(col("sh")))
+      .write.mode("append").partitionBy("shb").parquet(s"$gen/shingles")
     incSizes.write.mode("append").parquet(s"$gen/sizes")
     incSh.unpersist(false)
     // publish: ONE atomic replace of the pointer file
@@ -459,11 +538,13 @@ object PipelineQueries {
   }
 
   /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>.
-    * `idx2` versions the layout — `idx1` artifacts carry the old
-    * single-column meta (no integrity tokens / drift fields) and must
-    * not be reused now that append validates and maintains them. */
+    * `idx3` versions the layout (migration-on-rebuild: a version bump
+    * changes the path, so stale layouts are never half-reused) —
+    * `idx1` lacked the integrity/drift meta, `idx2` lacked the
+    * sh-bucketed shingle partitioning and the two-direction drift
+    * fields (n_docs_total / min_hot_df) the append now maintains. */
   private[graft] def componentsArtifactPath(d: String): String = {
-    val params = s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx2"
+    val params = s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx3"
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_components_${params}_" +
         StreamingQueries.sourceStamp(s"$d/documents.parquet")).getAbsolutePath

@@ -128,14 +128,73 @@ class ComponentsStagedSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
+  test("layout _idx3: the shingle index is partitioned by shb and a bucket " +
+      "filter prunes partitions at the source (the append's scan-term remedy)") {
+    val base = buildBase()
+    try {
+      // the physical layout: shb=N partition dirs, no root-level files
+      val names = Option(new java.io.File(base, "shingles").listFiles())
+        .toSeq.flatten.map(_.getName)
+      assert(names.exists(_.startsWith("shb=")), s"got $names")
+      assert(!names.exists(_.endsWith(".parquet")),
+        s"data files must live under shb= dirs, got $names")
+      // a bucket predicate must land in PartitionFilters — directory
+      // pruning, not row filtering after a full scan
+      val plan = spark.read.parquet(s"$base/shingles")
+        .filter(col("shb").isin(1, 2, 3))
+        .queryExecution.executedPlan.toString
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      assert(pf.exists(_.contains("shb")),
+        s"bucket filter must prune partitions, plan:\n$plan")
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
+  test("reverse drift (ADVICE r9): a grown corpus whose recomputed cutoff " +
+      "reaches the snapshot's least-frequent hot shingle trips " +
+      "rebuild_recommended even though no touched shingle crosses the cutoff") {
+    // One 3-token text = exactly one shingle per doc. 25 docs share a
+    // hot phrase (df 25); 5000 docs put the build cutoff at
+    // max(16, 0.4%·5000) = 20, so hot = {df 25} and minHotDf = 25.
+    // Appends of all-unique docs never move the FORWARD running max
+    // (every touched df_total is 1) — only the recomputed cutoff grows.
+    def uniq(id: Long) = (id, s"u${id}_a u${id}_b u${id}_c")
+    val corpus = ((1L to 5000L).map { id =>
+      if (id <= 25L) (id, "hot alpha beta") else uniq(id)
+    }).toDF("doc_id", "text")
+    val base = Files.createTempDirectory("comp-revdrift").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpus, base)
+      val m0 = PipelineQueries.readMeta(spark, base)
+      assert(m0.cutoff == 20L && m0.minHotDf == 25L && m0.nDocsTotal == 5000L &&
+        !m0.rebuildRecommended, s"fixture: $m0")
+      // +200 docs: recomputed cutoff = ⌊0.4%·5200⌋ = 20 < 25 — no trip
+      PipelineQueries.appendComponentsArtifact(spark, base,
+        ((10001L to 10200L).map(uniq)).toDF("doc_id", "text"))
+      val m1 = PipelineQueries.readMeta(spark, base)
+      assert(m1.nDocsTotal == 5200L && !m1.rebuildRecommended, s"got $m1")
+      // +1100 docs: recomputed cutoff = ⌊0.4%·6300⌋ = 25 ≥ minHotDf 25 —
+      // a cold rebuild over the grown corpus could now DECLASSIFY the
+      // df-25 shingle (and surface candidates the fixed cut set never
+      // will); the flag must trip although the forward max never moved
+      PipelineQueries.appendComponentsArtifact(spark, base,
+        ((20001L to 21100L).map(uniq)).toDF("doc_id", "text"))
+      val m2 = PipelineQueries.readMeta(spark, base)
+      assert(m2.maxNonhotDf <= m2.cutoff,
+        s"fixture regression: the forward check must not be what fires: $m2")
+      assert(m2.rebuildRecommended, s"grown cutoff must trip the flag: $m2")
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
   test("torn append fails loudly: index rows beyond meta's accounting " +
       "(crash-between-append-and-flip signature) block further appends") {
     val base = buildBase()
     try {
       // simulate the crash window: an increment's shingle rows landed in
-      // the index but no pointer flip recorded them (meta unchanged)
+      // the index but no pointer flip recorded them (meta unchanged) —
+      // written in the real append's bucketed shape (layout _idx3)
       Dedup.shingleIndex(Seq((999L, tail(900))).toDF("doc_id", "text"), 3)
-        .write.mode("append").parquet(s"$base/shingles")
+        .withColumn("shb", pmod(col("sh"), lit(64L)).cast("int"))
+        .write.mode("append").partitionBy("shb").parquet(s"$base/shingles")
       val e = intercept[IllegalArgumentException] {
         PipelineQueries.appendComponentsArtifact(spark, base,
           Seq((104L, tail(901))).toDF("doc_id", "text"))
