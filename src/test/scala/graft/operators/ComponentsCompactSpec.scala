@@ -1,0 +1,175 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.PipelineQueries
+
+/** Pins [[PipelineQueries.compactComponentsArtifact]] and the GEN
+  * generation-pointer machinery (round-10 verdict asks #1/#4 + ADVICE
+  * r9): the artifact's full 100 TB maintenance runbook, exercised
+  * END-TO-END in one loop —
+  *
+  *   build → append (equal to cold, flag down) → append past the
+  *   cutoff (drift flag trips) → compact (new generation hash-equal to
+  *   a fresh cold build over the corpus-of-record, flag reset) → keep
+  *   appending on the new generation (equal to cold again).
+  *
+  * Plus the crash/GC contracts: a generation survives ONE compaction's
+  * grace before being swept (a reader mid-scan of pre-flip-resolved
+  * paths keeps intact directories), generation 0's ROOT-layout dirs are
+  * removed exactly at two-behind, and a partial `gen-<g+1>/` left by a
+  * crashed prior compaction is cleared and rebuilt — it was never
+  * resolvable, so clearing it is invisible.
+  */
+class ComponentsCompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The ComponentsStagedSpec corpus: 16 docs share a 3-token prefix, so
+  // its shingle sits AT the autoDfCutoff floor (df 16 = cutoff 16,
+  // non-hot, zero headroom) — one more prefixed doc trips the drift
+  // flag. 29/30 are a near-dup pair so cluster content is non-trivial.
+  private def tail(seed: Int): String =
+    (0 until 12).map(i => s"w${seed}_$i").mkString(" ")
+
+  private def corpusDocs: DataFrame =
+    ((1L to 30L).map { id =>
+      val prefix = if (id <= 16L) "edge boiler plate " else ""
+      val t = if (id == 30L) tail(29) + " extra" else tail(id.toInt)
+      (id, prefix + t)
+    }).toDF("doc_id", "text")
+
+  private def readClusters(dir: String): Seq[(Long, Long)] =
+    spark.read.parquet(PipelineQueries.clustersDirOf(dir))
+      .select(col("doc_id"), col("cluster_id")).as[(Long, Long)]
+      .collect().toSeq.sorted
+
+  private def coldOf(docs: DataFrame): (Seq[(Long, Long)], Long) = {
+    val dir = Files.createTempDirectory("comp-compact-cold").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, docs, dir)
+      (readClusters(dir), PipelineQueries.readMeta(spark, dir).nPairs)
+    } finally Dedup.rmdir(new java.io.File(dir))
+  }
+
+  test("end-to-end runbook: drift trips -> compact equals cold with the flag " +
+      "reset -> appends continue on the new generation, still equal to cold") {
+    val base = Files.createTempDirectory("comp-compact-e2e").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      // append 1 (fresh tails, plus a near-dup of corpus doc 5 so the
+      // append contributes a real cross-boundary edge): flag stays down
+      val inc1 = Seq((101L, tail(500)), (102L, tail(5) + " extra"))
+        .toDF("doc_id", "text")
+      PipelineQueries.appendComponentsArtifact(spark, base, inc1)
+      val docs1 = corpusDocs.unionByName(inc1)
+      assert(!PipelineQueries.readMeta(spark, base).rebuildRecommended)
+      assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
+        == coldOf(docs1))
+      // append 2 carries the prefix: the df-16 shingle reaches 17 > 16
+      val inc2 = Seq((103L, "edge boiler plate " + tail(600)))
+        .toDF("doc_id", "text")
+      PipelineQueries.appendComponentsArtifact(spark, base, inc2)
+      val docs2 = docs1.unionByName(inc2)
+      assert(PipelineQueries.readMeta(spark, base).rebuildRecommended,
+        "fixture: the cutoff-crossing append must trip the flag")
+
+      // COMPACT on the corpus-of-record: one atomic GEN flip
+      PipelineQueries.compactComponentsArtifact(spark, base, docs2)
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-1"))
+      assert(PipelineQueries.currentEpoch(base) == 0L,
+        "a fresh generation starts at epoch 0")
+      val m = PipelineQueries.readMeta(spark, base)
+      assert(!m.rebuildRecommended, s"compaction must reset the flag: $m")
+      // the re-derived snapshot re-cut: the once-drifting shingle (df 17)
+      // is now HOT, so the new drift floors reflect the NEW corpus
+      assert(m.cutoff == 16L && m.minHotDf == 17L && m.nDocsTotal == 33L, s"$m")
+      assert((readClusters(base), m.nPairs) == coldOf(docs2),
+        "the compacted generation must hash-equal a fresh cold build")
+
+      // appends CONTINUE on gen-1: epoch pointer fresh, torn-append
+      // validation against gen-1's own index, equality to cold holds
+      val inc3 = Seq((104L, tail(700)), (105L, tail(700) + " extra"))
+        .toDF("doc_id", "text")
+      PipelineQueries.appendComponentsArtifact(spark, base, inc3)
+      val docs3 = docs2.unionByName(inc3)
+      assert(PipelineQueries.currentEpoch(base) == 1L)
+      assert(PipelineQueries.clustersDirOf(base).contains("gen-1"))
+      val m3 = PipelineQueries.readMeta(spark, base)
+      assert(!m3.rebuildRecommended, s"fresh drift floor after compact: $m3")
+      assert((readClusters(base), m3.nPairs) == coldOf(docs3))
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
+  test("generation GC is two-behind: gen-0's root layout survives the first " +
+      "compaction intact (a mid-scan reader keeps reading), is swept at the " +
+      "second, and each prior generation gets the same grace") {
+    val base = Files.createTempDirectory("comp-compact-gc").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      // a reader that resolved its paths BEFORE any compaction — the
+      // mid-scan scenario the two-behind grace exists for
+      val readerPath = PipelineQueries.clustersDirOf(base)
+      val readerSaw = spark.read.parquet(readerPath)
+        .select(col("doc_id"), col("cluster_id")).as[(Long, Long)]
+        .collect().toSeq.sorted
+
+      PipelineQueries.compactComponentsArtifact(spark, base, corpusDocs)
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-1"))
+      // gen-0's root layout is ONE behind: fully intact, same content
+      // (no CURRENT file here — a fresh cold build is epoch 0 by absence)
+      for (n <- Seq("clusters", "meta", "shingles", "sizes", "hot"))
+        assert(new java.io.File(base, n).exists,
+          s"gen-0 root dir $n must survive the first compaction")
+      assert(spark.read.parquet(readerPath)
+        .select(col("doc_id"), col("cluster_id")).as[(Long, Long)]
+        .collect().toSeq.sorted == readerSaw,
+        "a gen-0 mid-scan reader must survive the first flip unchanged")
+
+      PipelineQueries.compactComponentsArtifact(spark, base, corpusDocs)
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-2"))
+      // now gen-0 is two behind: its root artifact dirs are swept...
+      for (n <- Seq("clusters", "meta", "shingles", "sizes", "hot", "CURRENT"))
+        assert(!new java.io.File(base, n).exists,
+          s"gen-0 root dir $n must be GC'd at two-behind")
+      // ...while gen-1 (one behind) keeps its grace, and gen-2 is live
+      assert(new java.io.File(base, "gen-1").isDirectory)
+      assert(readClusters(base) == readerSaw)
+
+      PipelineQueries.compactComponentsArtifact(spark, base, corpusDocs)
+      assert(!new java.io.File(base, "gen-1").exists,
+        "gen-1 must be swept once two behind")
+      assert(new java.io.File(base, "gen-2").isDirectory)
+      assert(new java.io.File(base, "gen-3").isDirectory)
+      assert(readClusters(base) == readerSaw)
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
+  test("a partial gen-<g+1> from a crashed prior compaction is cleared and " +
+      "rebuilt; it was never resolvable so the live artifact never wavered") {
+    val base = Files.createTempDirectory("comp-compact-crash").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      val live = readClusters(base)
+      // plant the crash debris: a half-written gen-1 (clusters dir with
+      // a garbage file, no meta, no index) — the GEN pointer still
+      // names generation 0, so nothing resolves it
+      val partial = new java.io.File(base, "gen-1/clusters")
+      partial.mkdirs()
+      java.nio.file.Files.write(new java.io.File(partial, "part-garbage.parquet")
+        .toPath, Array.fill[Byte](16)(0x5a))
+      assert(readClusters(base) == live,
+        "the planted partial generation must be invisible to readers")
+      PipelineQueries.compactComponentsArtifact(spark, base, corpusDocs)
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-1"))
+      assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
+        == coldOf(corpusDocs),
+        "the rebuilt generation must equal a fresh cold build")
+      // and the artifact keeps accepting appends after the recovery
+      PipelineQueries.appendComponentsArtifact(spark, base,
+        Seq((201L, tail(800))).toDF("doc_id", "text"))
+      assert(PipelineQueries.currentEpoch(base) == 1L)
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+}
