@@ -420,12 +420,27 @@ object Bench {
         graft.operators.Dedup.rmdir(new java.io.File(scratch))
         graft.queries.PipelineQueries.buildComponentsArtifactFrom(spark, corpus, scratch)
         isolate()
+        // the PAIR term alone (round-9 verdict ask #5: the full append
+        // is maintenance-dominated — validation + drift probe + staged
+        // publish + GC — so its total alone muddies the trend signal;
+        // this line isolates the candidate-join work, the full line
+        // below keeps the whole operational path)
+        val tp0 = System.nanoTime()
+        graft.operators.Dedup.incrementalNgramPairs(increment,
+            spark.read.parquet(s"$scratch/shingles"),
+            spark.read.parquet(s"$scratch/sizes"),
+            spark.read.parquet(s"$scratch/hot"), k = 3, threshold = 0.5,
+            broadcastIncrementShingles = true)
+          .write.mode("overwrite").format("noop").save()
+        val dtp = (System.nanoTime() - tp0) / 1e9
+        isolate()
         val t0 = System.nanoTime()
         graft.queries.PipelineQueries.appendComponentsArtifact(spark, scratch, increment)
         val dt = (System.nanoTime() - t0) / 1e9
         graft.operators.Dedup.rmdir(new java.io.File(scratch))
         isolate()
-        Seq("artifact:components_incr" -> dt)
+        Seq("artifact:components_incr_pairs" -> dtp,
+          "artifact:components_incr" -> dt)
       } else Nil
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

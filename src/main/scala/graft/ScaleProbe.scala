@@ -176,6 +176,19 @@ object ScaleProbe {
       graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc)
       s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
     }),
+    // drift-triggered COMPACTION at ×n (round-10 verdict ask #3): the
+    // full re-derive + staged generation flip, the one maintenance path
+    // with no measured curve. Expected ≈ the cold build plus the
+    // pointer publish and GC sweep — verified, not argued. Compactions
+    // CHAIN on a private copy (pass1 = gen-1 on a fresh copy, pass2 =
+    // gen-2 with the previous generation's grace sweep in the path —
+    // the steady state), corpus-of-record = the ×n docs themselves.
+    P("artifact_compact_full", 100, (s, d, n) => {
+      val scratch = compactScratchOf(s, d)
+      graft.queries.PipelineQueries.compactComponentsArtifact(
+        s, scratch, Tables.documents(s, d))
+      s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
+    }),
     // the at-rest store's SERVING path under the scale rule: the store is
     // written once per scale with p = log2(16n) (cell occupancy held
     // ~125), then probed with knnProbeVector — the pure partition-pruned
@@ -253,6 +266,22 @@ object ScaleProbe {
     val out = new java.io.File(storesDirFor(d),
       "components_append_scratch").getAbsolutePath
     if (appendScratchReady.add(out)) {
+      graft.operators.Dedup.rmdir(new java.io.File(out))
+      copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
+    }
+    out
+  }
+
+  /** A PRIVATE copy of the ×n artifact for the compaction probe — same
+    * isolation contract as [[appendScratchOf]], its own copy because
+    * compaction rewrites the generation structure wholesale. */
+  private val compactScratchReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def compactScratchOf(s: SparkSession, d: String): String = {
+    val src = artifactOf(s, d)
+    val out = new java.io.File(storesDirFor(d),
+      "components_compact_scratch").getAbsolutePath
+    if (compactScratchReady.add(out)) {
       graft.operators.Dedup.rmdir(new java.io.File(out))
       copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
     }

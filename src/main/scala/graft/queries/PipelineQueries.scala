@@ -148,9 +148,13 @@ object PipelineQueries {
     // index FIRST: raw text is shingled exactly once; the pair build,
     // sizes and hot set all read the written 8-byte (doc_id, sh) grain.
     // Bucketed by sh (layout _idx3) so the append path's corpus-index
-    // reads prune partitions instead of scanning the full index.
+    // reads prune partitions instead of scanning the full index; the
+    // repartition co-locates each bucket into one task so the layout is
+    // ~one file per bucket, not tasks×buckets shards — every append
+    // re-reads these footers for the torn-append validation.
     Dedup.shingleIndex(docs, ComponentsK)
       .withColumn("shb", shingleBucket(col("sh")))
+      .repartition(col("shb"))
       .write.mode("overwrite").partitionBy("shb").parquet(s"$out/shingles")
     val shWritten = readShingleIndex(s, out)
     shWritten.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -382,32 +386,14 @@ object PipelineQueries {
     val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val Array(incAgg) = incSizes
       .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
-    // BUCKET PRUNING (layout _idx3 — the 100 TB scan-term remedy): every
-    // corpus-index read below only ever matches shingles the increment
-    // touches (candidate + drift joins) or the bounded hot set (the
-    // intersection re-add), so the scan is pre-filtered to those
-    // partitions — parquet PartitionFilters skip whole `shb=` dirs; the
-    // bounded collects (≤ ShingleBuckets values each) replace a
-    // full-index read with a touched-bucket read
-    val touchedBuckets = incSh.select(shingleBucket(col("sh")).as("shb"))
-      .distinct().collect().map(_.getInt(0))
-    val hotBuckets = hot.select(shingleBucket(col("sh")).as("shb"))
-      .distinct().collect().map(_.getInt(0))
-    val buckets = (touchedBuckets ++ hotBuckets).distinct.toSeq
-    System.err.println(s"[components] append: pruning corpus-index scans to " +
-      s"${buckets.size}/$ShingleBuckets shingle buckets")
-    val corpusSh =
-      if (buckets.isEmpty) readShingleIndex(s, gen).filter(lit(false))
-      else readShingleIndex(s, gen).filter(col("shb").isin(buckets: _*))
     // ADAPTIVE pushdown (the serving-case economics, decided by
     // measurement instead of a knob): when the increment's shingle rows
     // fit a broadcast (row count bounds the distinct set, 8-byte grain
-    // → ≤ ~17 MB at the cap), semi-joining the increment's rare-shingle
-    // set into the corpus-index scans holds the corpus-wide shuffles at
-    // candidate volume — both for the pair join inside
-    // incrementalNgramPairs and for the drift probe below. A
+    // → ≤ ~17 MB at the cap), the touched-shingle semi-join below is a
+    // broadcast into the corpus-index scan — the corpus side ships only
+    // matching rows (≈ candidate volume) instead of the whole index. A
     // corpus-scale increment (backfill, not serving) exceeds the cap
-    // and takes the plain shuffle shapes, where the broadcast itself
+    // and takes the plain shuffle semi-join, where the broadcast itself
     // would be the wall. Output is identical either way (the semi-join
     // removes only rows the equi-join drops; ComponentsIncrSpec pins
     // both shapes pair-for-pair).
@@ -415,9 +401,47 @@ object PipelineQueries {
     System.err.println(s"[components] append: ${incAgg.getLong(0)} docs / " +
       s"${incAgg.getLong(1)} shingle rows -> " +
       (if (pushdown) "broadcast pushdown shapes" else "plain shuffle shapes"))
-    val newPairs = Dedup.incrementalNgramPairs(increment, corpusSh, sizesDf, hot,
+    // SCAN-TERM CONTROL (layout _idx3 — the measured ×100 residual):
+    // the append needs corpus-index rows for exactly two key sets, and
+    // each is read with partition pruning and read ONCE.
+    //  - touched rows (sh ∈ the increment's non-hot shingle set): feed
+    //    BOTH the pair join's corpus side and the drift probe's df
+    //    accounting — one persisted scan, two consumers (previously two
+    //    independent full-index scans; Catalyst re-executes DataFrame
+    //    references). Bucket pruning helps when the increment's
+    //    distinct-shingle count is small vs ShingleBuckets (narrow
+    //    appends); a wide serving append touches every bucket and the
+    //    win is the fusion + the semi-join pushdown.
+    //  - hot rows (sh ∈ the bounded snapshot hot set): the intersection
+    //    re-add inside the pair join. The hot set is a handful of
+    //    shingles, so THIS scan prunes to their few buckets by layout.
+    val incRareKeys = incSh.join(broadcast(hot), Seq("sh"), "left_anti")
+      .select(col("sh")).distinct()
+    val touchedBuckets = incRareKeys.select(shingleBucket(col("sh")).as("shb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hotBuckets = hot.select(shingleBucket(col("sh")).as("shb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def bucketScan(bs: Seq[Int]): DataFrame =
+      if (bs.isEmpty) readShingleIndex(s, gen).filter(lit(false))
+      else readShingleIndex(s, gen).filter(col("shb").isin(bs: _*))
+    System.err.println(s"[components] append: touched-scan " +
+      s"${touchedBuckets.size}/$ShingleBuckets buckets, hot-scan " +
+      s"${hotBuckets.size}/$ShingleBuckets buckets")
+    val touchedCorpus = bucketScan(touchedBuckets)
+      .join(if (pushdown) broadcast(incRareKeys) else incRareKeys,
+        Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotCorpus = bucketScan(hotBuckets)
+      .join(broadcast(hot), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("sh"))
+    // the pair join gets the pre-filtered corpus rows (their union IS
+    // the subset every join inside touches), so no second semi-join
+    // pass is needed — broadcastIncrementShingles stays off
+    val newPairs = Dedup.incrementalNgramPairs(increment,
+        touchedCorpus.unionByName(hotCorpus), sizesDf, hot,
         ComponentsK, ComponentsThreshold,
-        broadcastIncrementShingles = pushdown)
+        broadcastIncrementShingles = false)
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = newPairs.count()
@@ -428,23 +452,19 @@ object PipelineQueries {
     // write below never reads through anything it replaces
     val merged = Dedup.components(star.union(newPairs))
     // drift: total df (corpus index + this increment) of every NON-hot
-    // shingle the increment touches. Under the same adaptive decision
-    // the touched set is broadcast into the corpus-index scan, so the
-    // corpus side ships only matching rows to the df aggregate instead
-    // of the whole index (measured +2.5 s per append without the hint);
-    // above the cap it degrades to the plain shuffle join rather than
-    // melting the driver. Shingles untouched by any increment keep
-    // their build-time df, which meta's running max already covers.
+    // shingle the increment touches — computed from the SAME persisted
+    // touched rows the pair join read, so the probe re-reads cached
+    // blocks instead of paying a second corpus-index scan. Shingles
+    // untouched by any increment keep their build-time df, which meta's
+    // running max already covers.
     val touched = incSh.groupBy(col("sh")).agg(count(lit(1)).as("inc_df"))
       .join(broadcast(hot), Seq("sh"), "left_anti")
-    val touchedKeys = touched.select(col("sh"))
-    val corpusDfTouched = corpusSh
-      .join(if (pushdown) broadcast(touchedKeys) else touchedKeys,
-        Seq("sh"), "left_semi")
+    val corpusDfTouched = touchedCorpus
       .groupBy(col("sh")).agg(count(lit(1)).as("corpus_df"))
     val touchedMax = touched.join(corpusDfTouched, Seq("sh"), "left")
       .select((col("inc_df") + coalesce(col("corpus_df"), lit(0L))).as("df_total"))
       .agg(coalesce(max(col("df_total")), lit(0L))).head().getLong(0)
+    touchedCorpus.unpersist(false)
     val newMaxNonhot = math.max(meta.maxNonhotDf, touchedMax)
     // drift, BOTH directions (ADVICE r9): (a) an increment pushed a
     // once-rare shingle over the snapshot cutoff (running max crosses
