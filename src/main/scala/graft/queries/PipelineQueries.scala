@@ -348,6 +348,17 @@ object PipelineQueries {
     val gen = genDirOf(dir)
     val epoch = rawEpoch(gen)
     val meta = readMeta(s, dir)
+    // per-phase wall-clock to stderr: the append is the artifact's
+    // operational hot path, and its cost STRUCTURE (validation vs pair
+    // work vs publish) is what a 100 TB operator tunes — measured per
+    // run, not re-derived from ad-hoc instrumentation each time
+    var tPhase = System.nanoTime()
+    def phaseLog(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[components] append phase $name%-12s ${(now - tPhase) / 1e9}%6.2f s")
+      tPhase = now
+    }
     // torn-append validation: the persisted index must match the meta
     // accounting exactly — three bounded aggregates (count/sum over the
     // per-doc sizes table, row count of the shingle index; the latter
@@ -375,6 +386,7 @@ object PipelineQueries {
         s"records ${meta.nDocsIndexed} docs / ${meta.nShingleRows} rows — " +
         "a prior append crashed between its index appends and its pointer " +
         "flip; rebuild the artifact (cold build) before appending again")
+    phaseLog("validate")
     val hot = s.read.parquet(s"$gen/hot")
     // increment accounting FIRST: its raw doc count feeds the
     // recomputed-cutoff drift check, and its shingle-row count (one
@@ -427,6 +439,7 @@ object PipelineQueries {
     System.err.println(s"[components] append: touched-scan " +
       s"${touchedBuckets.size}/$ShingleBuckets buckets, hot-scan " +
       s"${hotBuckets.size}/$ShingleBuckets buckets")
+    phaseLog("accounting")
     val touchedCorpus = bucketScan(touchedBuckets)
       .join(if (pushdown) broadcast(incRareKeys) else incRareKeys,
         Seq("sh"), "left_semi")
@@ -445,12 +458,14 @@ object PipelineQueries {
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = newPairs.count()
+    phaseLog("pairs")
     val oldClusters = s.read.parquet(epochDir(gen, "clusters", epoch))
     val star = oldClusters.select(col("cluster_id").as("i"), col("doc_id").as("j"))
     // components() fully materializes its result (driver union-find or
     // its own checkpoint parquet) before returning — the staged epoch
     // write below never reads through anything it replaces
     val merged = Dedup.components(star.union(newPairs))
+    phaseLog("merge")
     // drift: total df (corpus index + this increment) of every NON-hot
     // shingle the increment touches — computed from the SAME persisted
     // touched rows the pair join read, so the probe re-reads cached
@@ -464,6 +479,7 @@ object PipelineQueries {
     val touchedMax = touched.join(corpusDfTouched, Seq("sh"), "left")
       .select((col("inc_df") + coalesce(col("corpus_df"), lit(0L))).as("df_total"))
       .agg(coalesce(max(col("df_total")), lit(0L))).head().getLong(0)
+    phaseLog("drift")
     touchedCorpus.unpersist(false)
     val newMaxNonhot = math.max(meta.maxNonhotDf, touchedMax)
     // drift, BOTH directions (ADVICE r9): (a) an increment pushed a
@@ -487,14 +503,21 @@ object PipelineQueries {
       maxNonhotDf = newMaxNonhot,
       nDocsTotal = newDocsTotal, minHotDf = meta.minHotDf,
       rebuildRecommended = drift))
+    phaseLog("stage-epoch")
     newPairs.unpersist(false)
     // index appends BEFORE the flip: the new epoch's meta accounts for
     // them, so a crash after either append (or before the flip) is the
-    // torn state the validation above catches on the next append
+    // torn state the validation above catches on the next append. The
+    // repartition co-locates each bucket into one task — without it the
+    // dynamic-partition write fans (tasks × buckets) tiny files per
+    // append (measured 4k files and +10 s on the ×100 probe's very next
+    // append, between the footer validation and the bucket scans)
     incSh.withColumn("shb", shingleBucket(col("sh")))
+      .repartition(col("shb"))
       .write.mode("append").partitionBy("shb").parquet(s"$gen/shingles")
     incSizes.write.mode("append").parquet(s"$gen/sizes")
     incSh.unpersist(false)
+    phaseLog("index-append")
     // publish: ONE atomic replace of the pointer file
     publishPointer(gen, "CURRENT", next.toString)
     // GC epochs ≥ 2 behind the new pointer (an in-flight reader of the
@@ -507,6 +530,7 @@ object PipelineQueries {
         if (f.exists) graft.operators.Dedup.rmdir(f)
       }
     }
+    phaseLog("publish-gc")
   }
 
   /** STAGED COMPACTION — the remedy the hot-set drift flag calls for,
