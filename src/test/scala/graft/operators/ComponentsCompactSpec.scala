@@ -146,6 +146,42 @@ class ComponentsCompactSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
+  test("compaction on a hostile corpus-of-record (NULL/empty/sub-k texts " +
+      "mixed with real near-dups) equals cold and keeps accepting appends") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    def frame(rows: Seq[(Long, String)]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+    val corpus = frame(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, null), (4L, ""), (5L, " \t "), (6L, "xy"),
+      (7L, "totally different text about other things entirely")))
+    val base = Files.createTempDirectory("comp-compact-hostile").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpus, base)
+      // an append first, so the compaction folds real epoch history
+      val inc = frame(Seq((101L, "alpha beta gamma delta epsilon zeta eta"),
+        (102L, null)))
+      PipelineQueries.appendComponentsArtifact(spark, base, inc)
+      val docs = corpus.unionByName(inc)
+      PipelineQueries.compactComponentsArtifact(spark, base, docs)
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-1"))
+      assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
+        == coldOf(docs))
+      val m = PipelineQueries.readMeta(spark, base)
+      assert(m.nDocsTotal == 9L && !m.rebuildRecommended, s"got $m")
+      // and the compacted generation keeps accepting hostile appends
+      val inc2 = frame(Seq((201L, "novel words nothing shares"), (202L, "")))
+      PipelineQueries.appendComponentsArtifact(spark, base, inc2)
+      assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
+        == coldOf(docs.unionByName(inc2)))
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
   test("a partial gen-<g+1> from a crashed prior compaction is cleared and " +
       "rebuilt; it was never resolvable so the live artifact never wavered") {
     val base = Files.createTempDirectory("comp-compact-crash").toString

@@ -250,6 +250,44 @@ class ComponentsIncrSpec extends SparkSpec {
     }
   }
 
+  test("empty-bootstrap artifact: a corpus with NO shingles at all builds a " +
+      "readable artifact (empty bucketed index) and real appends chain onto it") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // the operational bootstrap pattern: create the artifact empty (or
+    // effectively empty — only shingle-less docs), then grow it by
+    // appends. The _idx3 bucketed index writes ZERO partition dirs for
+    // this corpus; the explicit-schema read must keep every consumer
+    // (validation counts, bucket scans, pair joins) working on it.
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    def frame(rows: Seq[(Long, String)]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+    val corpus = frame(Seq((1L, null), (2L, ""), (3L, "one two")))
+    val base = Files.createTempDirectory("comp-incr-bootstrap").toString
+    val cold = Files.createTempDirectory("comp-incr-bootstrap-cold").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpus, base)
+      val m0 = PipelineQueries.readMeta(spark, base)
+      assert(m0.nDocsIndexed == 0L && m0.nShingleRows == 0L &&
+        m0.nDocsTotal == 3L && m0.minHotDf == Long.MaxValue &&
+        !m0.rebuildRecommended, s"got $m0")
+      assert(readClusters(base).isEmpty)
+      val increment = frame(Seq(
+        (101L, "alpha beta gamma delta epsilon zeta"),
+        (102L, "alpha beta gamma delta epsilon zeta eta"))) // near-dup pair
+      PipelineQueries.appendComponentsArtifact(spark, base, increment)
+      PipelineQueries.buildComponentsArtifactFrom(spark,
+        corpus.unionByName(increment), cold)
+      assert(readClusters(base) == readClusters(cold))
+      assert(readNPairs(base) == readNPairs(cold) && readNPairs(base) >= 1L)
+    } finally {
+      Dedup.rmdir(new java.io.File(base))
+      Dedup.rmdir(new java.io.File(cold))
+    }
+  }
+
   test("empty increment is a no-op") {
     val base = Files.createTempDirectory("comp-incr-empty").toString
     try {
