@@ -134,13 +134,13 @@ object PipelineQueries {
   /** Cold build over an explicit docs frame. Besides `clusters/` +
     * `meta/`, the artifact persists the SNAPSHOT INDEX incremental
     * maintenance needs ([[appendComponentsArtifact]]): `shingles/` (the
-    * full (doc_id, sh) index — bucketed by sh at 100 TB), `sizes/`
-    * (per-doc distinct-shingle counts) and `hot/` (the shingles the
-    * snapshot's df cutoff cut from candidate generation — FIXED until
-    * the next full rebuild, the compaction step). One extra shingle
-    * pass vs the pair build; at 100 TB the pair build would read these
-    * from the written index instead of re-deriving (fused here for
-    * simplicity at gate scale). */
+    * full (doc_id, sh) index, bucketed at rest by `shb = sh mod
+    * [[ShingleBuckets]]` — layout `_idx3`), `sizes/` (per-doc
+    * distinct-shingle counts) and `hot/` (the shingles the snapshot's
+    * df cutoff cut from candidate generation — FIXED until the next
+    * full rebuild, the compaction step). Raw text is shingled exactly
+    * once: the pair build, the sizes table, the hot set and the drift
+    * floors all read the WRITTEN index back. */
   private[graft] def buildComponentsArtifactFrom(s: SparkSession,
       docs: DataFrame, out: String): Unit = {
     val nDocsTotal = docs.count()
