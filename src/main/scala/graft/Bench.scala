@@ -144,7 +144,7 @@ object Bench {
     * the same warm state on any machine. Reported as its own
     * `prewarm:engine` line item, EXCLUDED from the headline total (it is
     * bench-harness setup, not engine work). */
-  private def prewarm(spark: SparkSession): Double = {
+  private[graft] def prewarm(spark: SparkSession): Double = {
     import spark.implicits._
     val t0 = System.nanoTime()
     def drain(df: DataFrame): Unit =

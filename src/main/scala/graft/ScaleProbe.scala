@@ -440,6 +440,18 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the same deterministic engine warm-up the bench runs: without it
+    // the FIRST probe entry of the JVM absorbs PSL/parse/shingle JIT +
+    // first-shuffle setup, and since ×1 runs first, every ×1 number
+    // reads high exactly where cross-decade ratios need it lowest
+    // (measured round 10: the artifact cold build's ×1 read 11.4 s cold
+    // vs 4-5 s in round 9's full-sweep-warmed JVM). Skippable for quick
+    // dev loops.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE_PREWARM", "1") == "1") {
+      val t = Bench.prewarm(spark)
+      System.err.println(f"[probe] prewarm: $t%.1f s")
+    }
+
     val tmp = System.getProperty("java.io.tmpdir")
     for (n <- scales) {
       val dir = new java.io.File(tmp, s"graft_scale_x$n").getAbsolutePath
