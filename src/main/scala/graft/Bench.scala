@@ -424,14 +424,13 @@ object Bench {
         // is maintenance-dominated — validation + drift probe + staged
         // publish + GC — so its total alone muddies the trend signal;
         // this line isolates the candidate-join work, the full line
-        // below keeps the whole operational path)
+        // below keeps the whole operational path). Measured through
+        // appendPairTermOnly — the SAME bucket-pruned/semi-joined plan
+        // the production append runs (ADVICE r10: the previous isolated
+        // call read the full unpruned index with the broadcast knob on,
+        // a different shape than the append it decomposes)
         val tp0 = System.nanoTime()
-        graft.operators.Dedup.incrementalNgramPairs(increment,
-            spark.read.parquet(s"$scratch/shingles"),
-            spark.read.parquet(s"$scratch/sizes"),
-            spark.read.parquet(s"$scratch/hot"), k = 3, threshold = 0.5,
-            broadcastIncrementShingles = true)
-          .write.mode("overwrite").format("noop").save()
+        graft.queries.PipelineQueries.appendPairTermOnly(spark, scratch, increment)
         val dtp = (System.nanoTime() - tp0) / 1e9
         isolate()
         val t0 = System.nanoTime()

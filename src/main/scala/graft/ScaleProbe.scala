@@ -176,6 +176,29 @@ object ScaleProbe {
       graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc)
       s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
     }),
+    // NARROW append at ×n (round-10 verdict ask #3): a 5-doc increment
+    // truncated to its first 5 tokens (3 shingles per doc, ≤15 distinct)
+    // touches ≪64 buckets — the case the bucketed (_idx4) layout's
+    // directory pruning exists for. The 500-doc serving append above
+    // coupon-collects ALL 64 buckets (SCALE.md round 10 says so), so
+    // its flat curve demonstrates scan fusion + file discipline, not
+    // pruning; THIS curve puts a number on pruning itself: the touched
+    // scan opens only the k logged bucket dirs (the append stderr-logs
+    // "touched-scan k/64"), so its term should stay ~flat per decade
+    // while an unpruned scan would grow with the corpus. Docs come from
+    // replica 0 (truncation keeps real corpus shingles, so the scan
+    // matches actual rows); fresh disjoint ids per pass, chained on a
+    // private copy like the full-append probe.
+    P("artifact_append_narrow", 100, (s, d, n) => {
+      val scratch = narrowScratchOf(s, d)
+      val seq = narrowSeq.incrementAndGet()
+      val inc = Tables.documents(s, d).filter(col("doc_id") < 5)
+        .withColumn("text",
+          array_join(slice(split(col("text"), " "), 1, 5), " "))
+        .withColumn("doc_id", col("doc_id") + 300000000L + seq * 10000L)
+      graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc)
+      s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
+    }),
     // drift-triggered COMPACTION at ×n (round-10 verdict ask #3): the
     // full re-derive + staged generation flip, the one maintenance path
     // with no measured curve. Expected ≈ the cold build plus the
@@ -266,6 +289,24 @@ object ScaleProbe {
     val out = new java.io.File(storesDirFor(d),
       "components_append_scratch").getAbsolutePath
     if (appendScratchReady.add(out)) {
+      graft.operators.Dedup.rmdir(new java.io.File(out))
+      copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
+    }
+    out
+  }
+
+  /** A PRIVATE copy of the ×n artifact for the narrow-append probe —
+    * its own copy so the 5-doc narrow appends chain on an artifact
+    * whose index growth the 500-doc full-append probe never pollutes
+    * (and vice versa). */
+  private val narrowSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val narrowScratchReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def narrowScratchOf(s: SparkSession, d: String): String = {
+    val src = artifactOf(s, d)
+    val out = new java.io.File(storesDirFor(d),
+      "components_append_narrow_scratch").getAbsolutePath
+    if (narrowScratchReady.add(out)) {
       graft.operators.Dedup.rmdir(new java.io.File(out))
       copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
     }

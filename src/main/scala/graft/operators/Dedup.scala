@@ -474,7 +474,7 @@ object Dedup {
       broadcastIncrementShingles: Boolean = false): DataFrame = {
     // normalize to the (doc_id, sh) grain: the persisted index is
     // bucketed by a derived `shb` partition column at rest (layout
-    // _idx3), and that column must neither widen the joins below nor
+    // _idx4), and that column must neither widen the joins below nor
     // break the hotAll union's schema — callers may pass the raw read
     // (possibly pre-pruned to the touched buckets, which composes with
     // this projection)

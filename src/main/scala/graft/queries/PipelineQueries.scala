@@ -92,15 +92,22 @@ object PipelineQueries {
   private val IncrementBroadcastMaxShingleRows = 2L * 1000 * 1000
 
   /** The shingle index is PARTITIONED at rest by `shb = sh mod 64`
-    * (layout `_idx3`, the 100 TB remedy SCALE.md round 9 named): a
+    * (layout `_idx4b64`, the 100 TB remedy SCALE.md round 9 named): a
     * serving append touches a bounded shingle set, so every
     * corpus-index read on the append path filters to the touched
     * buckets FIRST — parquet PartitionFilters prune whole directories
     * instead of scanning the full index and filtering rows (the ×100
     * probe's residual scan term). 64 buckets keeps the per-write file
     * count sane on local[32]; at real 100 TB the same layout carries
-    * more buckets — the constant is baked into the layout version, so
-    * changing it can never silently mix layouts. */
+    * more buckets. A bucket-count change can never silently mix
+    * layouts, by TWO guards (ADVICE r10 — the old claim rested on a
+    * manual idx-version bump): the count is encoded in the shared
+    * artifact's path ([[componentsArtifactPath]]'s `b64` suffix, so a
+    * changed constant re-paths and re-builds by construction) AND
+    * persisted in every artifact's meta (`n_buckets`), which
+    * [[appendComponentsArtifact]] require-matches before touching the
+    * index — a private-dir artifact from an older build fails loudly
+    * instead of having its bucket-pruned scans miss old-pmod rows. */
   private[graft] val ShingleBuckets = 64
 
   private def shingleBucket(sh: Column): Column =
@@ -135,7 +142,7 @@ object PipelineQueries {
     * `meta/`, the artifact persists the SNAPSHOT INDEX incremental
     * maintenance needs ([[appendComponentsArtifact]]): `shingles/` (the
     * full (doc_id, sh) index, bucketed at rest by `shb = sh mod
-    * [[ShingleBuckets]]` — layout `_idx3`), `sizes/` (per-doc
+    * [[ShingleBuckets]]` — layout `_idx4b64`), `sizes/` (per-doc
     * distinct-shingle counts) and `hot/` (the shingles the snapshot's
     * df cutoff cut from candidate generation — FIXED until the next
     * full rebuild, the compaction step). Raw text is shingled exactly
@@ -143,11 +150,20 @@ object PipelineQueries {
     * floors all read the WRITTEN index back. */
   private[graft] def buildComponentsArtifactFrom(s: SparkSession,
       docs: DataFrame, out: String): Unit = {
-    val nDocsTotal = docs.count()
+    // corpus accounting in ONE pass: the raw doc count (the cutoff
+    // formula's n) plus the doc_id xor checksum — the receipt
+    // compactComponentsArtifact validates its corpus-of-record against
+    // (count catches short/stale corpora, xor catches
+    // same-count-different-docs swaps). Appends fold their increment's
+    // xor in, so the receipt tracks the full build+append history.
+    val Array(docsAgg) = docs.agg(count(lit(1)),
+      coalesce(expr("bit_xor(doc_id)"), lit(0L))).collect()
+    val nDocsTotal = docsAgg.getLong(0)
+    val docIdXor = docsAgg.getLong(1)
     val cutoff = Dedup.autoDfCutoffFor(nDocsTotal)
     // index FIRST: raw text is shingled exactly once; the pair build,
     // sizes and hot set all read the written 8-byte (doc_id, sh) grain.
-    // Bucketed by sh (layout _idx3) so the append path's corpus-index
+    // Bucketed by sh (layout _idx4b64) so the append path's corpus-index
     // reads prune partitions instead of scanning the full index; the
     // repartition co-locates each bucket into one task so the layout is
     // ~one file per bucket, not tasks×buckets shards — every append
@@ -199,7 +215,8 @@ object PipelineQueries {
     writeMeta(s, s"$out/meta", Meta(nPairs, cutoff,
       idxAgg.getLong(0), idxAgg.getLong(1), dfAgg.getLong(0),
       nDocsTotal = nDocsTotal, minHotDf = dfAgg.getLong(1),
-      rebuildRecommended = false))
+      rebuildRecommended = false,
+      nBuckets = ShingleBuckets, docIdXor = docIdXor))
   }
 
   /** The artifact's meta row — build/maintenance accounting the
@@ -208,11 +225,15 @@ object PipelineQueries {
     * cutoff formula runs over raw corpus size), vs `nDocsIndexed` which
     * counts docs with index rows; `minHotDf` is the declassification
     * floor for the reverse drift direction (Long.MaxValue = no hot
-    * shingles, nothing to declassify). */
+    * shingles, nothing to declassify); `nBuckets` pins the shingle
+    * index's pmod layout (appends require-match it — ADVICE r10);
+    * `docIdXor` is the corpus-of-record receipt (xor of every doc_id
+    * ever built or appended) compaction validates against. */
   private[graft] case class Meta(nPairs: Long, cutoff: Long,
       nDocsIndexed: Long, nShingleRows: Long, maxNonhotDf: Long,
       nDocsTotal: Long, minHotDf: Long,
-      rebuildRecommended: Boolean)
+      rebuildRecommended: Boolean,
+      nBuckets: Int, docIdXor: Long)
 
   private def writeMeta(s: SparkSession, path: String, m: Meta): Unit = {
     s.range(1).select(lit(m.nPairs).as("n_pairs"), lit(m.cutoff).as("cutoff"),
@@ -221,7 +242,9 @@ object PipelineQueries {
         lit(m.maxNonhotDf).as("max_nonhot_df"),
         lit(m.nDocsTotal).as("n_docs_total"),
         lit(m.minHotDf).as("min_hot_df"),
-        lit(m.rebuildRecommended).as("rebuild_recommended"))
+        lit(m.rebuildRecommended).as("rebuild_recommended"),
+        lit(m.nBuckets).as("n_buckets"),
+        lit(m.docIdXor).as("doc_id_xor"))
       .coalesce(1).write.mode("overwrite").parquet(path)
     ()
   }
@@ -231,7 +254,8 @@ object PipelineQueries {
     Meta(r.getAs[Long]("n_pairs"), r.getAs[Long]("cutoff"),
       r.getAs[Long]("n_docs_indexed"), r.getAs[Long]("n_shingle_rows"),
       r.getAs[Long]("max_nonhot_df"), r.getAs[Long]("n_docs_total"),
-      r.getAs[Long]("min_hot_df"), r.getAs[Boolean]("rebuild_recommended"))
+      r.getAs[Long]("min_hot_df"), r.getAs[Boolean]("rebuild_recommended"),
+      r.getAs[Int]("n_buckets"), r.getAs[Long]("doc_id_xor"))
   }
 
   /** Pointer-versioned clusters/meta — the artifact's MUTABLE grain.
@@ -348,6 +372,18 @@ object PipelineQueries {
     val gen = genDirOf(dir)
     val epoch = rawEpoch(gen)
     val meta = readMeta(s, dir)
+    // LAYOUT GUARD (ADVICE r10): the bucket-pruned scans below filter
+    // `shb` by THIS build's pmod — against an artifact written with a
+    // different bucket count they would silently miss old-pmod rows and
+    // lose pairs with no error. The shared artifact can't hit this (the
+    // count is in its path), but a private-dir artifact from an older
+    // build can; fail loudly and send the operator to a compaction.
+    require(meta.nBuckets == ShingleBuckets,
+      s"shingle-bucket layout mismatch at $dir: the artifact was built " +
+        s"with ${meta.nBuckets} buckets but this build uses " +
+        s"$ShingleBuckets — appending would mix pmod layouts and the " +
+        "bucket-pruned scans would silently miss corpus rows; rebuild " +
+        "the artifact (compactComponentsArtifact) instead")
     // per-phase wall-clock to stderr: the append is the artifact's
     // operational hot path, and its cost STRUCTURE (validation vs pair
     // work vs publish) is what a 100 TB operator tunes — measured per
@@ -389,10 +425,13 @@ object PipelineQueries {
     phaseLog("validate")
     val hot = s.read.parquet(s"$gen/hot")
     // increment accounting FIRST: its raw doc count feeds the
-    // recomputed-cutoff drift check, and its shingle-row count (one
-    // bounded aggregate over the increment alone) is the
+    // recomputed-cutoff drift check (the xor rides the same pass — it
+    // folds into meta's corpus-of-record receipt), and its shingle-row
+    // count (one bounded aggregate over the increment alone) is the
     // broadcast-safety measurement the plan choices below key off
-    val incDocsTotal = increment.count()
+    val Array(incDocsAgg) = increment.agg(count(lit(1)),
+      coalesce(expr("bit_xor(doc_id)"), lit(0L))).collect()
+    val incDocsTotal = incDocsAgg.getLong(0)
     val incSh = Dedup.shingleIndex(increment, ComponentsK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -413,49 +452,10 @@ object PipelineQueries {
     System.err.println(s"[components] append: ${incAgg.getLong(0)} docs / " +
       s"${incAgg.getLong(1)} shingle rows -> " +
       (if (pushdown) "broadcast pushdown shapes" else "plain shuffle shapes"))
-    // SCAN-TERM CONTROL (layout _idx3 — the measured ×100 residual):
-    // the append needs corpus-index rows for exactly two key sets, and
-    // each is read with partition pruning and read ONCE.
-    //  - touched rows (sh ∈ the increment's non-hot shingle set): feed
-    //    BOTH the pair join's corpus side and the drift probe's df
-    //    accounting — one persisted scan, two consumers (previously two
-    //    independent full-index scans; Catalyst re-executes DataFrame
-    //    references). Bucket pruning helps when the increment's
-    //    distinct-shingle count is small vs ShingleBuckets (narrow
-    //    appends); a wide serving append touches every bucket and the
-    //    win is the fusion + the semi-join pushdown.
-    //  - hot rows (sh ∈ the bounded snapshot hot set): the intersection
-    //    re-add inside the pair join. The hot set is a handful of
-    //    shingles, so THIS scan prunes to their few buckets by layout.
-    val incRareKeys = incSh.join(broadcast(hot), Seq("sh"), "left_anti")
-      .select(col("sh")).distinct()
-    val touchedBuckets = incRareKeys.select(shingleBucket(col("sh")).as("shb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val hotBuckets = hot.select(shingleBucket(col("sh")).as("shb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    def bucketScan(bs: Seq[Int]): DataFrame =
-      if (bs.isEmpty) readShingleIndex(s, gen).filter(lit(false))
-      else readShingleIndex(s, gen).filter(col("shb").isin(bs: _*))
-    System.err.println(s"[components] append: touched-scan " +
-      s"${touchedBuckets.size}/$ShingleBuckets buckets, hot-scan " +
-      s"${hotBuckets.size}/$ShingleBuckets buckets")
     phaseLog("accounting")
-    val touchedCorpus = bucketScan(touchedBuckets)
-      .join(if (pushdown) broadcast(incRareKeys) else incRareKeys,
-        Seq("sh"), "left_semi")
-      .select(col("doc_id"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hotCorpus = bucketScan(hotBuckets)
-      .join(broadcast(hot), Seq("sh"), "left_semi")
-      .select(col("doc_id"), col("sh"))
-    // the pair join gets the pre-filtered corpus rows (their union IS
-    // the subset every join inside touches), so no second semi-join
-    // pass is needed — broadcastIncrementShingles stays off
-    val newPairs = Dedup.incrementalNgramPairs(increment,
-        touchedCorpus.unionByName(hotCorpus), sizesDf, hot,
-        ComponentsK, ComponentsThreshold,
-        broadcastIncrementShingles = false)
-      .select(col("i"), col("j"))
+    val (pairTerm, touchedCorpus) =
+      appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown)
+    val newPairs = pairTerm
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = newPairs.count()
     phaseLog("pairs")
@@ -489,6 +489,15 @@ object PipelineQueries {
     // would then declassify it and generate candidates from a shingle
     // the fixed cut set excludes. Both flags are monotone (the max and
     // the corpus size only grow), and a tripped flag stays tripped.
+    // Direction (b) is deliberately CONSERVATIVE (ADVICE r10): minHotDf
+    // is the SNAPSHOT-time floor, but hot shingles' true df also grows
+    // with appends, so at the trip point a cold rebuild may still
+    // classify that shingle hot — the flag can fire one compaction
+    // early. That's the safe side: the compaction re-establishes
+    // equality-to-cold either way, whereas tightening the floor would
+    // need per-hot-shingle running df state (a keyed sidecar, not a
+    // scalar) to avoid the opposite error — missing a declassification
+    // and silently losing pairs forever.
     val newDocsTotal = meta.nDocsTotal + incDocsTotal
     val grownCutoff = Dedup.autoDfCutoffFor(newDocsTotal)
     val drift = newMaxNonhot > meta.cutoff || grownCutoff >= meta.minHotDf ||
@@ -502,7 +511,9 @@ object PipelineQueries {
       nShingleRows = meta.nShingleRows + incAgg.getLong(1),
       maxNonhotDf = newMaxNonhot,
       nDocsTotal = newDocsTotal, minHotDf = meta.minHotDf,
-      rebuildRecommended = drift))
+      rebuildRecommended = drift,
+      nBuckets = meta.nBuckets,
+      docIdXor = meta.docIdXor ^ incDocsAgg.getLong(1)))
     phaseLog("stage-epoch")
     newPairs.unpersist(false)
     // index appends BEFORE the flip: the new epoch's meta accounts for
@@ -533,6 +544,88 @@ object PipelineQueries {
     phaseLog("publish-gc")
   }
 
+  /** The append's PAIR TERM — candidate generation against the corpus
+    * index, in the exact pruned/fused shape production runs
+    * (SCAN-TERM CONTROL, the measured ×100 residual): the append needs
+    * corpus-index rows for exactly two key sets, and each is read with
+    * partition pruning and read ONCE.
+    *  - touched rows (sh ∈ the increment's non-hot shingle set): feed
+    *    BOTH the pair join's corpus side and the drift probe's df
+    *    accounting — one persisted scan, two consumers (previously two
+    *    independent full-index scans; Catalyst re-executes DataFrame
+    *    references). Bucket pruning helps when the increment's
+    *    distinct-shingle count is small vs [[ShingleBuckets]] (narrow
+    *    appends); a wide serving append touches every bucket and the
+    *    win is the fusion + the semi-join pushdown.
+    *  - hot rows (sh ∈ the bounded snapshot hot set): the intersection
+    *    re-add inside the pair join. The hot set is a handful of
+    *    shingles, so THIS scan prunes to their few buckets by layout.
+    * The pair join gets the pre-filtered corpus rows (their union IS
+    * the subset every join inside touches), so no second semi-join
+    * pass is needed — broadcastIncrementShingles stays off.
+    * Returns (newPairs, touchedCorpus); `touchedCorpus` comes back
+    * PERSISTED (the caller's drift probe is its second consumer, and
+    * the caller unpersists). Factored out of the append so Bench's
+    * isolated pair line times THIS shape, not a different plan
+    * (ADVICE r10). */
+  private def appendPairTerm(s: SparkSession, gen: String,
+      increment: DataFrame, incSh: DataFrame, hot: DataFrame,
+      sizesDf: DataFrame, pushdown: Boolean): (DataFrame, DataFrame) = {
+    val incRareKeys = incSh.join(broadcast(hot), Seq("sh"), "left_anti")
+      .select(col("sh")).distinct()
+    val touchedBuckets = incRareKeys.select(shingleBucket(col("sh")).as("shb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hotBuckets = hot.select(shingleBucket(col("sh")).as("shb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def bucketScan(bs: Seq[Int]): DataFrame =
+      if (bs.isEmpty) readShingleIndex(s, gen).filter(lit(false))
+      else readShingleIndex(s, gen).filter(col("shb").isin(bs: _*))
+    System.err.println(s"[components] append: touched-scan " +
+      s"${touchedBuckets.size}/$ShingleBuckets buckets, hot-scan " +
+      s"${hotBuckets.size}/$ShingleBuckets buckets")
+    val touchedCorpus = bucketScan(touchedBuckets)
+      .join(if (pushdown) broadcast(incRareKeys) else incRareKeys,
+        Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotCorpus = bucketScan(hotBuckets)
+      .join(broadcast(hot), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("sh"))
+    val newPairs = Dedup.incrementalNgramPairs(increment,
+        touchedCorpus.unionByName(hotCorpus), sizesDf, hot,
+        ComponentsK, ComponentsThreshold,
+        broadcastIncrementShingles = false)
+      .select(col("i"), col("j"))
+    (newPairs, touchedCorpus)
+  }
+
+  /** Bench hook: run the pair term ALONE against an existing artifact,
+    * through [[appendPairTerm]] — i.e. the production append's exact
+    * bucket-pruned/semi-joined plan, including the same adaptive
+    * broadcast decision — without mutating the artifact. ADVICE r10:
+    * the previous isolated bench line read the full unpruned index
+    * with the broadcast knob forced on, a different plan shape than
+    * the append it claimed to decompose; this one decomposes it
+    * like-for-like. Returns the pair count (forces full execution). */
+  private[graft] def appendPairTermOnly(s: SparkSession, dir: String,
+      increment: DataFrame,
+      broadcastCap: Long = IncrementBroadcastMaxShingleRows): Long = {
+    val gen = genDirOf(dir)
+    val sizesDf = s.read.parquet(s"$gen/sizes")
+    val hot = s.read.parquet(s"$gen/hot")
+    val incSh = Dedup.shingleIndex(increment, ComponentsK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same broadcast-safety measurement the append makes: total shingle
+    // rows (bounds the distinct set) against the cap
+    val pushdown = incSh.count() <= broadcastCap
+    val (pairs, touchedCorpus) =
+      appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown)
+    val n = pairs.count()
+    touchedCorpus.unpersist(false)
+    incSh.unpersist(false)
+    n
+  }
+
   /** STAGED COMPACTION — the remedy the hot-set drift flag calls for,
     * without ever yanking the artifact from a reader. When
     * `rebuild_recommended` trips (an increment pushed a once-rare
@@ -555,6 +648,28 @@ object PipelineQueries {
     * not race each other; readers are never blocked). */
   private[graft] def compactComponentsArtifact(s: SparkSession, dir: String,
       docs: DataFrame): Unit = {
+    // CORPUS-OF-RECORD VALIDATION (round-10 verdict ask #1) — BEFORE
+    // any filesystem mutation: the caller claims `docs` is everything
+    // ever built or appended, and meta carries two receipts to check
+    // that claim (n_docs_total, the running doc_id xor the build wrote
+    // and every append folded its increment into). A stale or partial
+    // corpus would otherwise rebuild a silently SMALLER artifact with
+    // a clean flag — the MergeTree analog of merging the wrong parts
+    // (the behavior reference clickhouse/init.sql:16 delegates to
+    // ClickHouse, which likewise must never do it silently). One
+    // bounded aggregate pass over docs; the count catches short/stale
+    // corpora, the xor catches same-count-different-docs swaps.
+    val meta = readMeta(s, dir)
+    val Array(corAgg) = docs.agg(count(lit(1)),
+      coalesce(expr("bit_xor(doc_id)"), lit(0L))).collect()
+    require(corAgg.getLong(0) == meta.nDocsTotal &&
+        corAgg.getLong(1) == meta.docIdXor,
+      s"corpus-of-record mismatch at $dir: supplied docs have count " +
+        s"${corAgg.getLong(0)} / doc_id xor ${corAgg.getLong(1)}, but the " +
+        s"live generation records n_docs_total=${meta.nDocsTotal} / " +
+        s"doc_id_xor=${meta.docIdXor} — compacting from this corpus would " +
+        "silently drop or alter history; pass the full union of the cold " +
+        "build's corpus and every appended increment")
     val next = genNumberOf(dir) + 1
     val nextDir = s"$dir/gen-$next"
     // a crashed prior compaction may have left a partial gen dir —
@@ -581,14 +696,42 @@ object PipelineQueries {
     }
   }
 
+  /** THE MAINTENANCE RUNBOOK AS ONE OPERATOR (round-10 verdict ask
+    * #4): append the increment, read the drift flag the append
+    * maintains, and compact — with [[compactComponentsArtifact]]'s
+    * corpus-of-record validation — exactly when it trips. The loop
+    * ComponentsCompactSpec proves piecewise, callable without
+    * hand-orchestrating meta reads. `corpusOfRecord` must be the full
+    * union of the cold build's corpus and every appended increment
+    * INCLUDING `increment` itself (the append lands first, so the
+    * validation receipts cover it — lazily-built callers can pass
+    * `allPrior.unionByName(increment)` unevaluated; it is only
+    * executed if the flag trips). Returns true iff a compaction ran.
+    * Same single-writer contract as its two halves. */
+  private[graft] def maintainComponentsArtifact(s: SparkSession, dir: String,
+      increment: DataFrame, corpusOfRecord: DataFrame,
+      broadcastCap: Long = IncrementBroadcastMaxShingleRows): Boolean = {
+    appendComponentsArtifact(s, dir, increment, broadcastCap)
+    val tripped = readMeta(s, dir).rebuildRecommended
+    if (tripped) compactComponentsArtifact(s, dir, corpusOfRecord)
+    tripped
+  }
+
   /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>.
-    * `idx3` versions the layout (migration-on-rebuild: a version bump
-    * changes the path, so stale layouts are never half-reused) —
+    * `idx4b<N>` versions the layout (migration-on-rebuild: a version
+    * bump changes the path, so stale layouts are never half-reused) —
     * `idx1` lacked the integrity/drift meta, `idx2` lacked the
     * sh-bucketed shingle partitioning and the two-direction drift
-    * fields (n_docs_total / min_hot_df) the append now maintains. */
+    * fields (n_docs_total / min_hot_df), `idx3` lacked the persisted
+    * bucket count and corpus-of-record receipt (n_buckets /
+    * doc_id_xor) the append and compaction now validate. The `b<N>`
+    * suffix encodes [[ShingleBuckets]] itself (ADVICE r10): raising
+    * the bucket count at larger scale re-paths — and therefore
+    * re-builds — the shared artifact by construction, with no manual
+    * version bump to forget. */
   private[graft] def componentsArtifactPath(d: String): String = {
-    val params = s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx3"
+    val params =
+      s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx4b$ShingleBuckets"
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_components_${params}_" +
         StreamingQueries.sourceStamp(s"$d/documents.parquet")).getAbsolutePath

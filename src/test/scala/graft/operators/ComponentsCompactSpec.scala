@@ -182,6 +182,118 @@ class ComponentsCompactSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
+  test("compaction validates the corpus-of-record BEFORE any write (round-10 " +
+      "verdict ask #1): a short corpus and a same-count-different-docs swap " +
+      "both throw with the gen dir absent and the pointer untouched") {
+    val base = Files.createTempDirectory("comp-compact-guard").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      val inc = Seq((101L, tail(500)), (102L, tail(5) + " extra"))
+        .toDF("doc_id", "text")
+      PipelineQueries.appendComponentsArtifact(spark, base, inc)
+      val docs = corpusDocs.unionByName(inc)
+      val live = readClusters(base)
+
+      // (a) SHORT corpus: the cold build's docs without the appended
+      // increment — the stale-corpus-of-record operator error
+      val eShort = intercept[IllegalArgumentException] {
+        PipelineQueries.compactComponentsArtifact(spark, base, corpusDocs)
+      }
+      assert(eShort.getMessage.contains("corpus-of-record mismatch") &&
+        eShort.getMessage.contains("30") && eShort.getMessage.contains("32"),
+        s"must name both counts: ${eShort.getMessage}")
+
+      // (b) SAME COUNT, different docs: doc 102 swapped for an id the
+      // artifact never saw — count passes, the xor receipt catches it
+      val swapped = corpusDocs.unionByName(
+        Seq((101L, tail(500)), (999L, tail(5) + " extra"))
+          .toDF("doc_id", "text"))
+      val eSwap = intercept[IllegalArgumentException] {
+        PipelineQueries.compactComponentsArtifact(spark, base, swapped)
+      }
+      assert(eSwap.getMessage.contains("corpus-of-record mismatch"),
+        eSwap.getMessage)
+
+      // both rejections happened BEFORE any write: no gen dir, pointer
+      // file absent (still generation 0), live clusters untouched
+      assert(!new java.io.File(base, "gen-1").exists,
+        "a rejected compaction must not leave a generation dir")
+      assert(!new java.io.File(base, "GEN").exists &&
+        PipelineQueries.genDirOf(base) == base,
+        "a rejected compaction must not move the generation pointer")
+      assert(readClusters(base) == live)
+
+      // the correct corpus still compacts
+      PipelineQueries.compactComponentsArtifact(spark, base, docs)
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-1"))
+      assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
+        == coldOf(docs))
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
+  test("append refuses a mismatched shingle-bucket layout (ADVICE r10): an " +
+      "artifact whose meta records a different n_buckets fails loudly instead " +
+      "of bucket-pruning against the wrong pmod") {
+    val base = Files.createTempDirectory("comp-compact-layout").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      // tamper the persisted bucket count — the signature of an artifact
+      // written by a build with a different ShingleBuckets constant
+      val metaDir = PipelineQueries.metaDirOf(base)
+      val metaDf = spark.read.parquet(metaDir).withColumn("n_buckets", lit(32))
+      val schema = metaDf.schema
+      val rows = metaDf.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(metaDir)
+      val e = intercept[IllegalArgumentException] {
+        PipelineQueries.appendComponentsArtifact(spark, base,
+          Seq((101L, tail(500))).toDF("doc_id", "text"))
+      }
+      assert(e.getMessage.contains("shingle-bucket layout mismatch"),
+        e.getMessage)
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
+  test("maintainComponentsArtifact: a sequence of appends crossing the drift " +
+      "boundary auto-compacts exactly once, hash-equal to cold at every step " +
+      "(round-10 verdict ask #4)") {
+    val base = Files.createTempDirectory("comp-maintain").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      // step 1: below the cutoff — append only, no compaction
+      val inc1 = Seq((101L, tail(500)), (102L, tail(5) + " extra"))
+        .toDF("doc_id", "text")
+      val docs1 = corpusDocs.unionByName(inc1)
+      assert(!PipelineQueries.maintainComponentsArtifact(spark, base, inc1, docs1),
+        "no drift -> no compaction")
+      assert(PipelineQueries.genDirOf(base) == base, "still generation 0")
+      assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
+        == coldOf(docs1))
+      // step 2: the prefix doc pushes the df-16 shingle over the cutoff
+      // — the operator must compact, with the corpus-of-record
+      // validation covering the just-appended increment
+      val inc2 = Seq((103L, "edge boiler plate " + tail(600)))
+        .toDF("doc_id", "text")
+      val docs2 = docs1.unionByName(inc2)
+      assert(PipelineQueries.maintainComponentsArtifact(spark, base, inc2, docs2),
+        "drift -> exactly this call compacts")
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-1"),
+        "one compaction, one generation flip")
+      val m2 = PipelineQueries.readMeta(spark, base)
+      assert(!m2.rebuildRecommended, s"compaction resets the flag: $m2")
+      assert((readClusters(base), m2.nPairs) == coldOf(docs2))
+      // step 3: post-compaction appends stay append-only again
+      val inc3 = Seq((104L, tail(700)), (105L, tail(700) + " extra"))
+        .toDF("doc_id", "text")
+      val docs3 = docs2.unionByName(inc3)
+      assert(!PipelineQueries.maintainComponentsArtifact(spark, base, inc3, docs3))
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-1"),
+        "exactly once: no second generation")
+      assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
+        == coldOf(docs3))
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
   test("a partial gen-<g+1> from a crashed prior compaction is cleared and " +
       "rebuilt; it was never resolvable so the live artifact never wavered") {
     val base = Files.createTempDirectory("comp-compact-crash").toString

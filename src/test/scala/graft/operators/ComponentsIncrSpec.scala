@@ -256,7 +256,7 @@ class ComponentsIncrSpec extends SparkSpec {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     // the operational bootstrap pattern: create the artifact empty (or
     // effectively empty — only shingle-less docs), then grow it by
-    // appends. The _idx3 bucketed index writes ZERO partition dirs for
+    // appends. The bucketed index writes ZERO partition dirs for
     // this corpus; the explicit-schema read must keep every consumer
     // (validation counts, bucket scans, pair joins) working on it.
     val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),

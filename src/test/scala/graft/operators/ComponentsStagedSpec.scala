@@ -128,8 +128,8 @@ class ComponentsStagedSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
-  test("layout _idx3: the shingle index is partitioned by shb and a bucket " +
-      "filter prunes partitions at the source (the append's scan-term remedy)") {
+  test("bucketed layout (_idx4): the shingle index is partitioned by shb and a " +
+      "bucket filter prunes partitions at the source (the append's scan-term remedy)") {
     val base = buildBase()
     try {
       // the physical layout: shb=N partition dirs, no root-level files
@@ -191,9 +191,13 @@ class ComponentsStagedSpec extends SparkSpec {
     try {
       // simulate the crash window: an increment's shingle rows landed in
       // the index but no pointer flip recorded them (meta unchanged) —
-      // written in the real append's bucketed shape (layout _idx3)
+      // written in the real append's bucketed shape (the ShingleBuckets
+      // reference keeps the fixture's pmod in lockstep with the layout;
+      // a hardcoded 64 would silently write a shape the real append
+      // never produces if the constant moved — ADVICE r10)
       Dedup.shingleIndex(Seq((999L, tail(900))).toDF("doc_id", "text"), 3)
-        .withColumn("shb", pmod(col("sh"), lit(64L)).cast("int"))
+        .withColumn("shb",
+          pmod(col("sh"), lit(PipelineQueries.ShingleBuckets.toLong)).cast("int"))
         .write.mode("append").partitionBy("shb").parquet(s"$base/shingles")
       val e = intercept[IllegalArgumentException] {
         PipelineQueries.appendComponentsArtifact(spark, base,

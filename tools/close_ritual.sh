@@ -30,7 +30,10 @@ cd "$(dirname "$0")/.."
 echo "== 1/5 sbt test"
 sbt -batch test > /tmp/test_close.log 2>&1 \
   || { tail -30 /tmp/test_close.log; exit 1; }
-grep -E 'Tests: succeeded' /tmp/test_close.log | tail -1
+# the literal sbt tally is THE spec count of record (round-10 verdict
+# ask #5: a hand count drifted from what sbt prints — 273 claimed vs
+# 264 printed; quote THIS line in the close commit and COVERAGE.md)
+grep -E 'Tests: succeeded' /tmp/test_close.log | tail -1 | tee /tmp/close_tally.txt
 
 echo "== 2/5 PlanAudit (PLANS.md must stay diff-clean)"
 sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.01" \
@@ -74,3 +77,4 @@ j = json.load(open("bench_full.json"))
 print(f"bench total: {j['value']:.1f} s over {len(j['queries'])} entries")
 EOF
 echo "remember: commit bench_full.json (and PLANS.md if regenerated)"
+echo "close commit must quote the sbt tally verbatim: $(cat /tmp/close_tally.txt)"
