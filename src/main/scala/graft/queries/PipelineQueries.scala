@@ -91,27 +91,48 @@ object PipelineQueries {
     * Spark's own broadcast-join economics. */
   private val IncrementBroadcastMaxShingleRows = 2L * 1000 * 1000
 
-  /** The shingle index is PARTITIONED at rest by `shb = sh mod 64`
-    * (layout `_idx4b64`, the 100 TB remedy SCALE.md round 9 named): a
-    * serving append touches a bounded shingle set, so every
+  /** The shingle index is PARTITIONED at rest by `shb = sh mod
+    * n_buckets` (layout `_idx5b64`, the 100 TB remedy SCALE.md round 9
+    * named): a serving append touches a bounded shingle set, so every
     * corpus-index read on the append path filters to the touched
     * buckets FIRST — parquet PartitionFilters prune whole directories
     * instead of scanning the full index and filtering rows (the ×100
     * probe's residual scan term). 64 buckets keeps the per-write file
     * count sane on local[32]; at real 100 TB the same layout carries
     * more buckets. A bucket-count change can never silently mix
-    * layouts, by TWO guards (ADVICE r10 — the old claim rested on a
-    * manual idx-version bump): the count is encoded in the shared
-    * artifact's path ([[componentsArtifactPath]]'s `b64` suffix, so a
-    * changed constant re-paths and re-builds by construction) AND
-    * persisted in every artifact's meta (`n_buckets`), which
-    * [[appendComponentsArtifact]] require-matches before touching the
-    * index — a private-dir artifact from an older build fails loudly
-    * instead of having its bucket-pruned scans miss old-pmod rows. */
+    * layouts: the count is encoded in the shared artifact's path
+    * ([[componentsArtifactPath]]'s `b64` suffix, so a changed default
+    * re-paths and re-builds it by construction) AND — since round 12 —
+    * every layout-sensitive read derives its pmod from the artifact's
+    * OWN persisted `meta.n_buckets`, so a private-dir artifact built
+    * with any bucket count appends/compacts correctly under any
+    * binary; only a legacy pre-idx5 artifact (no n_buckets field) is
+    * refused, with the go-compact migration message. */
   private[graft] val ShingleBuckets = 64
 
-  private def shingleBucket(sh: Column): Column =
-    pmod(sh, lit(ShingleBuckets.toLong)).cast("int")
+  /** The bucket count is a PER-ARTIFACT property, not a binary
+    * property (round-11 verdict ask #2): every layout-sensitive read
+    * takes the artifact's own `meta.n_buckets`, so an artifact built
+    * with 32 or 128 buckets appends/compacts correctly under a binary
+    * whose [[ShingleBuckets]] default differs — per-scale bucket
+    * counts are a build-time choice with no binary lockstep.
+    * [[ShingleBuckets]] is only the default for NEW builds (and the
+    * shared artifact's path suffix). */
+  private def shingleBucket(sh: Column, nBuckets: Int): Column =
+    pmod(sh, lit(nBuckets.toLong)).cast("int")
+
+  /** The corpus-of-record receipt: xor of one 64-bit hash PER ROW over
+    * (doc_id, text) — commutative and append-foldable like the raw-id
+    * xor it replaces (round-11 verdict ask #1 + ADVICE r11), but a
+    * same-count wrong corpus now needs an xor collision over random
+    * 64-bit values (~2⁻⁶⁴) instead of a trivially constructible raw-id
+    * one ({0,3} vs {1,2} both xor to 3), and folding the text means a
+    * same-ids-different-text alteration is caught too. What it
+    * detects: any difference in the (doc_id, text) row multiset, up to
+    * hash/xor collision; duplicated identical rows cancel pairwise in
+    * the xor, which the count receipt covers. */
+  private def docReceipt: Column =
+    coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))
 
   /** Read the bucketed shingle index with an EXPLICIT schema: an
     * all-shingle-less corpus writes zero partition directories, and
@@ -138,38 +159,46 @@ object PipelineQueries {
       out: String): Unit =
     buildComponentsArtifactFrom(s, Tables.documents(s, d), out)
 
+  /** Default overload kept separate (not a default param) so existing
+    * `buildComponentsArtifactFrom(s, docs, out)` call sites are
+    * untouched while [[compactComponentsArtifact]] and the
+    * cross-bucket-count spec pass an explicit count. */
+  private[graft] def buildComponentsArtifactFrom(s: SparkSession,
+      docs: DataFrame, out: String): Unit =
+    buildComponentsArtifactFrom(s, docs, out, ShingleBuckets)
+
   /** Cold build over an explicit docs frame. Besides `clusters/` +
     * `meta/`, the artifact persists the SNAPSHOT INDEX incremental
     * maintenance needs ([[appendComponentsArtifact]]): `shingles/` (the
     * full (doc_id, sh) index, bucketed at rest by `shb = sh mod
-    * [[ShingleBuckets]]` — layout `_idx4b64`), `sizes/` (per-doc
+    * nBuckets` — layout `_idx5b64`), `sizes/` (per-doc
     * distinct-shingle counts) and `hot/` (the shingles the snapshot's
     * df cutoff cut from candidate generation — FIXED until the next
     * full rebuild, the compaction step). Raw text is shingled exactly
     * once: the pair build, the sizes table, the hot set and the drift
     * floors all read the WRITTEN index back. */
   private[graft] def buildComponentsArtifactFrom(s: SparkSession,
-      docs: DataFrame, out: String): Unit = {
+      docs: DataFrame, out: String, nBuckets: Int): Unit = {
     // corpus accounting in ONE pass: the raw doc count (the cutoff
-    // formula's n) plus the doc_id xor checksum — the receipt
+    // formula's n) plus the hashed row receipt ([[docReceipt]]) —
     // compactComponentsArtifact validates its corpus-of-record against
-    // (count catches short/stale corpora, xor catches
-    // same-count-different-docs swaps). Appends fold their increment's
-    // xor in, so the receipt tracks the full build+append history.
-    val Array(docsAgg) = docs.agg(count(lit(1)),
-      coalesce(expr("bit_xor(doc_id)"), lit(0L))).collect()
+    // both (count catches short/stale corpora, the receipt catches
+    // same-count swaps and altered text). Appends fold their
+    // increment's receipt in, so it tracks the full build+append
+    // history.
+    val Array(docsAgg) = docs.agg(count(lit(1)), docReceipt).collect()
     val nDocsTotal = docsAgg.getLong(0)
     val docIdXor = docsAgg.getLong(1)
     val cutoff = Dedup.autoDfCutoffFor(nDocsTotal)
     // index FIRST: raw text is shingled exactly once; the pair build,
     // sizes and hot set all read the written 8-byte (doc_id, sh) grain.
-    // Bucketed by sh (layout _idx4b64) so the append path's corpus-index
+    // Bucketed by sh (layout _idx5b64) so the append path's corpus-index
     // reads prune partitions instead of scanning the full index; the
     // repartition co-locates each bucket into one task so the layout is
     // ~one file per bucket, not tasks×buckets shards — every append
     // re-reads these footers for the torn-append validation.
     Dedup.shingleIndex(docs, ComponentsK)
-      .withColumn("shb", shingleBucket(col("sh")))
+      .withColumn("shb", shingleBucket(col("sh"), nBuckets))
       .repartition(col("shb"))
       .write.mode("overwrite").partitionBy("shb").parquet(s"$out/shingles")
     val shWritten = readShingleIndex(s, out)
@@ -216,7 +245,7 @@ object PipelineQueries {
       idxAgg.getLong(0), idxAgg.getLong(1), dfAgg.getLong(0),
       nDocsTotal = nDocsTotal, minHotDf = dfAgg.getLong(1),
       rebuildRecommended = false,
-      nBuckets = ShingleBuckets, docIdXor = docIdXor))
+      nBuckets = nBuckets, docIdXor = docIdXor))
   }
 
   /** The artifact's meta row — build/maintenance accounting the
@@ -226,14 +255,20 @@ object PipelineQueries {
     * counts docs with index rows; `minHotDf` is the declassification
     * floor for the reverse drift direction (Long.MaxValue = no hot
     * shingles, nothing to declassify); `nBuckets` pins the shingle
-    * index's pmod layout (appends require-match it — ADVICE r10);
-    * `docIdXor` is the corpus-of-record receipt (xor of every doc_id
-    * ever built or appended) compaction validates against. */
+    * index's pmod layout (every layout-sensitive read uses THIS value,
+    * never the binary's [[ShingleBuckets]] — round-11 verdict ask #2;
+    * -1 = legacy pre-idx5 artifact whose meta lacks the field, which
+    * appends refuse with the migration message); `docIdXor` is the
+    * corpus-of-record receipt ([[docReceipt]] folded over every row
+    * ever built or appended) compaction validates against;
+    * `hasReceipt` is false for legacy artifacts whose meta predates
+    * the receipt (compaction then warns and skips the receipt check —
+    * count-only). */
   private[graft] case class Meta(nPairs: Long, cutoff: Long,
       nDocsIndexed: Long, nShingleRows: Long, maxNonhotDf: Long,
       nDocsTotal: Long, minHotDf: Long,
       rebuildRecommended: Boolean,
-      nBuckets: Int, docIdXor: Long)
+      nBuckets: Int, docIdXor: Long, hasReceipt: Boolean = true)
 
   private def writeMeta(s: SparkSession, path: String, m: Meta): Unit = {
     s.range(1).select(lit(m.nPairs).as("n_pairs"), lit(m.cutoff).as("cutoff"),
@@ -250,12 +285,22 @@ object PipelineQueries {
   }
 
   private[graft] def readMeta(s: SparkSession, dir: String): Meta = {
-    val r = s.read.parquet(metaDirOf(dir)).head()
+    val df = s.read.parquet(metaDirOf(dir))
+    // the idx4/idx5 fields are read TOLERANTLY (ADVICE r11): a legacy
+    // private-dir artifact written before they existed must surface
+    // sentinels so the append's legacy guard can emit its actionable
+    // go-compact message — not die on a raw missing-field Spark error
+    // before the guard is reached
+    val fields = df.schema.fieldNames.toSet
+    val r = df.head()
+    val hasReceipt = fields.contains("doc_id_xor")
     Meta(r.getAs[Long]("n_pairs"), r.getAs[Long]("cutoff"),
       r.getAs[Long]("n_docs_indexed"), r.getAs[Long]("n_shingle_rows"),
       r.getAs[Long]("max_nonhot_df"), r.getAs[Long]("n_docs_total"),
       r.getAs[Long]("min_hot_df"), r.getAs[Boolean]("rebuild_recommended"),
-      r.getAs[Int]("n_buckets"), r.getAs[Long]("doc_id_xor"))
+      if (fields.contains("n_buckets")) r.getAs[Int]("n_buckets") else -1,
+      if (hasReceipt) r.getAs[Long]("doc_id_xor") else 0L,
+      hasReceipt = hasReceipt)
   }
 
   /** Pointer-versioned clusters/meta — the artifact's MUTABLE grain.
@@ -372,18 +417,19 @@ object PipelineQueries {
     val gen = genDirOf(dir)
     val epoch = rawEpoch(gen)
     val meta = readMeta(s, dir)
-    // LAYOUT GUARD (ADVICE r10): the bucket-pruned scans below filter
-    // `shb` by THIS build's pmod — against an artifact written with a
-    // different bucket count they would silently miss old-pmod rows and
-    // lose pairs with no error. The shared artifact can't hit this (the
-    // count is in its path), but a private-dir artifact from an older
-    // build can; fail loudly and send the operator to a compaction.
-    require(meta.nBuckets == ShingleBuckets,
-      s"shingle-bucket layout mismatch at $dir: the artifact was built " +
-        s"with ${meta.nBuckets} buckets but this build uses " +
-        s"$ShingleBuckets — appending would mix pmod layouts and the " +
-        "bucket-pruned scans would silently miss corpus rows; rebuild " +
-        "the artifact (compactComponentsArtifact) instead")
+    // LEGACY GUARD (round-11 verdict ask #2 + ADVICE r11): the
+    // bucket-pruned scans below filter `shb` by the ARTIFACT'S OWN
+    // pmod (meta.nBuckets — a 32- or 128-bucket artifact appends
+    // correctly under this binary's 64-bucket default, no lockstep).
+    // What cannot work is a pre-idx5 artifact whose meta carries no
+    // bucket count at all (readMeta surfaces -1): refuse with the
+    // actionable migration message instead of guessing a pmod that
+    // would silently miss corpus rows.
+    require(meta.nBuckets > 0,
+      s"legacy artifact layout at $dir: meta lacks the n_buckets field, " +
+        "so the bucket-pruned scans cannot know the shingle index's pmod " +
+        "layout; rebuild the artifact (compactComponentsArtifact, or a " +
+        "cold build) to migrate it")
     // per-phase wall-clock to stderr: the append is the artifact's
     // operational hot path, and its cost STRUCTURE (validation vs pair
     // work vs publish) is what a 100 TB operator tunes — measured per
@@ -429,8 +475,7 @@ object PipelineQueries {
     // folds into meta's corpus-of-record receipt), and its shingle-row
     // count (one bounded aggregate over the increment alone) is the
     // broadcast-safety measurement the plan choices below key off
-    val Array(incDocsAgg) = increment.agg(count(lit(1)),
-      coalesce(expr("bit_xor(doc_id)"), lit(0L))).collect()
+    val Array(incDocsAgg) = increment.agg(count(lit(1)), docReceipt).collect()
     val incDocsTotal = incDocsAgg.getLong(0)
     val incSh = Dedup.shingleIndex(increment, ComponentsK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -452,9 +497,16 @@ object PipelineQueries {
     System.err.println(s"[components] append: ${incAgg.getLong(0)} docs / " +
       s"${incAgg.getLong(1)} shingle rows -> " +
       (if (pushdown) "broadcast pushdown shapes" else "plain shuffle shapes"))
-    phaseLog("accounting")
+    // appendPairTerm's driver-side bucket collects run eagerly inside
+    // the call; closing the "accounting" phase AFTER it returns keeps
+    // their cost attributed to accounting (ADVICE r11 — r11's close
+    // silently shifted them into "pairs"; SCALE.md notes the r12
+    // re-alignment), while the pair execution itself is lazy until the
+    // count below
     val (pairTerm, touchedCorpus) =
-      appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown)
+      appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown,
+        meta.nBuckets)
+    phaseLog("accounting")
     val newPairs = pairTerm
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = newPairs.count()
@@ -523,7 +575,7 @@ object PipelineQueries {
     // dynamic-partition write fans (tasks × buckets) tiny files per
     // append (measured 4k files and +10 s on the ×100 probe's very next
     // append, between the footer validation and the bucket scans)
-    incSh.withColumn("shb", shingleBucket(col("sh")))
+    incSh.withColumn("shb", shingleBucket(col("sh"), meta.nBuckets))
       .repartition(col("shb"))
       .write.mode("append").partitionBy("shb").parquet(s"$gen/shingles")
     incSizes.write.mode("append").parquet(s"$gen/sizes")
@@ -570,19 +622,21 @@ object PipelineQueries {
     * (ADVICE r10). */
   private def appendPairTerm(s: SparkSession, gen: String,
       increment: DataFrame, incSh: DataFrame, hot: DataFrame,
-      sizesDf: DataFrame, pushdown: Boolean): (DataFrame, DataFrame) = {
+      sizesDf: DataFrame, pushdown: Boolean,
+      nBuckets: Int): (DataFrame, DataFrame) = {
     val incRareKeys = incSh.join(broadcast(hot), Seq("sh"), "left_anti")
       .select(col("sh")).distinct()
-    val touchedBuckets = incRareKeys.select(shingleBucket(col("sh")).as("shb"))
+    val touchedBuckets = incRareKeys
+      .select(shingleBucket(col("sh"), nBuckets).as("shb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val hotBuckets = hot.select(shingleBucket(col("sh")).as("shb"))
+    val hotBuckets = hot.select(shingleBucket(col("sh"), nBuckets).as("shb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     def bucketScan(bs: Seq[Int]): DataFrame =
       if (bs.isEmpty) readShingleIndex(s, gen).filter(lit(false))
       else readShingleIndex(s, gen).filter(col("shb").isin(bs: _*))
     System.err.println(s"[components] append: touched-scan " +
-      s"${touchedBuckets.size}/$ShingleBuckets buckets, hot-scan " +
-      s"${hotBuckets.size}/$ShingleBuckets buckets")
+      s"${touchedBuckets.size}/$nBuckets buckets, hot-scan " +
+      s"${hotBuckets.size}/$nBuckets buckets")
     val touchedCorpus = bucketScan(touchedBuckets)
       .join(if (pushdown) broadcast(incRareKeys) else incRareKeys,
         Seq("sh"), "left_semi")
@@ -611,6 +665,14 @@ object PipelineQueries {
       increment: DataFrame,
       broadcastCap: Long = IncrementBroadcastMaxShingleRows): Long = {
     val gen = genDirOf(dir)
+    // same meta-driven pmod as the production append (ADVICE r11: this
+    // hook previously hardcoded the binary's bucket constant with no
+    // guard — benching a different-bucket artifact would have pruned
+    // with the wrong pmod and silently undercounted pairs)
+    val meta = readMeta(s, dir)
+    require(meta.nBuckets > 0,
+      s"legacy artifact layout at $dir: meta lacks the n_buckets field " +
+        "(see appendComponentsArtifact's migration message)")
     val sizesDf = s.read.parquet(s"$gen/sizes")
     val hot = s.read.parquet(s"$gen/hot")
     val incSh = Dedup.shingleIndex(increment, ComponentsK)
@@ -619,7 +681,8 @@ object PipelineQueries {
     // rows (bounds the distinct set) against the cap
     val pushdown = incSh.count() <= broadcastCap
     val (pairs, touchedCorpus) =
-      appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown)
+      appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown,
+        meta.nBuckets)
     val n = pairs.count()
     touchedCorpus.unpersist(false)
     incSh.unpersist(false)
@@ -647,36 +710,56 @@ object PipelineQueries {
     * SINGLE-WRITER contract as appends (compaction and appends must
     * not race each other; readers are never blocked). */
   private[graft] def compactComponentsArtifact(s: SparkSession, dir: String,
-      docs: DataFrame): Unit = {
-    // CORPUS-OF-RECORD VALIDATION (round-10 verdict ask #1) — BEFORE
-    // any filesystem mutation: the caller claims `docs` is everything
-    // ever built or appended, and meta carries two receipts to check
-    // that claim (n_docs_total, the running doc_id xor the build wrote
-    // and every append folded its increment into). A stale or partial
-    // corpus would otherwise rebuild a silently SMALLER artifact with
-    // a clean flag — the MergeTree analog of merging the wrong parts
-    // (the behavior reference clickhouse/init.sql:16 delegates to
-    // ClickHouse, which likewise must never do it silently). One
-    // bounded aggregate pass over docs; the count catches short/stale
-    // corpora, the xor catches same-count-different-docs swaps.
+      docs: DataFrame, nBuckets: Int = -1): Unit = {
+    // CORPUS-OF-RECORD VALIDATION (round-10 verdict ask #1, hardened
+    // round 12) — BEFORE any filesystem mutation: the caller claims
+    // `docs` is everything ever built or appended, and meta carries
+    // two receipts to check that claim (n_docs_total, plus the running
+    // [[docReceipt]] hash-xor the build wrote and every append folded
+    // its increment into). A stale or partial corpus would otherwise
+    // rebuild a silently SMALLER artifact with a clean flag — the
+    // MergeTree analog of merging the wrong parts (the behavior
+    // reference clickhouse/init.sql:16 delegates to ClickHouse, which
+    // likewise must never do it silently). One bounded aggregate pass
+    // over docs; the count catches short/stale corpora, the hashed
+    // receipt catches same-count swaps (including raw-id-xor
+    // collisions like {0,3} vs {1,2}) and altered text, to ~2⁻⁶⁴.
     val meta = readMeta(s, dir)
-    val Array(corAgg) = docs.agg(count(lit(1)),
-      coalesce(expr("bit_xor(doc_id)"), lit(0L))).collect()
-    require(corAgg.getLong(0) == meta.nDocsTotal &&
-        corAgg.getLong(1) == meta.docIdXor,
+    val Array(corAgg) = docs.agg(count(lit(1)), docReceipt).collect()
+    require(corAgg.getLong(0) == meta.nDocsTotal,
       s"corpus-of-record mismatch at $dir: supplied docs have count " +
-        s"${corAgg.getLong(0)} / doc_id xor ${corAgg.getLong(1)}, but the " +
-        s"live generation records n_docs_total=${meta.nDocsTotal} / " +
-        s"doc_id_xor=${meta.docIdXor} — compacting from this corpus would " +
-        "silently drop or alter history; pass the full union of the cold " +
-        "build's corpus and every appended increment")
+        s"${corAgg.getLong(0)} but the live generation records " +
+        s"n_docs_total=${meta.nDocsTotal} — compacting from this corpus " +
+        "would silently drop or alter history; pass the full union of " +
+        "the cold build's corpus and every appended increment")
+    if (meta.hasReceipt)
+      require(corAgg.getLong(1) == meta.docIdXor,
+        s"corpus-of-record mismatch at $dir: supplied docs have receipt " +
+          s"${corAgg.getLong(1)} (xor of per-row xxhash64(doc_id, text)) " +
+          s"but the live generation records doc_id_xor=${meta.docIdXor} — " +
+          "the corpus differs from the build+append history (swapped ids " +
+          "or altered text); pass the full union of the cold build's " +
+          "corpus and every appended increment")
+    else
+      // legacy pre-receipt artifact: compaction IS its migration path,
+      // so proceed on the count check alone — loudly
+      System.err.println(s"[components] WARNING: $dir predates the " +
+        "corpus-of-record receipt; compacting on the count check alone " +
+        "(the rebuilt generation will carry a full receipt)")
+    // the bucket count is a per-artifact property: preserve the
+    // artifact's own unless the caller re-buckets explicitly (the
+    // natural point to grow it with the corpus); a legacy artifact
+    // migrates to the binary default
+    val nb = if (nBuckets > 0) nBuckets
+      else if (meta.nBuckets > 0) meta.nBuckets
+      else ShingleBuckets
     val next = genNumberOf(dir) + 1
     val nextDir = s"$dir/gen-$next"
     // a crashed prior compaction may have left a partial gen dir —
     // never resolvable (the pointer still names the old generation),
     // so clearing it is invisible too
     Dedup.rmdir(new java.io.File(nextDir))
-    buildComponentsArtifactFrom(s, docs, nextDir)
+    buildComponentsArtifactFrom(s, docs, nextDir, nb)
     publishPointer(dir, "GEN", s"gen-$next")
     // GC generations ≥ 2 behind, sweeping stale ones from crash-skipped
     // GCs. Generation 0 is the cold build's ROOT layout: its artifact
@@ -718,20 +801,22 @@ object PipelineQueries {
   }
 
   /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>.
-    * `idx4b<N>` versions the layout (migration-on-rebuild: a version
+    * `idx5b<N>` versions the layout (migration-on-rebuild: a version
     * bump changes the path, so stale layouts are never half-reused) —
     * `idx1` lacked the integrity/drift meta, `idx2` lacked the
     * sh-bucketed shingle partitioning and the two-direction drift
     * fields (n_docs_total / min_hot_df), `idx3` lacked the persisted
     * bucket count and corpus-of-record receipt (n_buckets /
-    * doc_id_xor) the append and compaction now validate. The `b<N>`
-    * suffix encodes [[ShingleBuckets]] itself (ADVICE r10): raising
-    * the bucket count at larger scale re-paths — and therefore
-    * re-builds — the shared artifact by construction, with no manual
-    * version bump to forget. */
+    * doc_id_xor), `idx4`'s receipt xor'd RAW doc_ids (collision-
+    * constructible and text-blind — round-11 verdict ask #1) where
+    * idx5's is [[docReceipt]]'s per-row hash. The `b<N>` suffix
+    * encodes [[ShingleBuckets]] itself (ADVICE r10): raising the
+    * bucket count at larger scale re-paths — and therefore re-builds —
+    * the shared artifact by construction, with no manual version bump
+    * to forget. */
   private[graft] def componentsArtifactPath(d: String): String = {
     val params =
-      s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx4b$ShingleBuckets"
+      s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx5b$ShingleBuckets"
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_components_${params}_" +
         StreamingQueries.sourceStamp(s"$d/documents.parquet")).getAbsolutePath

@@ -231,26 +231,133 @@ class ComponentsCompactSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
-  test("append refuses a mismatched shingle-bucket layout (ADVICE r10): an " +
-      "artifact whose meta records a different n_buckets fails loudly instead " +
-      "of bucket-pruning against the wrong pmod") {
-    val base = Files.createTempDirectory("comp-compact-layout").toString
+  test("the receipt is collision-hard (round-11 verdict ask #1): a corpus " +
+      "with EQUAL count and EQUAL raw-id xor is rejected, and so is the same " +
+      "id set with one text altered — both before any write") {
+    // ids {0,3} vs {1,2}: count 2 both, raw xor 3 both — the exact
+    // constructible collision the idx4 bit_xor(doc_id) receipt accepted
+    val docsA = Seq((0L, tail(10)), (3L, tail(11))).toDF("doc_id", "text")
+    val docsB = Seq((1L, tail(10)), (2L, tail(11))).toDF("doc_id", "text")
+    val base = Files.createTempDirectory("comp-receipt-collide").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, docsA, base)
+      val eSwap = intercept[IllegalArgumentException] {
+        PipelineQueries.compactComponentsArtifact(spark, base, docsB)
+      }
+      assert(eSwap.getMessage.contains("corpus-of-record mismatch"),
+        eSwap.getMessage)
+      // same ids, one text altered: the raw-id receipt was text-blind
+      val altered = Seq((0L, tail(10)), (3L, tail(11) + " tampered"))
+        .toDF("doc_id", "text")
+      val eText = intercept[IllegalArgumentException] {
+        PipelineQueries.compactComponentsArtifact(spark, base, altered)
+      }
+      assert(eText.getMessage.contains("corpus-of-record mismatch") &&
+        eText.getMessage.contains("altered text"), eText.getMessage)
+      // both rejected BEFORE any write; the true corpus still compacts
+      assert(!new java.io.File(base, "GEN").exists &&
+        !new java.io.File(base, "gen-1").exists)
+      PipelineQueries.compactComponentsArtifact(spark, base, docsA)
+      assert(PipelineQueries.genDirOf(base).endsWith("gen-1"))
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
+  test("bucket count is a per-artifact property (round-11 verdict ask #2): a " +
+      "32-bucket artifact appends and compacts correctly under the 64-bucket " +
+      "default build, pair counts matching the default layout exactly") {
+    val base32 = Files.createTempDirectory("comp-b32").toString
+    val base64 = Files.createTempDirectory("comp-b64").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base32, 32)
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base64)
+      assert(PipelineQueries.readMeta(spark, base32).nBuckets == 32)
+      assert(PipelineQueries.readMeta(spark, base64).nBuckets == 64)
+      // the 32-bucket index really is pmod-32 at rest: every shb
+      // partition dir stays under 32
+      val shbDirs = new java.io.File(base32, "shingles").listFiles()
+        .filter(_.getName.startsWith("shb=")).map(_.getName.stripPrefix("shb=").toInt)
+      assert(shbDirs.nonEmpty && shbDirs.max < 32, shbDirs.toSeq.sorted.mkString(","))
+      // the bench hook's pair term prunes with the ARTIFACT'S pmod
+      // (ADVICE r11): identical counts across layouts, no silent miss
+      val inc = Seq((101L, tail(5) + " extra"), (102L, tail(500)))
+        .toDF("doc_id", "text")
+      val n32 = PipelineQueries.appendPairTermOnly(spark, base32, inc)
+      val n64 = PipelineQueries.appendPairTermOnly(spark, base64, inc)
+      assert(n32 == n64 && n32 > 0, s"pair counts diverge: $n32 vs $n64")
+      // full append under the default build: clusters equal cold, the
+      // artifact keeps its own bucket count
+      PipelineQueries.appendComponentsArtifact(spark, base32, inc)
+      val docs1 = corpusDocs.unionByName(inc)
+      assert((readClusters(base32), PipelineQueries.readMeta(spark, base32).nPairs)
+        == coldOf(docs1))
+      assert(PipelineQueries.readMeta(spark, base32).nBuckets == 32,
+        "an append must preserve the artifact's own bucket count")
+      // compaction preserves the count by default...
+      PipelineQueries.compactComponentsArtifact(spark, base32, docs1)
+      assert(PipelineQueries.readMeta(spark, base32).nBuckets == 32)
+      assert((readClusters(base32), PipelineQueries.readMeta(spark, base32).nPairs)
+        == coldOf(docs1))
+      // ...and is the explicit re-bucket point (grow with the corpus)
+      PipelineQueries.compactComponentsArtifact(spark, base32, docs1, nBuckets = 64)
+      assert(PipelineQueries.readMeta(spark, base32).nBuckets == 64)
+      assert((readClusters(base32), PipelineQueries.readMeta(spark, base32).nPairs)
+        == coldOf(docs1))
+      // appends continue on the re-bucketed generation
+      val inc2 = Seq((103L, tail(700))).toDF("doc_id", "text")
+      PipelineQueries.appendComponentsArtifact(spark, base32, inc2)
+      assert((readClusters(base32), PipelineQueries.readMeta(spark, base32).nPairs)
+        == coldOf(docs1.unionByName(inc2)))
+    } finally {
+      Dedup.rmdir(new java.io.File(base32))
+      Dedup.rmdir(new java.io.File(base64))
+    }
+  }
+
+  test("a legacy pre-idx5 artifact (meta without n_buckets/doc_id_xor) gets " +
+      "the actionable go-compact message from append (ADVICE r11), and " +
+      "compaction migrates it to a fully-receipted artifact") {
+    val base = Files.createTempDirectory("comp-legacy").toString
     try {
       PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
-      // tamper the persisted bucket count — the signature of an artifact
-      // written by a build with a different ShingleBuckets constant
+      // rewrite meta WITHOUT the idx4/idx5 fields — the persisted shape
+      // of a pre-idx4 private-dir artifact
       val metaDir = PipelineQueries.metaDirOf(base)
-      val metaDf = spark.read.parquet(metaDir).withColumn("n_buckets", lit(32))
-      val schema = metaDf.schema
-      val rows = metaDf.collect()
+      val legacy = spark.read.parquet(metaDir).drop("n_buckets", "doc_id_xor")
+      val schema = legacy.schema
+      val rows = legacy.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .coalesce(1).write.mode("overwrite").parquet(metaDir)
-      val e = intercept[IllegalArgumentException] {
-        PipelineQueries.appendComponentsArtifact(spark, base,
-          Seq((101L, tail(500))).toDF("doc_id", "text"))
+      // tolerant read surfaces sentinels instead of a raw Spark error
+      val m = PipelineQueries.readMeta(spark, base)
+      assert(m.nBuckets == -1 && !m.hasReceipt, s"$m")
+      // append and the bench hook refuse with the migration message
+      val inc = Seq((101L, tail(500))).toDF("doc_id", "text")
+      val eApp = intercept[IllegalArgumentException] {
+        PipelineQueries.appendComponentsArtifact(spark, base, inc)
       }
-      assert(e.getMessage.contains("shingle-bucket layout mismatch"),
-        e.getMessage)
+      assert(eApp.getMessage.contains("legacy artifact layout") &&
+        eApp.getMessage.contains("compactComponentsArtifact"), eApp.getMessage)
+      val eBench = intercept[IllegalArgumentException] {
+        PipelineQueries.appendPairTermOnly(spark, base, inc)
+      }
+      assert(eBench.getMessage.contains("legacy artifact layout"), eBench.getMessage)
+      // the count check still guards a legacy compaction: a short
+      // corpus is rejected even with no receipt to compare
+      val eShort = intercept[IllegalArgumentException] {
+        PipelineQueries.compactComponentsArtifact(spark, base, corpusDocs.limit(10))
+      }
+      assert(eShort.getMessage.contains("corpus-of-record mismatch"),
+        eShort.getMessage)
+      // compaction IS the migration path: count-checked (receipt absent,
+      // loud warning), and the rebuilt generation is fully receipted
+      PipelineQueries.compactComponentsArtifact(spark, base, corpusDocs)
+      val m1 = PipelineQueries.readMeta(spark, base)
+      assert(m1.nBuckets == 64 && m1.hasReceipt, s"$m1")
+      assert((readClusters(base), m1.nPairs) == coldOf(corpusDocs))
+      // and the migrated artifact accepts appends again
+      PipelineQueries.appendComponentsArtifact(spark, base, inc)
+      assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
+        == coldOf(corpusDocs.unionByName(inc)))
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
