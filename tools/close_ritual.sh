@@ -75,6 +75,27 @@ python3 - <<'EOF'
 import json
 j = json.load(open("bench_full.json"))
 print(f"bench total: {j['value']:.1f} s over {len(j['queries'])} entries")
+# regression floor for the artifact lines (round-11 verdict ask #4):
+# their shapes are final, so an idle-machine close that exceeds the
+# committed floors by > tolerance fails the ritual. Record the printed
+# comparison in the close commit message.
+import sys
+fl = json.load(open("tools/bench_floor.json"))
+bad = []
+for name, floor in fl["floors_sec"].items():
+    got = j["queries"].get(name)
+    if got is None:
+        bad.append(f"{name}: MISSING from bench_full.json"); continue
+    lim = floor * fl["tolerance"]
+    verdict = "OK" if got <= lim else "REGRESSION"
+    print(f"floor {name}: {got:.2f} s vs floor {floor:.2f} (limit {lim:.2f}) {verdict}")
+    if got > lim:
+        bad.append(f"{name}: {got:.2f} s > {lim:.2f} s")
+if bad:
+    print("bench floor EXCEEDED (was the machine idle? if the shape changed "
+          "deliberately, update tools/bench_floor.json with a reading):")
+    [print("  " + b) for b in bad]
+    sys.exit(1)
 EOF
 echo "remember: commit bench_full.json (and PLANS.md if regenerated)"
 echo "close commit must quote the sbt tally verbatim: $(cat /tmp/close_tally.txt)"
