@@ -37,6 +37,21 @@ import org.apache.spark.sql.functions._
   * banding, component builds and streaming state scale linearly when
   * the data volume does.
   *
+  * HOT-SET VARIANT (round-11 verdict ask #3): the same df-constancy
+  * means the components artifact's hot set is EMPTY at ×10/×100
+  * (replication holds per-shingle df fixed while the cutoff grows with
+  * n), so the append's hot-intersection scan was only ever exercised
+  * at ×1. `SPARK_GRAFT_PROBE_HOT=1` builds sibling corpora
+  * (`graft_scale_hot_x<n>`) whose documents additionally carry a
+  * SHARED, UNtagged 6-token block: its 4 block-internal shingles have
+  * df = n_docs at every scale — always above the 0.4 % cutoff, so the
+  * hot set is non-empty and BOUNDED (the block shingles; the
+  * tag-boundary shingles stay per-replica-rare) — and the 500-doc
+  * serving increment carries the block too, so the full append runs
+  * its hot-scan against real hot rows (`hot-scan k/64 > 0` in the
+  * stderr log). Run with SPARK_GRAFT_PROBE_ONLY=artifact_append_full
+  * for the SCALE.md hot-append curve.
+  *
   * Usage: sbt "runMain graft.ScaleProbe [scale ...]"   (default 1 10 100)
   * Prints one JSON line per (scale, query) with both timed passes; the
   * min is the headline number. dedup_clusters reports pass1 = artifact
@@ -178,7 +193,7 @@ object ScaleProbe {
     }),
     // NARROW append at ×n (round-10 verdict ask #3): a 5-doc increment
     // truncated to its first 5 tokens (3 shingles per doc, ≤15 distinct)
-    // touches ≪64 buckets — the case the bucketed (_idx4) layout's
+    // touches ≪64 buckets — the case the bucketed (_idx5) layout's
     // directory pruning exists for. The 500-doc serving append above
     // coupon-collects ALL 64 buckets (SCALE.md round 10 says so), so
     // its flat curve demonstrates scan fusion + file discipline, not
@@ -370,8 +385,24 @@ object ScaleProbe {
     path
   }
 
+  /** The shared hot block ([[SPARK_GRAFT_PROBE_HOT]] variant): 6
+    * UNtagged tokens appended to every doc — k=3 gives 4 block-internal
+    * shingles whose df equals the doc count at every scale, a
+    * scale-invariant non-empty bounded hot set. Tokens can never
+    * collide with tagged corpus tokens (those all start `r<digits>x`).
+    * The block is isolated behind two DOC-UNIQUE guard tokens
+    * (`u<id>a u<id>b`), so every doc-end×block boundary shingle has
+    * df = 1: without the guard, (last_token, blk0, blk1) shingles
+    * inherit the last token's per-replica df (≤ 250 here) — hot
+    * (excluded) at ×10's cutoff 252 but RARE at ×100's 2520, where
+    * their Σdf² re-enters the candidate self-join and was measured to
+    * OOM the 8 GB dev heap. The probe wants a bounded hot set, not a
+    * planted near-dup suffix. */
+  private val HotBlock =
+    (0 until 6).map(i => s"hotshared$i").mkString(" ")
+
   private def replicate(spark: SparkSession, base: String, out: String,
-      n: Int): Unit = {
+      n: Int, hotBlock: Boolean): Unit = {
     val outF = new java.io.File(out)
     val marker = new java.io.File(outF, s".complete_${Version}_x$n")
     if (marker.exists()) return
@@ -404,12 +435,17 @@ object ScaleProbe {
     // sf0.1), but the invariant the whole measurement model rests on
     // should not depend on the vocabulary
     val tag = concat(lit("r"), lpad(col("rep").cast("string"), 3, "0"), lit("x"))
+    val tagged = array_join(
+      transform(split(col("text"), " "), w => concat(tag, w)), " ")
+    val newId = col("doc_id") + col("rep").cast("long") * 10000L
+    val withBlock = concat(tagged,
+      lit(" u"), newId.cast("string"), lit("a u"), newId.cast("string"),
+      lit("b " + HotBlock))
     docs.crossJoin(reps)
       .select(
-        (col("doc_id") + col("rep").cast("long") * 10000L).as("doc_id"),
+        newId.as("doc_id"),
         when(col("text").isNull, lit(null).cast("string"))
-          .otherwise(array_join(
-            transform(split(col("text"), " "), w => concat(tag, w)), " "))
+          .otherwise(if (hotBlock) withBlock else tagged)
           .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -494,9 +530,11 @@ object ScaleProbe {
     }
 
     val tmp = System.getProperty("java.io.tmpdir")
+    val hot = sys.env.getOrElse("SPARK_GRAFT_PROBE_HOT", "0") == "1"
     for (n <- scales) {
-      val dir = new java.io.File(tmp, s"graft_scale_x$n").getAbsolutePath
-      replicate(spark, base, dir, n)
+      val dir = new java.io.File(tmp,
+        s"graft_scale_${if (hot) "hot_" else ""}x$n").getAbsolutePath
+      replicate(spark, base, dir, n, hot)
       // dev-only entry filter for re-timing a single probe without the
       // whole sweep (comma-separated names)
       val onlyP = sys.env.get("SPARK_GRAFT_PROBE_ONLY")

