@@ -61,9 +61,14 @@ object MaintainPropertySpec extends Properties("maintainComponents") {
     s   <- Gen.choose(1000, 9999)
   } yield DocSpec(pfx, nd, s)
 
-  private val scheduleGen: Gen[List[List[DocSpec]]] =
-    Gen.choose(2, 4).flatMap(n =>
-      Gen.listOfN(n, Gen.choose(0, 3).flatMap(k => Gen.listOfN(k, docGen))))
+  private val scheduleGen: Gen[(List[List[DocSpec]], Int)] = for {
+    n <- Gen.choose(2, 4)
+    incs <- Gen.listOfN(n, Gen.choose(0, 3).flatMap(k => Gen.listOfN(k, docGen)))
+    // bucket count is a per-artifact property since round 12: random
+    // schedules run against non-default layouts too, pinning that the
+    // default-bucket binary maintains them end-to-end
+    nBuckets <- Gen.oneOf(16, 32, 64)
+  } yield (incs, nBuckets)
 
   private def readClusters(dir: String): Seq[(Long, Long)] =
     spark.read.parquet(PipelineQueries.clustersDirOf(dir))
@@ -87,10 +92,12 @@ object MaintainPropertySpec extends Properties("maintainComponents") {
   }
 
   property("random append schedules: flip iff tripped, equal to cold and " +
-      "receipt-consistent after every step") = Prop.forAll(scheduleGen) { sched =>
+      "receipt-consistent after every step") =
+      Prop.forAll(scheduleGen) { case (sched, nBuckets) =>
     val base = Files.createTempDirectory("maintain-prop").toString
     try {
-      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base,
+        nBuckets)
       var corpus = corpusDocs
       var nextId = 101L
       var ok = true
@@ -110,15 +117,16 @@ object MaintainPropertySpec extends Properties("maintainComponents") {
         val genAfter = PipelineQueries.genDirOf(base)
         corpus = newCorpus
         val m = PipelineQueries.readMeta(spark, base)
+        val bucketsOk = m.nBuckets == nBuckets
         val flipOk = (genAfter != genBefore) == compacted
         val flagOk = !compacted || !m.rebuildRecommended
         val coldEq = (readClusters(base), m.nPairs) == coldOf(corpus)
         val (cnt, xor) = receiptOf(corpus)
         val receiptOk = m.nDocsTotal == cnt && m.docIdXor == xor
-        ok = flipOk && flagOk && coldEq && receiptOk
+        ok = flipOk && flagOk && coldEq && receiptOk && bucketsOk
         if (!ok) System.err.println(s"[maintain-prop] step failed: " +
           s"inc=$rows compacted=$compacted flipOk=$flipOk flagOk=$flagOk " +
-          s"coldEq=$coldEq receiptOk=$receiptOk meta=$m")
+          s"coldEq=$coldEq receiptOk=$receiptOk bucketsOk=$bucketsOk meta=$m")
       }
       ok
     } finally Dedup.rmdir(new java.io.File(base))
