@@ -811,10 +811,16 @@ object PipelineQueries {
     * Same single-writer contract as its two halves. */
   private[graft] def maintainComponentsArtifact(s: SparkSession, dir: String,
       increment: DataFrame, corpusOfRecord: DataFrame,
-      broadcastCap: Long = IncrementBroadcastMaxShingleRows): Boolean = {
+      broadcastCap: Long = IncrementBroadcastMaxShingleRows,
+      compactNBuckets: Int = -1): Boolean = {
     appendComponentsArtifact(s, dir, increment, broadcastCap)
     val tripped = readMeta(s, dir).rebuildRecommended
-    if (tripped) compactComponentsArtifact(s, dir, corpusOfRecord)
+    // compactNBuckets rides through to the compaction (default -1 =
+    // preserve the artifact's own count): the drift-triggered rebuild
+    // is exactly the point where a grown corpus re-buckets, so the
+    // runbook operator must be able to carry that choice
+    if (tripped) compactComponentsArtifact(s, dir, corpusOfRecord,
+      compactNBuckets)
     tripped
   }
 

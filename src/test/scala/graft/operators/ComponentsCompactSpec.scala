@@ -382,12 +382,17 @@ class ComponentsCompactSpec extends SparkSpec {
       val inc2 = Seq((103L, "edge boiler plate " + tail(600)))
         .toDF("doc_id", "text")
       val docs2 = docs1.unionByName(inc2)
-      assert(PipelineQueries.maintainComponentsArtifact(spark, base, inc2, docs2),
+      // the runbook carries the compaction's re-bucket choice (the
+      // drift-triggered rebuild is where a grown corpus re-buckets)
+      assert(PipelineQueries.maintainComponentsArtifact(spark, base, inc2, docs2,
+          compactNBuckets = 32),
         "drift -> exactly this call compacts")
       assert(PipelineQueries.genDirOf(base).endsWith("gen-1"),
         "one compaction, one generation flip")
       val m2 = PipelineQueries.readMeta(spark, base)
       assert(!m2.rebuildRecommended, s"compaction resets the flag: $m2")
+      assert(m2.nBuckets == 32,
+        s"the re-bucket choice must reach the compaction: $m2")
       assert((readClusters(base), m2.nPairs) == coldOf(docs2))
       // step 3: post-compaction appends stay append-only again
       val inc3 = Seq((104L, tail(700)), (105L, tail(700) + " extra"))
