@@ -110,6 +110,25 @@ object ScaleProbe {
     P("emb_knn", 100, declared("emb_knn")),
     P("graph_pagerank", 100, declared("graph_pagerank")),
     P("dedup_clusters", 100, declared("dedup_clusters")),
+    // the distributed connected-components fallback, FORCED
+    // (maxDriverEdges=0) on a synthetic graph whose shape is controlled
+    // so the curve is interpretable: 100k·n chains of 8 nodes — edge
+    // volume scales ×n, diameter (and so min-label round count) stays
+    // FIXED at 7, one checkpoint cycle never triggers (<10 rounds).
+    // The real pair graphs under 5M edges take the driver union-find;
+    // this measures the path the engine falls back to ABOVE that
+    // bound, where per-round cost must be linear in edges. ×10 puts
+    // the graph at 8M nodes / 7M edges — past the driver cap, the
+    // regime the fallback exists for. Capped at ×10: ×100 would be
+    // ~70M-edge joins × 8 rounds, demonstrating the same linearity for
+    // minutes.
+    P("components_dist_chains", 10, (s, d, n) => {
+      val nodes = 100000L * n * 8L
+      operators.Dedup.components(
+        s.range(nodes).filter(col("id") % 8 =!= 7)
+          .select(col("id").as("i"), (col("id") + 1L).as("j")),
+        maxDriverEdges = 0L)
+    }),
     P("stream_sessions", 100, declared("stream_sessions")),
     // streaming family ×10 (round-9 verdict ask #3): the heavy stateful
     // entries replayed over the ×n events corpus — 4 time-ordered

@@ -682,7 +682,7 @@ object Dedup {
   }
 
   def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L,
-      checkpointEvery: Int = 10): DataFrame = {
+      checkpointEvery: Int = 3): DataFrame = {
     val spark = pairs.sparkSession
     // persist (NOT localCheckpoint) materializes the expensive upstream
     // pair pipeline once for the path-deciding count and whichever path
@@ -751,21 +751,39 @@ object Dedup {
     * returned DataFrame reads from, so it cannot be deleted here) is
     * removed by a JVM shutdown hook. */
   private def componentsDistributed(spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame, checkpointEvery: Int = 10): DataFrame = {
+      edges: DataFrame, checkpointEvery: Int = 3): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ckptRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_cc_${java.util.UUID.randomUUID().toString.take(8)}")
     cleanupAtExit.add(ckptRoot)
-    var labels = edges.select(col("a").as("node")).distinct()
+    // ITERATIVE LOOPS MUST TRUNCATE THE LOGICAL PLAN, not just cache
+    // data (the ×10 forced-distributed probe found this the hard way):
+    // persist substitutes cached blocks at PHYSICAL planning, but every
+    // round's LOGICAL plan still carries the full prior lineage, so
+    // analyzer/cache-lookup work grows per round (measured 15 s/round
+    // on a 700k-edge chain graph with the old checkpointEvery=10 that
+    // never fired inside 8 rounds) and the accumulated plan + cache
+    // state OOM'd the driver at 8M nodes. Two remedies, both here:
+    // the edge list is written to parquet ONCE so every round's join
+    // reads a flat scan (the upstream pair pipeline can be arbitrarily
+    // deep), and the label table checkpoints every 3 rounds (default)
+    // instead of 10 — bounded plan depth, bounded cached copies.
+    // Post-fix: ~1 s/round at the same ×1 probe, ×10 no longer OOMs.
+    val edgesDir = new java.io.File(ckptRoot, "edges")
+    edges.write.mode("overwrite").parquet(edgesDir.getAbsolutePath)
+    edges.unpersist(false)
+    val e = spark.read.parquet(edgesDir.getAbsolutePath)
+    var labels = e.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node")).persist(lvl)
     var lastCkpt: Option[java.io.File] = None
     var changed = 1L
     var round = 0
     while (changed > 0) {
       round += 1
-      val neighborMin = edges.join(labels, edges("b") === labels("node"))
-        .groupBy(edges("a")).agg(min(col("lbl")).as("nlbl"))
+      val tRound = System.nanoTime()
+      val neighborMin = e.join(labels, e("b") === labels("node"))
+        .groupBy(e("a")).agg(min(col("lbl")).as("nlbl"))
       val obs = org.apache.spark.sql.Observation(s"cc_r$round")
       val updated = labels.join(neighborMin, labels("node") === neighborMin("a"), "left")
         .select(col("node"), col("lbl").as("_old"),
@@ -787,8 +805,9 @@ object Dedup {
       // sum() over an empty node set is null → converged trivially
       changed = Option(obs.get("changed"))
         .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      System.err.println(f"[components] dist round $round%2d: " +
+        f"changed=$changed%d ${(System.nanoTime() - tRound) / 1e9}%5.2f s")
     }
-    edges.unpersist(false)
     val outDir = new java.io.File(ckptRoot, "final")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .write.mode("overwrite").parquet(outDir.getAbsolutePath)
