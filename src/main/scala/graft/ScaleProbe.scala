@@ -122,6 +122,14 @@ object ScaleProbe {
     // regime the fallback exists for. Capped at ×10: ×100 would be
     // ~70M-edge joins × 8 rounds, demonstrating the same linearity for
     // minutes.
+    // the distributed BPE trainer's per-round loop, measured at ×n (the
+    // same unexercised-iterative-loop gap class the components probe
+    // found): 48 merge rounds over the ×n word table — one aggregate +
+    // one map per round, plan depth bounded by checkpointEvery. Rounds
+    // are corpus-size-dependent (the pair aggregate scans the vocab),
+    // so the curve should be ~linear in n at fixed round count.
+    P("bpe_train_dist", 10, (s, d, n) =>
+      operators.Bpe.trainDistributed(Tables.documents(s, d), nMerges = 48)),
     P("components_dist_chains", 10, (s, d, n) => {
       val nodes = 100000L * n * 8L
       operators.Dedup.components(
