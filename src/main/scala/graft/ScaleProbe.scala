@@ -130,6 +130,17 @@ object ScaleProbe {
     // so the curve should be ~linear in n at fixed round count.
     P("bpe_train_dist", 10, (s, d, n) =>
       operators.Bpe.trainDistributed(Tables.documents(s, d), nMerges = 48)),
+    // pageRank at PRODUCTION iteration counts (declared query pins
+    // iters=2 where the whole loop is one lazy plan — optimal; a real
+    // ranking run is 10-20 iters, the same iterative-loop class the
+    // components probe caught): 12 iters over the ×n near-dup pair
+    // graph, measuring whether the un-materialized nested-join plan
+    // survives real depths or needs the checkpoint discipline.
+    P("pagerank_iters12", 10, (s, d, n) =>
+      operators.GraphOps.pageRank(
+        operators.Dedup.ngramJaccardPairs(Tables.documents(s, d))
+          .select(col("i"), col("j")),
+        iters = 12)),
     P("components_dist_chains", 10, (s, d, n) => {
       val nodes = 100000L * n * 8L
       operators.Dedup.components(
