@@ -130,6 +130,27 @@ object ScaleProbe {
     // so the curve should be ~linear in n at fixed round count.
     P("bpe_train_dist", 10, (s, d, n) =>
       operators.Bpe.trainDistributed(Tables.documents(s, d), nMerges = 48)),
+    // the MinHash band-index incremental near-dup path at ×n (the
+    // OTHER persisted incremental dedup index; the ngram twin's curve
+    // exists via artifact_incr_pairs): a fixed 500-doc increment's
+    // band equi-join against the ×n corpus band index read from
+    // parquet (built once per scale). What should grow is nothing
+    // increment-side; what the default plan pays corpus-side (band
+    // scan + shuffle vs AQE broadcast of the small increment) is what
+    // this curve attributes.
+    P("dedup_incr_near_bands", 100, (s, d, n) => {
+      val bandsDir = new java.io.File(storesDirFor(d), "band_index").getAbsolutePath
+      val marker = new java.io.File(bandsDir, s"_BANDS_COMPLETE_$Version")
+      if (!marker.exists()) {
+        operators.Dedup.bandIndex(Tables.documents(s, d), k = 3)
+          .write.mode("overwrite").parquet(bandsDir)
+        java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+        ()
+      }
+      operators.Dedup.incrementalNearDups(incrementOf(s, d),
+        s.read.parquet(bandsDir), Tables.documents(s, d), k = 3,
+        threshold = 0.5)
+    }),
     // pageRank at PRODUCTION iteration counts (declared query pins
     // iters=2 where the whole loop is one lazy plan — optimal; a real
     // ranking run is 10-20 iters, the same iterative-loop class the
