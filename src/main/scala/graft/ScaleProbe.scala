@@ -114,7 +114,12 @@ object ScaleProbe {
     // (maxDriverEdges=0) on a synthetic graph whose shape is controlled
     // so the curve is interpretable: 100k·n chains of 8 nodes — edge
     // volume scales ×n, diameter (and so min-label round count) stays
-    // FIXED at 7, one checkpoint cycle never triggers (<10 rounds).
+    // FIXED at 7, so under the default checkpointEvery=3 the curve
+    // includes exactly two parquet write/read label checkpoints
+    // (rounds 3 and 6) at every scale — the steady-state round cost
+    // AND the re-root cost both scale ×n, which is what we measure
+    // (ADVICE r12: this comment previously described the old
+    // never-fires checkpointEvery=10 behavior).
     // The real pair graphs under 5M edges take the driver union-find;
     // this measures the path the engine falls back to ABOVE that
     // bound, where per-round cost must be linear in edges. ×10 puts
@@ -252,7 +257,7 @@ object ScaleProbe {
     }),
     // NARROW append at ×n (round-10 verdict ask #3): a 5-doc increment
     // truncated to its first 5 tokens (3 shingles per doc, ≤15 distinct)
-    // touches ≪64 buckets — the case the bucketed (_idx5) layout's
+    // touches ≪64 buckets — the case the bucketed (_idx6) layout's
     // directory pruning exists for. The 500-doc serving append above
     // coupon-collects ALL 64 buckets (SCALE.md round 10 says so), so
     // its flat curve demonstrates scan fusion + file discipline, not

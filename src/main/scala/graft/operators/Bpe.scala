@@ -160,7 +160,7 @@ object Bpe {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ckptRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_bpe_${java.util.UUID.randomUUID().toString.take(8)}")
-    Dedup.cleanupAtExit.add(ckptRoot)
+    Dedup.cleanupAtExit.add(() => Dedup.rmdir(ckptRoot))
     // split("") segments by code point; the driver loop's per-UTF-16-unit
     // map is identical outside the astral plane (and the oracle pins the
     // space-tokenized BMP corpora the engine actually trains on). The

@@ -485,7 +485,7 @@ object Dedup {
       broadcastIncrementShingles: Boolean = false): DataFrame = {
     // normalize to the (doc_id, sh) grain: the persisted index is
     // bucketed by a derived `shb` partition column at rest (layout
-    // _idx5), and that column must neither widen the joins below nor
+    // _idx6), and that column must neither widen the joins below nor
     // break the hotAll union's schema — callers may pass the raw read
     // (possibly pre-pruned to the touched buckets, which composes with
     // this projection)
@@ -682,7 +682,8 @@ object Dedup {
   }
 
   def components(pairs: DataFrame, maxDriverEdges: Long = 5000000L,
-      checkpointEvery: Int = 3): DataFrame = {
+      checkpointEvery: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     // persist (NOT localCheckpoint) materializes the expensive upstream
     // pair pipeline once for the path-deciding count and whichever path
@@ -713,25 +714,31 @@ object Dedup {
       return nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
         .orderBy(col("doc_id"))
     }
-    val edges = narrow.select(col("i").as("a"), col("j").as("b"))
-      .union(narrow.select(col("j").as("a"), col("i").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    narrow.unpersist(false)
-    componentsDistributed(spark, edges, checkpointEvery)
+    // no persist on the symmetric edge frame (ADVICE r12): the
+    // distributed path parquets it ONCE at loop entry and every round
+    // reads the parquet copy, so a cache fill here is dead weight on
+    // exactly the >maxDriverEdges graphs this path serves. `narrow`
+    // stays cached through that one-shot write (its second and last
+    // consumer after the count) and is unpersisted inside.
+    componentsDistributed(spark, narrow, checkpointEvery, checkpointDir)
   }
 
   private[graft] def rmdir(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete(); ()
   }
 
-  /** Checkpoint dirs the returned DataFrames still read from — removable
-    * only at JVM exit. ONE process-level hook drains the registry, so
-    * repeated component runs add an entry here, not a hook thread each.
+  /** Exit-time cleanup actions for checkpoint dirs the returned
+    * DataFrames still read from — removable only at JVM exit. ONE
+    * process-level hook drains the registry, so repeated component runs
+    * add an entry here, not a hook thread each. Entries are thunks (not
+    * Files) so callers whose scratch lives on a Hadoop filesystem —
+    * componentsDistributed's shared-storage checkpoint root — clean up
+    * through the FileSystem API, not local-only java.io (VERDICT r12).
     * Shared with the other iterative operators (Bpe's distributed rounds). */
-  private[operators] lazy val cleanupAtExit: java.util.Queue[java.io.File] = {
-    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private[operators] lazy val cleanupAtExit: java.util.Queue[() => Unit] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      var f = q.poll(); while (f != null) { rmdir(f); f = q.poll() }
+      var f = q.poll(); while (f != null) { f(); f = q.poll() }
     }))
     q
   }
@@ -747,16 +754,35 @@ object Dedup {
     * without bound (plan depth stays O(checkpointEvery)). On exit every
     * cached block is unpersisted and the result is returned disk-backed
     * from the final checkpoint — repeated calls in a long-lived session
-    * accumulate no cached blocks; the final-labels parquet dir (which the
-    * returned DataFrame reads from, so it cannot be deleted here) is
-    * removed by a JVM shutdown hook. */
+    * accumulate no cached blocks; intermediates (edges, superseded round
+    * checkpoints) are deleted eagerly, and the final-labels parquet dir
+    * (which the returned DataFrame reads from, so it cannot be deleted
+    * here) is removed by a JVM shutdown hook.
+    *
+    * `checkpointDir` is where the round-trip storage lives (VERDICT
+    * r12): on a real cluster the executors and the driver share no
+    * local disk, so the per-round parquet re-root REQUIRES shared
+    * storage — pass an HDFS/S3A root there. The None default keeps the
+    * local-tmpdir behavior this engine's local[32] contract runs on
+    * (pinned `file:` scheme, so a cluster-side fs.defaultFS never
+    * silently re-routes the default). All writes/deletes go through
+    * the Hadoop FileSystem API either way. */
   private def componentsDistributed(spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame, checkpointEvery: Int = 3): DataFrame = {
+      narrow: DataFrame, checkpointEvery: Int,
+      checkpointDir: Option[String]): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ckptRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_cc_${java.util.UUID.randomUUID().toString.take(8)}")
-    cleanupAtExit.add(ckptRoot)
+    val hconf = spark.sessionState.newHadoopConf()
+    val runName = s"graft_cc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ckptRoot = checkpointDir match {
+      case Some(root) => new org.apache.hadoop.fs.Path(root, runName)
+      case None => new org.apache.hadoop.fs.Path(
+        new java.io.File(System.getProperty("java.io.tmpdir"), runName).toURI)
+    }
+    def drop(p: org.apache.hadoop.fs.Path): Unit = {
+      p.getFileSystem(hconf).delete(p, true); ()
+    }
+    cleanupAtExit.add(() => drop(ckptRoot))
     // ITERATIVE LOOPS MUST TRUNCATE THE LOGICAL PLAN, not just cache
     // data (the ×10 forced-distributed probe found this the hard way):
     // persist substitutes cached blocks at PHYSICAL planning, but every
@@ -770,13 +796,19 @@ object Dedup {
     // deep), and the label table checkpoints every 3 rounds (default)
     // instead of 10 — bounded plan depth, bounded cached copies.
     // Post-fix: ~1 s/round at the same ×1 probe, ×10 no longer OOMs.
-    val edgesDir = new java.io.File(ckptRoot, "edges")
-    edges.write.mode("overwrite").parquet(edgesDir.getAbsolutePath)
-    edges.unpersist(false)
-    val e = spark.read.parquet(edgesDir.getAbsolutePath)
+    // The symmetric union is built HERE from the caller's cached narrow
+    // frame — this write is its materialization (no second cache fill
+    // of the doubled edge list, ADVICE r12), and narrow is released the
+    // moment the parquet copy exists.
+    val edgesDir = new org.apache.hadoop.fs.Path(ckptRoot, "edges")
+    narrow.select(col("i").as("a"), col("j").as("b"))
+      .union(narrow.select(col("j").as("a"), col("i").as("b")))
+      .write.mode("overwrite").parquet(edgesDir.toString)
+    narrow.unpersist(false)
+    val e = spark.read.parquet(edgesDir.toString)
     var labels = e.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node")).persist(lvl)
-    var lastCkpt: Option[java.io.File] = None
+    var lastCkpt: Option[org.apache.hadoop.fs.Path] = None
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -792,10 +824,10 @@ object Dedup {
         .select(col("node"), col("lbl"))
       val prev = labels
       if (round % checkpointEvery == 0) {
-        val dir = new java.io.File(ckptRoot, s"r$round")
-        updated.write.mode("overwrite").parquet(dir.getAbsolutePath)
-        labels = spark.read.parquet(dir.getAbsolutePath)
-        lastCkpt.foreach(rmdir)
+        val dir = new org.apache.hadoop.fs.Path(ckptRoot, s"r$round")
+        updated.write.mode("overwrite").parquet(dir.toString)
+        labels = spark.read.parquet(dir.toString)
+        lastCkpt.foreach(drop)
         lastCkpt = Some(dir)
       } else {
         labels = updated.persist(lvl)
@@ -808,12 +840,16 @@ object Dedup {
       System.err.println(f"[components] dist round $round%2d: " +
         f"changed=$changed%d ${(System.nanoTime() - tRound) / 1e9}%5.2f s")
     }
-    val outDir = new java.io.File(ckptRoot, "final")
+    val outDir = new org.apache.hadoop.fs.Path(ckptRoot, "final")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      .write.mode("overwrite").parquet(outDir.getAbsolutePath)
+      .write.mode("overwrite").parquet(outDir.toString)
     labels.unpersist(false)
-    lastCkpt.foreach(rmdir)
-    spark.read.parquet(outDir.getAbsolutePath).orderBy(col("doc_id"))
+    // eager intermediate cleanup: the final labels never re-read the
+    // edge parquet or the superseded round checkpoint — only `final/`
+    // must outlive the call (the returned frame reads it; exit hook)
+    lastCkpt.foreach(drop)
+    drop(edgesDir)
+    spark.read.parquet(outDir.toString).orderBy(col("doc_id"))
   }
 
   /** The dedup pipeline's terminal step: documents minus non-canonical

@@ -87,7 +87,10 @@ object ScaleJoins {
     // path resolves to fs.defaultFS, which may be HDFS — a java.io.File
     // hook would then rmdir an unrelated same-named local path)
     if (table.endsWith(processToken) && fs.getUri.getScheme == "file")
-      Dedup.cleanupAtExit.add(new java.io.File(fs.makeQualified(stale).toUri.getPath))
+      Dedup.cleanupAtExit.add {
+        val dir = new java.io.File(fs.makeQualified(stale).toUri.getPath)
+        () => Dedup.rmdir(dir)
+      }
   }
 
   /** Join two identically-bucketed catalog tables on their bucket key —

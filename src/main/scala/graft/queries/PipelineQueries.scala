@@ -92,7 +92,7 @@ object PipelineQueries {
   private val IncrementBroadcastMaxShingleRows = 2L * 1000 * 1000
 
   /** The shingle index is PARTITIONED at rest by `shb = sh mod
-    * n_buckets` (layout `_idx5b64`, the 100 TB remedy SCALE.md round 9
+    * n_buckets` (layout `_idx6b64`, the 100 TB remedy SCALE.md round 9
     * named): a serving append touches a bounded shingle set, so every
     * corpus-index read on the append path filters to the touched
     * buckets FIRST — parquet PartitionFilters prune whole directories
@@ -171,7 +171,7 @@ object PipelineQueries {
     * `meta/`, the artifact persists the SNAPSHOT INDEX incremental
     * maintenance needs ([[appendComponentsArtifact]]): `shingles/` (the
     * full (doc_id, sh) index, bucketed at rest by `shb = sh mod
-    * nBuckets` — layout `_idx5b64`), `sizes/` (per-doc
+    * nBuckets` — layout `_idx6b64`), `sizes/` (per-doc
     * distinct-shingle counts) and `hot/` (the shingles the snapshot's
     * df cutoff cut from candidate generation — FIXED until the next
     * full rebuild, the compaction step). Raw text is shingled exactly
@@ -204,7 +204,7 @@ object PipelineQueries {
     phaseLog("receipt")
     // index FIRST: raw text is shingled exactly once; the pair build,
     // sizes and hot set all read the written 8-byte (doc_id, sh) grain.
-    // Bucketed by sh (layout _idx5b64) so the append path's corpus-index
+    // Bucketed by sh (layout _idx6b64) so the append path's corpus-index
     // reads prune partitions instead of scanning the full index; the
     // repartition co-locates each bucket into one task so the layout is
     // ~one file per bucket, not tasks×buckets shards — every append
@@ -279,9 +279,16 @@ object PipelineQueries {
     * appends refuse with the migration message); `docIdXor` is the
     * corpus-of-record receipt ([[docReceipt]] folded over every row
     * ever built or appended) compaction validates against;
-    * `hasReceipt` is false for legacy artifacts whose meta predates
-    * the receipt (compaction then warns and skips the receipt check —
-    * count-only). */
+    * `hasReceipt` is false for artifacts whose meta predates the
+    * HASHED receipt (compaction then warns and skips the receipt
+    * check — count-only). The receipt's SEMANTIC is pinned by an
+    * explicit `receipt_kind` field (ADVICE r12): idx4 metas carry a
+    * `doc_id_xor` whose value is the old raw-id xor — presence of the
+    * column alone cannot distinguish them from idx5's hashed receipt,
+    * and validating a raw-id xor against [[docReceipt]] would falsely
+    * reject the TRUE corpus, permanently blocking the documented
+    * migration path. Only `receipt_kind = "xxhash64_v1"` is trusted;
+    * anything else (absent field, "none") reads as pre-receipt. */
   private[graft] case class Meta(nPairs: Long, cutoff: Long,
       nDocsIndexed: Long, nShingleRows: Long, maxNonhotDf: Long,
       nDocsTotal: Long, minHotDf: Long,
@@ -297,7 +304,12 @@ object PipelineQueries {
         lit(m.minHotDf).as("min_hot_df"),
         lit(m.rebuildRecommended).as("rebuild_recommended"),
         lit(m.nBuckets).as("n_buckets"),
-        lit(m.docIdXor).as("doc_id_xor"))
+        lit(m.docIdXor).as("doc_id_xor"),
+        // receipt semantics versioned explicitly: a pre-receipt
+        // artifact's appends must NOT mint a trusted kind for a xor
+        // that never folded the full history (it stays "none" until
+        // compaction rebuilds with a real receipt)
+        lit(if (m.hasReceipt) "xxhash64_v1" else "none").as("receipt_kind"))
       .coalesce(1).write.mode("overwrite").parquet(path)
     ()
   }
@@ -311,7 +323,13 @@ object PipelineQueries {
     // before the guard is reached
     val fields = df.schema.fieldNames.toSet
     val r = df.head()
-    val hasReceipt = fields.contains("doc_id_xor")
+    // trust the receipt ONLY when its kind says it is the hashed one
+    // (ADVICE r12): an idx4 meta has doc_id_xor too, but its value is
+    // the raw-id xor — comparing that against docReceipt would falsely
+    // reject the true corpus at compaction time
+    val hasReceipt = fields.contains("doc_id_xor") &&
+      fields.contains("receipt_kind") &&
+      r.getAs[String]("receipt_kind") == "xxhash64_v1"
     Meta(r.getAs[Long]("n_pairs"), r.getAs[Long]("cutoff"),
       r.getAs[Long]("n_docs_indexed"), r.getAs[Long]("n_shingle_rows"),
       r.getAs[Long]("max_nonhot_df"), r.getAs[Long]("n_docs_total"),
@@ -583,7 +601,14 @@ object PipelineQueries {
       nDocsTotal = newDocsTotal, minHotDf = meta.minHotDf,
       rebuildRecommended = drift,
       nBuckets = meta.nBuckets,
-      docIdXor = meta.docIdXor ^ incDocsAgg.getLong(1)))
+      // a pre-receipt artifact (idx4 meta, or anything whose
+      // receipt_kind isn't the hashed one) stays pre-receipt: folding
+      // hashed increment receipts into a raw-id xor would produce a
+      // value that validates NOTHING — compaction is the migration
+      // path that mints a real receipt (ADVICE r12)
+      docIdXor =
+        if (meta.hasReceipt) meta.docIdXor ^ incDocsAgg.getLong(1) else 0L,
+      hasReceipt = meta.hasReceipt))
     phaseLog("stage-epoch")
     newPairs.unpersist(false)
     // index appends BEFORE the flip: the new epoch's meta accounts for
@@ -825,7 +850,7 @@ object PipelineQueries {
   }
 
   /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>.
-    * `idx5b<N>` versions the layout (migration-on-rebuild: a version
+    * `idx6b<N>` versions the layout (migration-on-rebuild: a version
     * bump changes the path, so stale layouts are never half-reused) —
     * `idx1` lacked the integrity/drift meta, `idx2` lacked the
     * sh-bucketed shingle partitioning and the two-direction drift
@@ -833,14 +858,17 @@ object PipelineQueries {
     * bucket count and corpus-of-record receipt (n_buckets /
     * doc_id_xor), `idx4`'s receipt xor'd RAW doc_ids (collision-
     * constructible and text-blind — round-11 verdict ask #1) where
-    * idx5's is [[docReceipt]]'s per-row hash. The `b<N>` suffix
+    * idx5's is [[docReceipt]]'s per-row hash, and `idx5` lacked the
+    * explicit `receipt_kind` that distinguishes the hashed receipt
+    * from idx4's schema-identical raw-id one (ADVICE r12 — without
+    * it, idx5-era metas now read as pre-receipt). The `b<N>` suffix
     * encodes [[ShingleBuckets]] itself (ADVICE r10): raising the
     * bucket count at larger scale re-paths — and therefore re-builds —
     * the shared artifact by construction, with no manual version bump
     * to forget. */
   private[graft] def componentsArtifactPath(d: String): String = {
     val params =
-      s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx5b$ShingleBuckets"
+      s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx6b$ShingleBuckets"
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_components_${params}_" +
         StreamingQueries.sourceStamp(s"$d/documents.parquet")).getAbsolutePath

@@ -319,10 +319,11 @@ class ComponentsCompactSpec extends SparkSpec {
     val base = Files.createTempDirectory("comp-legacy").toString
     try {
       PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
-      // rewrite meta WITHOUT the idx4/idx5 fields — the persisted shape
+      // rewrite meta WITHOUT the idx4+ fields — the persisted shape
       // of a pre-idx4 private-dir artifact
       val metaDir = PipelineQueries.metaDirOf(base)
-      val legacy = spark.read.parquet(metaDir).drop("n_buckets", "doc_id_xor")
+      val legacy = spark.read.parquet(metaDir)
+        .drop("n_buckets", "doc_id_xor", "receipt_kind")
       val schema = legacy.schema
       val rows = legacy.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -358,6 +359,60 @@ class ComponentsCompactSpec extends SparkSpec {
       PipelineQueries.appendComponentsArtifact(spark, base, inc)
       assert((readClusters(base), PipelineQueries.readMeta(spark, base).nPairs)
         == coldOf(corpusDocs.unionByName(inc)))
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
+  test("an idx4-era meta (doc_id_xor present but NO receipt_kind — its value " +
+      "is the raw-id xor) reads as pre-receipt, compacts on the count check " +
+      "alone, and appends never mint a trusted receipt for it (ADVICE r12)") {
+    val base = Files.createTempDirectory("comp-idx4").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      // rewrite meta in the idx4 persisted shape: the SAME doc_id_xor
+      // column name, but holding bit_xor(doc_id) — raw-id semantics —
+      // and no receipt_kind field. Schema-indistinguishable from idx5
+      // without the kind field, which is the whole point of the fix.
+      val rawXor = corpusDocs.agg(expr("bit_xor(doc_id)")).head().getLong(0)
+      val metaDir = PipelineQueries.metaDirOf(base)
+      val idx4 = spark.read.parquet(metaDir)
+        .withColumn("doc_id_xor", lit(rawXor)).drop("receipt_kind")
+      val schema = idx4.schema
+      val rows = idx4.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(metaDir)
+      assert(!PipelineQueries.readMeta(spark, base).hasReceipt,
+        "an idx4 meta must read as pre-receipt — validating its raw-id " +
+          "xor against the hashed receipt falsely rejects the true corpus")
+      // the append path still works (n_buckets is present) but must NOT
+      // promote the artifact to receipted: folding hashed increment
+      // receipts into a raw-id xor validates nothing
+      val inc = Seq((101L, tail(500))).toDF("doc_id", "text")
+      PipelineQueries.appendComponentsArtifact(spark, base, inc)
+      assert(!PipelineQueries.readMeta(spark, base).hasReceipt,
+        "an append on a pre-receipt artifact must stay pre-receipt")
+      val docs1 = corpusDocs.unionByName(inc)
+      // the count check still guards: a short corpus is rejected
+      val eShort = intercept[IllegalArgumentException] {
+        PipelineQueries.compactComponentsArtifact(spark, base, corpusDocs)
+      }
+      assert(eShort.getMessage.contains("corpus-of-record mismatch"),
+        eShort.getMessage)
+      // the TRUE corpus compacts (this was the falsely-rejected case:
+      // its hashed receipt never equals the stored raw-id xor) and the
+      // rebuilt generation is fully receipted
+      PipelineQueries.compactComponentsArtifact(spark, base, docs1)
+      val m1 = PipelineQueries.readMeta(spark, base)
+      assert(m1.hasReceipt, s"$m1")
+      assert((readClusters(base), m1.nPairs) == coldOf(docs1))
+      // and the migrated artifact's receipt is live again: a tampered
+      // corpus is now caught by the hash
+      val eSwap = intercept[IllegalArgumentException] {
+        PipelineQueries.compactComponentsArtifact(spark, base,
+          docs1.withColumn("text",
+            when(col("doc_id") === 101L, lit("tampered")).otherwise(col("text"))))
+      }
+      assert(eSwap.getMessage.contains("corpus-of-record mismatch"),
+        eSwap.getMessage)
     } finally Dedup.rmdir(new java.io.File(base))
   }
 

@@ -128,7 +128,7 @@ class ComponentsStagedSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
-  test("bucketed layout (_idx5): the shingle index is partitioned by shb and a " +
+  test("bucketed layout (_idx6): the shingle index is partitioned by shb and a " +
       "bucket filter prunes partitions at the source (the append's scan-term remedy)") {
     val base = buildBase()
     try {

@@ -120,6 +120,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == (0L to 30L).map(_ -> 0L).toMap)
   }
 
+  test("components: a supplied checkpointDir hosts the distributed round-trip, " +
+      "intermediates are cleaned eagerly, outputs unchanged (VERDICT r12 #3)") {
+    // on a real cluster the per-round parquet re-root needs SHARED
+    // storage — this pins that a supplied root is actually used (the
+    // run dir appears under it, nothing lands in the tmpdir default's
+    // naming) and that edges + superseded round checkpoints are deleted
+    // by the time the call returns; only final/ may outlive it (the
+    // returned frame reads it — exit hook's job)
+    val root = java.nio.file.Files.createTempDirectory("cc-ckpt-root").toString
+    try {
+      val chain = (0L until 30L).map(n => (n, n + 1)).toDF("i", "j")
+      val got = Dedup.components(chain, maxDriverEdges = 0L,
+        checkpointEvery = 5, checkpointDir = Some(root))
+        .as[(Long, Long)].collect().toMap
+      assert(got == (0L to 30L).map(_ -> 0L).toMap,
+        "a relocated checkpoint root must not change the fixpoint")
+      val runDirs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("graft_cc_"))
+      assert(runDirs.length == 1,
+        s"the run must live under the supplied root: ${runDirs.toSeq}")
+      val subs = runDirs.head.listFiles().map(_.getName).toSet
+      assert(subs == Set("final"),
+        s"intermediates (edges, round checkpoints) must be cleaned eagerly: $subs")
+    } finally Dedup.cleanupAtExit.add { () =>
+      Dedup.rmdir(new java.io.File(root))
+    }
+  }
+
   test("near-dup pairs are simhash-close; exact dedup keeps every unique text") {
     val sims = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
