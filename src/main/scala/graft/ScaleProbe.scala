@@ -137,24 +137,26 @@ object ScaleProbe {
       operators.Bpe.trainDistributed(Tables.documents(s, d), nMerges = 48)),
     // the MinHash band-index incremental near-dup path at ×n (the
     // OTHER persisted incremental dedup index; the ngram twin's curve
-    // exists via artifact_incr_pairs): a fixed 500-doc increment's
-    // band equi-join against the ×n corpus band index read from
-    // parquet (built once per scale). What should grow is nothing
-    // increment-side; what the default plan pays corpus-side (band
-    // scan + shuffle vs AQE broadcast of the small increment) is what
-    // this curve attributes.
+    // exists via artifact_incr_pairs): a fixed 500-doc increment
+    // against the ×n corpus band index AT REST (built once per scale,
+    // round-12 verdict ask #1: bucketed by pmod(band_val, n_buckets)
+    // so the increment's bounded band-value set prunes directories —
+    // the round-12 probe measured the unbucketed layout's linear
+    // corpus-scan term at 2.1/2.4/4.9 s across ×1/×10/×100). The
+    // corpus-side read should now track the touched buckets' volume;
+    // what residual growth remains (rows WITHIN the touched buckets
+    // scale ×n) is what this curve attributes.
     P("dedup_incr_near_bands", 100, (s, d, n) => {
-      val bandsDir = new java.io.File(storesDirFor(d), "band_index").getAbsolutePath
+      val bandsDir = new java.io.File(storesDirFor(d),
+        s"band_index_${operators.Dedup.BandIndexLayout}").getAbsolutePath
       val marker = new java.io.File(bandsDir, s"_BANDS_COMPLETE_$Version")
       if (!marker.exists()) {
-        operators.Dedup.bandIndex(Tables.documents(s, d), k = 3)
-          .write.mode("overwrite").parquet(bandsDir)
+        operators.Dedup.writeBandIndex(Tables.documents(s, d), bandsDir, k = 3)
         java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
         ()
       }
-      operators.Dedup.incrementalNearDups(incrementOf(s, d),
-        s.read.parquet(bandsDir), Tables.documents(s, d), k = 3,
-        threshold = 0.5)
+      operators.Dedup.incrementalNearDupsIndexed(incrementOf(s, d), bandsDir,
+        Tables.documents(s, d), threshold = 0.5)
     }),
     // pageRank at PRODUCTION iteration counts (declared query pins
     // iters=2 where the whole loop is one lazy plan — optimal; a real

@@ -130,9 +130,11 @@ object PipelineQueries {
     * same-ids-different-text alteration is caught too. What it
     * detects: any difference in the (doc_id, text) row multiset, up to
     * hash/xor collision; duplicated identical rows cancel pairwise in
-    * the xor, which the count receipt covers. */
-  private def docReceipt: Column =
-    coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))
+    * the xor, which the count receipt covers. The definition is SHARED
+    * with the band index ([[graft.operators.Dedup.docReceipt]]) so the
+    * persisted-index family can never drift on receipt semantics
+    * (round-12 verdict ask #6). */
+  private def docReceipt: Column = graft.operators.Dedup.docReceipt
 
   /** Read the bucketed shingle index with an EXPLICIT schema: an
     * all-shingle-less corpus writes zero partition directories, and

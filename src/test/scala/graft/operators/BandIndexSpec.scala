@@ -1,0 +1,154 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the PERSISTED band index (round-12 verdict ask #1): the at-rest
+  * `bidx1` layout — bands bucketed by pmod(band_val, n_buckets), k and
+  * the bucket count carried in meta from day one — and the contracts
+  * around it:
+  *
+  *  - the bucket-pruned incremental query is row-identical to the
+  *    unpruned inline path (candidates match on band_val EQUALITY, so
+  *    every matching corpus row shares the increment's bucket set);
+  *  - append folds the increment in (query-equal to an index rebuilt
+  *    over the union) and preserves the index's own k/bucket count;
+  *  - torn appends are detected (rows ≠ meta) with a rebuild message;
+  *  - a legacy unversioned band dump is refused actionably;
+  *  - the corpus-of-record receipt catches missing/swapped/altered
+  *    corpora, sharing [[Dedup.docReceipt]]'s semantics with the
+  *    shingle artifact (round-12 verdict ask #6).
+  */
+class BandIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // near-dup fixture: docs 1/2 and 5/6 are ≥0.5-jaccard pairs; the
+  // increment holds one near-copy of doc 1 (caught), one fresh text
+  // (must verify-reject even if it band-collides) — disjoint ids
+  private def tail(seed: Int): String =
+    (0 until 12).map(i => s"w${seed}_$i").mkString(" ")
+
+  private def corpusDocs: DataFrame =
+    ((1L to 20L).map { id =>
+      val t = if (id == 2L) tail(1) + " extra"
+        else if (id == 6L) tail(5) + " extra"
+        else tail(id.toInt)
+      (id, t)
+    }).toDF("doc_id", "text")
+
+  private def incrementDocs: DataFrame = Seq(
+    (101L, tail(1) + " note"),
+    (102L, "fresh short page about topic x"),
+    (103L, tail(400))).toDF("doc_id", "text")
+
+  private def collectPairs(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.select(col("i"), col("j"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+
+  test("bucket-pruned incremental query equals the unpruned inline path " +
+      "row-for-row, and the layout really is pmod-bucketed at rest") {
+    val dir = Files.createTempDirectory("bandidx").toString
+    try {
+      Dedup.writeBandIndex(corpusDocs, dir, k = 3, nBuckets = 16)
+      val m = Dedup.readBandIndexMeta(spark, dir)
+      assert(m.k == 3 && m.nBuckets == 16 && m.nDocs == 20L, s"$m")
+      // partition dirs carry the pmod-16 bucket, all under 16
+      val buckets = new java.io.File(dir, s"bands_${Dedup.BandIndexLayout}")
+        .listFiles().filter(_.getName.startsWith("bvb="))
+        .map(_.getName.stripPrefix("bvb=").toInt)
+      assert(buckets.nonEmpty && buckets.max < 16,
+        buckets.toSeq.sorted.mkString(","))
+      val indexed = collectPairs(Dedup.incrementalNearDupsIndexed(
+        incrementDocs, dir, corpusDocs, threshold = 0.5))
+      val inline = collectPairs(Dedup.incrementalNearDups(
+        incrementDocs, Dedup.bandIndex(corpusDocs, k = 3), corpusDocs,
+        k = 3, threshold = 0.5))
+      assert(indexed == inline, s"pruned vs inline:\n$indexed\n$inline")
+      assert(indexed.exists { case (i, j, _) => i == 101L && j == 1L },
+        s"the planted near-copy must be caught: $indexed")
+      assert(indexed.forall { case (i, _, _) => i != 102L },
+        "fresh text must be verify-rejected")
+    } finally Dedup.rmdir(new java.io.File(dir))
+  }
+
+  test("append folds the increment in: query-equal to a rebuild over the " +
+      "union, meta accounting and receipt track the full history") {
+    val dir = Files.createTempDirectory("bandidx-app").toString
+    val rebuilt = Files.createTempDirectory("bandidx-reb").toString
+    try {
+      Dedup.writeBandIndex(corpusDocs, dir, k = 3, nBuckets = 16)
+      val m0 = Dedup.readBandIndexMeta(spark, dir)
+      Dedup.appendBandIndex(incrementDocs, dir)
+      val m1 = Dedup.readBandIndexMeta(spark, dir)
+      assert(m1.k == 3 && m1.nBuckets == 16,
+        "append must preserve the index's own k and bucket count")
+      assert(m1.nDocs == m0.nDocs + 3 && m1.nBandRows > m0.nBandRows, s"$m1")
+      val grown = corpusDocs.unionByName(incrementDocs)
+      Dedup.writeBandIndex(grown, rebuilt, k = 3, nBuckets = 16)
+      assert(Dedup.readBandIndexMeta(spark, rebuilt) == m1,
+        "appended meta must equal the rebuilt index's (count, rows, receipt)")
+      // a second increment queried against the appended index equals the
+      // same query against the rebuilt one
+      val inc2 = Seq((201L, tail(5) + " note")).toDF("doc_id", "text")
+      val viaAppend = collectPairs(
+        Dedup.incrementalNearDupsIndexed(inc2, dir, grown, threshold = 0.5))
+      val viaRebuild = collectPairs(
+        Dedup.incrementalNearDupsIndexed(inc2, rebuilt, grown, threshold = 0.5))
+      assert(viaAppend == viaRebuild && viaAppend.nonEmpty,
+        s"$viaAppend vs $viaRebuild")
+      // receipt: the true grown corpus passes, a tampered one is caught
+      Dedup.verifyBandIndexReceipt(grown, dir)
+      val eBad = intercept[IllegalArgumentException] {
+        Dedup.verifyBandIndexReceipt(grown.withColumn("text",
+          when(col("doc_id") === 101L, lit("tampered")).otherwise(col("text"))),
+          dir)
+      }
+      assert(eBad.getMessage.contains("corpus-of-record mismatch"),
+        eBad.getMessage)
+    } finally {
+      Dedup.rmdir(new java.io.File(dir))
+      Dedup.rmdir(new java.io.File(rebuilt))
+    }
+  }
+
+  test("torn append is detected (rows beyond meta) and a legacy unversioned " +
+      "dump is refused with the rebuild message") {
+    val dir = Files.createTempDirectory("bandidx-torn").toString
+    val legacy = Files.createTempDirectory("bandidx-legacy").toString
+    try {
+      Dedup.writeBandIndex(corpusDocs, dir, k = 3, nBuckets = 16)
+      // simulate a crash AFTER the band append, BEFORE the meta rewrite:
+      // append bands manually without touching meta
+      Dedup.bandIndex(Seq((900L, tail(900))).toDF("doc_id", "text"), k = 3)
+        .withColumn("bvb", pmod(col("band_val"), lit(16L)).cast("int"))
+        .write.mode("append").partitionBy("bvb")
+        .parquet(s"$dir/bands_${Dedup.BandIndexLayout}")
+      val eTorn = intercept[IllegalArgumentException] {
+        Dedup.appendBandIndex(incrementDocs, dir)
+      }
+      assert(eTorn.getMessage.contains("torn append") &&
+        eTorn.getMessage.contains("writeBandIndex"), eTorn.getMessage)
+      // legacy: a raw unbucketed band-row dump (the pre-bidx1 shape)
+      Dedup.bandIndex(corpusDocs, k = 3).write.mode("overwrite").parquet(legacy)
+      val eLegacy = intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDupsIndexed(incrementDocs, legacy, corpusDocs)
+      }
+      assert(eLegacy.getMessage.contains("writeBandIndex"), eLegacy.getMessage)
+    } finally {
+      Dedup.rmdir(new java.io.File(dir))
+      Dedup.rmdir(new java.io.File(legacy))
+    }
+  }
+
+  test("an empty increment yields an empty result without reading any bucket") {
+    val dir = Files.createTempDirectory("bandidx-empty").toString
+    try {
+      Dedup.writeBandIndex(corpusDocs, dir, k = 3, nBuckets = 16)
+      val out = Dedup.incrementalNearDupsIndexed(
+        corpusDocs.limit(0), dir, corpusDocs, threshold = 0.5)
+      assert(out.count() == 0L)
+    } finally Dedup.rmdir(new java.io.File(dir))
+  }
+}
