@@ -441,12 +441,45 @@ object Bench {
         Seq("artifact:components_incr_pairs" -> dtp,
           "artifact:components_incr" -> dt)
       } else Nil
+    // The persisted band index (round-12 verdict ask #1): the OTHER
+    // incremental-dedup index, timed in its two production shapes
+    // against a corpus-only index built UNTIMED in scratch —
+    //  - bands_incr: the 10%-of-corpus batch increment (wide — its
+    //    band values saturate the 64 buckets, so this line tracks the
+    //    honest touched-bucket scan + verify cost);
+    //  - bands_point: an 8-doc serving lookup (narrow — its ≤128 band
+    //    values leave most buckets unread; directory pruning is the
+    //    contract this line gates).
+    // Both are reads (no mutation), so they go through run()'s
+    // min-of-two passes like any declared query.
+    val bandsIncr =
+      if (only.forall(o => o.contains("artifact") || o.contains("artifact_bands"))) {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val increment = docs.filter(col("doc_id") % 10 === 0)
+        val point = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 80)
+        val scratch = graft.queries.PipelineQueries.componentsArtifactPath(sfDir) +
+          "_bandsbase"
+        graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        graft.operators.Dedup.writeBandIndex(corpus, scratch, k = 3)
+        isolate()
+        val lines = Seq(
+          run("artifact:bands_incr", () =>
+            graft.operators.Dedup.incrementalNearDupsIndexed(
+              increment, scratch, corpus, threshold = 0.5)),
+          run("artifact:bands_point", () =>
+            graft.operators.Dedup.incrementalNearDupsIndexed(
+              point, scratch, corpus, threshold = 0.5)))
+        graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        isolate()
+        lines
+      } else Nil
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val declared = names.map(n => run(n, () => SparkEntry.queries(n)(spark, sfDir)))
     // the pseudo-name "skew" selects the planted-distribution cases,
     // which have no SparkEntry entry of their own
-    val results = warm ++ artifact ++ artifactIncr ++ declared ++
+    val results = warm ++ artifact ++ artifactIncr ++ bandsIncr ++ declared ++
       (if (only.forall(_.contains("skew"))) skewCases(spark) else Nil)
 
     // the deliberately-naive counterfactual shapes (the thing the remedy

@@ -209,8 +209,18 @@ object Dedup {
     * Increment-internal near-dups are out of scope by contract — run the
     * batch operator on the (small) increment for those. */
   def incrementalNearDups(increment: DataFrame, corpusBands: DataFrame,
-      corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val candidates = bandIndex(increment, k).as("a")
+      corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
+    incrementalNearDupsFromBands(bandIndex(increment, k), increment,
+      corpusBands, corpus, k, threshold)
+
+  /** [[incrementalNearDups]] with the increment's band rows supplied —
+    * the indexed path bands the increment ONCE (collected, bounded) and
+    * reuses the rows for both bucket pruning and this join; the inline
+    * path passes the lazy [[bandIndex]] frame. */
+  private def incrementalNearDupsFromBands(incBands: DataFrame,
+      increment: DataFrame, corpusBands: DataFrame,
+      corpus: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val candidates = incBands.as("a")
       .join(corpusBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val"))
@@ -419,18 +429,48 @@ object Dedup {
     * candidates match on band_val EQUALITY, equal band_vals share a
     * bucket, so every matching corpus row lies inside the pruned set
     * (spec-pinned). k and the pmod come from the index's own meta. */
+  /** Broadcast-safety cap for the indexed path's increment-band collect:
+    * band rows are 20 bytes (doc_id, band_idx, band_val), so 2M rows ≈
+    * 40 MB on the driver — the same order as Spark's own broadcast-join
+    * economics and the shingle artifact's append cap. */
+  private val IncrementBandCollectMaxRows = 2L * 1000 * 1000
+
   def incrementalNearDupsIndexed(increment: DataFrame, dir: String,
       corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
     val s = increment.sparkSession
     val meta = readBandIndexMeta(s, dir)
-    val touched = bandIndex(increment, meta.k)
-      .select(bandBucket(col("band_val"), meta.nBuckets).as("bvb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // band the increment ONCE and pull the rows to the driver (bounded:
+    // docs × bands, cap-guarded below). Three consumers, zero recompute:
+    // the touched-bucket set falls out driver-side for free, the
+    // candidate join gets a LocalRelation whose tiny size Spark KNOWS
+    // (guaranteed broadcast — the corpus side is scanned, never
+    // shuffled), and the increment is never re-banded. The previous
+    // shape ran one extra Spark job to collect buckets and re-banded
+    // the increment inside the join (measured +1 s at ×1).
+    val incBandsAll = bandIndex(increment, meta.k)
+    val head = incBandsAll.head(IncrementBandCollectMaxRows.toInt + 1)
+    val (incBands, touched) =
+      if (head.length > IncrementBandCollectMaxRows) {
+        // backfill-scale increment: fall back to the distributed shapes
+        // (no collect, no pruning — a corpus-scale increment's band set
+        // saturates every bucket anyway)
+        (incBandsAll, (0 until meta.nBuckets).toSeq)
+      } else {
+        import scala.jdk.CollectionConverters._
+        val local = s.createDataFrame(head.toSeq.asJava, incBandsAll.schema)
+        val bs = head.iterator.map { r =>
+          // same arithmetic as Spark's pmod for the Long band values
+          val v = r.getLong(2) % meta.nBuckets
+          (if (v < 0) v + meta.nBuckets else v).toInt
+        }.toSet.toSeq
+        (local, bs)
+      }
     val corpusBands =
       (if (touched.isEmpty) readBandRows(s, dir).filter(lit(false))
        else readBandRows(s, dir).filter(col("bvb").isin(touched: _*)))
         .select(col("doc_id"), col("band_idx"), col("band_val"))
-    incrementalNearDups(increment, corpusBands, corpus, meta.k, threshold)
+    incrementalNearDupsFromBands(incBands, increment, corpusBands, corpus,
+      meta.k, threshold)
   }
 
   /** Cross-document repeated-SPAN statistics — the span-grain face of
