@@ -194,6 +194,24 @@ object ScaleProbe {
         operators.Dedup.ngramJaccardPairs(Tables.documents(s, d))
           .select(col("i"), col("j")),
         iters = 12)),
+    // the band-index APPEND path at ×n (the new at-rest store's write
+    // side): a 500-doc disjoint-id increment banded and bucket-appended
+    // into a PRIVATE copy of the ×n index (the probe-shared index must
+    // stay immutable for the lookup probes). Expected cost structure:
+    // increment banding + ~64 bucket files (increment-sized) + the
+    // footer-only torn-append validation (row-group metadata over the
+    // ×n index — the one corpus-size term; this curve attributes
+    // whether footer volume ever matters).
+    P("band_index_append", 100, (s, d, n) => {
+      val scratch = bandAppendScratchOf(s, d)
+      val seq = bandAppendSeq.incrementAndGet()
+      val inc = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + 300000000L + seq * 10000L)
+      operators.Dedup.appendBandIndex(inc, scratch)
+      s.range(1).select(
+        lit(operators.Dedup.readBandIndexMeta(s, scratch).nBandRows)
+          .as("n_band_rows"))
+    }),
     // KMeans.centroidsAfter at PRODUCTION iteration depth (round-12
     // verdict ask #2 — the one per-round DataFrame loop the round-12
     // plan-growth audit did not reach; declared queries pin iters=2):
@@ -406,6 +424,31 @@ object ScaleProbe {
     val out = new java.io.File(storesDirFor(d),
       "components_append_scratch").getAbsolutePath
     if (appendScratchReady.add(out)) {
+      graft.operators.Dedup.rmdir(new java.io.File(out))
+      copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
+    }
+    out
+  }
+
+  /** A PRIVATE copy of the ×n BAND INDEX for the append probe — the
+    * probe-shared index must stay immutable (the lookup probes read
+    * it); same copy-once-per-JVM contract as [[appendScratchOf]]. */
+  private val bandAppendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val bandAppendScratchReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def bandAppendScratchOf(s: SparkSession, d: String): String = {
+    val src = new java.io.File(storesDirFor(d),
+      s"band_index_${operators.Dedup.BandIndexLayout}").getAbsolutePath
+    if (!new java.io.File(src, s"_BANDS_COMPLETE_$Version").exists()) {
+      operators.Dedup.writeBandIndex(Tables.documents(s, d), src, k = 3)
+      java.nio.file.Files.write(
+        new java.io.File(src, s"_BANDS_COMPLETE_$Version").toPath,
+        Array.empty[Byte])
+      ()
+    }
+    val out = new java.io.File(storesDirFor(d),
+      "band_index_append_scratch").getAbsolutePath
+    if (bandAppendScratchReady.add(out)) {
       graft.operators.Dedup.rmdir(new java.io.File(out))
       copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
     }
