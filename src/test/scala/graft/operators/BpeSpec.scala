@@ -74,5 +74,19 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.trainDistributed(classic, 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == Seq((1L, "l", "o", 7L), (2L, "lo", "w", 7L), (3L, "e", "s", 2L)))
+    // a supplied checkpoint root (the shared-storage contract on a real
+    // cluster) is used for the round parquets and fully cleaned by the
+    // time the call returns — the merges live on the driver, so nothing
+    // outlives the run (unlike components' final labels)
+    val root = java.nio.file.Files.createTempDirectory("bpe-ckpt-root").toString
+    try {
+      val viaRoot = Bpe.trainDistributed(docs, 6, checkpointEvery = 2,
+        checkpointDir = Some(root)).collect().map(_.toSeq).toSeq
+      assert(viaRoot == driver,
+        "a relocated checkpoint root must not change the trained merges")
+      val left = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      assert(left.isEmpty,
+        s"the run dir must be cleaned eagerly: ${left.map(_.getName).toSeq}")
+    } finally Dedup.rmdir(new java.io.File(root))
   }
 }
