@@ -221,7 +221,7 @@ object ScaleProbe {
     // 20-deep nested plan's analysis/codegen cost stays bounded or
     // needs the k-row-literal/checkpoint re-root the components loop
     // needed. lloyd() forces the final assignment over the full corpus.
-    P("kmeans_iters20", 10, (s, d, n) =>
+    P("kmeans_iters20", 100, (s, d, n) =>
       operators.KMeans.lloyd(Tables.embeddings(s, d), k = 8, iters = 20)),
     P("components_dist_chains", 10, (s, d, n) => {
       val nodes = 100000L * n * 8L
