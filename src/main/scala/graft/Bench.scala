@@ -461,7 +461,13 @@ object Bench {
         val scratch = graft.queries.PipelineQueries.componentsArtifactPath(sfDir) +
           "_bandsbase"
         graft.operators.Dedup.rmdir(new java.io.File(scratch))
-        graft.operators.Dedup.writeBandIndex(corpus, scratch, k = 3)
+        // hot-band guard armed at the auto cutoff — the production
+        // configuration (a no-op sidecar on this corpus: no band's df
+        // reaches 0.4% of docs; the shape it protects is measured by
+        // the PROBE_HOT ScaleProbe corpora)
+        graft.operators.Dedup.writeBandIndex(corpus, scratch, k = 3,
+          hotBandCutoff =
+            Some(graft.operators.Dedup.autoDfCutoffFor(corpus.count())))
         isolate()
         val lines = Seq(
           run("artifact:bands_incr", () =>

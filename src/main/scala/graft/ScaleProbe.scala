@@ -147,14 +147,7 @@ object ScaleProbe {
     // what residual growth remains (rows WITHIN the touched buckets
     // scale ×n) is what this curve attributes.
     P("dedup_incr_near_bands", 100, (s, d, n) => {
-      val bandsDir = new java.io.File(storesDirFor(d),
-        s"band_index_${operators.Dedup.BandIndexLayout}").getAbsolutePath
-      val marker = new java.io.File(bandsDir, s"_BANDS_COMPLETE_$Version")
-      if (!marker.exists()) {
-        operators.Dedup.writeBandIndex(Tables.documents(s, d), bandsDir, k = 3)
-        java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
-        ()
-      }
+      val bandsDir = sharedBandIndexOf(s, d)
       operators.Dedup.incrementalNearDupsIndexed(incrementOf(s, d), bandsDir,
         Tables.documents(s, d), threshold = 0.5)
     }),
@@ -170,15 +163,8 @@ object ScaleProbe {
     // instead.
     P("dedup_incr_near_point", 100, (s, d, n) => {
       val nb = math.min(4096, 64 * n)
-      val bandsDir = new java.io.File(storesDirFor(d),
-        s"band_index_${operators.Dedup.BandIndexLayout}_b$nb").getAbsolutePath
-      val marker = new java.io.File(bandsDir, s"_BANDS_COMPLETE_$Version")
-      if (!marker.exists()) {
-        operators.Dedup.writeBandIndex(Tables.documents(s, d), bandsDir,
-          k = 3, nBuckets = nb)
-        java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
-        ()
-      }
+      val bandsDir = buildBandIndexOnce(s, d,
+        s"band_index_${operators.Dedup.BandIndexLayout}_b$nb", nb)
       operators.Dedup.incrementalNearDupsIndexed(
         incrementOf(s, d).filter(col("doc_id") < 100000008L), bandsDir,
         Tables.documents(s, d), threshold = 0.5)
@@ -430,6 +416,33 @@ object ScaleProbe {
     out
   }
 
+  /** Build a ×n band index once per JVM (marker-guarded), with the
+    * hot-band guard armed at the auto df cutoff — a no-op sidecar on
+    * the replica corpora (per-band df never grows with n) and the
+    * skew remedy on the PROBE_HOT corpora (the shared block's bands
+    * fill with mutually-unrelated docs; unguarded, the lookup's
+    * candidate volume grows with the corpus — measured 8.5 → 32.3 s
+    * across ×1→×10). */
+  private def buildBandIndexOnce(s: SparkSession, d: String,
+      name: String, nBuckets: Int): String = {
+    val bandsDir = new java.io.File(storesDirFor(d), name).getAbsolutePath
+    val marker = new java.io.File(bandsDir, s"_BANDS_COMPLETE_$Version")
+    if (!marker.exists()) {
+      val docs = Tables.documents(s, d)
+      operators.Dedup.writeBandIndex(docs, bandsDir, k = 3,
+        nBuckets = nBuckets,
+        hotBandCutoff = Some(operators.Dedup.autoDfCutoffFor(docs.count())))
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      ()
+    }
+    bandsDir
+  }
+
+  private def sharedBandIndexOf(s: SparkSession, d: String): String =
+    buildBandIndexOnce(s, d,
+      s"band_index_${operators.Dedup.BandIndexLayout}",
+      operators.Dedup.BandIndexBuckets)
+
   /** A PRIVATE copy of the ×n BAND INDEX for the append probe — the
     * probe-shared index must stay immutable (the lookup probes read
     * it); same copy-once-per-JVM contract as [[appendScratchOf]]. */
@@ -437,15 +450,7 @@ object ScaleProbe {
   private val bandAppendScratchReady =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def bandAppendScratchOf(s: SparkSession, d: String): String = {
-    val src = new java.io.File(storesDirFor(d),
-      s"band_index_${operators.Dedup.BandIndexLayout}").getAbsolutePath
-    if (!new java.io.File(src, s"_BANDS_COMPLETE_$Version").exists()) {
-      operators.Dedup.writeBandIndex(Tables.documents(s, d), src, k = 3)
-      java.nio.file.Files.write(
-        new java.io.File(src, s"_BANDS_COMPLETE_$Version").toPath,
-        Array.empty[Byte])
-      ()
-    }
+    val src = sharedBandIndexOf(s, d)
     val out = new java.io.File(storesDirFor(d),
       "band_index_append_scratch").getAbsolutePath
     if (bandAppendScratchReady.add(out)) {

@@ -266,8 +266,10 @@ object Dedup {
     * rebuild message fires. `bidx1` = bucketed-by-band_val + versioned
     * meta from day one (the lesson the shingle index's `_idx5` receipt
     * ambiguity taught: every layout-sensitive property rides the
-    * artifact, not the binary). */
-  private[graft] val BandIndexLayout = "bidx1"
+    * artifact, not the binary); `bidx2` adds the optional hot-band
+    * sidecar + its cutoff in meta (the skew guard for
+    * boilerplate-dominated signatures). */
+  private[graft] val BandIndexLayout = "bidx2"
 
   /** Default bucket count for NEW band indexes (the same local[32]
     * economics as PipelineQueries.ShingleBuckets — at real 100 TB the
@@ -275,18 +277,24 @@ object Dedup {
     * read from meta, never assumed from this constant). */
   private[graft] val BandIndexBuckets = 64
 
-  /** Per-index accounting, read by NAME from `meta_bidx1/`: `k` pins
+  /** Per-index accounting, read by NAME from `meta_bidx2/`: `k` pins
     * the shingle width the bands were built with (an increment banded
     * with a different k would silently never collide), `nBuckets` pins
     * the pmod layout (every layout-sensitive read derives its pruning
     * from THIS value), `nDocs`/`nBandRows` are the torn-append
     * integrity tokens, `docXor` is the corpus-of-record receipt
-    * ([[docReceipt]] folded over build + every append). */
+    * ([[docReceipt]] folded over build + every append);
+    * `hotBandCutoff` > 0 means the build wrote the hot-band sidecar at
+    * that document-frequency cutoff and lookups must anti-join it
+    * (-1 = unguarded index, no sidecar). */
   private[graft] case class BandIndexMeta(k: Int, nBuckets: Int,
-      nDocs: Long, nBandRows: Long, docXor: Long)
+      nDocs: Long, nBandRows: Long, docXor: Long,
+      hotBandCutoff: Long = -1L)
 
   private def bandsDirOf(dir: String): String = s"$dir/bands_$BandIndexLayout"
   private def bandMetaDirOf(dir: String): String = s"$dir/meta_$BandIndexLayout"
+  private def hotBandsDirOf(dir: String): String =
+    s"$dir/hot_bands_$BandIndexLayout"
 
   private def bandBucket(bandVal: Column, nBuckets: Int): Column =
     pmod(bandVal, lit(nBuckets.toLong)).cast("int")
@@ -308,6 +316,7 @@ object Dedup {
         lit(m.k).as("k"), lit(m.nBuckets).as("n_buckets"),
         lit(m.nDocs).as("n_docs"), lit(m.nBandRows).as("n_band_rows"),
         lit(m.docXor).as("doc_xor"),
+        lit(m.hotBandCutoff).as("hot_band_cutoff"),
         lit("xxhash64_v1").as("receipt_kind"))
       .coalesce(1).write.mode("overwrite").parquet(bandMetaDirOf(dir))
     ()
@@ -325,16 +334,39 @@ object Dedup {
     val r = s.read.parquet(bandMetaDirOf(dir)).head()
     BandIndexMeta(r.getAs[Int]("k"), r.getAs[Int]("n_buckets"),
       r.getAs[Long]("n_docs"), r.getAs[Long]("n_band_rows"),
-      r.getAs[Long]("doc_xor"))
+      r.getAs[Long]("doc_xor"), r.getAs[Long]("hot_band_cutoff"))
   }
 
   /** Cold-build the persisted band index of `docs` at `dir` — written
     * bucketed (one task per bucket, so ~one file per bucket rather than
     * tasks×buckets shards) with accounting meta. Rebuild-in-place is
-    * the migration path for any layout refusal. */
+    * the migration path for any layout refusal.
+    *
+    * `hotBandCutoff` arms the HOT-BAND GUARD (the band-index face of
+    * the n-gram path's df cutoff): a boilerplate block shared across
+    * the corpus dominates short documents' MinHash rows, so whole
+    * (band_idx, band_val) buckets fill with mutually-UNrelated docs and
+    * every future increment doc carrying the block band-collides with
+    * all of them — candidates ∝ corpus, all verify-rejected (measured:
+    * the hot-corpus probe read 8.5 → 32.3 s across ×1→×10 unguarded,
+    * superlinear wall on pure reject work). With the guard, the build
+    * writes the bounded `hot_bands` sidecar (band values whose document
+    * frequency exceeds the cutoff) and lookups anti-join it out of
+    * candidate GENERATION — verification stays exact-jaccard, so
+    * surfaced pairs are unchanged in value; the documented deviation is
+    * recall: a pair whose EVERY colliding band is hot is not surfaced
+    * (true near-dups collide on their content bands too, which stay
+    * rare; the spec pins both directions). The cutoff and the sidecar
+    * are SNAPSHOT-fixed like the shingle artifact's hot set: appends
+    * do not re-derive them, a rebuild refreshes them — the same drift
+    * trade, accepted here without flag machinery because the index is
+    * cheap to rebuild. */
   def writeBandIndex(docs: DataFrame, dir: String, k: Int = 3,
-      nBuckets: Int = BandIndexBuckets): Unit = {
+      nBuckets: Int = BandIndexBuckets,
+      hotBandCutoff: Option[Long] = None): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(hotBandCutoff.forall(_ > 0),
+      s"hotBandCutoff must be positive when set, got $hotBandCutoff")
     val s = docs.sparkSession
     val Array(agg) = docs.agg(count(lit(1)), docReceipt).collect()
     bandIndex(docs, k)
@@ -344,8 +376,20 @@ object Dedup {
     // integrity token from the WRITTEN data (footer metadata), so the
     // next append validates against what is actually on disk
     val nRows = bandRowsFooterCount(s, dir)
+    hotBandCutoff.foreach { cutoff =>
+      // one aggregate over the WRITTEN index (bandIndex emits one row
+      // per (doc, band_idx), so the row count per (band_idx, band_val)
+      // IS its document frequency)
+      readBandRows(s, dir)
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > cutoff)
+        .select(col("band_idx"), col("band_val"))
+        .coalesce(1).write.mode("overwrite").parquet(hotBandsDirOf(dir))
+    }
     writeBandMeta(s, dir,
-      BandIndexMeta(k, nBuckets, agg.getLong(0), nRows, agg.getLong(1)))
+      BandIndexMeta(k, nBuckets, agg.getLong(0), nRows, agg.getLong(1),
+        hotBandCutoff = hotBandCutoff.getOrElse(-1L)))
   }
 
   /** Parquet row count from row-group footers (aggregate pushdown — no
@@ -447,18 +491,42 @@ object Dedup {
     // shuffled), and the increment is never re-banded. The previous
     // shape ran one extra Spark job to collect buckets and re-banded
     // the increment inside the join (measured +1 s at ×1).
+    // HOT-BAND GUARD (see writeBandIndex): the sidecar is bounded by
+    // construction — ≤ bands_per_doc / cutoff_fraction entries
+    // (16 / 0.004 = 4000 at the auto cutoff) INDEPENDENT of corpus
+    // size — so it collects to a driver set and the increment's hot
+    // band rows are dropped before candidate generation.
+    val hotBands: Set[(Int, Long)] =
+      if (meta.hotBandCutoff > 0)
+        s.read.parquet(hotBandsDirOf(dir)).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+      else Set.empty
     val incBandsAll = bandIndex(increment, meta.k)
     val head = incBandsAll.head(IncrementBandCollectMaxRows.toInt + 1)
     val (incBands, touched) =
       if (head.length > IncrementBandCollectMaxRows) {
         // backfill-scale increment: fall back to the distributed shapes
         // (no collect, no pruning — a corpus-scale increment's band set
-        // saturates every bucket anyway)
-        (incBandsAll, (0 until meta.nBuckets).toSeq)
+        // saturates every bucket anyway); the hot guard rides as a
+        // broadcast anti-join instead of the driver-side filter
+        val base =
+          if (hotBands.isEmpty) incBandsAll
+          else incBandsAll.join(
+            broadcast(s.read.parquet(hotBandsDirOf(dir))),
+            Seq("band_idx", "band_val"), "left_anti")
+        (base, (0 until meta.nBuckets).toSeq)
       } else {
         import scala.jdk.CollectionConverters._
-        val local = s.createDataFrame(head.toSeq.asJava, incBandsAll.schema)
-        val bs = head.iterator.map { r =>
+        val kept =
+          if (hotBands.isEmpty) head
+          else head.filter(r => !hotBands.contains((r.getInt(1), r.getLong(2))))
+        if (kept.length < head.length)
+          System.err.println(s"[dedup] hot-band guard armed: " +
+            s"${head.length - kept.length}/${head.length} increment band " +
+            s"rows dropped (${hotBands.size} hot bands above df cutoff " +
+            s"${meta.hotBandCutoff} excluded from candidate generation)")
+        val local = s.createDataFrame(kept.toSeq.asJava, incBandsAll.schema)
+        val bs = kept.iterator.map { r =>
           // same arithmetic as Spark's pmod for the Long band values
           val v = r.getLong(2) % meta.nBuckets
           (if (v < 0) v + meta.nBuckets else v).toInt

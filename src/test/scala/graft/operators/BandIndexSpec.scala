@@ -142,6 +142,53 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("hot-band guard: boilerplate-hot bands are excluded from candidate " +
+      "generation (documented recall deviation pinned BOTH ways), content " +
+      "near-dups still surface, and the sidecar rides meta through appends") {
+    // 12 identical boilerplate docs: identical texts → identical
+    // signatures → every band of that text has df = 12
+    val boiler = "terms of service apply to all pages " + tail(7)
+    val corpus = ((1L to 12L).map(id => (id, boiler)) ++
+      Seq((20L, tail(3)), (21L, tail(4)))).toDF("doc_id", "text")
+    val inc = Seq(
+      (101L, boiler),             // collides ONLY via hot bands
+      (102L, tail(3) + " note")). // content near-dup of doc 20
+      toDF("doc_id", "text")
+    val guarded = Files.createTempDirectory("bandidx-hot").toString
+    val unguarded = Files.createTempDirectory("bandidx-nohot").toString
+    try {
+      Dedup.writeBandIndex(corpus, guarded, k = 3, nBuckets = 16,
+        hotBandCutoff = Some(8L))
+      Dedup.writeBandIndex(corpus, unguarded, k = 3, nBuckets = 16)
+      assert(Dedup.readBandIndexMeta(spark, guarded).hotBandCutoff == 8L)
+      assert(Dedup.readBandIndexMeta(spark, unguarded).hotBandCutoff == -1L)
+      val got = collectPairs(Dedup.incrementalNearDupsIndexed(
+        inc, guarded, corpus, threshold = 0.5))
+      // the deviation, pinned: doc 101's only collision route is the
+      // hot boilerplate bands — not surfaced despite jaccard 1.0
+      assert(got.forall(_._1 != 101L), s"hot-only collisions must drop: $got")
+      // the content near-dup still surfaces, exact-jaccard verified
+      assert(got.exists { case (i, j, _) => i == 102L && j == 20L }, s"$got")
+      // ...and the unguarded twin DOES surface the boilerplate pairs
+      // (the contrast that proves the guard is the thing dropping them)
+      val raw = collectPairs(Dedup.incrementalNearDupsIndexed(
+        inc, unguarded, corpus, threshold = 0.5))
+      assert(raw.count { case (i, _, jac) => i == 101L && jac == 1.0 } == 12,
+        s"unguarded must surface all 12 boilerplate dups: $raw")
+      // append preserves the guard config (snapshot-fixed sidecar)
+      Dedup.appendBandIndex(Seq((200L, tail(900))).toDF("doc_id", "text"),
+        guarded)
+      assert(Dedup.readBandIndexMeta(spark, guarded).hotBandCutoff == 8L)
+      val after = collectPairs(Dedup.incrementalNearDupsIndexed(
+        inc, guarded, corpus.unionByName(
+          Seq((200L, tail(900))).toDF("doc_id", "text")), threshold = 0.5))
+      assert(after == got, s"$after vs $got")
+    } finally {
+      Dedup.rmdir(new java.io.File(guarded))
+      Dedup.rmdir(new java.io.File(unguarded))
+    }
+  }
+
   test("an empty increment yields an empty result without reading any bucket") {
     val dir = Files.createTempDirectory("bandidx-empty").toString
     try {
