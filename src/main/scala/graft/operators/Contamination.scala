@@ -106,4 +106,28 @@ object Contamination {
         col("inter"), col("jaccard"))
       .orderBy(col("test_id"), col("train_id"))
   }
+
+  /** [[testSetOverlapFuzzy]] against the PERSISTED train band index —
+    * the production decontamination shape at 100 TB: the train corpus
+    * is banded ONCE into [[Dedup.writeBandIndex]]'s at-rest store (the
+    * same artifact the incremental dedup path maintains), and every
+    * benchmark/test split is then checked as a small increment — bucket-
+    * pruned candidate reads, exact-jaccard verification touching only
+    * candidate docs' text, per-check cost tracking the SPLIT, never
+    * |train| · |test| or a per-check re-band of the train corpus. The
+    * hot-band guard composes for free: boilerplate-heavy train corpora
+    * (license headers, templated pages) are exactly where unguarded
+    * decontamination explodes, and an index built with `hotBandCutoff`
+    * drops those bands from candidate generation here too.
+    *
+    * `test` and `train` doc_ids must be disjoint (the split contract
+    * the inline twin gets by construction); `k` rides the index's own
+    * meta. Output is identical to the inline twin on the same split
+    * (spec-pinned): (test_id, train_id, inter, jaccard ≥ threshold). */
+  def testSetOverlapIndexed(test: DataFrame, trainIndexDir: String,
+      train: DataFrame, threshold: Double = 0.5): DataFrame =
+    Dedup.incrementalNearDupsIndexed(test, trainIndexDir, train, threshold)
+      .select(col("i").as("test_id"), col("j").as("train_id"),
+        col("inter"), col("jaccard"))
+      .orderBy(col("test_id"), col("train_id"))
 }

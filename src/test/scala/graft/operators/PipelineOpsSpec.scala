@@ -980,6 +980,25 @@ class PipelineOpsSpec extends SparkSpec {
     val gotPairs = got.map(r =>
       (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))).toSet
     assert(gotPairs == truth)
+    // the indexed variant (test split vs the PERSISTED train band
+    // index — the production decontamination shape) returns the
+    // identical rows on the same split
+    val withSplit = docs.select(col("doc_id"), col("text"),
+      T.splitHash(col("doc_id")).as("h"))
+    val train = withSplit.filter(col("h") < 90).select(col("doc_id"), col("text"))
+    val test = withSplit.filter(col("h") >= 95).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("contam-bandidx").toString
+    try {
+      Dedup.writeBandIndex(train, dir, k = 3)
+      val viaIndex = Contamination.testSetOverlapIndexed(
+          test, dir, train, threshold = 0.5).collect()
+        .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
+          r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toSeq.sorted
+      val inline = got.map(r => (r.getAs[Long]("test_id"),
+        r.getAs[Long]("train_id"), r.getAs[Long]("inter"),
+        r.getAs[Double]("jaccard"))).toSeq.sorted
+      assert(viaIndex == inline, s"$viaIndex vs $inline")
+    } finally Dedup.rmdir(new java.io.File(dir))
   }
 
   test("spanDupStats: occurrence grain, cross-doc only, short docs absent") {
