@@ -463,22 +463,31 @@ object Dedup {
         "altered text)")
   }
 
-  /** [[incrementalNearDups]] against the PERSISTED index, with the
-    * at-rest pruning that makes the corpus-side cost track the touched
-    * buckets instead of the corpus: the increment's band rows are
-    * bounded (docs × bands), so their pmod image is a bounded bucket
-    * set — collected to the driver (≤ n_buckets ints) and pushed into
-    * the read as a partition filter, so parquet prunes whole bucket
-    * directories. Output is row-identical to the unpruned path:
-    * candidates match on band_val EQUALITY, equal band_vals share a
-    * bucket, so every matching corpus row lies inside the pruned set
-    * (spec-pinned). k and the pmod come from the index's own meta. */
   /** Broadcast-safety cap for the indexed path's increment-band collect:
     * band rows are 20 bytes (doc_id, band_idx, band_val), so 2M rows ≈
     * 40 MB on the driver — the same order as Spark's own broadcast-join
     * economics and the shingle artifact's append cap. */
   private val IncrementBandCollectMaxRows = 2L * 1000 * 1000
 
+  /** [[incrementalNearDups]] against the PERSISTED index, with the
+    * at-rest pruning that makes the corpus-side cost track the touched
+    * buckets instead of the corpus: the increment is banded ONCE and
+    * its rows collected (bounded: docs × bands, cap above — a
+    * backfill-scale increment falls back to the distributed shapes),
+    * hot bands are dropped per the index's guard config, the touched
+    * bucket set falls out driver-side, and the read opens exactly
+    * those bucket DIRECTORIES (never the partitioned root — partition
+    * discovery over every bucket dir is a per-query tax that grows
+    * with the bucket count; a saturated set takes the one-discovery
+    * root read instead). The candidate join's build side is a
+    * LocalRelation whose size Spark knows, so the broadcast is
+    * guaranteed and the corpus side is scanned, never shuffled.
+    * Output is row-identical to the unguarded inline path on an
+    * unguarded index (candidates match on band_val EQUALITY, equal
+    * band_vals share a bucket — spec-pinned, randomized over bucket
+    * counts and build/append splits); on a guarded index the hot-band
+    * recall deviation applies (see [[writeBandIndex]]). k, the pmod
+    * and the guard all ride the index's own meta. */
   def incrementalNearDupsIndexed(increment: DataFrame, dir: String,
       corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
     val s = increment.sparkSession
