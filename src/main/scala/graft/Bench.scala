@@ -447,7 +447,7 @@ object Bench {
     //  - bands_incr: the 10%-of-corpus batch increment (wide — its
     //    band values saturate the 64 buckets, so this line tracks the
     //    honest touched-bucket scan + verify cost);
-    //  - bands_point: an 8-doc serving lookup (narrow — its ≤128 band
+    //  - bands_point: an 8-doc serving lookup (narrow — its ≤32 band
     //    values leave most buckets unread; directory pruning is the
     //    contract this line gates).
     // Both are reads (no mutation), so they go through run()'s

@@ -151,7 +151,7 @@ object ScaleProbe {
       operators.Dedup.incrementalNearDupsIndexed(incrementOf(s, d), bandsDir,
         Tables.documents(s, d), threshold = 0.5)
     }),
-    // the SERVING-grain band-index lookup: 8 docs (≤128 band values)
+    // the SERVING-grain band-index lookup: 8 docs (≤32 band values)
     // against an index whose bucket count GROWS with the corpus
     // (64·n capped at 4096 — the per-index meta property in action:
     // bucket size stays ~constant, so the lookup reads a bounded set
