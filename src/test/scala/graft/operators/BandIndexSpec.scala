@@ -198,4 +198,30 @@ class BandIndexSpec extends SparkSpec {
       assert(out.count() == 0L)
     } finally Dedup.rmdir(new java.io.File(dir))
   }
+
+  test("a band-less corpus (every doc under k tokens) round-trips: zero " +
+      "partition dirs, valid meta, appends and lookups work") {
+    // the explicit-schema read exists for exactly this: partitionBy over
+    // zero rows writes no bvb= dirs, and schema inference over the empty
+    // dir would throw where the declared schema reads empty
+    val shorties = Seq((1L, "a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("bandidx-bandless").toString
+    try {
+      Dedup.writeBandIndex(shorties, dir, k = 3, nBuckets = 16)
+      val m = Dedup.readBandIndexMeta(spark, dir)
+      assert(m.nDocs == 3L && m.nBandRows == 0L, s"$m")
+      // lookups against the empty index return empty, not throw
+      assert(Dedup.incrementalNearDupsIndexed(
+        incrementDocs, dir, shorties, threshold = 0.5).count() == 0L)
+      // an append of REAL docs brings the index to life
+      Dedup.appendBandIndex(corpusDocs.withColumn("doc_id",
+        col("doc_id") + 500L), dir)
+      val inc2 = Seq((901L, tail(1) + " note")).toDF("doc_id", "text")
+      val grown = shorties.unionByName(
+        corpusDocs.withColumn("doc_id", col("doc_id") + 500L))
+      val got = collectPairs(Dedup.incrementalNearDupsIndexed(
+        inc2, dir, grown, threshold = 0.5))
+      assert(got.exists { case (i, j, _) => i == 901L && j == 501L }, s"$got")
+    } finally Dedup.rmdir(new java.io.File(dir))
+  }
 }
