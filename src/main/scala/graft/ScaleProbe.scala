@@ -370,6 +370,56 @@ object ScaleProbe {
     P("emb_store_idprobe_direct", 100, (s, d, n) =>
       operators.EmbeddingStore.knnProbe(s, idStoreOf(s, d, n), queryId = 0L,
         k = 10, nPlanes = ceilLog2(16 * n), maxFlips = 1, directRead = true)),
+    // the embedding store's MAINTENANCE path at ×n — the last persisted
+    // store whose compaction analog had no measured curve (components
+    // artifact: artifact_compact_full; band index: band_index_append's
+    // torn-validation term; SURVEY §7.7's three-store table). A private
+    // store per scale under the serving scale rule p = log2(16n) (cell
+    // occupancy held ~100), fragmented by 5 appends of a FIXED
+    // 100-vector increment (every touched cell gains 5 files, clearing
+    // maxFilesPerCell = 4), then reclustered. Drift is increment-bounded
+    // by construction: the increment's ≤100 distinct vectors touch
+    // ≤100 of the 2^p cells, so the rewrite volume ≈ touched_cells ×
+    // occupancy should stay ~flat per decade while the STORE grows
+    // ×100 — the scales-with-drift-not-size property recluster's
+    // docstring claims, measured. Residual corpus-size terms this curve
+    // attributes: the O(2^p) driver-side root listing + per-cell file
+    // counting, and partition discovery on the pruned rewrite read.
+    // Appends CHAIN on the private store with fresh disjoint ids
+    // (base 4e8 ≫ the 10000·rep replica stride): pass1 = cold store
+    // write (linear in n) + fragment + recluster; pass2 = fragment +
+    // recluster on the already-reclustered store — the operational
+    // cadence, and the number of record for the curve.
+    P("emb_store_recluster", 100, (s, d, n) => {
+      val p = ceilLog2(16 * n)
+      var t0 = System.nanoTime()
+      def phase(name: String): Unit = {
+        System.err.println(
+          f"[recluster probe] $name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
+      val path = reclusterStoreOf(s, d, p)
+      phase("store")
+      val seq = reclusterSeq.incrementAndGet()
+      // the increment is read from the ×n corpus ONCE and pinned as a
+      // 100-row local frame — re-planning the corpus scan per append
+      // would charge 5 ×n-sized reads to a curve that exists to measure
+      // the STORE's maintenance cost, not the probe harness's input prep
+      val baseInc = s.createDataFrame(
+        java.util.Arrays.asList(
+          Tables.embeddings(s, d).filter(col("vec_id") < 100).collect(): _*),
+        Tables.embeddings(s, d).schema)
+      phase("inc_read")
+      for (b <- 0 until 5) {
+        val inc = baseInc.withColumn("vec_id",
+          col("vec_id") + 400000000L + seq * 10000L + b * 1000L)
+        operators.EmbeddingStore.append(inc, path, nPlanes = p)
+      }
+      phase("appends")
+      val cells = operators.EmbeddingStore.recluster(s, path)
+      phase("recluster")
+      s.range(1).select(lit(cells.size).as("n_reclustered_cells"))
+    }),
     // same scale rule + inline verify: cosine computed inside the band
     // join, so wide rows ride only the linear n·B band sort and every
     // shuffled candidate is a narrow (i, j, cos_sim). LAST on purpose:
@@ -518,6 +568,25 @@ object ScaleProbe {
     val f = new java.io.File(d + "_stores")
     f.mkdirs()
     f
+  }
+
+  /** A PRIVATE embedding store for the recluster probe — its own store
+    * (never the probe-shared `emb_store_p*`/`emb_store_idx_p*`, whose
+    * immutability the serving probes rely on), rebuilt fresh once per
+    * JVM run so a previous run's chained appends (ids colliding with
+    * this run's restarted sequence) never leak in — the same contract
+    * as [[appendScratchOf]]. */
+  private val reclusterSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val reclusterStoreReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def reclusterStoreOf(s: SparkSession, d: String, p: Int): String = {
+    val out = new java.io.File(storesDirFor(d),
+      s"emb_store_recluster_p$p").getAbsolutePath
+    if (reclusterStoreReady.add(out)) {
+      graft.operators.Dedup.rmdir(new java.io.File(out))
+      operators.EmbeddingStore.write(Tables.embeddings(s, d), out, nPlanes = p)
+    }
+    out
   }
 
   /** The ×n corpus's sidecar-enabled embedding store under the scale

@@ -70,6 +70,18 @@ object EmbeddingStore {
     // (partial: directRead would error on every pre-existing id).
     val ignoredNoop = mode == SaveMode.Ignore &&
       fs.exists(new org.apache.hadoop.fs.Path(path))
+    // The append path stays on the stock committer DELIBERATELY — a
+    // direct per-cell placement variant (staging write + per-file
+    // renames, the write-side mirror of directStore) was built and
+    // measured against it on the recluster probe's fragmentation
+    // appends and came out COST-IDENTICAL at every scale (×100 appends
+    // phase 6.6 vs 6.6 s): Spark's path-based append never lists the
+    // existing store (it skips schema validation on path appends), so
+    // there was no discovery term to remove; the appends curve's
+    // ×1→×100 growth is touched-cell fan-out, saturating at
+    // min(|increment|, 2^p) — increment-bounded by construction
+    // (SCALE.md round-13 fourth wave). The stock committer keeps the
+    // simpler crash story for free.
     embeddings
       .withColumn(partitionCol, V.lshBucket(col("embedding"), nPlanes))
       .repartition(col(partitionCol))
@@ -172,10 +184,16 @@ object EmbeddingStore {
     if (drifted.isEmpty) return Seq.empty
     val tmp = new org.apache.hadoop.fs.Path(root, ".recluster_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // one job: pruned to drifted cells, (cell, slice) co-partitioned so a
-    // cell writes exactly targetFilesPerCell sorted files
-    spark.read.parquet(path)
-      .filter(col(partitionCol).isin(drifted: _*))
+    // one job: pruned to drifted cells via the DIRECT per-cell read
+    // (basePath + explicit dirs, the knnProbe shape) — a whole-store
+    // `read.parquet(path).filter(isin)` prunes the same ROWS but pays
+    // O(2^p)-file partition discovery first, a term that grows with
+    // the STORE while the rewrite is drift-bounded (measured ~1.2 s of
+    // a 13.0 s ×100 probe pass on local FS — the dominant recluster
+    // term at object-storage listing latencies; SCALE.md round-13
+    // fourth wave). (cell, slice) co-partitioned so a cell writes
+    // exactly targetFilesPerCell sorted files
+    directStore(spark, path, fs, drifted)
       .repartition(drifted.size * targetFilesPerCell, col(partitionCol),
         pmod(xxhash64(col("vec_id")), lit(targetFilesPerCell)))
       .sortWithinPartitions(partitionCol, "vec_id")
