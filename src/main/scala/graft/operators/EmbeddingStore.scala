@@ -146,6 +146,12 @@ object EmbeddingStore {
     * (and tasks) — a petabyte cell raises it rather than funneling
     * through one task.
     *
+    * The id sidecar (when present) is compacted by the same kernel
+    * under the same bounds: appends fragment its `idp=` dirs one file
+    * per touched partition per append — exactly the tiny-file drift
+    * that degrades the 16-byte-row point lookup `directRead` exists
+    * for — and no other maintenance path touches it.
+    *
     * Concurrency contract: the delete→rename swap is not atomic — a
     * reader that lists a cell in exactly that window sees it missing
     * (the standard limit of file-layout compaction without a table
@@ -158,11 +164,44 @@ object EmbeddingStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty
+    val cells = compactPartitionedDir(spark, fs, root, partitionCol,
+      maxFilesPerCell, targetFilesPerCell)
+    // the id sidecar fragments at the SAME rate as the cells (every
+    // append onto a sidecar-carrying store maintains it — one file per
+    // touched idp dir per append, with no natural bound), and its
+    // point-lookup read is exactly what tiny-file drift degrades; a
+    // recluster that restored the cells but left a year of hourly
+    // appends in the sidecar would hand directRead a thousand-file
+    // directory for a 16-byte row. Same kernel, same bounds, same
+    // crash-recovery discipline.
+    val idx = new org.apache.hadoop.fs.Path(root, idIndexDir)
+    if (fs.exists(idx))
+      compactPartitionedDir(spark, fs, idx, "idp",
+        maxFilesPerCell, targetFilesPerCell)
+    cells
+  }
+
+  /** The compaction kernel [[recluster]] applies to the cell layout and
+    * the id sidecar alike: crash-recovery sweep, file-count drift
+    * detection, ONE batched rewrite of all drifted partitions (pruned
+    * direct read — basePath + explicit dirs, the knnProbe shape — a
+    * whole-dir `read.parquet(root).filter(isin)` prunes the same ROWS
+    * but pays O(#partitions)-file discovery first, a term that grows
+    * with the STORE while the rewrite is drift-bounded; measured ~1.2 s
+    * of a 13.0 s ×100 probe pass on local FS, and the dominant term at
+    * object-storage listing latencies — SCALE.md round-13 fourth wave),
+    * then per-partition archive-then-swap. Returns the compacted
+    * partition values. */
+  private def compactPartitionedDir(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, partCol: String,
+      maxFiles: Int, target: Int): Seq[Long] = {
     // crash recovery from a prior interrupted swap: an `.old_` archive
-    // whose live cell dir is MISSING is the only surviving copy of that
-    // cell (the crash fell between the two renames below) — restore it;
-    // an archive whose live dir exists is a completed swap's leftover
-    val oldPrefix = s".old_$partitionCol="
+    // whose live dir is MISSING is the only surviving copy of that
+    // partition (the crash fell between the two renames below) —
+    // restore it; an archive whose live dir exists is a completed
+    // swap's leftover
+    val oldPrefix = s".old_$partCol="
     fs.listStatus(root).filter(_.getPath.getName.startsWith(oldPrefix)).foreach { st =>
       val live = new org.apache.hadoop.fs.Path(root,
         st.getPath.getName.stripPrefix(".old_"))
@@ -172,42 +211,37 @@ object EmbeddingStore {
       else fs.delete(st.getPath, true)
     }
     val drifted = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
       .filter { st =>
         fs.listStatus(st.getPath).count(f => f.isFile &&
           !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) >
-          maxFilesPerCell
+          maxFiles
       }
-      .map(_.getPath.getName.substring(partitionCol.length + 1))
+      .map(_.getPath.getName.substring(partCol.length + 1))
       .flatMap(v => scala.util.Try(v.toLong).toOption) // skip non-numeric dirs
       .toSeq.sorted
     if (drifted.isEmpty) return Seq.empty
     val tmp = new org.apache.hadoop.fs.Path(root, ".recluster_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // one job: pruned to drifted cells via the DIRECT per-cell read
-    // (basePath + explicit dirs, the knnProbe shape) — a whole-store
-    // `read.parquet(path).filter(isin)` prunes the same ROWS but pays
-    // O(2^p)-file partition discovery first, a term that grows with
-    // the STORE while the rewrite is drift-bounded (measured ~1.2 s of
-    // a 13.0 s ×100 probe pass on local FS — the dominant recluster
-    // term at object-storage listing latencies; SCALE.md round-13
-    // fourth wave). (cell, slice) co-partitioned so a cell writes
-    // exactly targetFilesPerCell sorted files
-    directStore(spark, path, fs, drifted)
-      .repartition(drifted.size * targetFilesPerCell, col(partitionCol),
-        pmod(xxhash64(col("vec_id")), lit(targetFilesPerCell)))
-      .sortWithinPartitions(partitionCol, "vec_id")
-      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
-    drifted.foreach { cell =>
-      val dirName = s"$partitionCol=$cell"
+    // one job: (partition, slice) co-partitioned so a partition writes
+    // exactly `target` sorted files
+    val dirs = drifted
+      .map(v => new org.apache.hadoop.fs.Path(root, s"$partCol=$v").toString)
+    spark.read.option("basePath", root.toString).parquet(dirs: _*)
+      .repartition(drifted.size * target, col(partCol),
+        pmod(xxhash64(col("vec_id")), lit(target)))
+      .sortWithinPartitions(partCol, "vec_id")
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+    drifted.foreach { v =>
+      val dirName = s"$partCol=$v"
       val oldDir = new org.apache.hadoop.fs.Path(root, dirName)
       val newDir = new org.apache.hadoop.fs.Path(tmp, dirName)
       val archive = new org.apache.hadoop.fs.Path(root, s".old_$dirName")
-      require(fs.exists(newDir), s"recluster: rewrite missing for cell $cell")
-      // archive-then-swap, never delete-then-rename: at every instant the
-      // cell's data exists under a recoverable name (live, archive, or
-      // tmp+archive), so a crash at any point is repaired by the recovery
-      // sweep above instead of losing the cell
+      require(fs.exists(newDir), s"recluster: rewrite missing for $dirName")
+      // archive-then-swap, never delete-then-rename: at every instant
+      // the partition's data exists under a recoverable name (live,
+      // archive, or tmp+archive), so a crash at any point is repaired
+      // by the recovery sweep above instead of losing data
       require(fs.rename(oldDir, archive), s"recluster: rename $oldDir -> $archive failed")
       require(fs.rename(newDir, oldDir), s"recluster: rename $newDir -> $oldDir failed")
       fs.delete(archive, true)

@@ -290,4 +290,47 @@ class EmbeddingStoreSpec extends SparkSpec {
     EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 1000)
     assert(fs.exists(done) && !fs.exists(new Path(new Path(dir), s".old_${done.getName}")))
   }
+
+  test("recluster compacts the id sidecar's drifted idp dirs (and recovers them)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("embstore-sidecar-compact").toString
+    EmbeddingStore.write(embs, dir, nPlanes = 4, idIndex = true)
+    // five appends whose single vector shares one mod-64 residue: the
+    // sidecar partition idp=40 gains one file per append (the drift
+    // signature — every append onto a sidecar-carrying store maintains
+    // the sidecar, so its fragmentation has no natural bound)
+    val ids = Seq(1000L, 1064L, 1128L, 1192L, 1256L)
+    val vec0 = embs.filter(col("vec_id") === 0L).select(col("embedding")).head().getSeq[Float](0)
+    import spark.implicits._
+    for (id <- ids)
+      EmbeddingStore.append(Seq((id, vec0, 0)).toDF("vec_id", "embedding", "label"),
+        dir, nPlanes = 4, idIndex = true)
+    val idx = new Path(dir, EmbeddingStore.idIndexDir)
+    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
+    val hot = new Path(idx, "idp=40")
+    def files(p: Path): Int = fs.listStatus(p).count(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    assert(files(hot) > 4, s"fixture must fragment idp=40 past the bound, got ${files(hot)}")
+    EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 4)
+    assert(files(hot) == 1, s"sidecar partition must be compacted to one file, got ${files(hot)}")
+    // every appended id still resolves through the compacted sidecar,
+    // identically to the store-scan shape
+    for (id <- ids) {
+      val direct = EmbeddingStore.knnProbe(spark, dir, id, k = 5, nPlanes = 4,
+        directRead = true).collect().map(_.toSeq).toSeq
+      val scan = EmbeddingStore.knnProbe(spark, dir, id, k = 5, nPlanes = 4)
+        .collect().map(_.toSeq).toSeq
+      assert(direct == scan, s"directRead diverged for appended id $id after sidecar compaction")
+    }
+    // sidecar crash window: archived idp dir with live missing is
+    // restored by the same recovery sweep the cells get
+    val archive = new Path(idx, ".old_idp=40")
+    assert(fs.rename(hot, archive))
+    EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 1000)
+    assert(fs.exists(hot) && !fs.exists(archive), "archived sidecar partition must be restored")
+    val direct = EmbeddingStore.knnProbe(spark, dir, ids.head, k = 5, nPlanes = 4,
+      directRead = true).collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty)
+  }
 }

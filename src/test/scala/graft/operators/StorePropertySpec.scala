@@ -78,11 +78,11 @@ object StorePropertySpec extends Properties("embeddingStore") {
     df.collect().map(r =>
       (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
 
-  private def cellFileCounts(dir: String): Seq[Int] = {
+  private def partFileCounts(dir: String, prefix: String): Seq[Int] = {
     val root = new java.io.File(dir)
-    root.listFiles().toSeq
-      .filter(f => f.isDirectory &&
-        f.getName.startsWith(EmbeddingStore.partitionCol + "="))
+    if (!root.isDirectory) Nil
+    else root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .map(_.listFiles().count(f => f.isFile &&
         !f.getName.startsWith("_") && !f.getName.startsWith(".")))
   }
@@ -111,7 +111,13 @@ object StorePropertySpec extends Properties("embeddingStore") {
             val drifted = EmbeddingStore.recluster(spark, dir,
               maxFilesPerCell = mx, targetFilesPerCell = t)
             val bound = math.max(mx, t)
-            val over = cellFileCounts(dir).filter(_ > bound)
+            // the bound must hold for the cell layout AND the sidecar's
+            // idp dirs — both fragment one file per touched partition
+            // per append, both are recluster's responsibility
+            val over = partFileCounts(dir,
+                EmbeddingStore.partitionCol + "=").filter(_ > bound) ++
+              partFileCounts(s"$dir/${EmbeddingStore.idIndexDir}", "idp=")
+                .filter(_ > bound)
             ok = ok && over.isEmpty
             s"recluster($mx,$t) drifted=${drifted.size} over=$over"
         }
