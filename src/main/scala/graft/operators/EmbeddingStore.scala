@@ -210,16 +210,36 @@ object EmbeddingStore {
           s"recluster: crash-recovery rename ${st.getPath} -> $live failed")
       else fs.delete(st.getPath, true)
     }
-    val drifted = fs.listStatus(root)
+    // drift detection: one listStatus per partition dir. PARALLEL on a
+    // bounded pool — serial per-dir listing is invisible on local FS
+    // (≤1.5 s of the measured ×100 probe pass at 2048 cells) but is
+    // THE pre-work bottleneck at object-storage latencies (10⁵ cells ×
+    // ~50 ms/list ≈ 80 min serial, ~3 min at 32-way — the same reason
+    // Spark's own InMemoryFileIndex parallelizes listing past a
+    // threshold). Driver threads, not a Spark job: the work is pure
+    // metadata I/O and a job would pay scheduling for nothing.
+    val partDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-      .filter { st =>
-        fs.listStatus(st.getPath).count(f => f.isFile &&
-          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) >
-          maxFiles
-      }
-      .map(_.getPath.getName.substring(partCol.length + 1))
-      .flatMap(v => scala.util.Try(v.toLong).toOption) // skip non-numeric dirs
-      .toSeq.sorted
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, partDirs.length)))
+    val drifted = try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(partDirs.toSeq.map { st =>
+        new java.util.concurrent.Callable[Option[String]] {
+          def call(): Option[String] = {
+            val n = fs.listStatus(st.getPath).count(f => f.isFile &&
+              !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            if (n > maxFiles)
+              Some(st.getPath.getName.substring(partCol.length + 1))
+            else None
+          }
+        }
+      }.asJava).asScala
+        .flatMap(_.get()) // rethrows any listing failure
+        .flatMap(v => scala.util.Try(v.toLong).toOption) // skip non-numeric dirs
+        .toSeq.sorted
+    } finally pool.shutdown()
     if (drifted.isEmpty) return Seq.empty
     val tmp = new org.apache.hadoop.fs.Path(root, ".recluster_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
