@@ -480,12 +480,44 @@ object Bench {
         isolate()
         lines
       } else Nil
+    // The embedding store's maintenance path (round 13): recluster must
+    // cost ∝ drift, not ∝ store size (measured curve: SCALE.md round-13
+    // fourth wave) — timed against a corpus-only store built UNTIMED in
+    // scratch with the id sidecar on (the production serving shape),
+    // fragmented by five disjoint-id appends of the 10% increment so
+    // every touched cell and sidecar idp dir clears the default file
+    // bound. The timed call is the whole maintenance op: parallel drift
+    // listing, one batched pruned rewrite each for cells and sidecar,
+    // archive-then-swap. Mutating, so timed once like components_incr.
+    val embRecluster =
+      if (only.forall(o => o.contains("artifact") || o.contains("artifact_emb"))) {
+        val embs = graft.Tables.embeddings(spark, sfDir)
+        val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+        val increment = embs.filter(col("vec_id") % 10 === 0)
+        val scratch = graft.queries.PipelineQueries.componentsArtifactPath(sfDir) +
+          "_embbase"
+        graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        graft.operators.EmbeddingStore.write(corpus, scratch, idIndex = true)
+        for (k <- 1 to 5)
+          graft.operators.EmbeddingStore.append(
+            increment.withColumn("vec_id", col("vec_id") + lit(k * 10000000L)),
+            scratch, idIndex = true)
+        isolate()
+        val t0 = System.nanoTime()
+        val cells = graft.operators.EmbeddingStore.recluster(spark, scratch)
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(cells.nonEmpty, "emb_recluster bench fixture must drift ≥1 cell")
+        graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        isolate()
+        Seq("artifact:emb_recluster" -> dt)
+      } else Nil
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val declared = names.map(n => run(n, () => SparkEntry.queries(n)(spark, sfDir)))
     // the pseudo-name "skew" selects the planted-distribution cases,
     // which have no SparkEntry entry of their own
-    val results = warm ++ artifact ++ artifactIncr ++ bandsIncr ++ declared ++
+    val results = warm ++ artifact ++ artifactIncr ++ bandsIncr ++
+      embRecluster ++ declared ++
       (if (only.forall(_.contains("skew"))) skewCases(spark) else Nil)
 
     // the deliberately-naive counterfactual shapes (the thing the remedy
