@@ -413,7 +413,7 @@ object ScaleProbe {
       for (b <- 0 until 5) {
         val inc = baseInc.withColumn("vec_id",
           col("vec_id") + 400000000L + seq * 10000L + b * 1000L)
-        operators.EmbeddingStore.append(inc, path, nPlanes = p)
+        operators.EmbeddingStore.append(inc, path, nPlanes = p, idIndex = true)
       }
       phase("appends")
       val cells = operators.EmbeddingStore.recluster(s, path)
@@ -584,7 +584,11 @@ object ScaleProbe {
       s"emb_store_recluster_p$p").getAbsolutePath
     if (reclusterStoreReady.add(out)) {
       graft.operators.Dedup.rmdir(new java.io.File(out))
-      operators.EmbeddingStore.write(Tables.embeddings(s, d), out, nPlanes = p)
+      // sidecar ON — the production serving shape (and the bench
+      // line's): appends maintain it, recluster compacts it, so the
+      // measured curve carries both stores' maintenance terms
+      operators.EmbeddingStore.write(Tables.embeddings(s, d), out,
+        nPlanes = p, idIndex = true)
     }
     out
   }
