@@ -175,9 +175,16 @@ object EmbeddingStore {
     // directory for a 16-byte row. Same kernel, same bounds, same
     // crash-recovery discipline.
     val idx = new org.apache.hadoop.fs.Path(root, idIndexDir)
-    if (fs.exists(idx))
-      compactPartitionedDir(spark, fs, idx, "idp",
-        maxFilesPerCell, targetFilesPerCell)
+    val idps =
+      if (fs.exists(idx))
+        compactPartitionedDir(spark, fs, idx, "idp",
+          maxFilesPerCell, targetFilesPerCell)
+      else Seq.empty
+    // same stderr accounting the components append prints: the sidecar
+    // result is not in the return value (API predates it), so make the
+    // maintenance visible to the operator running it
+    System.err.println(s"[embstore] recluster: compacted ${cells.size} " +
+      s"cell(s) + ${idps.size} sidecar partition(s) at $path")
     cells
   }
 
