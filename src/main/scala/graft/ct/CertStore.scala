@@ -81,6 +81,50 @@ object CertStore {
       .parquet(dest)
   }
 
+  /** In-place drifted-month compaction — the OPERATIONAL background-merge
+    * analog. [[compact]] rewrites the WHOLE store into a new directory
+    * (the explicit full-rebuild / global-dedupe path); at 100 TB of
+    * time-partitioned certs that rewrites years of immutable months to
+    * fix fragmentation that only accumulates where ingest appends land
+    * (the current month — `write` appends one file per touched month
+    * per batch). This path detects months fragmented past
+    * `maxFilesPerMonth` and rewrites ONLY those, in one batched job,
+    * swapped in per month behind the crash-recoverable
+    * archive-then-swap protocol — the shared
+    * [[graft.operators.PartitionCompaction]] kernel the embedding
+    * store's recluster uses, so cost scales with drift, not store size.
+    *
+    * `dedupe` applies the ReplacingMergeTree merge WITHIN each
+    * rewritten month — faithful to ClickHouse semantics, where
+    * ReplacingMergeTree deduplicates only among rows merged inside the
+    * same partition and cross-partition duplicates survive until
+    * `OPTIMIZE FINAL` (reference `clickhouse/init.sql:16`; the full
+    * [[compact]] with dedupe=true is this store's FINAL).
+    *
+    * Epoch-partitioned streaming stores' month dirs hold epoch
+    * SUBDIRECTORIES, which the kernel never treats as drifted (a flat
+    * rewrite would lose the per-epoch idempotency layout) — use the
+    * full [[compact]] for those. Returns the compacted months. */
+  def compactDrifted(spark: SparkSession, path: String,
+      maxFilesPerMonth: Int = 4, filesPerMonth: Int = 1,
+      dedupe: Boolean = false): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val merge: DataFrame => DataFrame =
+      if (!dedupe) identity
+      else { df =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(partitionCol), col("fingerprint"), col("domain"))
+          .orderBy(col("ts"), col("log_name"))
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    graft.operators.PartitionCompaction.compactDrifted(spark, fs, root,
+      partitionCol, Seq("base_domain", "domain", "fingerprint"),
+      hash(col("fingerprint")), maxFilesPerMonth, filesPerMonth, merge)
+  }
+
   /** `system.parts` bytes_on_disk analog (reference api/app.py:224-229):
     * sum the table's file sizes via the Hadoop FileSystem — metadata only,
     * no query engine involved (SURVEY §2.1 S12). */

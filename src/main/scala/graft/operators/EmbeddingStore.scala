@@ -164,7 +164,8 @@ object EmbeddingStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty
-    val cells = compactPartitionedDir(spark, fs, root, partitionCol,
+    val cells = PartitionCompaction.compactDrifted(spark, fs, root,
+      partitionCol, Seq("vec_id"), xxhash64(col("vec_id")),
       maxFilesPerCell, targetFilesPerCell)
     // the id sidecar fragments at the SAME rate as the cells (every
     // append onto a sidecar-carrying store maintains it — one file per
@@ -177,7 +178,8 @@ object EmbeddingStore {
     val idx = new org.apache.hadoop.fs.Path(root, idIndexDir)
     val idps =
       if (fs.exists(idx))
-        compactPartitionedDir(spark, fs, idx, "idp",
+        PartitionCompaction.compactDrifted(spark, fs, idx,
+          "idp", Seq("vec_id"), xxhash64(col("vec_id")),
           maxFilesPerCell, targetFilesPerCell)
       else Seq.empty
     // same stderr accounting the components append prints: the sidecar
@@ -186,95 +188,6 @@ object EmbeddingStore {
     System.err.println(s"[embstore] recluster: compacted ${cells.size} " +
       s"cell(s) + ${idps.size} sidecar partition(s) at $path")
     cells
-  }
-
-  /** The compaction kernel [[recluster]] applies to the cell layout and
-    * the id sidecar alike: crash-recovery sweep, file-count drift
-    * detection, ONE batched rewrite of all drifted partitions (pruned
-    * direct read — basePath + explicit dirs, the knnProbe shape — a
-    * whole-dir `read.parquet(root).filter(isin)` prunes the same ROWS
-    * but pays O(#partitions)-file discovery first, a term that grows
-    * with the STORE while the rewrite is drift-bounded; measured ~1.2 s
-    * of a 13.0 s ×100 probe pass on local FS, and the dominant term at
-    * object-storage listing latencies — SCALE.md round-13 fourth wave),
-    * then per-partition archive-then-swap. Returns the compacted
-    * partition values. */
-  private def compactPartitionedDir(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, partCol: String,
-      maxFiles: Int, target: Int): Seq[Long] = {
-    // crash recovery from a prior interrupted swap: an `.old_` archive
-    // whose live dir is MISSING is the only surviving copy of that
-    // partition (the crash fell between the two renames below) —
-    // restore it; an archive whose live dir exists is a completed
-    // swap's leftover
-    val oldPrefix = s".old_$partCol="
-    fs.listStatus(root).filter(_.getPath.getName.startsWith(oldPrefix)).foreach { st =>
-      val live = new org.apache.hadoop.fs.Path(root,
-        st.getPath.getName.stripPrefix(".old_"))
-      if (!fs.exists(live))
-        require(fs.rename(st.getPath, live),
-          s"recluster: crash-recovery rename ${st.getPath} -> $live failed")
-      else fs.delete(st.getPath, true)
-    }
-    // drift detection: one listStatus per partition dir. PARALLEL on a
-    // bounded pool — serial per-dir listing is invisible on local FS
-    // (≤1.5 s of the measured ×100 probe pass at 2048 cells) but is
-    // THE pre-work bottleneck at object-storage latencies (10⁵ cells ×
-    // ~50 ms/list ≈ 80 min serial, ~3 min at 32-way — the same reason
-    // Spark's own InMemoryFileIndex parallelizes listing past a
-    // threshold). Driver threads, not a Spark job: the work is pure
-    // metadata I/O and a job would pay scheduling for nothing.
-    val partDirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, math.max(1, partDirs.length)))
-    val drifted = try {
-      import scala.jdk.CollectionConverters._
-      pool.invokeAll(partDirs.toSeq.map { st =>
-        new java.util.concurrent.Callable[Option[String]] {
-          def call(): Option[String] = {
-            val n = fs.listStatus(st.getPath).count(f => f.isFile &&
-              !f.getPath.getName.startsWith("_") &&
-              !f.getPath.getName.startsWith("."))
-            if (n > maxFiles)
-              Some(st.getPath.getName.substring(partCol.length + 1))
-            else None
-          }
-        }
-      }.asJava).asScala
-        .flatMap(_.get()) // rethrows any listing failure
-        .flatMap(v => scala.util.Try(v.toLong).toOption) // skip non-numeric dirs
-        .toSeq.sorted
-    } finally pool.shutdown()
-    if (drifted.isEmpty) return Seq.empty
-    val tmp = new org.apache.hadoop.fs.Path(root, ".recluster_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    // one job: (partition, slice) co-partitioned so a partition writes
-    // exactly `target` sorted files
-    val dirs = drifted
-      .map(v => new org.apache.hadoop.fs.Path(root, s"$partCol=$v").toString)
-    spark.read.option("basePath", root.toString).parquet(dirs: _*)
-      .repartition(drifted.size * target, col(partCol),
-        pmod(xxhash64(col("vec_id")), lit(target)))
-      .sortWithinPartitions(partCol, "vec_id")
-      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
-    drifted.foreach { v =>
-      val dirName = s"$partCol=$v"
-      val oldDir = new org.apache.hadoop.fs.Path(root, dirName)
-      val newDir = new org.apache.hadoop.fs.Path(tmp, dirName)
-      val archive = new org.apache.hadoop.fs.Path(root, s".old_$dirName")
-      require(fs.exists(newDir), s"recluster: rewrite missing for $dirName")
-      // archive-then-swap, never delete-then-rename: at every instant
-      // the partition's data exists under a recoverable name (live,
-      // archive, or tmp+archive), so a crash at any point is repaired
-      // by the recovery sweep above instead of losing data
-      require(fs.rename(oldDir, archive), s"recluster: rename $oldDir -> $archive failed")
-      require(fs.rename(newDir, oldDir), s"recluster: rename $newDir -> $oldDir failed")
-      fs.delete(archive, true)
-    }
-    fs.delete(tmp, true)
-    drifted
   }
 
   /** ANN probe against the store: resolve the query's cell (one pruned

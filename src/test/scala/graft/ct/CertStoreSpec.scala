@@ -91,6 +91,46 @@ class CertStoreSpec extends SparkSpec {
     assert(back.select("log_name").distinct().as[String].collect().toSeq == Seq("log"))
   }
 
+  test("compactDrifted rewrites only fragmented months in place; dedupe is month-scoped") {
+    val dir = Files.createTempDirectory("certstore-drift").toString
+    // January: five appends → five files (fragmented past the bound).
+    // February: one write → one file (within bound, must not be touched).
+    for (_ <- 1 to 5) CertStore.write(fixture("2024-01", 4).toDF(), dir, SaveMode.Append)
+    CertStore.write(fixture("2024-02", 4).toDF(), dir, SaveMode.Append)
+    def files(month: String): Seq[String] =
+      new java.io.File(s"$dir/ts_month=$month").listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getName).sorted
+    assert(files("202401").size == 5)
+    val febBefore = files("202402")
+    val rowsBefore = CertStore.read(spark, dir).count()
+    val months = CertStore.compactDrifted(spark, dir, maxFilesPerMonth = 4)
+    assert(months == Seq(202401L), s"only January drifted, got $months")
+    assert(files("202401").size == 1, "drifted month must compact to filesPerMonth files")
+    assert(files("202402") == febBefore, "in-bound month's files must be untouched")
+    assert(CertStore.read(spark, dir).count() == rowsBefore, "in-place compaction keeps rows")
+    // dedupe: January holds 5 copies of each (fingerprint, domain) from
+    // the chained appends; a month-scoped ReplacingMergeTree merge
+    // collapses them without touching February (ClickHouse semantics:
+    // dedup within the partition's merge only)
+    for (_ <- 1 to 5) CertStore.write(fixture("2024-01", 4).toDF(), dir, SaveMode.Append)
+    val dedupMonths = CertStore.compactDrifted(spark, dir, maxFilesPerMonth = 4, dedupe = true)
+    assert(dedupMonths == Seq(202401L))
+    val back = CertStore.read(spark, dir)
+    assert(back.filter($"ts_month" === "202401").count() == 4, "one row per cert after merge")
+    assert(back.filter($"ts_month" === "202402").count() == 4, "February rows unchanged")
+    // crash window: the archived month with live missing is restored by
+    // the shared kernel's recovery sweep on the next invocation
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(dir, "ts_month=202401")
+    val archive = new org.apache.hadoop.fs.Path(dir, ".old_ts_month=202401")
+    assert(fs.rename(live, archive))
+    CertStore.compactDrifted(spark, dir, maxFilesPerMonth = 1000)
+    assert(fs.exists(live) && !fs.exists(archive), "archived month must be restored")
+    assert(CertStore.read(spark, dir).filter($"ts_month" === "202401").count() == 4)
+  }
+
   test("sizeBytes sums parquet files; humanBytes formats base-1024 (S12/F19)") {
     val dir = Files.createTempDirectory("certstore").toString
     CertStore.write(fixture("2024-01", 5).toDF(), dir, SaveMode.Overwrite)
