@@ -446,6 +446,45 @@ object Dedup {
       docXor = meta.docXor ^ agg.getLong(1)))
   }
 
+  /** In-place bucket compaction for the persisted band index — the
+    * maintenance path [[appendBandIndex]]'s file discipline eventually
+    * needs: every append adds ~one file per touched bucket dir, so a
+    * year of hourly appends hands every bucket-pruned lookup thousands
+    * of tiny files per dir. Buckets fragmented past `maxFilesPerBucket`
+    * are rewritten — and ONLY those — through the shared
+    * [[PartitionCompaction]] kernel (parallel drift detection, one
+    * batched pruned rewrite, crash-recoverable archive-then-swap; cost
+    * ∝ drift, not index size). Rows, meta, and the hot-band sidecar are
+    * all preserved exactly (the rewrite moves bytes, never rows —
+    * validated against meta's row-count token before AND after, the
+    * same torn-append discipline the append path runs). The rewrite
+    * sorts each bucket by (band_val, doc_id), which freshly-built
+    * indexes don't even have — parquet row-group min/max on band_val
+    * then skips inside a bucket for point lookups. Readers overlapping
+    * the swap window fall under the store's documented append-only
+    * waiver (a missing-then-restored bucket under-generates candidates
+    * for one read and self-heals; verification stays exact).
+    * Returns the compacted bucket values. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerBucket: Int = 4, filesPerBucket: Int = 1): Seq[Long] = {
+    val meta = readBandIndexMeta(spark, dir)
+    val have = bandRowsFooterCount(spark, dir)
+    require(have == meta.nBandRows,
+      s"torn append detected at $dir: index holds $have band rows but " +
+        s"meta records ${meta.nBandRows} — rebuild with writeBandIndex " +
+        "before compacting (a compaction would bake the tear in)")
+    val root = new org.apache.hadoop.fs.Path(bandsDirOf(dir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = PartitionCompaction.compactDrifted(spark, fs, root,
+      "bvb", Seq("band_val", "doc_id"), xxhash64(col("doc_id")),
+      maxFilesPerBucket, filesPerBucket)
+    val after = bandRowsFooterCount(spark, dir)
+    require(after == meta.nBandRows,
+      s"compactBandIndex: row count moved ${meta.nBandRows} -> $after — " +
+        "the rewrite must be row-preserving; index at $dir needs a rebuild")
+    buckets
+  }
+
   /** Maintenance check: does `corpus` match the index's build+append
     * history? One bounded aggregate over the corpus against meta's
     * count + hashed receipt — run it before trusting a rebuild source

@@ -113,6 +113,43 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("compactBandIndex rewrites only fragmented buckets in place: " +
+      "query-identical, meta/receipt untouched, appends keep working") {
+    val dir = Files.createTempDirectory("bandidx-compact").toString
+    try {
+      Dedup.writeBandIndex(corpusDocs, dir, k = 3, nBuckets = 4)
+      // five appends fragment the (wide-touching) buckets past the bound
+      for (a <- 0 until 5)
+        Dedup.appendBandIndex(
+          Seq((500L + a, tail(1000 + a))).toDF("doc_id", "text"), dir)
+      val bands = new java.io.File(dir, s"bands_${Dedup.BandIndexLayout}")
+      def files(b: java.io.File): Int = b.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val bucketDirs = bands.listFiles().filter(_.getName.startsWith("bvb=")).toSeq
+      assert(bucketDirs.exists(files(_) > 2),
+        "fixture must fragment at least one bucket past the bound")
+      val mBefore = Dedup.readBandIndexMeta(spark, dir)
+      val grown = corpusDocs.unionByName(
+        (0 until 5).map(a => (500L + a, tail(1000 + a))).toDF("doc_id", "text"))
+      val before = collectPairs(Dedup.incrementalNearDupsIndexed(
+        incrementDocs, dir, grown, threshold = 0.5))
+      val compacted = Dedup.compactBandIndex(spark, dir, maxFilesPerBucket = 2)
+      assert(compacted.nonEmpty, "at least one bucket must compact")
+      assert(bucketDirs.forall(files(_) <= 2),
+        "every bucket must be within the bound after compaction")
+      assert(Dedup.readBandIndexMeta(spark, dir) == mBefore,
+        "compaction must not touch meta (rows, receipt, k, buckets, guard)")
+      val after = collectPairs(Dedup.incrementalNearDupsIndexed(
+        incrementDocs, dir, grown, threshold = 0.5))
+      assert(after == before && after.nonEmpty,
+        s"compaction must be query-invisible:\n$before\n$after")
+      // the torn-append validation still holds and appends still work
+      Dedup.appendBandIndex(Seq((600L, tail(2000))).toDF("doc_id", "text"), dir)
+      Dedup.verifyBandIndexReceipt(grown.unionByName(
+        Seq((600L, tail(2000))).toDF("doc_id", "text")), dir)
+    } finally Dedup.rmdir(new java.io.File(dir))
+  }
+
   test("torn append is detected (rows beyond meta) and a legacy unversioned " +
       "dump is refused with the rebuild message") {
     val dir = Files.createTempDirectory("bandidx-torn").toString
