@@ -81,6 +81,12 @@ object PipelineQueries {
     * rename, so a concurrent JVM (bench vs verify) can never read a
     * half-written artifact. */
   private val ComponentsK = 3
+
+  /** Default file-fragmentation bound per shingle-index bucket dir —
+    * drift direction (c): each append adds ~one file per touched
+    * bucket, so at a daily cadence 64 ≈ two months before the flag
+    * calls for the compaction that restores one file per bucket. */
+  private[graft] val MaxShingleFilesPerBucket = 64
   private val ComponentsThreshold = 0.5
 
   /** Broadcast-safety cap for the append's adaptive increment-shingle
@@ -449,7 +455,8 @@ object PipelineQueries {
     * to force the plain-shuffle shapes and pin their equality. */
   private[graft] def appendComponentsArtifact(s: SparkSession, dir: String,
       increment: DataFrame,
-      broadcastCap: Long = IncrementBroadcastMaxShingleRows): Unit = {
+      broadcastCap: Long = IncrementBroadcastMaxShingleRows,
+      maxFilesPerBucket: Int = MaxShingleFilesPerBucket): Unit = {
     // everything below operates INSIDE the live generation: its index
     // dirs, its epoch pointer. Compaction swaps generations wholesale.
     val gen = genDirOf(dir)
@@ -590,7 +597,28 @@ object PipelineQueries {
     // and silently losing pairs forever.
     val newDocsTotal = meta.nDocsTotal + incDocsTotal
     val grownCutoff = Dedup.autoDfCutoffFor(newDocsTotal)
+    // drift direction (c), round 13: FILE fragmentation. Directions
+    // (a)/(b) are semantic and can stay quiet forever on a
+    // boilerplate-free corpus while daily appends still add ~one file
+    // per touched bucket to the shingle index — a year of that hands
+    // every corpus-index bucket scan hundreds of tiny files per dir.
+    // Bucket dirs are bounded (meta.nBuckets), so one driver listing
+    // bounds the check; the +1 accounts for the file THIS append is
+    // about to add to each touched bucket (conservative by at most one
+    // early trip). Remedy = the runbook's existing one: the flag trips,
+    // the next maintain compacts, the re-derive restores one file per
+    // bucket.
+    val maxBucketFiles = {
+      val d = new java.io.File(s"$gen/shingles")
+      if (!d.isDirectory) 0
+      else d.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shb="))
+        .map(_.listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .foldLeft(0)(math.max)
+    }
     val drift = newMaxNonhot > meta.cutoff || grownCutoff >= meta.minHotDf ||
+      maxBucketFiles + 1 > maxFilesPerBucket ||
       meta.rebuildRecommended
     // stage the new epoch (invisible until the flip)
     val next = epoch + 1
@@ -839,8 +867,9 @@ object PipelineQueries {
   private[graft] def maintainComponentsArtifact(s: SparkSession, dir: String,
       increment: DataFrame, corpusOfRecord: DataFrame,
       broadcastCap: Long = IncrementBroadcastMaxShingleRows,
-      compactNBuckets: Int = -1): Boolean = {
-    appendComponentsArtifact(s, dir, increment, broadcastCap)
+      compactNBuckets: Int = -1,
+      maxFilesPerBucket: Int = MaxShingleFilesPerBucket): Boolean = {
+    appendComponentsArtifact(s, dir, increment, broadcastCap, maxFilesPerBucket)
     val tripped = readMeta(s, dir).rebuildRecommended
     // compactNBuckets rides through to the compaction (default -1 =
     // preserve the artifact's own count): the drift-triggered rebuild

@@ -102,6 +102,56 @@ class ComponentsCompactSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
+  test("file-fragmentation drift (direction c): semantically-quiet appends " +
+      "trip the flag once a bucket dir crosses the file bound, and the " +
+      "maintain compaction restores the layout and clears it") {
+    val base = Files.createTempDirectory("comp-compact-frag").toString
+    try {
+      // drift-free corpus: no doc carries the cutoff-floor prefix, so
+      // the semantic directions (a)/(b) stay quiet throughout and only
+      // the file-count direction can trip
+      val quiet = ((1L to 30L).map(id =>
+        (id, if (id == 30L) tail(29) + " extra" else tail(id.toInt))))
+        .toDF("doc_id", "text")
+      PipelineQueries.buildComponentsArtifactFrom(spark, quiet, base)
+      var corpus = quiet
+      def appendOne(id: Long): Unit = {
+        val inc = Seq((id, tail(5000 + id.toInt))).toDF("doc_id", "text")
+        PipelineQueries.appendComponentsArtifact(spark, base, inc,
+          maxFilesPerBucket = 3)
+        corpus = corpus.unionByName(inc)
+      }
+      // build leaves 1 file per touched bucket; appends add one each.
+      // bound 3: append #1 (pre-count 1, +1 = 2) and #2 (2+1 = 3) stay
+      // quiet; append #3 sees pre-count 3, +1 = 4 > 3 and trips.
+      appendOne(101L)
+      assert(!PipelineQueries.readMeta(spark, base).rebuildRecommended,
+        "first append must not trip the file-count direction")
+      appendOne(102L)
+      appendOne(103L)
+      assert(PipelineQueries.readMeta(spark, base).rebuildRecommended,
+        "crossing the per-bucket file bound must recommend a rebuild")
+      // the runbook remedy: maintain compacts, the re-derived index is
+      // back to one file per bucket, the flag clears, clusters = cold
+      val inc = Seq((104L, tail(5104))).toDF("doc_id", "text")
+      val newCorpus = corpus.unionByName(inc)
+      val compacted = PipelineQueries.maintainComponentsArtifact(
+        spark, base, inc, newCorpus, maxFilesPerBucket = 3)
+      assert(compacted, "tripped flag must drive the maintain compaction")
+      val m = PipelineQueries.readMeta(spark, base)
+      assert(!m.rebuildRecommended, "compaction must clear the flag")
+      val gen = PipelineQueries.genDirOf(base)
+      val maxFiles = new java.io.File(s"$gen/shingles").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shb="))
+        .map(_.listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .foldLeft(0)(math.max)
+      assert(maxFiles <= 1, s"compaction must restore one file per bucket, got $maxFiles")
+      assert((readClusters(base), m.nPairs) == coldOf(newCorpus),
+        "post-compaction artifact must equal a cold build")
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
+
   test("generation GC is two-behind: gen-0's root layout survives the first " +
       "compaction intact (a mid-scan reader keeps reading), is swept at the " +
       "second, and each prior generation gets the same grace") {
