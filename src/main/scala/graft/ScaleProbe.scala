@@ -198,6 +198,42 @@ object ScaleProbe {
         lit(operators.Dedup.readBandIndexMeta(s, scratch).nBandRows)
           .as("n_band_rows"))
     }),
+    // the band index's COMPACTION at ×n (round-13: compactBandIndex,
+    // the shared-kernel user with the OPPOSITE drift geometry to the
+    // embedding store): the band index keeps a FIXED bucket count
+    // (64 here) with ×n rows per bucket, and a 500-doc append touches
+    // every bucket (coupon collector), so wide-append fragmentation
+    // drifts ALL buckets and compaction approaches a full index
+    // rewrite — expected ~LINEAR in n, unlike the recluster probe's
+    // flat curve (2^p cells, increment-bounded drift). The number
+    // this curve exists for is the CONTRAST with the alternative:
+    // before compactBandIndex, the only defragmentation was
+    // writeBandIndex — re-minhashing the corpus TEXT — while the
+    // compaction rewrites the already-computed 20-byte band rows.
+    // pass1 folds the scratch copy of the shared ×n index (copied
+    // inside the timed first call, like the append probe's scratch) +
+    // 5 fragmenting appends + compact; pass2 = the chained steady
+    // state (appends re-fragment to 6 files/bucket, compact again).
+    P("band_index_compact", 100, (s, d, n) => {
+      val scratch = bandCompactScratchOf(s, d)
+      val seq = bandCompactSeq.incrementAndGet()
+      var t0 = System.nanoTime()
+      def phase(name: String): Unit = {
+        System.err.println(
+          f"[band compact probe] $name%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
+      for (b <- 0 until 5) {
+        val inc = Tables.documents(s, d).filter(col("doc_id") < 500)
+          .withColumn("doc_id",
+            col("doc_id") + 500000000L + seq * 100000L + b * 10000L)
+        operators.Dedup.appendBandIndex(inc, scratch)
+      }
+      phase("appends")
+      val buckets = operators.Dedup.compactBandIndex(s, scratch)
+      phase("compact")
+      s.range(1).select(lit(buckets.size).as("n_compacted_buckets"))
+    }),
     // KMeans.centroidsAfter at PRODUCTION iteration depth (round-12
     // verdict ask #2 — the one per-round DataFrame loop the round-12
     // plan-growth audit did not reach; declared queries pin iters=2):
@@ -504,6 +540,23 @@ object ScaleProbe {
     val out = new java.io.File(storesDirFor(d),
       "band_index_append_scratch").getAbsolutePath
     if (bandAppendScratchReady.add(out)) {
+      graft.operators.Dedup.rmdir(new java.io.File(out))
+      copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
+    }
+    out
+  }
+
+  /** A PRIVATE copy of the ×n band index for the COMPACTION probe —
+    * its own copy (the append probe's scratch must keep its own
+    * fragmentation history; the probe-shared index stays immutable). */
+  private val bandCompactSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val bandCompactScratchReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def bandCompactScratchOf(s: SparkSession, d: String): String = {
+    val src = sharedBandIndexOf(s, d)
+    val out = new java.io.File(storesDirFor(d),
+      "band_index_compact_scratch").getAbsolutePath
+    if (bandCompactScratchReady.add(out)) {
       graft.operators.Dedup.rmdir(new java.io.File(out))
       copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
     }
