@@ -517,7 +517,7 @@ object Bench {
         val t0 = System.nanoTime()
         val cells = graft.operators.EmbeddingStore.recluster(spark, scratch)
         val dt = (System.nanoTime() - t0) / 1e9
-        require(cells.nonEmpty, "emb_recluster bench fixture must drift ≥1 cell")
+        require(cells.cells.nonEmpty, "emb_recluster bench fixture must drift ≥1 cell")
         graft.operators.Dedup.rmdir(new java.io.File(scratch))
         isolate()
         Seq("artifact:emb_recluster" -> dt)

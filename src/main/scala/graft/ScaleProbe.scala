@@ -169,6 +169,90 @@ object ScaleProbe {
         incrementOf(s, d).filter(col("doc_id") < 100000008L), bandsDir,
         Tables.documents(s, d), threshold = 0.5)
     }),
+    // the STORED-corpus verify fetch (round-13 verdict ask #1): the
+    // same 8-doc serving lookup as dedup_incr_near_point, but the
+    // verify step's candidate text comes from the CorpusStore at rest
+    // via pruned direct-dir point reads instead of a semi-join against
+    // the ×n corpus FRAME — the last corpus-linear serving term. The
+    // frame path's semi-join scans all corpus text per lookup (cheap
+    // at these volumes, fatal at 100 TB); this curve pins the stored
+    // path's verify-fetch term flat across ×1/×10/×100.
+    P("dedup_incr_point_stored", 100, (s, d, n) => {
+      val nb = math.min(4096, 64 * n)
+      val bandsDir = buildBandIndexOnce(s, d,
+        s"band_index_${operators.Dedup.BandIndexLayout}_b$nb", nb)
+      val cdir = corpusStoreOf(s, d, nb)
+      operators.Dedup.incrementalNearDupsIndexed(
+        incrementOf(s, d).filter(col("doc_id") < 100000008L), bandsDir,
+        cdir, threshold = 0.5)
+    }),
+    // ingest throughput (round-13 verdict ask #4 / BASELINE.md's unmet
+    // "ingest rows/sec" metric): ×n logs × ×n entries, one distinct
+    // cert per entry. serial = runOnce, the reference-faithful
+    // per-batch loop — (logs × batches) Spark jobs + store appends;
+    // batched = runOnceParallel — concurrent per-log fetches + ONE
+    // union append per round (the safe parallel shape: concurrent path
+    // appends would race the shared _temporary staging dir). rows/s on
+    // stderr; SCALE.md carries the table. Serial capped at ×10: its
+    // per-batch job overhead IS the measured bottleneck, and ×100
+    // would demonstrate it for many minutes.
+    P("ct_ingest_serial", 10, (s, d, n) => ingestProbe(s, n, parallel = false)),
+    P("ct_ingest_batched", 100, (s, d, n) => ingestProbe(s, n, parallel = true)),
+    // CertStore.compactDrifted under the CT drift geometry (round-13
+    // verdict ask #6): ingest appends land on ONE hot month while
+    // history is immutable — the opposite drift shape to the embedding
+    // store's spread-bucket fragmentation, plus a window-function
+    // dedupe inside the rewrite. History scales ×n (12 months ×
+    // 20k·n rows, built once); the per-pass hot-month fragmentation is
+    // FIXED (20 appends × 2k rows, half cross-log duplicates), so the
+    // rewrite must cost the hot month, not the history: expected flat.
+    // The probe REQUIRES history months' files bit-identical across
+    // the compaction (the CertStoreSpec pin, now measured at scale)
+    // and the dedupe merge to have collapsed the planted duplicates.
+    P("cert_compact_hot_month", 100, (s, d, n) => {
+      val path = certHistoryStoreOf(s, d, n)
+      val seq = certCompactSeq.incrementAndGet()
+      var t0 = System.nanoTime()
+      def phase(name: String): Unit = {
+        System.err.println(
+          f"[cert compact probe] $name%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
+      // 20 simulated ingest batches into the hot month (month 12 =
+      // 202501, outside the 202401-202412 history): 1k unique certs
+      // each, seen from TWO logs — the cross-log duplicate
+      for (b <- 0 until 20)
+        ct.CertStore.write(certRows(s, 12 to 12, 1000L,
+          tagBase = 1000000000L + seq * 1000000L + b * 10000L,
+          dupFactor = 2), path)
+      phase("appends")
+      val hotBefore = ct.CertStore.read(s, path)
+        .filter(col("ts_month") === "202501").count()
+      val history = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("ts_month=") &&
+          f.getName != "ts_month=202501")
+        .flatMap(_.listFiles()).map(f =>
+          (f.getName, f.length(), f.lastModified())).sortBy(_._1).toSeq
+      phase("snapshot")
+      val months = ct.CertStore.compactDrifted(s, path,
+        maxFilesPerMonth = 4, dedupe = true)
+      phase("compact")
+      require(months == Seq(202501L),
+        s"only the hot month must drift, got $months")
+      val historyAfter = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("ts_month=") &&
+          f.getName != "ts_month=202501")
+        .flatMap(_.listFiles()).map(f =>
+          (f.getName, f.length(), f.lastModified())).sortBy(_._1).toSeq
+      require(historyAfter == history,
+        "history months must be bit-identical across the compaction")
+      val hotAfter = ct.CertStore.read(s, path)
+        .filter(col("ts_month") === "202501").count()
+      require(hotAfter == hotBefore - 20000L,
+        s"dedupe must collapse the 20k planted duplicates: " +
+          s"$hotBefore -> $hotAfter")
+      s.range(1).select(lit(hotAfter).as("hot_month_rows"))
+    }),
     // pageRank at PRODUCTION iteration counts (declared query pins
     // iters=2 where the whole loop is one lazy plan — optimal; a real
     // ranking run is 10-20 iters, the same iterative-loop class the
@@ -452,9 +536,10 @@ object ScaleProbe {
         operators.EmbeddingStore.append(inc, path, nPlanes = p, idIndex = true)
       }
       phase("appends")
-      val cells = operators.EmbeddingStore.recluster(s, path)
+      val done = operators.EmbeddingStore.recluster(s, path)
       phase("recluster")
-      s.range(1).select(lit(cells.size).as("n_reclustered_cells"))
+      s.range(1).select(lit(done.cells.size).as("n_reclustered_cells"),
+        lit(done.idParts.size).as("n_sidecar_parts"))
     }),
     // same scale rule + inline verify: cosine computed inside the band
     // join, so wide rows ride only the linear n·B band sort and every
@@ -528,6 +613,113 @@ object ScaleProbe {
     buildBandIndexOnce(s, d,
       s"band_index_${operators.Dedup.BandIndexLayout}",
       operators.Dedup.BandIndexBuckets)
+
+  /** The ×n corpus TEXT store (round-13 verdict ask #1), built once per
+    * scale beside the band indexes; the partition count follows the
+    * point-lookup index's bucket-count growth rule so partition volume
+    * stays ~constant as the corpus scales. */
+  private def corpusStoreOf(s: SparkSession, d: String, nParts: Int): String = {
+    val dir = new java.io.File(storesDirFor(d),
+      s"corpus_store_${operators.CorpusStore.Layout}_p$nParts").getAbsolutePath
+    val marker = new java.io.File(dir, s"_CSTORE_COMPLETE_$Version")
+    if (!marker.exists()) {
+      operators.CorpusStore.write(Tables.documents(s, d), dir, nParts = nParts)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      ()
+    }
+    dir
+  }
+
+  /** Ingest-throughput probe body (round-13 verdict ask #4 /
+    * BASELINE.md's unmet "ingest rows/sec" metric): ×n logs × ×n
+    * entries through the full parse→explode→dedup→append pipeline
+    * against a synthetic in-memory entry source — one DISTINCT cert
+    * per (log, index) ([[graft.ct.DemoFixture.uniqueDer]]) so the
+    * dedup never collapses volume and rows/s prices real work. The
+    * store and offsets are probe-private and wiped per pass. */
+  private val ingestSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def ingestProbe(s: SparkSession, n: Int, parallel: Boolean): DataFrame = {
+    val nLogs = 4 * math.min(n, 4) // ×1: 4 logs; ×10/×100: 16
+    val perLog = 2052L * n         // 4 reference-sized batches of 513 at ×1
+    val logs = (0 until nLogs).map(i =>
+      ct.LogList.CtLog(s"probe log $i", s"https://probe$i.example", "usable"))
+    val source = new ct.Ingestor.EntrySource {
+      def treeSize(log: ct.LogList.CtLog): Long = perLog
+      def fetchEntries(log: ct.LogList.CtLog, start: Long,
+          endInclusive: Long): Seq[ct.RawEntry] = {
+        val li = log.url.stripPrefix("https://probe").stripSuffix(".example").toLong
+        (start to endInclusive).map { i =>
+          ct.RawEntry(log.name, i,
+            java.util.Base64.getEncoder.encodeToString(
+              ct.DemoFixture.makeLeaf(
+                ct.DemoFixture.uniqueDer(li * 100000000L + i))))
+        }
+      }
+    }
+    val seq = ingestSeq.incrementAndGet()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val store = new java.io.File(tmp, s"graft_ingest_probe_$seq").getAbsolutePath
+    val offDir = new java.io.File(tmp, s"graft_ingest_probe_off_$seq").getAbsolutePath
+    val offsets = new ct.Ingestor.FileOffsets(offDir)
+    val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val t0 = System.nanoTime()
+    val rows =
+      if (parallel)
+        ct.Ingestor.runOnceParallel(s, logs, source, store, offsets, ts)
+      else ct.Ingestor.runOnce(s, logs, source, store, offsets, ts)
+    val dt = (System.nanoTime() - t0) / 1e9
+    val entries = nLogs * perLog
+    System.err.println(
+      f"[ingest probe] ${if (parallel) "batched" else "serial"}%-7s x$n: " +
+        f"$entries entries -> $rows rows in $dt%.1f s = " +
+        f"${rows / dt}%.0f rows/s (${entries / dt}%.0f entries/s)")
+    operators.Dedup.rmdir(new java.io.File(store))
+    operators.Dedup.rmdir(new java.io.File(offDir))
+    s.range(1).select(lit(rows).as("rows_appended"))
+  }
+
+  /** Synthetic cert_domains rows for the CT-store compaction probe:
+    * `nRows` per month for `months`, schema-exact, unique fingerprints
+    * under `tagBase`, `dupFactor` log_names sharing each (fingerprint,
+    * domain) when > 1 (the cross-log duplicate the month-scoped dedupe
+    * merge must collapse). */
+  private def certRows(s: SparkSession, months: Range, nRows: Long,
+      tagBase: Long, dupFactor: Int = 1): DataFrame = {
+    val perMonth = months.map { m =>
+      val base = s.range(nRows).select(
+        expr(s"timestamp'2024-01-15 00:00:00' + make_interval(0, $m)").as("ts"),
+        concat(lit("d"), (col("id") + tagBase).cast("string"),
+          lit(".example.com")).as("domain"),
+        lit("example.com").as("base_domain"),
+        sha2((col("id") + tagBase).cast("string"), 256).as("fingerprint"),
+        lit("CN=probe issuer").as("issuer"),
+        lit("CN=probe subject").as("subject"),
+        array(concat(lit("d"), (col("id") + tagBase).cast("string"),
+          lit(".example.com"))).as("san"),
+        expr(s"timestamp'2024-01-15 00:00:00' + make_interval(0, $m)").as("not_before"),
+        expr(s"timestamp'2024-01-15 00:00:00' + make_interval(0, $m)").as("not_after"),
+        lit("log_a").as("log_name"))
+      if (dupFactor <= 1) base
+      else (1 until dupFactor).foldLeft(base)((acc, k) =>
+        acc.union(base.withColumn("log_name", lit(s"log_${('a' + k).toChar}"))))
+    }
+    perMonth.reduce(_ union _)
+  }
+
+  /** The ×n CT history store (12 immutable months × 20k·n rows), built
+    * once per scale; the hot-month appends chain on it per pass. */
+  private def certHistoryStoreOf(s: SparkSession, d: String, n: Int): String = {
+    val dir = new java.io.File(storesDirFor(d), "cert_compact_store").getAbsolutePath
+    val marker = new java.io.File(dir, s"_CERTSTORE_COMPLETE_$Version")
+    if (!marker.exists()) {
+      operators.Dedup.rmdir(new java.io.File(dir))
+      ct.CertStore.write(certRows(s, 0 until 12, 20000L * n, 0L), dir)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      ()
+    }
+    dir
+  }
+  private val certCompactSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A PRIVATE copy of the ×n BAND INDEX for the append probe — the
     * probe-shared index must stay immutable (the lookup probes read

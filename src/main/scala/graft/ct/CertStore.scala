@@ -94,12 +94,15 @@ object CertStore {
     * [[graft.operators.PartitionCompaction]] kernel the embedding
     * store's recluster uses, so cost scales with drift, not store size.
     *
-    * `dedupe` applies the ReplacingMergeTree merge WITHIN each
-    * rewritten month — faithful to ClickHouse semantics, where
-    * ReplacingMergeTree deduplicates only among rows merged inside the
+    * `dedupe` applies the ReplacingMergeTree-style merge the README
+    * claims (README.md:19 — the reference table itself is plain
+    * MergeTree, `clickhouse/init.sql:16` supplies only the monthly
+    * partitioning and sort key this layout mirrors) WITHIN each
+    * rewritten month — faithful to ClickHouse merge semantics, where a
+    * background merge deduplicates only among rows merged inside the
     * same partition and cross-partition duplicates survive until
-    * `OPTIMIZE FINAL` (reference `clickhouse/init.sql:16`; the full
-    * [[compact]] with dedupe=true is this store's FINAL).
+    * `OPTIMIZE FINAL` (the full [[compact]] with dedupe=true is this
+    * store's FINAL).
     *
     * Epoch-partitioned streaming stores' month dirs hold epoch
     * SUBDIRECTORIES, which the kernel never treats as drifted (a flat

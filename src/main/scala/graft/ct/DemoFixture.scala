@@ -29,4 +29,24 @@ object DemoFixture {
   }
 
   def leafB64: String = Base64.getEncoder.encodeToString(makeLeaf(certDer))
+
+  /** The fixture DER with `tag` XOR-stamped into its last 8 bytes — the
+    * tail of the signatureValue BIT STRING, so the result is still valid
+    * DER (no length changes; `CertificateFactory.generateCertificate`
+    * never verifies signatures) but carries a distinct SHA-256
+    * fingerprint per tag. The zero-egress way to synthesize certificate
+    * VOLUME: ingest-throughput probes and uniqueness-sensitive tests
+    * get one distinct cert per (log, index) without minting and signing
+    * real certificates. */
+  def uniqueDer(tag: Long): Array[Byte] = {
+    val der = certDer.clone()
+    var v = tag
+    var k = 0
+    while (k < 8) {
+      der(der.length - 1 - k) = (der(der.length - 1 - k) ^ (v & 0xffL)).toByte
+      v >>= 8
+      k += 1
+    }
+    der
+  }
 }

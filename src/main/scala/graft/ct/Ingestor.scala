@@ -77,6 +77,86 @@ object Ingestor {
     appended
   }
 
+  /** [[runOnce]] with the reference's per-log parallelism (S6,
+    * ct_ingestor.py:240-247 — one OS process per CT log) re-expressed
+    * for Spark's execution model. Two costs dominate the serial loop at
+    * n logs: the network-bound get-entries fetches run one at a time,
+    * and every 513-entry batch pays a full Spark job + store append (a
+    * repartition + file commit). Here the per-log fetches run
+    * concurrently on a bounded driver pool (exactly the work the
+    * reference's processes parallelize) and each ROUND lands as ONE
+    * batched job + ONE append over the union of every log's fetched
+    * entries — parse parallelism comes from the local rows fanning out
+    * to defaultParallelism tasks, and the per-batch job/commit overhead
+    * amortizes across all logs (measured: the ct_ingest throughput
+    * probe, SCALE.md). Concurrent per-log APPENDS would be wrong, not
+    * just slower: parquet path appends share the job-attempt
+    * `_temporary` staging dir, so simultaneous writers race each
+    * other's cleanup — the union write is the safe parallel shape
+    * without a table format's transaction log.
+    *
+    * Offsets advance only AFTER the round's single append succeeds
+    * (same at-least-once + dedup-idempotence contract as [[runOnce]]; a
+    * crash mid-round replays every log's current round).
+    * `maxBatchesPerLogPerRound` bounds driver-held entries per round
+    * (logs × that × batch rows); a deployment whose fetch volume
+    * outgrows the driver routes through the DSv2 source instead, whose
+    * partition-per-log fetch runs on executors
+    * (source/CtMicroBatchSource.scala:172). */
+  def runOnceParallel(spark: SparkSession, logs: Seq[LogList.CtLog],
+      source: EntrySource, storePath: String, offsets: FileOffsets,
+      ingestTs: Timestamp, batchSize: Int = BatchSize,
+      fetchThreads: Int = 8, maxBatchesPerLogPerRound: Int = 8): Long = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    require(fetchThreads >= 1 && maxBatchesPerLogPerRound >= 1,
+      s"fetchThreads/maxBatchesPerLogPerRound must be >= 1, got " +
+        s"$fetchThreads/$maxBatchesPerLogPerRound")
+    var appended = 0L
+    var progress = true
+    while (progress) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(fetchThreads, math.max(1, logs.size)))
+      // (log name, offset before, offset after, this round's entries)
+      val fetched: Seq[(String, Long, Long, Seq[RawEntry])] = try {
+        pool.invokeAll(logs.map { lg =>
+          new java.util.concurrent.Callable[(String, Long, Long, Seq[RawEntry])] {
+            def call(): (String, Long, Long, Seq[RawEntry]) = {
+              val name = lg.name.replace(' ', '_')
+              val start = offsets.read(name)
+              var idx = start
+              val size = source.treeSize(lg)
+              val buf = scala.collection.mutable.ArrayBuffer.empty[RawEntry]
+              var b = 0
+              while (idx < size && b < maxBatchesPerLogPerRound) {
+                val end = math.min(idx + batchSize, size - 1)
+                buf ++= source.fetchEntries(lg, idx, end)
+                idx = end + 1
+                b += 1
+              }
+              (name, start, idx, buf.toSeq)
+            }
+          }
+        }.asJava).asScala.map(_.get()).toSeq // rethrows any fetch failure
+      } finally pool.shutdown()
+      val entries = fetched.flatMap(_._4)
+      if (entries.nonEmpty) {
+        val obs = new org.apache.spark.sql.Observation()
+        val df = IngestPipeline.certDomains(spark.createDataset(entries), ingestTs)
+          .observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+        CertStore.write(df, storePath, SaveMode.Append)
+        appended += obs.get("rows").asInstanceOf[Long]
+      }
+      // offsets after the successful append → at-least-once per log
+      fetched.foreach { case (name, start, idx, _) =>
+        if (idx != start) offsets.write(name, idx)
+      }
+      progress = fetched.exists(_._4.nonEmpty)
+    }
+    appended
+  }
+
   /** Long-running ingest loop with the reference's error handling (S9,
     * ct_ingestor.py:228-230): any failure logs, sleeps `backoffMs`, and
     * retries; when caught up, sleeps `pollMs` before re-polling (S7).

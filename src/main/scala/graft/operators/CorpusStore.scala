@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The id-partitioned corpus TEXT store — the point-read side of the
+  * incremental near-dup serving path. The persisted band index makes
+  * candidate GENERATION track the increment (bucket-pruned band join);
+  * this store makes candidate VERIFICATION track the candidates: the
+  * handful of corpus docs an increment band-collides with are fetched
+  * by pruned direct-dir reads instead of a semi-join that scans the
+  * whole corpus text per lookup. It is the MergeTree primary-key
+  * point-read analog (reference clickhouse/init.sql:18 — the sort key
+  * that serves `WHERE domain = ...` without a table scan) applied to
+  * (doc_id, text), in the same layout discipline as the embedding
+  * store's id sidecar: rows Hive-partitioned by `idp = pmod(doc_id,
+  * n_parts)` and doc_id-sorted within each file, so a lookup opens the
+  * touched idp DIRECTORIES only and row-group min/max on doc_id skips
+  * inside them.
+  *
+  * Accounting meta carries the partition count (every layout-sensitive
+  * read derives its pruning from meta, never from a constant), the
+  * torn-append row token, and the SAME corpus-of-record receipt as the
+  * band index ([[Dedup.docReceipt]] folded over build + appends) — so
+  * a serving lookup can require, for the price of two one-row meta
+  * reads, that the text store and the band index describe the SAME
+  * corpus instead of silently fetching stale text.
+  *
+  * Failure-window waiver (the per-store discipline): append-only rows
+  * with scan/point readers, same as the band index — a reader
+  * overlapping an append sees a prefix of the increment (self-heals
+  * next read); a crash between the row append and the meta rewrite is
+  * caught by the next append's torn-append validation with a rebuild
+  * message. Derived-data recovery (rebuild from the corpus of record)
+  * is the whole story; no epoch protocol.
+  */
+object CorpusStore {
+
+  /** Layout version IN THE PATH (dir names), so a layout bump can never
+    * half-reuse stale dirs — same rule as [[Dedup.BandIndexLayout]]. */
+  private[graft] val Layout = "cst1"
+
+  /** Default id-partition count for NEW stores (local[32] economics; a
+    * real 100 TB corpus raises it at write time — the count is a
+    * per-store property read from meta, never assumed from here). */
+  private[graft] val DefaultParts = 64
+
+  private[graft] case class CorpusStoreMeta(nParts: Int, nDocs: Long,
+      docXor: Long)
+
+  private def rowsDirOf(dir: String): String = s"$dir/docs_$Layout"
+  private def metaDirOf(dir: String): String = s"$dir/meta_$Layout"
+
+  private def idPart(docId: org.apache.spark.sql.Column, nParts: Int) =
+    pmod(docId, lit(nParts.toLong)).cast("int")
+
+  /** Explicit schema: a store can legitimately hold zero docs in a
+    * partition dir, and inference over an empty partitioned dir throws. */
+  private def readRows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("idp", IntegerType))))
+      .parquet(rowsDirOf(dir))
+  }
+
+  private def writeMeta(s: SparkSession, dir: String,
+      m: CorpusStoreMeta): Unit = {
+    s.range(1).select(lit(Layout).as("layout"),
+        lit(m.nParts).as("n_parts"), lit(m.nDocs).as("n_docs"),
+        lit(m.docXor).as("doc_xor"), lit("xxhash64_v1").as("receipt_kind"))
+      .coalesce(1).write.mode("overwrite").parquet(metaDirOf(dir))
+    ()
+  }
+
+  private[graft] def readMeta(s: SparkSession, dir: String): CorpusStoreMeta = {
+    val p = new org.apache.hadoop.fs.Path(metaDirOf(dir))
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no $Layout corpus store at $dir: the dir holds a legacy dump or " +
+        "nothing at all — build it with CorpusStore.write (idp-partitioned " +
+        "layout with the partition count and integrity tokens in meta)")
+    val r = s.read.parquet(metaDirOf(dir)).head()
+    CorpusStoreMeta(r.getAs[Int]("n_parts"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("doc_xor"))
+  }
+
+  /** Parquet row count from row-group footers (aggregate pushdown — no
+    * text pages read), scoped so the session conf is untouched. */
+  private def footerCount(s: SparkSession, dir: String): Long = {
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try readRows(s, dir).select(col("doc_id"), col("idp")).count()
+    finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
+  /** Cold-build the store from `docs` (doc_id, text — extra columns are
+    * dropped; doc_ids must be unique, the corpus contract every Dedup
+    * operator shares). One shuffle on the id partition, doc_id-sorted
+    * files (row-group min/max point-read skipping from the first write,
+    * the band-index build lesson). */
+  def write(docs: DataFrame, dir: String, nParts: Int = DefaultParts): Unit = {
+    require(nParts > 0, s"nParts must be positive, got $nParts")
+    val s = docs.sparkSession
+    val Array(agg) = docs.agg(count(lit(1)), Dedup.docReceipt).collect()
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("idp", idPart(col("doc_id"), nParts))
+      .repartition(col("idp"))
+      .sortWithinPartitions("idp", "doc_id")
+      .write.mode("overwrite").partitionBy("idp").parquet(rowsDirOf(dir))
+    val nRows = footerCount(s, dir)
+    require(nRows == agg.getLong(0),
+      s"corpus store write at $dir landed $nRows rows for ${agg.getLong(0)} " +
+        "input docs — the write must be row-preserving; retry the build")
+    writeMeta(s, dir, CorpusStoreMeta(nParts, agg.getLong(0), agg.getLong(1)))
+  }
+
+  /** Append an increment (disjoint doc_ids — same contract as
+    * [[Dedup.appendBandIndex]], and normally the SAME increment appended
+    * to both stores in the same maintenance step). Single-writer; torn
+    * appends from a prior crash are detected against meta's row token
+    * with a rebuild message before any rows land. */
+  def append(increment: DataFrame, dir: String): Unit = {
+    val s = increment.sparkSession
+    val meta = readMeta(s, dir)
+    val have = footerCount(s, dir)
+    require(have == meta.nDocs,
+      s"torn append detected at $dir: store holds $have doc rows but meta " +
+        s"records ${meta.nDocs} — a prior append crashed between its row " +
+        "append and its meta rewrite; rebuild with CorpusStore.write " +
+        "before appending again")
+    val Array(agg) = increment.agg(count(lit(1)), Dedup.docReceipt).collect()
+    increment.select(col("doc_id"), col("text"))
+      .withColumn("idp", idPart(col("doc_id"), meta.nParts))
+      .repartition(col("idp"))
+      .sortWithinPartitions("idp", "doc_id")
+      .write.mode("append").partitionBy("idp").parquet(rowsDirOf(dir))
+    writeMeta(s, dir, meta.copy(nDocs = meta.nDocs + agg.getLong(0),
+      docXor = meta.docXor ^ agg.getLong(1)))
+  }
+
+  /** Full scan of the store as (doc_id, text) — the rebuild/backfill
+    * read and the over-cap fallback's corpus frame. */
+  def read(s: SparkSession, dir: String): DataFrame =
+    readRows(s, dir).select(col("doc_id"), col("text"))
+
+  /** Point-fetch `ids` as (doc_id, text): the touched `idp=` directories
+    * are derived driver-side from meta's partition count and opened
+    * DIRECTLY — never the partitioned root, whose per-query partition
+    * discovery grows with the partition count (the measured band-index
+    * lesson: 10.6 s of pure listing at 4096 dirs). Inside a dir the
+    * doc_id predicate is an InSet pushed to the scan, and the files'
+    * doc_id sort makes row-group min/max skip to the touched groups.
+    * Absent ids contribute no rows (the semi-join contract); an empty
+    * `ids` returns an empty frame without touching the FS. */
+  def fetchDocs(s: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
+    val meta = readMeta(s, dir)
+    if (ids.isEmpty)
+      return readRows(s, dir).filter(lit(false))
+        .select(col("doc_id"), col("text"))
+    val touched = ids.map(id => java.lang.Math.floorMod(id, meta.nParts.toLong)
+      .toInt).distinct
+    val root = new org.apache.hadoop.fs.Path(rowsDirOf(dir))
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    // one listStatus of the root maps which partitions exist (a touched
+    // partition holding no docs has no dir)
+    val existing: Set[Int] = fs.listStatus(root).iterator
+      .map(_.getPath.getName).filter(_.startsWith("idp="))
+      .map(_.stripPrefix("idp=").toInt).toSet
+    val dirs = touched.filter(existing).map(p => s"${rowsDirOf(dir)}/idp=$p")
+    if (dirs.isEmpty)
+      return readRows(s, dir).filter(lit(false))
+        .select(col("doc_id"), col("text"))
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(dirs: _*)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** In-place compaction of partitions fragmented past `maxFilesPerPart`
+    * by repeated appends — the shared [[PartitionCompaction]] kernel
+    * (cost ∝ drift, crash-recoverable archive-then-swap), restoring the
+    * per-file doc_id sort. Row-preserving by checked invariant, same as
+    * the band index. Returns the compacted partition values. */
+  def compact(spark: SparkSession, dir: String, maxFilesPerPart: Int = 4,
+      filesPerPart: Int = 1): Seq[Long] = {
+    val meta = readMeta(spark, dir)
+    val have = footerCount(spark, dir)
+    require(have == meta.nDocs,
+      s"torn append detected at $dir: store holds $have doc rows but meta " +
+        s"records ${meta.nDocs} — rebuild with CorpusStore.write before " +
+        "compacting (a compaction would bake the tear in)")
+    val root = new org.apache.hadoop.fs.Path(rowsDirOf(dir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = PartitionCompaction.compactDrifted(spark, fs, root,
+      "idp", Seq("doc_id"), xxhash64(col("doc_id")),
+      maxFilesPerPart, filesPerPart)
+    val after = footerCount(spark, dir)
+    require(after == meta.nDocs,
+      s"CorpusStore.compact: row count moved ${meta.nDocs} -> $after — " +
+        s"the rewrite must be row-preserving; store at $dir needs a rebuild")
+    parts
+  }
+
+  /** Maintenance check: does `corpus` match the store's build+append
+    * history? Bounded aggregate vs meta's count + receipt — NOT on the
+    * query path (it scans the corpus, the cost the store avoids). */
+  def verifyReceipt(corpus: DataFrame, dir: String): Unit = {
+    val s = corpus.sparkSession
+    val meta = readMeta(s, dir)
+    val Array(agg) = corpus.agg(count(lit(1)), Dedup.docReceipt).collect()
+    require(agg.getLong(0) == meta.nDocs && agg.getLong(1) == meta.docXor,
+      s"corpus-of-record mismatch at $dir: supplied corpus has " +
+        s"${agg.getLong(0)} docs / receipt ${agg.getLong(1)} but meta " +
+        s"records ${meta.nDocs} / ${meta.docXor} — the store differs from " +
+        "the corpus (missing docs, swapped ids or altered text)")
+  }
+}

@@ -217,14 +217,20 @@ object Dedup {
     * the indexed path bands the increment ONCE (collected, bounded) and
     * reuses the rows for both bucket pruning and this join; the inline
     * path passes the lazy [[bandIndex]] frame. */
-  private def incrementalNearDupsFromBands(incBands: DataFrame,
-      increment: DataFrame, corpusBands: DataFrame,
-      corpus: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val candidates = incBands.as("a")
+  /** Candidate (i = increment, j = corpus) pairs from one band
+    * equi-join — the generation half both verify shapes share. */
+  private def bandCandidatePairs(incBands: DataFrame,
+      corpusBands: DataFrame): DataFrame =
+    incBands.as("a")
       .join(corpusBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+
+  private def incrementalNearDupsFromBands(incBands: DataFrame,
+      increment: DataFrame, corpusBands: DataFrame,
+      corpus: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val candidates = bandCandidatePairs(incBands, corpusBands)
     // Reduce the corpus to candidate docs BEFORE shingling: the semi-join
     // inside verifyJaccard happens above the tokenize+explode, so feeding it
     // the full corpus would tokenize every corpus document per batch. The
@@ -358,9 +364,13 @@ object Dedup {
     * (true near-dups collide on their content bands too, which stay
     * rare; the spec pins both directions). The cutoff and the sidecar
     * are SNAPSHOT-fixed like the shingle artifact's hot set: appends
-    * do not re-derive them, a rebuild refreshes them — the same drift
-    * trade, accepted here without flag machinery because the index is
-    * cheap to rebuild. */
+    * do not re-derive them. Refresh paths, cheapest first:
+    * [[compactBandIndex]] with `refreshHotBands = true` re-derives df
+    * from the 20-byte band rows already at rest (no text re-minhashed)
+    * at the auto cutoff for the grown doc count; a full
+    * [[writeBandIndex]] rebuild re-derives everything. The drift trade
+    * between refreshes is accepted without flag machinery because both
+    * refreshes are cheap relative to the corpus. */
   def writeBandIndex(docs: DataFrame, dir: String, k: Int = 3,
       nBuckets: Int = BandIndexBuckets,
       hotBandCutoff: Option[Long] = None): Unit = {
@@ -369,9 +379,17 @@ object Dedup {
       s"hotBandCutoff must be positive when set, got $hotBandCutoff")
     val s = docs.sparkSession
     val Array(agg) = docs.agg(count(lit(1)), docReceipt).collect()
+    // (band_val, doc_id)-sorted within each bucket FROM THE FIRST WRITE:
+    // parquet row-group min/max on band_val then skips inside a bucket
+    // for point lookups on fresh indexes too, not only after the first
+    // compaction rewrite restores the order (round-13 verdict ask #2 —
+    // SCALE.md's sixth wave noted the build wrote unsorted buckets).
+    // Leading "bvb" groups a task's rows by bucket so the partitioned
+    // writer emits one band_val-sorted file per bucket dir.
     bandIndex(docs, k)
       .withColumn("bvb", bandBucket(col("band_val"), nBuckets))
       .repartition(col("bvb"))
+      .sortWithinPartitions("bvb", "band_val", "doc_id")
       .write.mode("overwrite").partitionBy("bvb").parquet(bandsDirOf(dir))
     // integrity token from the WRITTEN data (footer metadata), so the
     // next append validates against what is actually on disk
@@ -437,8 +455,11 @@ object Dedup {
     val incRows = incBands.count()
     // repartition by bucket: without it the dynamic-partition append
     // fans (tasks × buckets) tiny files per append — the measured
-    // file-count discipline the shingle index's round-10 probe taught
+    // file-count discipline the shingle index's round-10 probe taught.
+    // Same within-bucket (band_val, doc_id) sort as the build, so every
+    // file in the index carries row-group min/max skippable on band_val.
     incBands.repartition(col("bvb"))
+      .sortWithinPartitions("bvb", "band_val", "doc_id")
       .write.mode("append").partitionBy("bvb").parquet(bandsDirOf(dir))
     incBands.unpersist(false)
     writeBandMeta(s, dir, meta.copy(nDocs = meta.nDocs + agg.getLong(0),
@@ -458,15 +479,17 @@ object Dedup {
     * all preserved exactly (the rewrite moves bytes, never rows —
     * validated against meta's row-count token before AND after, the
     * same torn-append discipline the append path runs). The rewrite
-    * sorts each bucket by (band_val, doc_id), which freshly-built
-    * indexes don't even have — parquet row-group min/max on band_val
-    * then skips inside a bucket for point lookups. Readers overlapping
+    * sorts each bucket by (band_val, doc_id) — restoring the order the
+    * build and append writes put down file-by-file to one sorted run
+    * per bucket, so parquet row-group min/max on band_val keeps
+    * skipping inside a bucket for point lookups. Readers overlapping
     * the swap window fall under the store's documented append-only
     * waiver (a missing-then-restored bucket under-generates candidates
     * for one read and self-heals; verification stays exact).
     * Returns the compacted bucket values. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      maxFilesPerBucket: Int = 4, filesPerBucket: Int = 1): Seq[Long] = {
+      maxFilesPerBucket: Int = 4, filesPerBucket: Int = 1,
+      refreshHotBands: Boolean = false): Seq[Long] = {
     val meta = readBandIndexMeta(spark, dir)
     val have = bandRowsFooterCount(spark, dir)
     require(have == meta.nBandRows,
@@ -481,7 +504,34 @@ object Dedup {
     val after = bandRowsFooterCount(spark, dir)
     require(after == meta.nBandRows,
       s"compactBandIndex: row count moved ${meta.nBandRows} -> $after — " +
-        "the rewrite must be row-preserving; index at $dir needs a rebuild")
+        s"the rewrite must be row-preserving; index at $dir needs a rebuild")
+    // HOT-SIDECAR REFRESH (round-13 verdict ask #3): the guard's cutoff
+    // and sidecar are snapshot-fixed at build, so a corpus that doubles
+    // via appends drifts the band-df distribution while the guard stays
+    // frozen — and the only refresh used to be a full rebuild
+    // (re-minhashing all corpus TEXT). The band rows already on disk
+    // carry every df the guard needs (one row per (doc, band_idx) by
+    // construction), and the compaction probes priced a full pass over
+    // the 20-byte rows at ~2 s at ×100 — so the refresh is one
+    // aggregate over the index itself, identical to what a cold rebuild
+    // derives at the same cutoff (spec-pinned). The cutoff re-derives
+    // at [[autoDfCutoffFor]](meta.nDocs) — the build+append doc count —
+    // and meta records it, arming the guard on a previously-unguarded
+    // index too. Crash window: sidecar overwrite lands before the meta
+    // rewrite; a crash between them serves the OLD cutoff against the
+    // refreshed (strictly-comparable) sidecar — a bounded recall-only
+    // skew the store's documented waiver already covers, repaired by
+    // re-running the refresh.
+    if (refreshHotBands) {
+      val cutoff = autoDfCutoffFor(meta.nDocs)
+      readBandRows(spark, dir)
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > cutoff)
+        .select(col("band_idx"), col("band_val"))
+        .coalesce(1).write.mode("overwrite").parquet(hotBandsDirOf(dir))
+      writeBandMeta(spark, dir, meta.copy(hotBandCutoff = cutoff))
+    }
     buckets
   }
 
@@ -529,6 +579,68 @@ object Dedup {
     * and the guard all ride the index's own meta. */
   def incrementalNearDupsIndexed(increment: DataFrame, dir: String,
       corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (incBands, corpusBands, meta) = indexedCandidateInputs(increment, dir)
+    incrementalNearDupsFromBands(incBands, increment, corpusBands, corpus,
+      meta.k, threshold)
+  }
+
+  /** Broadcast-safety cap for the stored-corpus verify path's candidate
+    * collect: (i, j) pairs are 16 bytes, so 2M rows ≈ 32 MB on the
+    * driver — same economics as [[IncrementBandCollectMaxRows]]. Above
+    * it the verify falls back to the distributed semi-join against the
+    * store's full read (correct, corpus-scan-priced — the regime where
+    * the increment is a backfill, not a serving lookup). */
+  private val CandidatePairCollectMaxRows = 2L * 1000 * 1000
+
+  /** [[incrementalNearDupsIndexed]] with the corpus AT REST too: the
+    * verify step's candidate-text fetch reads the [[CorpusStore]] at
+    * `corpusDir` via pruned direct-dir point reads instead of
+    * semi-joining a caller-supplied corpus frame — the last
+    * corpus-linear serving term gone (the in-memory overload's
+    * `touched` semi-join scans corpus TEXT per lookup; this one opens
+    * the candidate ids' idp dirs only). Candidate pairs are collected
+    * under [[CandidatePairCollectMaxRows]] (the touched-partition set
+    * falls out driver-side and the verify join's build side becomes a
+    * size-known LocalRelation); an over-cap candidate set falls back
+    * to the distributed shape against the store's full read.
+    *
+    * The band index and the corpus store must describe the SAME corpus:
+    * required up front by comparing their metas' doc counts + hashed
+    * receipts (two one-row reads — a stale store would otherwise
+    * silently fetch no text for real candidates and verify-reject
+    * them). Maintain the two stores together: the same increment goes
+    * through [[appendBandIndex]] AND [[CorpusStore.append]]. */
+  def incrementalNearDupsIndexed(increment: DataFrame, dir: String,
+      corpusDir: String, threshold: Double): DataFrame = {
+    val s = increment.sparkSession
+    val cMeta = CorpusStore.readMeta(s, corpusDir)
+    val (incBands, corpusBands, meta) = indexedCandidateInputs(increment, dir)
+    require(meta.nDocs == cMeta.nDocs && meta.docXor == cMeta.docXor,
+      s"band index at $dir and corpus store at $corpusDir describe " +
+        s"different corpora (${meta.nDocs} docs / receipt ${meta.docXor} " +
+        s"vs ${cMeta.nDocs} / ${cMeta.docXor}) — append increments to " +
+        "both stores in the same maintenance step")
+    val candidates = bandCandidatePairs(incBands, corpusBands)
+    val head = candidates.head(CandidatePairCollectMaxRows.toInt + 1)
+    if (head.length > CandidatePairCollectMaxRows) {
+      incrementalNearDupsFromBands(incBands, increment, corpusBands,
+        CorpusStore.read(s, corpusDir), meta.k, threshold)
+    } else {
+      import scala.jdk.CollectionConverters._
+      val candLocal = s.createDataFrame(head.toSeq.asJava, candidates.schema)
+      val jIds = head.iterator.map(_.getLong(1)).toSeq.distinct
+      val touched = CorpusStore.fetchDocs(s, corpusDir, jIds)
+      val all = increment.select(col("doc_id"), col("text")).union(touched)
+      verifyJaccard(candLocal, shingleRows(all, meta.k), threshold)
+    }
+  }
+
+  /** The shared indexed candidate-generation inputs: the increment's
+    * band rows (collected LocalRelation when bounded, distributed
+    * fallback otherwise, hot-band guard applied per meta), the
+    * bucket-pruned corpus band read, and the index meta. */
+  private def indexedCandidateInputs(increment: DataFrame, dir: String)
+      : (DataFrame, DataFrame, BandIndexMeta) = {
     val s = increment.sparkSession
     val meta = readBandIndexMeta(s, dir)
     // band the increment ONCE and pull the rows to the driver (bounded:
@@ -613,8 +725,7 @@ object Dedup {
             StructField("band_val", LongType))))
           .parquet(paths: _*)
       }
-    incrementalNearDupsFromBands(incBands, increment, corpusBands, corpus,
-      meta.k, threshold)
+    (incBands, corpusBands, meta)
   }
 
   /** Cross-document repeated-SPAN statistics — the span-grain face of

@@ -73,6 +73,17 @@ object PartitionCompaction {
           s"compact: crash-recovery rename ${st.getPath} -> $live failed")
       else fs.delete(st.getPath, true)
     }
+    // a crash after all swaps but before the final tmp delete would
+    // otherwise leave .recluster_tmp (a full copy of the rewritten
+    // partitions) orphaned forever: the next invocation returns early
+    // on drifted.isEmpty, and the drift-path delete below only runs
+    // once NEW drift appears. Sweeping it here is safe at any crash
+    // point: after the .old_ restore above, every partition's live dir
+    // holds either the original rows (pre-swap — it simply stays
+    // drifted and recompacts on this pass) or the swapped-in rewrite,
+    // so tmp is never the only copy.
+    val tmp = new org.apache.hadoop.fs.Path(root, ".recluster_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     // drift detection: one listStatus per partition dir. PARALLEL on a
     // bounded pool — serial per-dir listing is invisible on local FS
     // (≤1.5 s at 2048 partitions, measured) but is THE pre-work
@@ -105,8 +116,6 @@ object PartitionCompaction {
         .toSeq.sorted
     } finally pool.shutdown()
     if (drifted.isEmpty) return Seq.empty
-    val tmp = new org.apache.hadoop.fs.Path(root, ".recluster_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
     // one job: (partition, slice) co-partitioned so a partition writes
     // exactly `target` sorted files
     val dirs = drifted

@@ -56,6 +56,57 @@ class IngestorEndToEndSpec extends graft.SparkSpec {
     assert(CertStore.sizeBytes(spark, store) > 0)
   }
 
+  test("runOnceParallel lands the same rows as the serial loop, resumes " +
+      "offsets, and replays idempotently through the dedupe merge") {
+    val logs = LogList.parse(logListJson, Instant.parse("2024-01-15T00:00:00Z"))
+    // unique cert per (log, index): no cross-entry dedup, so the two
+    // loop shapes must land IDENTICAL row sets, not merely
+    // dedupe-equivalent ones
+    def src() = new Ingestor.EntrySource {
+      def treeSize(log: LogList.CtLog): Long = 5L
+      def fetchEntries(log: LogList.CtLog, start: Long, end: Long): Seq[RawEntry] =
+        (start to end).map { i =>
+          val tag = (if (log.name == "Usable Log") 0L else 1L) * 1000L + i
+          RawEntry(log.name, i, Fixtures.leafB64(DemoFixture.uniqueDer(tag)))
+        }
+    }
+    val t0 = Timestamp.valueOf("2024-01-15 00:00:00")
+    def rowsOf(store: String): Seq[Seq[Any]] =
+      CertStore.read(spark, store).select(CertDomain.columns.map(
+        org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.map {
+          case s: Seq[_] => s.mkString("|"); case x => x
+        }).toSeq.sortBy(_.mkString(","))
+    val serialStore = Files.createTempDirectory("store-ser").toString
+    val serialOff = new Ingestor.FileOffsets(
+      Files.createTempDirectory("off-ser").toString)
+    val nSerial = Ingestor.runOnce(spark, logs, src(), serialStore,
+      serialOff, t0, batchSize = 2)
+    val parStore = Files.createTempDirectory("store-par").toString
+    val parOffDir = Files.createTempDirectory("off-par").toString
+    val parOff = new Ingestor.FileOffsets(parOffDir)
+    val nPar = Ingestor.runOnceParallel(spark, logs, src(), parStore,
+      parOff, t0, batchSize = 2, fetchThreads = 4,
+      maxBatchesPerLogPerRound = 2)
+    assert(nPar == nSerial, s"parallel appended $nPar vs serial $nSerial")
+    assert(rowsOf(parStore) == rowsOf(serialStore),
+      "the two loop shapes must land identical row sets")
+    // offsets advanced to tree size → second run is a bounded no-op (S8)
+    assert(Ingestor.runOnceParallel(spark, logs, src(), parStore, parOff,
+      t0, batchSize = 2) == 0L)
+    // at-least-once replay: rewind offsets, re-ingest, dedupe-merge —
+    // the FINAL (compacted) table equals the never-replayed one's
+    logs.foreach(lg => parOff.write(lg.name.replace(' ', '_'), 0L))
+    assert(Ingestor.runOnceParallel(spark, logs, src(), parStore, parOff,
+      t0, batchSize = 2) == nPar)
+    val parFinal = Files.createTempDirectory("store-par-final").toString
+    val serFinal = Files.createTempDirectory("store-ser-final").toString
+    CertStore.compact(spark, parStore, parFinal, dedupe = true)
+    CertStore.compact(spark, serialStore, serFinal, dedupe = true)
+    assert(rowsOf(parFinal) == rowsOf(serFinal),
+      "replay + dedupe merge must be idempotent")
+  }
+
   test("ingest evaluates the X.509 parse exactly once per entry") {
     val logs = LogList.parse(logListJson, Instant.parse("2024-01-15T00:00:00Z"))
     val store = Files.createTempDirectory("store-once").toString

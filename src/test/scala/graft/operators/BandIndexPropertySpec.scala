@@ -32,12 +32,13 @@ object BandIndexPropertySpec extends Properties("bandIndex") {
     dup <- Gen.option(Gen.choose(0, 7))
   } yield DocSpec(len, seed, dup)
 
-  private val caseGen: Gen[(List[DocSpec], List[DocSpec], Int, Int)] = for {
+  private val caseGen: Gen[(List[DocSpec], List[DocSpec], Int, Int, Int)] = for {
     corpus <- Gen.choose(6, 16).flatMap(n => Gen.listOfN(n, docGen))
     inc <- Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, docGen))
     nBuckets <- Gen.oneOf(1, 3, 16, 64, 257)
     splitAt <- Gen.choose(1, corpus.size)
-  } yield (corpus, inc, nBuckets, splitAt)
+    nParts <- Gen.oneOf(1, 7, 64)
+  } yield (corpus, inc, nBuckets, splitAt, nParts)
 
   private def textOf(d: DocSpec, all: IndexedSeq[String]): String =
     d.nearDupOf.filter(_ < all.size).map(i => all(i) + " tail note")
@@ -59,8 +60,8 @@ object BandIndexPropertySpec extends Properties("bandIndex") {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
 
   property("indexed == inline on random corpora, bucket counts and " +
-      "build/append splits") =
-    Prop.forAll(caseGen) { case (corpusSpec, incSpec, nBuckets, splitAt) =>
+      "build/append splits — and == the stored-corpus overload") =
+    Prop.forAll(caseGen) { case (corpusSpec, incSpec, nBuckets, splitAt, nParts) =>
       // base texts first so near-dups can reference them
       val baseTexts = corpusSpec.take(8).toIndexedSeq
         .map(d => textOf(d.copy(nearDupOf = None), Vector.empty))
@@ -74,23 +75,36 @@ object BandIndexPropertySpec extends Properties("bandIndex") {
       val inc = frame(incRows)
 
       val dir = Files.createTempDirectory("bandidx-prop").toString
+      val cdir = Files.createTempDirectory("cstore-prop").toString
       try {
         // cold build over a prefix, then append the rest — the indexed
-        // result must match the inline path over the FULL corpus
+        // result must match the inline path over the FULL corpus. The
+        // corpus TEXT store gets the same split so the stored-corpus
+        // overload exercises its append path too.
         Dedup.writeBandIndex(frame(corpusRows.take(splitAt)), dir,
           k = 3, nBuckets = nBuckets)
-        if (splitAt < corpusRows.size)
+        CorpusStore.write(frame(corpusRows.take(splitAt)), cdir,
+          nParts = nParts)
+        if (splitAt < corpusRows.size) {
           Dedup.appendBandIndex(frame(corpusRows.drop(splitAt)), dir)
+          CorpusStore.append(frame(corpusRows.drop(splitAt)), cdir)
+        }
 
         val indexed = pairsOf(Dedup.incrementalNearDupsIndexed(
           inc, dir, corpus, threshold = 0.5))
+        val stored = pairsOf(Dedup.incrementalNearDupsIndexed(
+          inc, dir, cdir, threshold = 0.5))
         val inline = pairsOf(Dedup.incrementalNearDups(
           inc, Dedup.bandIndex(corpus, k = 3), corpus,
           k = 3, threshold = 0.5))
-        if (indexed != inline)
+        if (indexed != inline || stored != inline)
           System.err.println(s"[bandidx-prop] nBuckets=$nBuckets " +
-            s"splitAt=$splitAt\n indexed=$indexed\n inline=$inline")
-        indexed == inline
-      } finally Dedup.rmdir(new java.io.File(dir))
+            s"splitAt=$splitAt nParts=$nParts\n indexed=$indexed\n " +
+            s"stored=$stored\n inline=$inline")
+        indexed == inline && stored == inline
+      } finally {
+        Dedup.rmdir(new java.io.File(dir))
+        Dedup.rmdir(new java.io.File(cdir))
+      }
     }
 }

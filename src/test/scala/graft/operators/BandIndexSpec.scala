@@ -150,6 +150,69 @@ class BandIndexSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(dir))
   }
 
+  test("compactBandIndex(refreshHotBands=true) re-derives the hot sidecar " +
+      "from the at-rest band rows, equal to a cold rebuild's at the same " +
+      "cutoff, and bumps meta — arming a previously-unguarded index") {
+    val dir = Files.createTempDirectory("bandidx-refresh").toString
+    val rebuilt = Files.createTempDirectory("bandidx-refresh-reb").toString
+    try {
+      // 10 boilerplate-identical docs at build (df=10 ≤ the auto cutoff
+      // of 16 → no band is hot), then 30 more appended (df=40 > 16):
+      // the corpus drifted hot while the snapshot guard stayed off
+      val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+      def docs(ids: Range) = ids.map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+      Dedup.writeBandIndex(docs(0 until 10), dir, k = 3, nBuckets = 8)
+      Dedup.appendBandIndex(docs(10 until 40), dir)
+      assert(Dedup.readBandIndexMeta(spark, dir).hotBandCutoff == -1L)
+      Dedup.compactBandIndex(spark, dir, refreshHotBands = true)
+      val m = Dedup.readBandIndexMeta(spark, dir)
+      assert(m.hotBandCutoff == Dedup.autoDfCutoffFor(40L),
+        s"meta must record the refreshed cutoff, got ${m.hotBandCutoff}")
+      // the refreshed sidecar == a cold rebuild's at the same cutoff
+      Dedup.writeBandIndex(docs(0 until 40), rebuilt, k = 3, nBuckets = 8,
+        hotBandCutoff = Some(Dedup.autoDfCutoffFor(40L)))
+      def hotSet(d: String): Set[(Int, Long)] =
+        spark.read.parquet(s"$d/hot_bands_${Dedup.BandIndexLayout}")
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(hotSet(dir).nonEmpty, "the drifted-hot bands must be captured")
+      assert(hotSet(dir) == hotSet(rebuilt),
+        s"refreshed=${hotSet(dir)} rebuilt=${hotSet(rebuilt)}")
+      // the armed guard actually guards: an increment carrying only the
+      // boilerplate generates no candidates (recall deviation by design)
+      val inc = Seq((1000L, boiler)).toDF("doc_id", "text")
+      assert(Dedup.incrementalNearDupsIndexed(inc, dir, docs(0 until 40),
+        threshold = 0.5).isEmpty)
+    } finally {
+      Dedup.rmdir(new java.io.File(dir))
+      Dedup.rmdir(new java.io.File(rebuilt))
+    }
+  }
+
+  test("fresh builds AND appends write (band_val, doc_id)-sorted bucket " +
+      "files — row-group min/max skipping needs no compaction first") {
+    val dir = Files.createTempDirectory("bandidx-sort").toString
+    try {
+      Dedup.writeBandIndex(corpusDocs, dir, k = 3, nBuckets = 4)
+      Dedup.appendBandIndex(incrementDocs, dir)
+      val bands = new java.io.File(dir, s"bands_${Dedup.BandIndexLayout}")
+      val files = bands.listFiles().filter(_.getName.startsWith("bvb="))
+        .flatMap(_.listFiles())
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      // nBuckets=4 → several buckets share a shuffle task, and the append
+      // adds a second file per touched bucket: every file must still be a
+      // sorted run on its own
+      assert(files.length > 4, s"fixture must span buckets+appends: ${files.length}")
+      for (f <- files) {
+        val rows = spark.read.parquet(f.getAbsolutePath)
+          .select(col("band_val"), col("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(rows == rows.sorted,
+          s"bucket file ${f.getParentFile.getName}/${f.getName} not " +
+            s"(band_val, doc_id)-sorted: $rows")
+      }
+    } finally Dedup.rmdir(new java.io.File(dir))
+  }
+
   test("torn append is detected (rows beyond meta) and a legacy unversioned " +
       "dump is refused with the rebuild message") {
     val dir = Files.createTempDirectory("bandidx-torn").toString

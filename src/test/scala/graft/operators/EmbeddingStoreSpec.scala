@@ -187,9 +187,9 @@ class EmbeddingStoreSpec extends SparkSpec {
     val before = cellFiles
     assert(before.values.exists(_ > 2), s"appends should fragment cells, got $before")
     val done = EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 2)
-    assert(done.nonEmpty, "fragmented cells must be reclustered")
+    assert(done.cells.nonEmpty, "fragmented cells must be reclustered")
     val after = cellFiles
-    assert(done.forall(c => after(s"${EmbeddingStore.partitionCol}=$c") == 1),
+    assert(done.cells.forall(c => after(s"${EmbeddingStore.partitionCol}=$c") == 1),
       s"reclustered cells must compact to one file: $after")
     assert(before.filter(_._2 <= 2).forall { case (c, n) => after(c) == n },
       "cells within bound must be untouched")
@@ -312,8 +312,13 @@ class EmbeddingStoreSpec extends SparkSpec {
     def files(p: Path): Int = fs.listStatus(p).count(f => f.isFile &&
       !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
     assert(files(hot) > 4, s"fixture must fragment idp=40 past the bound, got ${files(hot)}")
-    EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 4)
+    val res = EmbeddingStore.recluster(spark, dir, maxFilesPerCell = 4)
     assert(files(hot) == 1, s"sidecar partition must be compacted to one file, got ${files(hot)}")
+    // the sidecar maintenance is in the RETURN VALUE, not just stderr —
+    // callers gate on it programmatically (round-13 verdict nit #2)
+    assert(res.idParts.contains(40L),
+      s"recluster result must report the compacted sidecar partition, got ${res.idParts}")
+    assert(res.nonEmpty)
     // every appended id still resolves through the compacted sidecar,
     // identically to the store-scan shape
     for (id <- ids) {

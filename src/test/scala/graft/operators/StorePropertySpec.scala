@@ -119,7 +119,8 @@ object StorePropertySpec extends Properties("embeddingStore") {
               partFileCounts(s"$dir/${EmbeddingStore.idIndexDir}", "idp=")
                 .filter(_ > bound)
             ok = ok && over.isEmpty
-            s"recluster($mx,$t) drifted=${drifted.size} over=$over"
+            s"recluster($mx,$t) drifted=${drifted.cells.size}" +
+              s"+${drifted.idParts.size} over=$over"
         }
         val corpus = frame(corpusIds)
         val contentOk = storeRows(dir) ==

@@ -92,14 +92,20 @@ if src == "bench_full.json":
 fl = json.load(open("tools/bench_floor.json"))
 bad = []
 for name, floor in fl["floors_sec"].items():
+    # Partial re-run: score ONLY the lines being re-adjudicated. A
+    # group-mate that rode along in bench_partial.json (Bench gates by
+    # group, so e.g. components_incr_pairs rides with components_incr)
+    # already passed in-sweep — scoring it here would fail the ritual
+    # on retry noise for a line nobody tripped.
+    if src != "bench_full.json" and name not in required:
+        continue
     got = j["queries"].get(name)
     if got is None:
         # full sweep: every gated line must be present. Partial re-run:
-        # only the lines being re-adjudicated — a re-run that silently
-        # DROPPED one of them must fail, not pass vacuously.
-        if src == "bench_full.json" or name in required:
-            print(f"floor {name}: MISSING from {src} REGRESSION")
-            bad.append(name)
+        # a retry that silently DROPPED a required line must fail, not
+        # pass vacuously.
+        print(f"floor {name}: MISSING from {src} REGRESSION")
+        bad.append(name)
         continue
     lim = floor * fl["tolerance"]
     verdict = "OK" if got <= lim else "REGRESSION"
