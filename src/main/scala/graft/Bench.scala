@@ -463,14 +463,17 @@ object Bench {
     // min-of-two passes like any declared query.
     val bandsIncr =
       if (only.forall(o => o.contains("artifact") || o.contains("artifact_bands") ||
-          o.contains("artifact:bands_incr") || o.contains("artifact:bands_point"))) {
+          o.contains("artifact:bands_incr") || o.contains("artifact:bands_point") ||
+          o.contains("artifact:cstore_point"))) {
         val docs = graft.Tables.documents(spark, sfDir)
         val corpus = docs.filter(col("doc_id") % 10 =!= 0)
         val increment = docs.filter(col("doc_id") % 10 === 0)
         val point = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 80)
         val scratch = graft.queries.PipelineQueries.componentsArtifactPath(sfDir) +
           "_bandsbase"
+        val cstore = scratch + "_cstore"
         graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        graft.operators.Dedup.rmdir(new java.io.File(cstore))
         // hot-band guard armed at the auto cutoff — the production
         // configuration (a no-op sidecar on this corpus: no band's df
         // reaches 0.4% of docs; the shape it protects is measured by
@@ -478,6 +481,11 @@ object Bench {
         graft.operators.Dedup.writeBandIndex(corpus, scratch, k = 3,
           hotBandCutoff =
             Some(graft.operators.Dedup.autoDfCutoffFor(corpus.count())))
+        // the corpus TEXT store (round 14): the point lookup's verify
+        // fetch at rest — cstore_point gates the fully-stored serving
+        // shape (bands AND text pruned-dir reads), bands_point keeps
+        // gating the frame-fetch shape
+        graft.operators.CorpusStore.write(corpus, cstore)
         isolate()
         val lines = Seq(
           run("artifact:bands_incr", () =>
@@ -485,8 +493,12 @@ object Bench {
               increment, scratch, corpus, threshold = 0.5)),
           run("artifact:bands_point", () =>
             graft.operators.Dedup.incrementalNearDupsIndexed(
-              point, scratch, corpus, threshold = 0.5)))
+              point, scratch, corpus, threshold = 0.5)),
+          run("artifact:cstore_point", () =>
+            graft.operators.Dedup.incrementalNearDupsIndexed(
+              point, scratch, cstore, threshold = 0.5)))
         graft.operators.Dedup.rmdir(new java.io.File(scratch))
+        graft.operators.Dedup.rmdir(new java.io.File(cstore))
         isolate()
         lines
       } else Nil
