@@ -555,8 +555,15 @@ object Dedup {
   /** Broadcast-safety cap for the indexed path's increment-band collect:
     * band rows are 20 bytes (doc_id, band_idx, band_val), so 2M rows ≈
     * 40 MB on the driver — the same order as Spark's own broadcast-join
-    * economics and the shingle artifact's append cap. */
+    * economics and the shingle artifact's append cap. Overridable per
+    * session via `graft.dedup.incrementBandCollectMaxRows` (a scale
+    * knob: a fat driver raises it, and the spec drops it to force the
+    * distributed backfill fallback on small fixtures). */
   private val IncrementBandCollectMaxRows = 2L * 1000 * 1000
+
+  private def confCap(s: org.apache.spark.sql.SparkSession, key: String,
+      dflt: Long): Long =
+    s.conf.getOption(key).map(_.toLong).getOrElse(dflt)
 
   /** [[incrementalNearDups]] against the PERSISTED index, with the
     * at-rest pruning that makes the corpus-side cost track the touched
@@ -589,7 +596,9 @@ object Dedup {
     * driver — same economics as [[IncrementBandCollectMaxRows]]. Above
     * it the verify falls back to the distributed semi-join against the
     * store's full read (correct, corpus-scan-priced — the regime where
-    * the increment is a backfill, not a serving lookup). */
+    * the increment is a backfill, not a serving lookup). Overridable
+    * per session via `graft.dedup.candidatePairCollectMaxRows` (same
+    * knob/spec story as the band cap). */
   private val CandidatePairCollectMaxRows = 2L * 1000 * 1000
 
   /** [[incrementalNearDupsIndexed]] with the corpus AT REST too: the
@@ -621,8 +630,10 @@ object Dedup {
         s"vs ${cMeta.nDocs} / ${cMeta.docXor}) — append increments to " +
         "both stores in the same maintenance step")
     val candidates = bandCandidatePairs(incBands, corpusBands)
-    val head = candidates.head(CandidatePairCollectMaxRows.toInt + 1)
-    if (head.length > CandidatePairCollectMaxRows) {
+    val pairCap = confCap(s, "graft.dedup.candidatePairCollectMaxRows",
+      CandidatePairCollectMaxRows)
+    val head = candidates.head(pairCap.toInt + 1)
+    if (head.length > pairCap) {
       incrementalNearDupsFromBands(incBands, increment, corpusBands,
         CorpusStore.read(s, corpusDir), meta.k, threshold)
     } else {
@@ -662,9 +673,11 @@ object Dedup {
           .map(r => (r.getInt(0), r.getLong(1))).toSet
       else Set.empty
     val incBandsAll = bandIndex(increment, meta.k)
-    val head = incBandsAll.head(IncrementBandCollectMaxRows.toInt + 1)
+    val bandCap = confCap(s, "graft.dedup.incrementBandCollectMaxRows",
+      IncrementBandCollectMaxRows)
+    val head = incBandsAll.head(bandCap.toInt + 1)
     val (incBands, touched) =
-      if (head.length > IncrementBandCollectMaxRows) {
+      if (head.length > bandCap) {
         // backfill-scale increment: fall back to the distributed shapes
         // (no collect, no pruning — a corpus-scale increment's band set
         // saturates every bucket anyway); the hot guard rides as a

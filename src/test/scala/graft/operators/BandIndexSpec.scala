@@ -213,6 +213,40 @@ class BandIndexSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(dir))
   }
 
+  test("backfill fallbacks forced via the session-conf caps: the " +
+      "distributed band-collect and candidate-collect shapes stay " +
+      "row-identical to the inline path") {
+    val dir = Files.createTempDirectory("bandidx-caps").toString
+    val cdir = Files.createTempDirectory("bandidx-caps-c").toString
+    try {
+      Dedup.writeBandIndex(corpusDocs, dir, k = 3, nBuckets = 16)
+      CorpusStore.write(corpusDocs, cdir, nParts = 8)
+      val inline = collectPairs(Dedup.incrementalNearDups(
+        incrementDocs, Dedup.bandIndex(corpusDocs, k = 3), corpusDocs,
+        k = 3, threshold = 0.5))
+      // cap = 1: every fixture lookup overflows, so the indexed path
+      // takes the distributed incBands + saturated root read, and the
+      // stored path's verify falls back to the store's full read —
+      // the backfill regime, on a fixture small enough to assert on
+      spark.conf.set("graft.dedup.incrementBandCollectMaxRows", "1")
+      spark.conf.set("graft.dedup.candidatePairCollectMaxRows", "1")
+      try {
+        val indexed = collectPairs(Dedup.incrementalNearDupsIndexed(
+          incrementDocs, dir, corpusDocs, threshold = 0.5))
+        val stored = collectPairs(Dedup.incrementalNearDupsIndexed(
+          incrementDocs, dir, cdir, threshold = 0.5))
+        assert(indexed == inline, s"band-cap fallback:\n$indexed\n$inline")
+        assert(stored == inline, s"pair-cap fallback:\n$stored\n$inline")
+      } finally {
+        spark.conf.unset("graft.dedup.incrementBandCollectMaxRows")
+        spark.conf.unset("graft.dedup.candidatePairCollectMaxRows")
+      }
+    } finally {
+      Dedup.rmdir(new java.io.File(dir))
+      Dedup.rmdir(new java.io.File(cdir))
+    }
+  }
+
   test("torn append is detected (rows beyond meta) and a legacy unversioned " +
       "dump is refused with the rebuild message") {
     val dir = Files.createTempDirectory("bandidx-torn").toString
@@ -283,6 +317,16 @@ class BandIndexSpec extends SparkSpec {
         inc, guarded, corpus.unionByName(
           Seq((200L, tail(900))).toDF("doc_id", "text")), threshold = 0.5))
       assert(after == got, s"$after vs $got")
+      // the guard must compose with the backfill FALLBACK too: cap
+      // forced to 1 → distributed increment bands, sidecar applied as
+      // a broadcast anti-join instead of the driver-side filter
+      spark.conf.set("graft.dedup.incrementBandCollectMaxRows", "1")
+      try {
+        val fb = collectPairs(Dedup.incrementalNearDupsIndexed(
+          inc, guarded, corpus.unionByName(
+            Seq((200L, tail(900))).toDF("doc_id", "text")), threshold = 0.5))
+        assert(fb == got, s"guarded fallback diverged: $fb vs $got")
+      } finally spark.conf.unset("graft.dedup.incrementBandCollectMaxRows")
     } finally {
       Dedup.rmdir(new java.io.File(guarded))
       Dedup.rmdir(new java.io.File(unguarded))
