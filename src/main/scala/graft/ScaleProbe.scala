@@ -196,6 +196,63 @@ object ScaleProbe {
     // stderr; SCALE.md carries the table. Serial capped at ×10: its
     // per-batch job overhead IS the measured bottleneck, and ×100
     // would demonstrate it for many minutes.
+    // the corpus text store's WRITE and MAINTENANCE sides at ×n: 5
+    // fixed 500-doc appends into a PRIVATE copy of the ×n store (cost =
+    // touched-idp increment writes + the footer-only torn-append
+    // validation over the ×n store — TEXT parquet footers are the
+    // corpus-size term this curve attributes, heavier per row-group
+    // than the band index's 20-byte rows), then an 8-id point FETCH
+    // against the fragmented store (does tiny-file drift hurt the
+    // direct read before compaction?), then the drift-bounded compact.
+    P("cstore_append", 100, (s, d, n) => {
+      val nb = math.min(4096, 64 * n)
+      val scratch = cstoreScratchOf(s, d, nb)
+      val seq = cstoreSeq.incrementAndGet()
+      var t0 = System.nanoTime()
+      def phase(name: String): Unit = {
+        System.err.println(
+          f"[cstore probe] $name%-9s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
+      // increment read from the ×n corpus ONCE and pinned local (the
+      // recluster probe's discipline): 5 corpus re-reads would charge
+      // input prep to a curve that prices the STORE's append
+      val baseInc = s.createDataFrame(
+        java.util.Arrays.asList(
+          Tables.documents(s, d).filter(col("doc_id") < 500)
+            .select(col("doc_id"), col("text")).collect(): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      phase("inc_read")
+      for (b <- 0 until 5) {
+        val inc = baseInc.withColumn("doc_id",
+          col("doc_id") + 600000000L + seq * 100000L + b * 10000L)
+        operators.CorpusStore.append(inc, scratch)
+      }
+      phase("appends")
+      val fetched = operators.CorpusStore.fetchDocs(s, scratch,
+        (1L to 8L).toSeq).count()
+      phase("fetch")
+      val parts = operators.CorpusStore.compact(s, scratch)
+      phase("compact")
+      s.range(1).select(lit(fetched).as("n_fetched"),
+        lit(parts.size).as("n_compacted_parts"))
+    }),
+    // compactBandIndex(refreshHotBands = true) at ×n (round-14: the
+    // cheap guard refresh) — the scratch is a fresh-build copy (no
+    // drift), so both passes time the PURE refresh: one aggregate over
+    // the ×n index's 20-byte band rows + the bounded sidecar rewrite.
+    // This is the number that justifies refreshing the guard on a
+    // drifted corpus instead of re-minhashing the corpus text.
+    P("band_index_refresh", 100, (s, d, n) => {
+      val scratch = bandRefreshScratchOf(s, d)
+      operators.Dedup.compactBandIndex(s, scratch, refreshHotBands = true)
+      val m = operators.Dedup.readBandIndexMeta(s, scratch)
+      s.range(1).select(lit(m.hotBandCutoff).as("hot_band_cutoff"))
+    }),
     P("ct_ingest_serial", 10, (s, d, n) => ingestProbe(s, n, parallel = false)),
     P("ct_ingest_batched", 100, (s, d, n) => ingestProbe(s, n, parallel = true)),
     // CertStore.compactDrifted under the CT drift geometry (round-13
@@ -628,6 +685,40 @@ object ScaleProbe {
       ()
     }
     dir
+  }
+
+  /** A PRIVATE copy of the ×n corpus store for the append/compact
+    * probe — the shared store must stay immutable (the stored-lookup
+    * probe reads it); same copy-once-per-JVM contract as the band
+    * index's scratches. */
+  private val cstoreSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cstoreScratchReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cstoreScratchOf(s: SparkSession, d: String, nParts: Int): String = {
+    val src = corpusStoreOf(s, d, nParts)
+    val out = new java.io.File(storesDirFor(d),
+      "corpus_store_append_scratch").getAbsolutePath
+    if (cstoreScratchReady.add(out)) {
+      operators.Dedup.rmdir(new java.io.File(out))
+      copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
+    }
+    out
+  }
+
+  /** A PRIVATE copy of the ×n band index for the hot-sidecar REFRESH
+    * probe (the refresh rewrites sidecar + meta — the shared index must
+    * stay immutable). */
+  private val bandRefreshScratchReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def bandRefreshScratchOf(s: SparkSession, d: String): String = {
+    val src = sharedBandIndexOf(s, d)
+    val out = new java.io.File(storesDirFor(d),
+      "band_index_refresh_scratch").getAbsolutePath
+    if (bandRefreshScratchReady.add(out)) {
+      operators.Dedup.rmdir(new java.io.File(out))
+      copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
+    }
+    out
   }
 
   /** Ingest-throughput probe body (round-13 verdict ask #4 /

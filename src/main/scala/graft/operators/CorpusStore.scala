@@ -37,8 +37,13 @@ import org.apache.spark.sql.functions._
 object CorpusStore {
 
   /** Layout version IN THE PATH (dir names), so a layout bump can never
-    * half-reuse stale dirs — same rule as [[Dedup.BandIndexLayout]]. */
-  private[graft] val Layout = "cst1"
+    * half-reuse stale dirs — same rule as [[Dedup.BandIndexLayout]].
+    * `cst2` adds the listing manifest (file count + bytes,
+    * [[StoreManifest]]) so appends validate tears with one parallel
+    * listing instead of an O(store files) footer pass — the round-14
+    * probe measured the footer pass growing 8.8 → 42 → 92 s per
+    * 5-append batch across ×1/×10/×100 on this store's own appends. */
+  private[graft] val Layout = "cst2"
 
   /** Default id-partition count for NEW stores (local[32] economics; a
     * real 100 TB corpus raises it at write time — the count is a
@@ -46,7 +51,7 @@ object CorpusStore {
   private[graft] val DefaultParts = 64
 
   private[graft] case class CorpusStoreMeta(nParts: Int, nDocs: Long,
-      docXor: Long)
+      docXor: Long, nFiles: Long = 0L, nBytes: Long = 0L)
 
   private def rowsDirOf(dir: String): String = s"$dir/docs_$Layout"
   private def metaDirOf(dir: String): String = s"$dir/meta_$Layout"
@@ -68,9 +73,17 @@ object CorpusStore {
       m: CorpusStoreMeta): Unit = {
     s.range(1).select(lit(Layout).as("layout"),
         lit(m.nParts).as("n_parts"), lit(m.nDocs).as("n_docs"),
-        lit(m.docXor).as("doc_xor"), lit("xxhash64_v1").as("receipt_kind"))
+        lit(m.docXor).as("doc_xor"),
+        lit(m.nFiles).as("n_files"), lit(m.nBytes).as("n_bytes"),
+        lit("xxhash64_v1").as("receipt_kind"))
       .coalesce(1).write.mode("overwrite").parquet(metaDirOf(dir))
     ()
+  }
+
+  /** The row dirs' listing manifest (see [[StoreManifest]]). */
+  private def manifest(s: SparkSession, dir: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(rowsDirOf(dir))
+    StoreManifest.list(root.getFileSystem(s.sessionState.newHadoopConf()), root)
   }
 
   private[graft] def readMeta(s: SparkSession, dir: String): CorpusStoreMeta = {
@@ -82,7 +95,8 @@ object CorpusStore {
         "layout with the partition count and integrity tokens in meta)")
     val r = s.read.parquet(metaDirOf(dir)).head()
     CorpusStoreMeta(r.getAs[Int]("n_parts"), r.getAs[Long]("n_docs"),
-      r.getAs[Long]("doc_xor"))
+      r.getAs[Long]("doc_xor"), r.getAs[Long]("n_files"),
+      r.getAs[Long]("n_bytes"))
   }
 
   /** Parquet row count from row-group footers (aggregate pushdown — no
@@ -113,7 +127,9 @@ object CorpusStore {
     require(nRows == agg.getLong(0),
       s"corpus store write at $dir landed $nRows rows for ${agg.getLong(0)} " +
         "input docs — the write must be row-preserving; retry the build")
-    writeMeta(s, dir, CorpusStoreMeta(nParts, agg.getLong(0), agg.getLong(1)))
+    val (nf, nb) = manifest(s, dir)
+    writeMeta(s, dir,
+      CorpusStoreMeta(nParts, agg.getLong(0), agg.getLong(1), nf, nb))
   }
 
   /** Append an increment (disjoint doc_ids — same contract as
@@ -124,20 +140,27 @@ object CorpusStore {
   def append(increment: DataFrame, dir: String): Unit = {
     val s = increment.sparkSession
     val meta = readMeta(s, dir)
-    val have = footerCount(s, dir)
-    require(have == meta.nDocs,
-      s"torn append detected at $dir: store holds $have doc rows but meta " +
-        s"records ${meta.nDocs} — a prior append crashed between its row " +
-        "append and its meta rewrite; rebuild with CorpusStore.write " +
-        "before appending again")
+    // torn-append validation by LISTING MANIFEST (cst2): a tear leaves
+    // whole committed files beyond meta, so (file count, bytes) detects
+    // it for one parallel listing — the footer row-count pass was
+    // O(store files) per append (measured 7-9 s on a 9k-file store), a
+    // corpus-size tax on an increment-bounded operation
+    val (haveFiles, haveBytes) = manifest(s, dir)
+    require(haveFiles == meta.nFiles && haveBytes == meta.nBytes,
+      s"torn append detected at $dir: store holds $haveFiles files / " +
+        s"$haveBytes bytes but meta records ${meta.nFiles} / " +
+        s"${meta.nBytes} — a prior append or compaction crashed between " +
+        "its data write and its meta rewrite; rebuild with " +
+        "CorpusStore.write before appending again")
     val Array(agg) = increment.agg(count(lit(1)), Dedup.docReceipt).collect()
     increment.select(col("doc_id"), col("text"))
       .withColumn("idp", idPart(col("doc_id"), meta.nParts))
       .repartition(col("idp"))
       .sortWithinPartitions("idp", "doc_id")
       .write.mode("append").partitionBy("idp").parquet(rowsDirOf(dir))
+    val (nf, nb) = manifest(s, dir)
     writeMeta(s, dir, meta.copy(nDocs = meta.nDocs + agg.getLong(0),
-      docXor = meta.docXor ^ agg.getLong(1)))
+      docXor = meta.docXor ^ agg.getLong(1), nFiles = nf, nBytes = nb))
   }
 
   /** Full scan of the store as (doc_id, text) — the rebuild/backfill
@@ -188,20 +211,29 @@ object CorpusStore {
   def compact(spark: SparkSession, dir: String, maxFilesPerPart: Int = 4,
       filesPerPart: Int = 1): Seq[Long] = {
     val meta = readMeta(spark, dir)
-    val have = footerCount(spark, dir)
-    require(have == meta.nDocs,
-      s"torn append detected at $dir: store holds $have doc rows but meta " +
-        s"records ${meta.nDocs} — rebuild with CorpusStore.write before " +
+    // same cheap listing-manifest tear check as the append path — a
+    // whole-store footer pass here was the second corpus-size term the
+    // round-14 probe surfaced (the first was the append's)
+    val (haveFiles, haveBytes) = manifest(spark, dir)
+    require(haveFiles == meta.nFiles && haveBytes == meta.nBytes,
+      s"torn append detected at $dir: store holds $haveFiles files / " +
+        s"$haveBytes bytes but meta records ${meta.nFiles} / " +
+        s"${meta.nBytes} — rebuild with CorpusStore.write before " +
         "compacting (a compaction would bake the tear in)")
     val root = new org.apache.hadoop.fs.Path(rowsDirOf(dir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // row preservation is validated INSIDE the kernel, scoped to the
+    // drifted partitions and before the swap — cost ∝ drift
     val parts = PartitionCompaction.compactDrifted(spark, fs, root,
       "idp", Seq("doc_id"), xxhash64(col("doc_id")),
-      maxFilesPerPart, filesPerPart)
-    val after = footerCount(spark, dir)
-    require(after == meta.nDocs,
-      s"CorpusStore.compact: row count moved ${meta.nDocs} -> $after — " +
-        s"the rewrite must be row-preserving; store at $dir needs a rebuild")
+      maxFilesPerPart, filesPerPart, requireRowPreserving = true)
+    // the rewrite changed the file layout: re-record the manifest so
+    // the next append's validation sees the compacted state (a crash
+    // before this write IS the torn state the next append reports)
+    if (parts.nonEmpty) {
+      val (nf, nb) = manifest(spark, dir)
+      writeMeta(spark, dir, meta.copy(nFiles = nf, nBytes = nb))
+    }
     parts
   }
 

@@ -274,8 +274,13 @@ object Dedup {
     * ambiguity taught: every layout-sensitive property rides the
     * artifact, not the binary); `bidx2` adds the optional hot-band
     * sidecar + its cutoff in meta (the skew guard for
-    * boilerplate-dominated signatures). */
-  private[graft] val BandIndexLayout = "bidx2"
+    * boilerplate-dominated signatures); `bidx3` adds the listing
+    * manifest (file count + bytes, [[StoreManifest]]) so the APPEND
+    * path's torn-append validation is one parallel listing instead of
+    * an O(store files) footer pass — the round-14 corpus-store probe
+    * measured the footer pass at ~7-9 s per append on a 9k-file store,
+    * and a high-bucket-count band index carries the same file count. */
+  private[graft] val BandIndexLayout = "bidx3"
 
   /** Default bucket count for NEW band indexes (the same local[32]
     * economics as PipelineQueries.ShingleBuckets — at real 100 TB the
@@ -292,10 +297,13 @@ object Dedup {
     * ([[docReceipt]] folded over build + every append);
     * `hotBandCutoff` > 0 means the build wrote the hot-band sidecar at
     * that document-frequency cutoff and lookups must anti-join it
-    * (-1 = unguarded index, no sidecar). */
+    * (-1 = unguarded index, no sidecar); `nFiles`/`nBytes` are the
+    * listing manifest the append path validates against (bidx3 — see
+    * [[StoreManifest]]; `nBandRows` stays the ROW token the
+    * compaction's row-preserving invariant checks). */
   private[graft] case class BandIndexMeta(k: Int, nBuckets: Int,
       nDocs: Long, nBandRows: Long, docXor: Long,
-      hotBandCutoff: Long = -1L)
+      hotBandCutoff: Long = -1L, nFiles: Long = 0L, nBytes: Long = 0L)
 
   private def bandsDirOf(dir: String): String = s"$dir/bands_$BandIndexLayout"
   private def bandMetaDirOf(dir: String): String = s"$dir/meta_$BandIndexLayout"
@@ -323,6 +331,7 @@ object Dedup {
         lit(m.nDocs).as("n_docs"), lit(m.nBandRows).as("n_band_rows"),
         lit(m.docXor).as("doc_xor"),
         lit(m.hotBandCutoff).as("hot_band_cutoff"),
+        lit(m.nFiles).as("n_files"), lit(m.nBytes).as("n_bytes"),
         lit("xxhash64_v1").as("receipt_kind"))
       .coalesce(1).write.mode("overwrite").parquet(bandMetaDirOf(dir))
     ()
@@ -340,7 +349,15 @@ object Dedup {
     val r = s.read.parquet(bandMetaDirOf(dir)).head()
     BandIndexMeta(r.getAs[Int]("k"), r.getAs[Int]("n_buckets"),
       r.getAs[Long]("n_docs"), r.getAs[Long]("n_band_rows"),
-      r.getAs[Long]("doc_xor"), r.getAs[Long]("hot_band_cutoff"))
+      r.getAs[Long]("doc_xor"), r.getAs[Long]("hot_band_cutoff"),
+      r.getAs[Long]("n_files"), r.getAs[Long]("n_bytes"))
+  }
+
+  /** The band dirs' listing manifest (see [[StoreManifest]]). */
+  private def bandManifest(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(bandsDirOf(dir))
+    StoreManifest.list(root.getFileSystem(s.sessionState.newHadoopConf()), root)
   }
 
   /** Cold-build the persisted band index of `docs` at `dir` — written
@@ -405,9 +422,11 @@ object Dedup {
         .select(col("band_idx"), col("band_val"))
         .coalesce(1).write.mode("overwrite").parquet(hotBandsDirOf(dir))
     }
+    val (nf, nb) = bandManifest(s, dir)
     writeBandMeta(s, dir,
       BandIndexMeta(k, nBuckets, agg.getLong(0), nRows, agg.getLong(1),
-        hotBandCutoff = hotBandCutoff.getOrElse(-1L)))
+        hotBandCutoff = hotBandCutoff.getOrElse(-1L),
+        nFiles = nf, nBytes = nb))
   }
 
   /** Parquet row count from row-group footers (aggregate pushdown — no
@@ -442,11 +461,17 @@ object Dedup {
   def appendBandIndex(increment: DataFrame, dir: String): Unit = {
     val s = increment.sparkSession
     val meta = readBandIndexMeta(s, dir)
-    val have = bandRowsFooterCount(s, dir)
-    require(have == meta.nBandRows,
-      s"torn append detected at $dir: index holds $have band rows but " +
-        s"meta records ${meta.nBandRows} — a prior append crashed between " +
-        "its band append and its meta rewrite; rebuild with writeBandIndex " +
+    // torn-append validation by LISTING MANIFEST, not footer row count
+    // (bidx3): a tear leaves whole committed files beyond meta, so
+    // (file count, bytes) detects it for one parallel listing — the
+    // footer pass was O(store files) per append (round-14 probe: 7-9 s
+    // on a 9k-file store), a corpus-size tax on an increment-bounded op
+    val (haveFiles, haveBytes) = bandManifest(s, dir)
+    require(haveFiles == meta.nFiles && haveBytes == meta.nBytes,
+      s"torn append detected at $dir: index holds $haveFiles files / " +
+        s"$haveBytes bytes but meta records ${meta.nFiles} / " +
+        s"${meta.nBytes} — a prior append or compaction crashed between " +
+        "its data write and its meta rewrite; rebuild with writeBandIndex " +
         "before appending again")
     val Array(agg) = increment.agg(count(lit(1)), docReceipt).collect()
     val incBands = bandIndex(increment, meta.k)
@@ -462,9 +487,10 @@ object Dedup {
       .sortWithinPartitions("bvb", "band_val", "doc_id")
       .write.mode("append").partitionBy("bvb").parquet(bandsDirOf(dir))
     incBands.unpersist(false)
+    val (nf, nb) = bandManifest(s, dir)
     writeBandMeta(s, dir, meta.copy(nDocs = meta.nDocs + agg.getLong(0),
       nBandRows = meta.nBandRows + incRows,
-      docXor = meta.docXor ^ agg.getLong(1)))
+      docXor = meta.docXor ^ agg.getLong(1), nFiles = nf, nBytes = nb))
   }
 
   /** In-place bucket compaction for the persisted band index — the
@@ -491,20 +517,21 @@ object Dedup {
       maxFilesPerBucket: Int = 4, filesPerBucket: Int = 1,
       refreshHotBands: Boolean = false): Seq[Long] = {
     val meta = readBandIndexMeta(spark, dir)
-    val have = bandRowsFooterCount(spark, dir)
-    require(have == meta.nBandRows,
-      s"torn append detected at $dir: index holds $have band rows but " +
-        s"meta records ${meta.nBandRows} — rebuild with writeBandIndex " +
+    // same cheap listing-manifest tear check as the append path (the
+    // whole-index footer pass was a store-size term)
+    val (haveFiles, haveBytes) = bandManifest(spark, dir)
+    require(haveFiles == meta.nFiles && haveBytes == meta.nBytes,
+      s"torn append detected at $dir: index holds $haveFiles files / " +
+        s"$haveBytes bytes but meta records ${meta.nFiles} / " +
+        s"${meta.nBytes} — rebuild with writeBandIndex " +
         "before compacting (a compaction would bake the tear in)")
     val root = new org.apache.hadoop.fs.Path(bandsDirOf(dir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // row preservation is validated INSIDE the kernel, scoped to the
+    // drifted buckets and before the swap — cost ∝ drift
     val buckets = PartitionCompaction.compactDrifted(spark, fs, root,
       "bvb", Seq("band_val", "doc_id"), xxhash64(col("doc_id")),
-      maxFilesPerBucket, filesPerBucket)
-    val after = bandRowsFooterCount(spark, dir)
-    require(after == meta.nBandRows,
-      s"compactBandIndex: row count moved ${meta.nBandRows} -> $after — " +
-        s"the rewrite must be row-preserving; index at $dir needs a rebuild")
+      maxFilesPerBucket, filesPerBucket, requireRowPreserving = true)
     // HOT-SIDECAR REFRESH (round-13 verdict ask #3): the guard's cutoff
     // and sidecar are snapshot-fixed at build, so a corpus that doubles
     // via appends drifts the band-df distribution while the guard stays
@@ -530,7 +557,19 @@ object Dedup {
         .filter(col("df") > cutoff)
         .select(col("band_idx"), col("band_val"))
         .coalesce(1).write.mode("overwrite").parquet(hotBandsDirOf(dir))
-      writeBandMeta(spark, dir, meta.copy(hotBandCutoff = cutoff))
+    }
+    // the rewrite changed the file layout, so re-record the listing
+    // manifest (and the refreshed guard cutoff) — without this the next
+    // append's manifest validation would torn-flag a healthy compacted
+    // index. A crash between the swap and this meta write IS the torn
+    // state the next append reports, with rebuild as the recovery (the
+    // store's documented derived-data story).
+    if (buckets.nonEmpty || refreshHotBands) {
+      val (nf, nb) = bandManifest(spark, dir)
+      writeBandMeta(spark, dir, meta.copy(
+        hotBandCutoff =
+          if (refreshHotBands) autoDfCutoffFor(meta.nDocs) else meta.hotBandCutoff,
+        nFiles = nf, nBytes = nb))
     }
     buckets
   }

@@ -42,6 +42,16 @@ object PartitionCompaction {
     *                  rewrite (e.g. CertStore's within-month
     *                  ReplacingMergeTree dedupe); must preserve the
     *                  partition column
+    * @param requireRowPreserving when true, the kernel compares footer
+    *                  row counts of the drifted partitions against the
+    *                  rewrite BEFORE swapping — a rewrite that moved
+    *                  rows aborts with the originals intact. Scoped to
+    *                  the drifted dirs, so the validation (like the
+    *                  rewrite) costs drift, never store size — the
+    *                  round-14 probe measured whole-store footer checks
+    *                  at ~9 s per pass on a 9k-file store. Callers whose
+    *                  transform changes rows (CertStore's dedupe) leave
+    *                  it false.
     * @return the compacted partition values
     *
     * A partition dir containing SUBDIRECTORIES is never treated as
@@ -56,7 +66,8 @@ object PartitionCompaction {
       slice: Column,
       maxFiles: Int,
       target: Int,
-      transform: DataFrame => DataFrame = identity): Seq[Long] = {
+      transform: DataFrame => DataFrame = identity,
+      requireRowPreserving: Boolean = false): Seq[Long] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     require(target >= 1, s"target must be >= 1, got $target")
     // crash recovery from a prior interrupted swap: an `.old_` archive
@@ -124,6 +135,23 @@ object PartitionCompaction {
       .repartition(drifted.size * target, col(partCol), pmod(slice, lit(target)))
       .sortWithinPartitions(partCol, sortCols: _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+    if (requireRowPreserving) {
+      // drift-scoped footer counts (aggregate pushdown — row-group
+      // metadata only), original dirs vs the tmp rewrite, BEFORE any
+      // swap: a row-moving rewrite aborts with the originals intact
+      val key = "spark.sql.parquet.aggregatePushdown"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      val (origRows, newRows) =
+        try (spark.read.parquet(dirs: _*).count(),
+          spark.read.parquet(tmp.toString).count())
+        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      require(newRows == origRows,
+        s"compact: rewrite would move row count $origRows -> $newRows " +
+          s"across drifted $partCol partitions at $root — aborting before " +
+          "the swap (originals left in place; the store needs a rebuild " +
+          "only if this repeats)")
+    }
     drifted.foreach { v =>
       val dirName = s"$partCol=$v"
       val oldDir = new org.apache.hadoop.fs.Path(root, dirName)

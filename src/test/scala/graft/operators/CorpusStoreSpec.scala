@@ -171,8 +171,13 @@ class CorpusStoreSpec extends SparkSpec {
       assert(files("idp=1").size == 1)
       assert(files("idp=0").map(_.getName).toSet == untouchedBefore,
         "partitions within bound must be untouched")
-      // rows + receipt unchanged; fetch identical; sort restored
-      assert(CorpusStore.readMeta(spark, dir) == metaBefore)
+      // rows + receipt unchanged (the listing manifest legitimately
+      // changes — the rewrite moved bytes — and compact re-records it,
+      // so a post-compact append must validate cleanly)
+      val metaAfter = CorpusStore.readMeta(spark, dir)
+      assert((metaAfter.nParts, metaAfter.nDocs, metaAfter.docXor) ==
+        ((metaBefore.nParts, metaBefore.nDocs, metaBefore.docXor)))
+      CorpusStore.append(Seq((500L, tail(500))).toDF("doc_id", "text"), dir)
       CorpusStore.verifyReceipt(CorpusStore.read(spark, dir), dir)
       val got = CorpusStore.fetchDocs(spark, dir, Seq(1L, 5L, 201L, 213L))
         .collect().map(_.getLong(0)).toSeq.sorted
