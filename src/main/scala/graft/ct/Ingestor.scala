@@ -165,12 +165,19 @@ object Ingestor {
   def runLoop(spark: SparkSession, logs: Seq[LogList.CtLog], source: EntrySource,
       storePath: String, offsets: FileOffsets, ingestTs: () => Timestamp,
       rounds: Int, pollMs: Long = 5000L, backoffMs: Long = 5000L,
-      batchSize: Int = BatchSize): Long = {
+      batchSize: Int = BatchSize, parallel: Boolean = false): Long = {
     var total = 0L
     var i = 0
     while (i < rounds) {
       try {
-        val n = runOnce(spark, logs, source, storePath, offsets, ingestTs(), batchSize)
+        // `parallel` routes each drain through [[runOnceParallel]] —
+        // the measured 14× throughput shape; the serial default stays
+        // reference-faithful (one batch, one job, one append at a time)
+        val n =
+          if (parallel) runOnceParallel(spark, logs, source, storePath,
+            offsets, ingestTs(), batchSize)
+          else runOnce(spark, logs, source, storePath, offsets, ingestTs(),
+            batchSize)
         total += n
         if (n == 0 && i < rounds - 1) Thread.sleep(pollMs)
       } catch {

@@ -130,4 +130,18 @@ object Contamination {
       .select(col("i").as("test_id"), col("j").as("train_id"),
         col("inter"), col("jaccard"))
       .orderBy(col("test_id"), col("train_id"))
+
+  /** [[testSetOverlapIndexed]] with the train corpus at rest too: the
+    * verify fetch reads candidate train text from the
+    * [[CorpusStore]] at `trainCorpusDir` via pruned point reads
+    * instead of semi-joining a caller-held train frame — full
+    * decontamination serving with NO train-corpus-sized input at all
+    * (both stores receipt-locked; see the dedup overload). */
+  def testSetOverlapIndexed(test: DataFrame, trainIndexDir: String,
+      trainCorpusDir: String, threshold: Double): DataFrame =
+    Dedup.incrementalNearDupsIndexed(test, trainIndexDir, trainCorpusDir,
+      threshold)
+      .select(col("i").as("test_id"), col("j").as("train_id"),
+        col("inter"), col("jaccard"))
+      .orderBy(col("test_id"), col("train_id"))
 }

@@ -105,6 +105,15 @@ class IngestorEndToEndSpec extends graft.SparkSpec {
     CertStore.compact(spark, serialStore, serFinal, dedupe = true)
     assert(rowsOf(parFinal) == rowsOf(serFinal),
       "replay + dedupe merge must be idempotent")
+    // runLoop(parallel = true) drains through the batched shape and
+    // terminates on the frozen/caught-up logs like the serial loop
+    val loopStore = Files.createTempDirectory("store-loop").toString
+    val loopOff = new Ingestor.FileOffsets(
+      Files.createTempDirectory("off-loop").toString)
+    val nLoop = Ingestor.runLoop(spark, logs, src(), loopStore, loopOff,
+      () => t0, rounds = 2, pollMs = 1L, batchSize = 2, parallel = true)
+    assert(nLoop == nSerial, s"loop appended $nLoop vs $nSerial")
+    assert(rowsOf(loopStore) == rowsOf(serialStore))
   }
 
   test("ingest evaluates the X.509 parse exactly once per entry") {

@@ -988,8 +988,10 @@ class PipelineOpsSpec extends SparkSpec {
     val train = withSplit.filter(col("h") < 90).select(col("doc_id"), col("text"))
     val test = withSplit.filter(col("h") >= 95).select(col("doc_id"), col("text"))
     val dir = java.nio.file.Files.createTempDirectory("contam-bandidx").toString
+    val cdir = java.nio.file.Files.createTempDirectory("contam-cstore").toString
     try {
       Dedup.writeBandIndex(train, dir, k = 3)
+      CorpusStore.write(train, cdir, nParts = 8)
       val viaIndex = Contamination.testSetOverlapIndexed(
           test, dir, train, threshold = 0.5).collect()
         .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
@@ -998,7 +1000,17 @@ class PipelineOpsSpec extends SparkSpec {
         r.getAs[Long]("train_id"), r.getAs[Long]("inter"),
         r.getAs[Double]("jaccard"))).toSeq.sorted
       assert(viaIndex == inline, s"$viaIndex vs $inline")
-    } finally Dedup.rmdir(new java.io.File(dir))
+      // the fully-stored shape (train bands AND train text at rest):
+      // identical rows with no train-corpus-sized input held at all
+      val viaStores = Contamination.testSetOverlapIndexed(
+          test, dir, cdir, threshold = 0.5).collect()
+        .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"),
+          r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toSeq.sorted
+      assert(viaStores == inline, s"$viaStores vs $inline")
+    } finally {
+      Dedup.rmdir(new java.io.File(dir))
+      Dedup.rmdir(new java.io.File(cdir))
+    }
   }
 
   test("spanDupStats: occurrence grain, cross-doc only, short docs absent") {
