@@ -149,6 +149,22 @@ class CorpusStoreSpec extends SparkSpec {
     }
   }
 
+  test("an empty corpus round-trips: zero partition dirs, valid meta, " +
+      "appends and fetches work") {
+    val dir = Files.createTempDirectory("cstore-empty").toString
+    try {
+      CorpusStore.write(corpusDocs.limit(0), dir, nParts = 8)
+      val m = CorpusStore.readMeta(spark, dir)
+      assert(m.nDocs == 0L && m.nFiles == 0L, s"$m")
+      assert(CorpusStore.fetchDocs(spark, dir, Seq(1L)).collect().isEmpty)
+      assert(CorpusStore.read(spark, dir).collect().isEmpty)
+      // the store grows from empty via the normal append path
+      CorpusStore.append(corpusDocs.limit(2), dir)
+      assert(CorpusStore.fetchDocs(spark, dir, Seq(1L, 2L)).count() == 2L)
+      CorpusStore.verifyReceipt(corpusDocs.limit(2), dir)
+    } finally Dedup.rmdir(new java.io.File(dir))
+  }
+
   test("compact rewrites only fragmented partitions, row-preserving, " +
       "and restores the per-file doc_id sort") {
     val dir = Files.createTempDirectory("cstore-compact").toString
