@@ -579,12 +579,21 @@ object Bench {
     }
 
     // The driver captures only the last ~2000 chars of the run's output and
-    // parses the single JSON line out of it; a full-precision 80-query map
-    // overflows that window and the line is lost (observed rounds 1-3). So
-    // the printed line keeps every query at 2-decimal precision and, if it
-    // would still overflow, drops the naive counterfactuals first and then
-    // the alphabetically-last entries — full data is always in
-    // bench_full.json.
+    // parses the single JSON line out of it (verified against the r14
+    // capture: tail is exactly 2000 chars, with ~75 chars of sbt epilogue
+    // after the line); a full map overflows that window and the line is
+    // lost (observed rounds 1-3). Eviction PRIORITY (round-14 verdict ask
+    // #6 — the old rule dropped alphabetically-last entries, silently
+    // evicting slow declared queries while keeping 0.1 s ct_* lines):
+    //   survive longest ← floor-gated lines, then declared queries by
+    //   value DESCENDING (slowest = most informative kept first);
+    //   dropped first → naive counterfactuals, then everything else
+    //   fastest-and-most-spread-stable first.
+    // HONEST LIMIT: the full protected set (floor-gated + every declared
+    // ≥0.5 s entry) measures ~2.9k chars at sf0.1 — it cannot physically
+    // fit the 2000-char window, so some ≥0.5 s entries still evict; the
+    // rule guarantees they are the FASTEST ones and the eviction is
+    // logged loudly. bench_full.json always carries everything.
     def fmt(v: Double): String = {
       val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.endsWith(".00")) s.dropRight(1) else s // keep one decimal: 5.0
@@ -595,13 +604,39 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // drop priority: naive counterfactuals first, then from the end of the
-    // alphabetical list (stream_* and skew remedies go last-but-kept)
-    var kept = results.filterNot(r => naive(r._1)) ++ results.filter(r => naive(r._1))
+    // floor-gated names ride the floor file (one source of truth; an
+    // unreadable file degrades to value-ordering, never a crash)
+    val floorGated: Set[String] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("tools/bench_floor.json")), "UTF-8")
+      val obj = txt.substring(txt.indexOf("\"floors_sec\""))
+      "\"([^\"]+)\"\\s*:".r.findAllMatchIn(obj).map(_.group(1)).toSet - "floors_sec"
+    } catch { case _: Throwable => Set.empty[String] }
+    val declaredNames = names.toSet
+    val spreadOf = spreads.toMap
+    // kept order = eviction order reversed: drops come from the RIGHT
+    val kept0 = results.sortBy { case (k, v) =>
+      ( if (naive(k)) 3                                   // dropped first
+        else if (floorGated(k)) 0                         // survive longest
+        else if (declaredNames(k) && v >= 0.5) 1          // then slow declared
+        else 2,                                           // then the rest
+        -v,                                               // slower kept longer
+        -spreadOf.getOrElse(k, 0.0))                      // noisier kept longer
+    }
+    var kept = kept0
     var line = render(kept)
     while (line.length > budget && kept.nonEmpty) {
       kept = kept.dropRight(1)
       line = render(kept)
+    }
+    val evicted = kept0.drop(kept.length)
+    if (evicted.nonEmpty) {
+      val hurt = evicted.filter { case (k, v) =>
+        floorGated(k) || (declaredNames(k) && v >= 0.5) }
+      System.err.println(s"[bench] printed line evicted ${evicted.length} " +
+        s"entries for the driver's 2000-char window (full set in " +
+        s"bench_full.json); of those, ${hurt.length} were floor-gated or " +
+        s"≥0.5 s declared: ${hurt.map(_._1).mkString(", ")}")
     }
     println(line)
     spark.stop()

@@ -198,10 +198,11 @@ object ScaleProbe {
     // would demonstrate it for many minutes.
     // the corpus text store's WRITE and MAINTENANCE sides at ×n: 5
     // fixed 500-doc appends into a PRIVATE copy of the ×n store (cost =
-    // touched-idp increment writes + the footer-only torn-append
-    // validation over the ×n store — TEXT parquet footers are the
-    // corpus-size term this curve attributes, heavier per row-group
-    // than the band index's 20-byte rows), then an 8-id point FETCH
+    // touched-idp increment writes + the listing-manifest torn-append
+    // validation — one parallel listing since cst2; this curve is what
+    // measured the prior footer pass at 8.8 → 42 → 92 s per batch
+    // across ×1/×10/×100 and motivated the manifest), then an 8-id
+    // point FETCH
     // against the fragmented store (does tiny-file drift hurt the
     // direct read before compaction?), then the drift-bounded compact.
     P("cstore_append", 100, (s, d, n) => {
@@ -255,6 +256,16 @@ object ScaleProbe {
     }),
     P("ct_ingest_serial", 10, (s, d, n) => ingestProbe(s, n, parallel = false)),
     P("ct_ingest_batched", 100, (s, d, n) => ingestProbe(s, n, parallel = true)),
+    // the DSv2 source's ingest path at ×n (round-14 verdict ask #5):
+    // same synthetic geometry as the two loop probes, but entries ride
+    // readStream → partition-per-(log, range) EXECUTOR fetches →
+    // foreachBatch append, offsets in the checkpoint WAL — the
+    // documented deployment-scale route for fetch volumes that outgrow
+    // runOnceParallel's driver buffering. maxentriespertrigger = 4104
+    // (8 × 513) matches runOnceParallel's maxBatchesPerLogPerRound = 8,
+    // so both shapes land the same entries-per-log-per-round and the
+    // rows/s numbers compare like for like.
+    P("ct_ingest_dsv2", 100, (s, d, n) => ingestProbeDsv2(s, n)),
     // CertStore.compactDrifted under the CT drift geometry (round-13
     // verdict ask #6): ingest appends land on ONE hot month while
     // history is immutable — the opposite drift shape to the embedding
@@ -455,17 +466,20 @@ object ScaleProbe {
         broadcastIncrementShingles = true)),
     // the FULL serving append at ×n — everything an hourly append pays
     // beyond the pair computation the twins above isolate: torn-append
-    // validation (bounded index aggregates), the adaptive-pushdown pair
+    // validation (idx7: two parallel listing manifests — previously an
+    // O(index-files) footer pass + corpus-row-linear sizes SUM, the
+    // round-14 deferred term), the adaptive-pushdown pair
     // join, the star-edge component merge, the drift probe's
     // touched-shingle df accounting, the staged epoch write and the
     // pointer flip + GC. Appends CHAIN on a private copy of the ×n
     // artifact (pass1 = first append on a fresh copy; pass2 = the
     // steady-state append on the grown artifact — the operational
     // cadence), each with fresh disjoint ids so the incremental
-    // contract holds per pass. The curve to watch: the validation +
-    // drift terms scan the (growing) corpus index, so their share
-    // should grow ~linearly per decade while the pair/merge terms stay
-    // increment-bounded.
+    // contract holds per pass. The curve to watch: validation is now
+    // listing-bounded (O(dirs), not O(corpus)), so the whole append
+    // should hold ~flat per decade; only the drift probe's
+    // touched-shingle df accounting still reads (pruned) corpus-index
+    // rows.
     P("artifact_append_full", 100, (s, d, n) => {
       val scratch = appendScratchOf(s, d)
       val seq = appendSeq.incrementAndGet()
@@ -766,6 +780,62 @@ object ScaleProbe {
         f"${rows / dt}%.0f rows/s (${entries / dt}%.0f entries/s)")
     operators.Dedup.rmdir(new java.io.File(store))
     operators.Dedup.rmdir(new java.io.File(offDir))
+    s.range(1).select(lit(rows).as("rows_appended"))
+  }
+
+  /** DSv2-ingest probe body (round-14 verdict ask #5): the same
+    * ×n synthetic backlog as [[ingestProbe]], drained through the
+    * streaming source ([[graft.ct.source.CtMicroBatchSource]]) with
+    * `Trigger.AvailableNow` — fetches run INSIDE partition readers on
+    * executor threads (one InputPartition per (log, ≤513-entry range)),
+    * so nothing buffers on the driver; the per-round entry cap matches
+    * runOnceParallel's 8-batch bound for a like-for-like rows/s. The
+    * store, checkpoint and registry key are probe-private per pass. */
+  private def ingestProbeDsv2(s: SparkSession, n: Int): DataFrame = {
+    val nLogs = 4 * math.min(n, 4)
+    val perLog = 2052L * n
+    val source = new ct.Ingestor.EntrySource {
+      def treeSize(log: ct.LogList.CtLog): Long = perLog
+      def fetchEntries(log: ct.LogList.CtLog, start: Long,
+          endInclusive: Long): Seq[ct.RawEntry] = {
+        val li = log.url.stripPrefix("https://probe").stripSuffix(".example").toLong
+        (start to endInclusive).map { i =>
+          ct.RawEntry(log.name, i,
+            java.util.Base64.getEncoder.encodeToString(
+              ct.DemoFixture.makeLeaf(
+                ct.DemoFixture.uniqueDer(li * 100000000L + i))))
+        }
+      }
+    }
+    val seq = ingestSeq.incrementAndGet()
+    val key = s"probe-dsv2-$seq"
+    graft.ct.source.CtMicroBatchSource.register(key, source)
+    val logsJson = (0 until nLogs).map(i =>
+        s"""{"description":"probe log $i","url":"https://probe$i.example/","state":{"usable":{}}}""")
+      .mkString("""{"operators":[{"logs":[""", ",", "]}]}")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val store = new java.io.File(tmp, s"graft_ingest_dsv2_$seq").getAbsolutePath
+    val ckpt = new java.io.File(tmp, s"graft_ingest_dsv2_ck_$seq").getAbsolutePath
+    val opts = Map(
+      "loglist" -> logsJson,
+      "now" -> "2024-01-15T00:00:00Z",
+      "sourcekey" -> key,
+      "batchsize" -> "512",
+      "maxentriespertrigger" -> "4104")
+    val ts = () => java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val t0 = System.nanoTime()
+    val q = ct.StreamIngest.start(s, opts, store, ckpt, ts,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val rows = ct.CertStore.read(s, store).count()
+    val entries = nLogs * perLog
+    System.err.println(
+      f"[ingest probe] dsv2    x$n: $entries entries -> $rows rows in " +
+        f"$dt%.1f s = ${rows / dt}%.0f rows/s (${entries / dt}%.0f entries/s, " +
+        f"${q.recentProgress.length} micro-batches in recentProgress)")
+    operators.Dedup.rmdir(new java.io.File(store))
+    operators.Dedup.rmdir(new java.io.File(ckpt))
     s.range(1).select(lit(rows).as("rows_appended"))
   }
 

@@ -26,7 +26,18 @@ object Ingestor {
     * (`end = min(idx + BATCH_SIZE, size - 1)`); kept for bug-parity. */
   val BatchSize = 512
 
-  /** S3 + S4: tree size high-watermark and contiguous entry fetch. */
+  /** S3 + S4: tree size high-watermark and contiguous entry fetch.
+    *
+    * THREAD SAFETY IS PART OF THE CONTRACT (ADVICE r14):
+    * [[runOnceParallel]] calls both methods concurrently from a bounded
+    * pool, one thread per log — an implementation with shared mutable
+    * state (a single connection, a reused buffer) must synchronize or
+    * use per-thread resources, or concurrent fetches corrupt silently.
+    * Fixture sources built on immutable maps are safe by construction.
+    *
+    * `fetchEntries` MAY return fewer entries than the requested range
+    * (RFC 6962 §4.6 allows servers to truncate); see the two run loops
+    * for how each handles short returns. */
   trait EntrySource {
     def treeSize(log: LogList.CtLog): Long
     def fetchEntries(log: LogList.CtLog, start: Long, endInclusive: Long): Seq[RawEntry]
@@ -46,7 +57,13 @@ object Ingestor {
   /** Ingest every admitted log up to its current tree size (frozen-log
     * boundedness S8: a frozen log is done once the offset reaches the
     * size; usable logs are re-polled by the caller on its trigger cadence).
-    * Returns rows appended. `ingestTs` parameterizes the wall clock. */
+    * Returns rows appended. `ingestTs` parameterizes the wall clock.
+    *
+    * BUG-PARITY NOTE: like the reference (ct_ingestor.py:223 — `idx =
+    * end + 1` unconditionally), a SHORT get-entries return (RFC 6962
+    * lets servers truncate) skips the unreturned tail of the range.
+    * [[runOnceParallel]] — our own shape, no parity debt — advances by
+    * entries actually returned instead. */
   def runOnce(spark: SparkSession, logs: Seq[LogList.CtLog], source: EntrySource,
       storePath: String, offsets: FileOffsets, ingestTs: Timestamp,
       batchSize: Int = BatchSize): Long = {
@@ -128,10 +145,25 @@ object Ingestor {
               val size = source.treeSize(lg)
               val buf = scala.collection.mutable.ArrayBuffer.empty[RawEntry]
               var b = 0
-              while (idx < size && b < maxBatchesPerLogPerRound) {
+              var short = false
+              while (idx < size && b < maxBatchesPerLogPerRound && !short) {
                 val end = math.min(idx + batchSize, size - 1)
-                buf ++= source.fetchEntries(lg, idx, end)
-                idx = end + 1
+                val requested = end - idx + 1
+                val got = source.fetchEntries(lg, idx, end)
+                require(got.length <= requested,
+                  s"$name returned ${got.length} entries for range " +
+                    s"[$idx,$end] — more than requested; refusing to " +
+                    "guess offsets over a non-contiguous source")
+                buf ++= got
+                // advance by entries ACTUALLY returned (round-14 verdict
+                // ask #4): RFC 6962 lets a server truncate the range, and
+                // `idx = end + 1` on a short return would silently skip
+                // the unreturned tail forever (the reference's own bug,
+                // kept only in the serial bug-parity loop). A short (or
+                // empty) return ends this log's round; the next round
+                // re-fetches from the true high-watermark.
+                idx += got.length
+                short = got.length < requested
                 b += 1
               }
               (name, start, idx, buf.toSeq)

@@ -168,15 +168,31 @@ object CorpusStore {
   def read(s: SparkSession, dir: String): DataFrame =
     readRows(s, dir).select(col("doc_id"), col("text"))
 
+  /** Broadcast-safety cap on [[fetchDocs]]'s literal id predicate: an
+    * InSet with millions of literals is a driver memory/analysis-time
+    * cliff (ADVICE r14 — the stored verify path can hand this method
+    * up to candidatePairCollectMaxRows ≈ 2M distinct ids). At or below
+    * the cap the lookup keeps the point shape (InSet pushed to the
+    * scan, row-group skipping on the doc_id sort); above it the SAME
+    * pruned-dir read is semi-joined against a broadcast LocalRelation
+    * of the ids — still increment-bounded (never a full-store scan;
+    * 8-byte rows ≈ 16 MB broadcast at 2M ids), just without per-row
+    * predicate pushdown. Overridable per session via
+    * `graft.dedup.fetchDocsMaxIds` (same knob/spec pattern as the
+    * band/pair collect caps). */
+  private val FetchDocsMaxIds = 100L * 1000
+
   /** Point-fetch `ids` as (doc_id, text): the touched `idp=` directories
     * are derived driver-side from meta's partition count and opened
     * DIRECTLY — never the partitioned root, whose per-query partition
     * discovery grows with the partition count (the measured band-index
     * lesson: 10.6 s of pure listing at 4096 dirs). Inside a dir the
     * doc_id predicate is an InSet pushed to the scan, and the files'
-    * doc_id sort makes row-group min/max skip to the touched groups.
-    * Absent ids contribute no rows (the semi-join contract); an empty
-    * `ids` returns an empty frame without touching the FS. */
+    * doc_id sort makes row-group min/max skip to the touched groups —
+    * or, above [[FetchDocsMaxIds]], a broadcast semi-join over the same
+    * pruned dirs. Absent ids contribute no rows (the semi-join
+    * contract); an empty `ids` returns an empty frame without touching
+    * the FS. */
   def fetchDocs(s: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
     val meta = readMeta(s, dir)
     if (ids.isEmpty)
@@ -196,11 +212,20 @@ object CorpusStore {
       return readRows(s, dir).filter(lit(false))
         .select(col("doc_id"), col("text"))
     import org.apache.spark.sql.types._
-    s.read.schema(StructType(Seq(
+    val pruned = s.read.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .parquet(dirs: _*)
-      .filter(col("doc_id").isin(ids: _*))
-      .select(col("doc_id"), col("text"))
+    val cap = s.conf.getOption("graft.dedup.fetchDocsMaxIds")
+      .map(_.toLong).getOrElse(FetchDocsMaxIds)
+    val matched =
+      if (ids.length <= cap) pruned.filter(col("doc_id").isin(ids: _*))
+      else {
+        import s.implicits._
+        // LocalRelation of ids, size-known → guaranteed broadcast; the
+        // pruned dirs are scanned once and only matching rows survive
+        pruned.join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      }
+    matched.select(col("doc_id"), col("text"))
   }
 
   /** In-place compaction of partitions fragmented past `maxFilesPerPart`

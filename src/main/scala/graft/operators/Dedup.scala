@@ -602,7 +602,13 @@ object Dedup {
 
   private def confCap(s: org.apache.spark.sql.SparkSession, key: String,
       dflt: Long): Long =
-    s.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    // clamped to Int.MaxValue - 1: callers probe with head(cap.toInt + 1),
+    // so a fat-driver knob set at or above Int.MaxValue would otherwise
+    // overflow to a negative limit and die in analysis (ADVICE r14);
+    // clamped values just degrade to the documented distributed fallback
+    // at the 2^31-row mark — where a driver collect is absurd anyway
+    math.min(s.conf.getOption(key).map(_.toLong).getOrElse(dflt),
+      Int.MaxValue.toLong - 1)
 
   /** [[incrementalNearDups]] against the PERSISTED index, with the
     * at-rest pruning that makes the corpus-side cost track the touched

@@ -1,8 +1,9 @@
 package graft.operators
 
 /** The cheap at-rest integrity token shared by the append-validated
-  * stores (band index, corpus text store): data-file COUNT + total
-  * BYTES from one parallel listing of a store's partition dirs.
+  * stores (band index, corpus text store, and — since idx7 — the
+  * components artifact's shingle/sizes index dirs): data-file COUNT +
+  * total BYTES from one parallel listing of a store's partition dirs.
   *
   * Why a listing and not a row count: the torn-append failure mode both
   * stores guard against is a crash between a committed row append and

@@ -98,7 +98,7 @@ object PipelineQueries {
   private val IncrementBroadcastMaxShingleRows = 2L * 1000 * 1000
 
   /** The shingle index is PARTITIONED at rest by `shb = sh mod
-    * n_buckets` (layout `_idx6b64`, the 100 TB remedy SCALE.md round 9
+    * n_buckets` (layout `_idx7b64`, the 100 TB remedy SCALE.md round 9
     * named): a serving append touches a bounded shingle set, so every
     * corpus-index read on the append path filters to the touched
     * buckets FIRST — parquet PartitionFilters prune whole directories
@@ -179,7 +179,7 @@ object PipelineQueries {
     * `meta/`, the artifact persists the SNAPSHOT INDEX incremental
     * maintenance needs ([[appendComponentsArtifact]]): `shingles/` (the
     * full (doc_id, sh) index, bucketed at rest by `shb = sh mod
-    * nBuckets` — layout `_idx6b64`), `sizes/` (per-doc
+    * nBuckets` — layout `_idx7b64`), `sizes/` (per-doc
     * distinct-shingle counts) and `hot/` (the shingles the snapshot's
     * df cutoff cut from candidate generation — FIXED until the next
     * full rebuild, the compaction step). Raw text is shingled exactly
@@ -212,7 +212,7 @@ object PipelineQueries {
     phaseLog("receipt")
     // index FIRST: raw text is shingled exactly once; the pair build,
     // sizes and hot set all read the written 8-byte (doc_id, sh) grain.
-    // Bucketed by sh (layout _idx6b64) so the append path's corpus-index
+    // Bucketed by sh (layout _idx7b64) so the append path's corpus-index
     // reads prune partitions instead of scanning the full index; the
     // repartition co-locates each bucket into one task so the layout is
     // ~one file per bucket, not tasks×buckets shards — every append
@@ -266,11 +266,17 @@ object PipelineQueries {
       coalesce(min(when(col("df") > cutoff, col("df"))), lit(Long.MaxValue)))
       .collect()
     dfT.unpersist(false)
+    // listing manifests of the two append-only index dirs, from the
+    // WRITTEN data (idx7): the first append validates against what is
+    // actually on disk — one parallel listing, never a footer pass
+    val (shF, shB) = dirManifest(s, s"$out/shingles")
+    val (szF, szB) = dirManifest(s, s"$out/sizes")
     writeMeta(s, s"$out/meta", Meta(nPairs, cutoff,
       idxAgg.getLong(0), idxAgg.getLong(1), dfAgg.getLong(0),
       nDocsTotal = nDocsTotal, minHotDf = dfAgg.getLong(1),
       rebuildRecommended = false,
-      nBuckets = nBuckets, docIdXor = docIdXor))
+      nBuckets = nBuckets, docIdXor = docIdXor,
+      shFiles = shF, shBytes = shB, szFiles = szF, szBytes = szB))
     phaseLog("meta")
   }
 
@@ -296,12 +302,26 @@ object PipelineQueries {
     * and validating a raw-id xor against [[docReceipt]] would falsely
     * reject the TRUE corpus, permanently blocking the documented
     * migration path. Only `receipt_kind = "xxhash64_v1"` is trusted;
-    * anything else (absent field, "none") reads as pre-receipt. */
+    * anything else (absent field, "none") reads as pre-receipt.
+    * `shFiles`/`shBytes`/`szFiles`/`szBytes` are the listing manifests
+    * of the two append-only index dirs (`shingles/`, `sizes/` — see
+    * [[graft.operators.StoreManifest]], layout `idx7`): the append
+    * path's torn-append validation compares them against one parallel
+    * listing instead of the old O(index-files) footer row count plus
+    * the corpus-row-linear sizes SUM (the round-14 deferred term —
+    * SCALE.md measured the same shape at 92 s/append on the ×100
+    * corpus store before bidx3/cst2 removed it). -1 = legacy idx6-era
+    * meta with no manifest: the next append validates by the old
+    * footer pass once and mints the manifest. The ROW counts stay the
+    * build/compaction integrity tokens (row-preserving invariants);
+    * only the per-append validation moved to the listing. */
   private[graft] case class Meta(nPairs: Long, cutoff: Long,
       nDocsIndexed: Long, nShingleRows: Long, maxNonhotDf: Long,
       nDocsTotal: Long, minHotDf: Long,
       rebuildRecommended: Boolean,
-      nBuckets: Int, docIdXor: Long, hasReceipt: Boolean = true)
+      nBuckets: Int, docIdXor: Long, hasReceipt: Boolean = true,
+      shFiles: Long = -1L, shBytes: Long = -1L,
+      szFiles: Long = -1L, szBytes: Long = -1L)
 
   private def writeMeta(s: SparkSession, path: String, m: Meta): Unit = {
     s.range(1).select(lit(m.nPairs).as("n_pairs"), lit(m.cutoff).as("cutoff"),
@@ -317,9 +337,20 @@ object PipelineQueries {
         // artifact's appends must NOT mint a trusted kind for a xor
         // that never folded the full history (it stays "none" until
         // compaction rebuilds with a real receipt)
-        lit(if (m.hasReceipt) "xxhash64_v1" else "none").as("receipt_kind"))
+        lit(if (m.hasReceipt) "xxhash64_v1" else "none").as("receipt_kind"),
+        lit(m.shFiles).as("sh_files"), lit(m.shBytes).as("sh_bytes"),
+        lit(m.szFiles).as("sz_files"), lit(m.szBytes).as("sz_bytes"))
       .coalesce(1).write.mode("overwrite").parquet(path)
     ()
+  }
+
+  /** One index dir's listing manifest (see
+    * [[graft.operators.StoreManifest]] — parallel, bounded pool;
+    * underscore/dot entries invisible, matching Spark's own rules). */
+  private def dirManifest(s: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.operators.StoreManifest.list(
+      p.getFileSystem(s.sessionState.newHadoopConf()), p)
   }
 
   private[graft] def readMeta(s: SparkSession, dir: String): Meta = {
@@ -344,7 +375,14 @@ object PipelineQueries {
       r.getAs[Long]("min_hot_df"), r.getAs[Boolean]("rebuild_recommended"),
       if (fields.contains("n_buckets")) r.getAs[Int]("n_buckets") else -1,
       if (hasReceipt) r.getAs[Long]("doc_id_xor") else 0L,
-      hasReceipt = hasReceipt)
+      hasReceipt = hasReceipt,
+      // idx6-era metas lack the listing manifest: surface -1 so the
+      // append's validation takes the legacy footer pass once and
+      // mints it (in-place migration, no refusal needed)
+      shFiles = if (fields.contains("sh_files")) r.getAs[Long]("sh_files") else -1L,
+      shBytes = if (fields.contains("sh_bytes")) r.getAs[Long]("sh_bytes") else -1L,
+      szFiles = if (fields.contains("sz_files")) r.getAs[Long]("sz_files") else -1L,
+      szBytes = if (fields.contains("sz_bytes")) r.getAs[Long]("sz_bytes") else -1L)
   }
 
   /** Pointer-versioned clusters/meta — the artifact's MUTABLE grain.
@@ -486,33 +524,56 @@ object PipelineQueries {
         f"[components] append phase $name%-12s ${(now - tPhase) / 1e9}%6.2f s")
       tPhase = now
     }
-    // torn-append validation: the persisted index must match the meta
-    // accounting exactly — three bounded aggregates (count/sum over the
-    // per-doc sizes table, row count of the shingle index; the latter
-    // is footer-metadata work for parquet). Any mismatch means a prior
-    // append crashed between its index appends and its pointer flip:
+    // torn-append validation by LISTING MANIFEST (idx7): a tear leaves
+    // whole committed FILES beyond what meta records (the committer
+    // publishes files atomically per task, never partial rows), so
+    // (file count, byte sum) over the two append-only index dirs
+    // detects every tear the old footer row-count + sizes SUM did —
+    // for two parallel listings instead of a pass whose shingle-footer
+    // term was O(index files) and whose sizes SUM was corpus-row-linear
+    // per APPEND (the round-14 deferred term; the corpus store measured
+    // the same shape at 8.8 → 42 → 92 s across ×1/×10/×100 before
+    // bidx3/cst2 removed it). Any mismatch means a prior append crashed
+    // between its index appends and its meta/pointer publish:
     // re-running it would double-append the increment's index rows and
     // corrupt every later jaccard, so fail loudly instead.
     val sizesDf = s.read.parquet(s"$gen/sizes")
-    val Array(szAgg) = sizesDf
-      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
-    // the shingle-index row count comes from parquet row-group metadata
-    // (aggregate pushdown — no data pages read), the footer-level check
-    // the 100 TB story promises; scoped so the session conf is untouched
-    val shCount = {
-      val key = "spark.sql.parquet.aggregatePushdown"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try readShingleIndex(s, gen).count()
-      finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    if (meta.shFiles >= 0L) {
+      val (shHaveF, shHaveB) = dirManifest(s, s"$gen/shingles")
+      val (szHaveF, szHaveB) = dirManifest(s, s"$gen/sizes")
+      require(shHaveF == meta.shFiles && shHaveB == meta.shBytes &&
+          szHaveF == meta.szFiles && szHaveB == meta.szBytes,
+        s"torn append detected at $dir: shingle index holds $shHaveF " +
+          s"files / $shHaveB bytes and sizes holds $szHaveF files / " +
+          s"$szHaveB bytes but meta records ${meta.shFiles}/${meta.shBytes} " +
+          s"and ${meta.szFiles}/${meta.szBytes} — a prior append crashed " +
+          "between its index appends and its pointer flip; rebuild the " +
+          "artifact (cold build) before appending again")
+    } else {
+      // legacy idx6-era meta (no manifest recorded): validate by the
+      // old footer row-count + sizes aggregate ONCE — this append's
+      // staged meta mints the manifest, so every later append takes
+      // the listing path (in-place migration, loudly attributed)
+      System.err.println(s"[components] NOTE: $dir predates the listing " +
+        "manifest (idx6-era meta); validating this append by the legacy " +
+        "footer pass and minting the manifest for future appends")
+      val Array(szAgg) = sizesDf
+        .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+      val shCount = {
+        val key = "spark.sql.parquet.aggregatePushdown"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "true")
+        try readShingleIndex(s, gen).count()
+        finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+      }
+      require(szAgg.getLong(0) == meta.nDocsIndexed &&
+          szAgg.getLong(1) == meta.nShingleRows && shCount == meta.nShingleRows,
+        s"torn append detected at $dir: index holds ${szAgg.getLong(0)} docs / " +
+          s"${szAgg.getLong(1)} size rows / $shCount shingle rows but meta " +
+          s"records ${meta.nDocsIndexed} docs / ${meta.nShingleRows} rows — " +
+          "a prior append crashed between its index appends and its pointer " +
+          "flip; rebuild the artifact (cold build) before appending again")
     }
-    require(szAgg.getLong(0) == meta.nDocsIndexed &&
-        szAgg.getLong(1) == meta.nShingleRows && shCount == meta.nShingleRows,
-      s"torn append detected at $dir: index holds ${szAgg.getLong(0)} docs / " +
-        s"${szAgg.getLong(1)} size rows / $shCount shingle rows but meta " +
-        s"records ${meta.nDocsIndexed} docs / ${meta.nShingleRows} rows — " +
-        "a prior append crashed between its index appends and its pointer " +
-        "flip; rebuild the artifact (cold build) before appending again")
     phaseLog("validate")
     val hot = s.read.parquet(s"$gen/hot")
     // increment accounting FIRST: its raw doc count feeds the
@@ -620,9 +681,35 @@ object PipelineQueries {
     val drift = newMaxNonhot > meta.cutoff || grownCutoff >= meta.minHotDf ||
       maxBucketFiles + 1 > maxFilesPerBucket ||
       meta.rebuildRecommended
-    // stage the new epoch (invisible until the flip)
+    // stage the new epoch's clusters (invisible until the flip)
     val next = epoch + 1
     merged.write.mode("overwrite").parquet(epochDir(gen, "clusters", next))
+    phaseLog("stage-epoch")
+    newPairs.unpersist(false)
+    // index appends BEFORE the staged meta (idx7 reorder): the meta
+    // records the POST-append listing manifests, which exist only once
+    // the files are down. Crash-window semantics are unchanged — the
+    // live epoch's meta never accounts for in-flight appends, so a
+    // crash after either index append (or after the staged meta but
+    // before the flip) leaves the listing beyond the LIVE meta's
+    // manifest: the torn state the validation above catches loudly on
+    // the next append. The repartition co-locates each bucket into one
+    // task — without it the dynamic-partition write fans
+    // (tasks × buckets) tiny files per append (measured 4k files and
+    // +10 s on the ×100 probe's very next append, between the footer
+    // validation and the bucket scans)
+    incSh.withColumn("shb", shingleBucket(col("sh"), meta.nBuckets))
+      .repartition(col("shb"))
+      .write.mode("append").partitionBy("shb").parquet(s"$gen/shingles")
+    incSizes.write.mode("append").parquet(s"$gen/sizes")
+    incSh.unpersist(false)
+    phaseLog("index-append")
+    // post-append manifests (two parallel listings) into the staged
+    // meta, so the NEXT append validates against what this one left on
+    // disk; ROW counts stay incremental arithmetic (compaction's
+    // row-preserving invariant still reads them)
+    val (shNewF, shNewB) = dirManifest(s, s"$gen/shingles")
+    val (szNewF, szNewB) = dirManifest(s, s"$gen/sizes")
     writeMeta(s, epochDir(gen, "meta", next), Meta(
       nPairs = meta.nPairs + nNew, cutoff = meta.cutoff,
       nDocsIndexed = meta.nDocsIndexed + incAgg.getLong(0),
@@ -638,22 +725,10 @@ object PipelineQueries {
       // path that mints a real receipt (ADVICE r12)
       docIdXor =
         if (meta.hasReceipt) meta.docIdXor ^ incDocsAgg.getLong(1) else 0L,
-      hasReceipt = meta.hasReceipt))
-    phaseLog("stage-epoch")
-    newPairs.unpersist(false)
-    // index appends BEFORE the flip: the new epoch's meta accounts for
-    // them, so a crash after either append (or before the flip) is the
-    // torn state the validation above catches on the next append. The
-    // repartition co-locates each bucket into one task — without it the
-    // dynamic-partition write fans (tasks × buckets) tiny files per
-    // append (measured 4k files and +10 s on the ×100 probe's very next
-    // append, between the footer validation and the bucket scans)
-    incSh.withColumn("shb", shingleBucket(col("sh"), meta.nBuckets))
-      .repartition(col("shb"))
-      .write.mode("append").partitionBy("shb").parquet(s"$gen/shingles")
-    incSizes.write.mode("append").parquet(s"$gen/sizes")
-    incSh.unpersist(false)
-    phaseLog("index-append")
+      hasReceipt = meta.hasReceipt,
+      shFiles = shNewF, shBytes = shNewB,
+      szFiles = szNewF, szBytes = szNewB))
+    phaseLog("manifest+meta")
     // publish: ONE atomic replace of the pointer file
     publishPointer(gen, "CURRENT", next.toString)
     // GC epochs ≥ 2 behind the new pointer (an in-flight reader of the
@@ -881,7 +956,7 @@ object PipelineQueries {
   }
 
   /** Pure path of the artifact (no build): tmp/graft_components_<params>_<stamp>.
-    * `idx6b<N>` versions the layout (migration-on-rebuild: a version
+    * `idx7b<N>` versions the layout (migration-on-rebuild: a version
     * bump changes the path, so stale layouts are never half-reused) —
     * `idx1` lacked the integrity/drift meta, `idx2` lacked the
     * sh-bucketed shingle partitioning and the two-direction drift
@@ -892,14 +967,19 @@ object PipelineQueries {
     * idx5's is [[docReceipt]]'s per-row hash, and `idx5` lacked the
     * explicit `receipt_kind` that distinguishes the hashed receipt
     * from idx4's schema-identical raw-id one (ADVICE r12 — without
-    * it, idx5-era metas now read as pre-receipt). The `b<N>` suffix
+    * it, idx5-era metas now read as pre-receipt), and `idx6` lacked
+    * the index-dir listing manifests (sh_files/sh_bytes/sz_files/
+    * sz_bytes) whose absence made every append's torn-append
+    * validation an O(index-files) footer pass plus a corpus-row-linear
+    * sizes SUM (idx7 — the round-14 deferred term; idx6-era private
+    * artifacts migrate in place, see readMeta). The `b<N>` suffix
     * encodes [[ShingleBuckets]] itself (ADVICE r10): raising the
     * bucket count at larger scale re-paths — and therefore re-builds —
     * the shared artifact by construction, with no manual version bump
     * to forget. */
   private[graft] def componentsArtifactPath(d: String): String = {
     val params =
-      s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx6b$ShingleBuckets"
+      s"k${ComponentsK}t${(ComponentsThreshold * 100).round}autodf_idx7b$ShingleBuckets"
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_components_${params}_" +
         StreamingQueries.sourceStamp(s"$d/documents.parquet")).getAbsolutePath

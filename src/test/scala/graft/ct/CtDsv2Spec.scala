@@ -132,6 +132,51 @@ class CtDsv2Spec extends graft.SparkSpec {
     assert(CertStore.read(spark, store).count() == 12L)
   }
 
+  test("DSv2 ingest lands the same row set as the serial loop on a " +
+      "unique-cert backlog (the deployment-scale route's row identity, " +
+      "round-14 verdict ask #5)") {
+    val logs2 =
+      """{"operators":[{"logs":[
+        |{"description":"Log A","url":"https://a.example/","state":{"usable":{}}},
+        |{"description":"Log B","url":"https://b.example/","state":{"usable":{}}}
+        |]}]}""".stripMargin
+    // one DISTINCT cert per (log, index): no cross-entry dedup, so the
+    // two shapes must land IDENTICAL row sets
+    def entryAt(logName: String, i: Long): RawEntry = {
+      val tag = (if (logName == "Log A") 0L else 1L) * 1000L + i
+      RawEntry(logName, i, Fixtures.leafB64(DemoFixture.uniqueDer(tag)))
+    }
+    val src = new Ingestor.EntrySource {
+      def treeSize(log: LogList.CtLog): Long = 5L
+      def fetchEntries(log: LogList.CtLog, start: Long, end: Long): Seq[RawEntry] =
+        (start to end).map(entryAt(log.name, _))
+    }
+    CtMicroBatchSource.register("fix-rowid", src)
+    val t0 = Timestamp.valueOf("2024-01-15 00:00:00")
+    val dsStore = Files.createTempDirectory("dsv2-rowid-store").toString
+    val ckpt = Files.createTempDirectory("dsv2-rowid-ckpt").toString
+    val q = StreamIngest.start(spark,
+      Map("loglist" -> logs2, "now" -> "2024-01-15T00:00:00Z",
+        "sourcekey" -> "fix-rowid", "batchsize" -> "2"),
+      dsStore, ckpt, () => t0, Trigger.AvailableNow())
+    q.awaitTermination()
+    val serStore = Files.createTempDirectory("dsv2-rowid-ser").toString
+    val admitted = LogList.parse(logs2,
+      java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    Ingestor.runOnce(spark, admitted, src, serStore,
+      new Ingestor.FileOffsets(
+        Files.createTempDirectory("dsv2-rowid-off").toString), t0,
+      batchSize = 2)
+    def rowsOf(store: String): Seq[Seq[Any]] =
+      CertStore.read(spark, store).select(CertDomain.columns.map(
+        org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.map {
+          case s: Seq[_] => s.mkString("|"); case x => x
+        }).toSeq.sortBy(_.mkString(","))
+    assert(rowsOf(dsStore) == rowsOf(serStore),
+      "the DSv2 route must land the serial loop's exact row set")
+  }
+
   test("admission control governs the production ProcessingTime trigger too") {
     val store = Files.createTempDirectory("dsv2-pt-store").toString
     val ckpt = Files.createTempDirectory("dsv2-pt-ckpt").toString

@@ -116,6 +116,59 @@ class IngestorEndToEndSpec extends graft.SparkSpec {
     assert(rowsOf(loopStore) == rowsOf(serialStore))
   }
 
+  test("runOnceParallel advances offsets by entries ACTUALLY returned: a " +
+      "short get-entries return (RFC 6962 truncation) skips nothing — the " +
+      "next fetch resumes at the true high-watermark") {
+    val logs = LogList.parse(logListJson, Instant.parse("2024-01-15T00:00:00Z"))
+    val t0 = Timestamp.valueOf("2024-01-15 00:00:00")
+    def entryAt(log: LogList.CtLog, i: Long): RawEntry = {
+      val tag = (if (log.name == "Usable Log") 0L else 1L) * 1000L + i
+      RawEntry(log.name, i, Fixtures.leafB64(DemoFixture.uniqueDer(tag)))
+    }
+    // well-behaved source → the reference row set
+    def fullSrc() = new Ingestor.EntrySource {
+      def treeSize(log: LogList.CtLog): Long = 5L
+      def fetchEntries(log: LogList.CtLog, start: Long, end: Long): Seq[RawEntry] =
+        (start to end).map(entryAt(log, _))
+    }
+    // truncating source: EVERY fetch returns only the first entry of the
+    // requested range — the old `idx = end + 1` advance would skip the
+    // tail of every batch forever (2 of 5 entries per log surviving)
+    val shortFetches = new java.util.concurrent.atomic.AtomicLong(0L)
+    def shortSrc() = new Ingestor.EntrySource {
+      def treeSize(log: LogList.CtLog): Long = 5L
+      def fetchEntries(log: LogList.CtLog, start: Long, end: Long): Seq[RawEntry] = {
+        shortFetches.incrementAndGet()
+        Seq(entryAt(log, start))
+      }
+    }
+    def rowsOf(store: String): Seq[Seq[Any]] =
+      CertStore.read(spark, store).select(CertDomain.columns.map(
+        org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.map {
+          case s: Seq[_] => s.mkString("|"); case x => x
+        }).toSeq.sortBy(_.mkString(","))
+    val refStore = Files.createTempDirectory("store-ref").toString
+    val nRef = Ingestor.runOnceParallel(spark, logs, fullSrc(), refStore,
+      new Ingestor.FileOffsets(Files.createTempDirectory("off-ref").toString),
+      t0, batchSize = 2)
+    val store = Files.createTempDirectory("store-short").toString
+    val off = new Ingestor.FileOffsets(
+      Files.createTempDirectory("off-short").toString)
+    val n = Ingestor.runOnceParallel(spark, logs, shortSrc(), store, off,
+      t0, batchSize = 2)
+    assert(n == nRef, s"short returns lost rows: $n vs $nRef")
+    assert(rowsOf(store) == rowsOf(refStore),
+      "every truncated tail must be re-fetched, none skipped")
+    logs.foreach { lg =>
+      assert(off.read(lg.name.replace(' ', '_')) == 5L,
+        s"${lg.name} offset must reach tree size")
+    }
+    // and the drained state is a bounded no-op
+    assert(Ingestor.runOnceParallel(spark, logs, shortSrc(), store, off,
+      t0, batchSize = 2) == 0L)
+  }
+
   test("ingest evaluates the X.509 parse exactly once per entry") {
     val logs = LogList.parse(logListJson, Instant.parse("2024-01-15T00:00:00Z"))
     val store = Files.createTempDirectory("store-once").toString

@@ -252,6 +252,17 @@ class BandIndexSpec extends SparkSpec {
         spark.conf.unset("graft.dedup.incrementBandCollectMaxRows")
         spark.conf.unset("graft.dedup.candidatePairCollectMaxRows")
       }
+      // third knob (round-14 verdict ask #3): fetchDocsMaxIds = 0 forces
+      // the stored verify's candidate-text fetch onto the broadcast
+      // semi-join shape while the pair collect stays on the point path —
+      // still row-identical to inline
+      spark.conf.set("graft.dedup.fetchDocsMaxIds", "0")
+      try {
+        val storedJoin = collectPairs(Dedup.incrementalNearDupsIndexed(
+          incrementDocs, dir, cdir, threshold = 0.5))
+        assert(storedJoin == inline,
+          s"fetchDocs-cap fallback:\n$storedJoin\n$inline")
+      } finally spark.conf.unset("graft.dedup.fetchDocsMaxIds")
     } finally {
       Dedup.rmdir(new java.io.File(dir))
       Dedup.rmdir(new java.io.File(cdir))

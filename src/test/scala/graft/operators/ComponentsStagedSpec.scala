@@ -206,4 +206,60 @@ class ComponentsStagedSpec extends SparkSpec {
       assert(e.getMessage.contains("torn append"), e.getMessage)
     } finally Dedup.rmdir(new java.io.File(base))
   }
+
+  /** Spec-side manifest: data-file count + bytes under `dir`, one
+    * partition level deep, underscore/dot entries invisible — the same
+    * rule StoreManifest applies, derived independently so the meta's
+    * recorded manifest is checked against reality, not against the
+    * code that wrote it. */
+  private def listManifest(dir: String): (Long, Long) = {
+    def visible(f: java.io.File) =
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")
+    val top = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(visible)
+    val files = top.filter(_.isFile) ++
+      top.filter(_.isDirectory).flatMap(d =>
+        Option(d.listFiles()).toSeq.flatten.filter(f => f.isFile && visible(f)))
+    (files.length.toLong, files.map(_.length()).sum)
+  }
+
+  test("idx7 manifest: build and append record the index dirs' true " +
+      "(file count, bytes); an idx6-era meta (no manifest fields) migrates " +
+      "in place — one footer-validated append mints it") {
+    val base = buildBase()
+    try {
+      // build-time manifest matches an independent listing
+      val m0 = PipelineQueries.readMeta(spark, base)
+      assert((m0.shFiles, m0.shBytes) == listManifest(s"$base/shingles"), s"$m0")
+      assert((m0.szFiles, m0.szBytes) == listManifest(s"$base/sizes"), s"$m0")
+      // forge the idx6-era meta: same row, manifest fields dropped
+      val metaDir = PipelineQueries.metaDirOf(base)
+      val legacy = spark.read.parquet(metaDir)
+        .drop("sh_files", "sh_bytes", "sz_files", "sz_bytes")
+      val rows = legacy.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), legacy.schema)
+        .coalesce(1).write.mode("overwrite").parquet(metaDir)
+      assert(PipelineQueries.readMeta(spark, base).shFiles == -1L,
+        "an idx6-era meta must surface the no-manifest sentinel")
+      // first append validates by the legacy footer pass and mints the
+      // manifest; the second takes the listing path — both hash-equal
+      // to the incremental contract (clusters contain the new docs)
+      PipelineQueries.appendComponentsArtifact(spark, base,
+        Seq((201L, tail(29) + " extra2")).toDF("doc_id", "text"))
+      val m1 = PipelineQueries.readMeta(spark, base)
+      assert((m1.shFiles, m1.shBytes) == listManifest(s"$base/shingles"),
+        s"the migrating append must mint the true manifest: $m1")
+      assert((m1.szFiles, m1.szBytes) == listManifest(s"$base/sizes"), s"$m1")
+      PipelineQueries.appendComponentsArtifact(spark, base,
+        Seq((202L, tail(951))).toDF("doc_id", "text"))
+      val m2 = PipelineQueries.readMeta(spark, base)
+      assert((m2.shFiles, m2.shBytes) == listManifest(s"$base/shingles"), s"$m2")
+      assert(m2.shFiles > m1.shFiles,
+        s"each append adds index files the manifest must account for: $m1 -> $m2")
+      // 201 is a near-dup of 29/30, so both appends' pair work ran for
+      // real (202's unique tail correctly stays clusterless)
+      val ids = readClusters(base).map(_._1).toSet
+      assert(ids.contains(201L) && ids.contains(29L) && !ids.contains(202L))
+    } finally Dedup.rmdir(new java.io.File(base))
+  }
 }

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Pins the id-partitioned corpus TEXT store (round-13 verdict ask #1):
-  * the `cst1` layout — (doc_id, text) Hive-partitioned by pmod(doc_id,
-  * n_parts), doc_id-sorted files, partition count + torn-append token +
-  * [[Dedup.docReceipt]] in meta — and the contracts around it:
+  * the `cst2` layout — (doc_id, text) Hive-partitioned by pmod(doc_id,
+  * n_parts), doc_id-sorted files, partition count + the listing-manifest
+  * torn-append token ([[StoreManifest]]) + [[Dedup.docReceipt]] in
+  * meta — and the contracts around it:
   *
   *  - [[CorpusStore.fetchDocs]] point reads open ONLY the touched idp
   *    directories (inputFiles-pinned) and return exactly the asked docs;
@@ -68,6 +69,21 @@ class CorpusStoreSpec extends SparkSpec {
       }
       // empty ask: empty frame, correct schema, no FS work
       assert(CorpusStore.fetchDocs(spark, dir, Seq.empty).collect().isEmpty)
+      // over-cap id list (graft.dedup.fetchDocsMaxIds forced to 0):
+      // the lookup swaps the InSet literal for a broadcast semi-join —
+      // same pruned dirs (ADVICE r14's multi-million-literal cliff
+      // never reaches the driver), identical rows
+      spark.conf.set("graft.dedup.fetchDocsMaxIds", "0")
+      try {
+        val joined = CorpusStore.fetchDocs(spark, dir, Seq(3L, 11L, 999L))
+        val jRows = joined.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+        assert(jRows == rows, s"semi-join fallback diverged: $jRows vs $rows")
+        val jDirs = joined.inputFiles.map(f =>
+          f.split("/").find(_.startsWith("idp=")).getOrElse("?")).toSet
+        assert(jDirs == Set("idp=3", "idp=7"),
+          s"the over-cap shape must keep the dir pruning, opened $jDirs")
+      } finally spark.conf.unset("graft.dedup.fetchDocsMaxIds")
     } finally Dedup.rmdir(new java.io.File(dir))
   }
 
