@@ -404,28 +404,66 @@ object PipelineQueries {
     * full artifact (clusters/meta epochs + its own index dirs);
     * [[compactComponentsArtifact]] publishes a new one with the same
     * atomic-pointer discipline appends use for epochs. */
-  private[graft] def genDirOf(dir: String): String = {
-    val f = new java.io.File(dir, "GEN")
-    if (f.exists)
-      s"$dir/${new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim}"
-    else dir
+  // ---- artifact filesystem plumbing (round-15): the POINTER/GC/listing
+  // machinery speaks the Hadoop FS API, same as the data it publishes —
+  // a java.io.File implementation silently cannot see an hdfs:// or
+  // s3a:// artifact dir at all, while every parquet read/write around it
+  // rides Spark's FileSystem. Local paths resolve through the default
+  // file:// FS, so nothing changes on local[32]; scheme-ful dirs are
+  // spec-pinned (ComponentsStagedSpec's file:-scheme round trip).
+  // FileContext (not FileSystem) for the pointer ops: its
+  // rename(OVERWRITE) is the atomic-replace primitive on HDFS and POSIX,
+  // and its create path writes no checksum sidecars to leak into
+  // listings. On object stores without atomic rename (S3A = copy+delete)
+  // the swap degrades to a sub-second non-atomic window — acceptable
+  // under the store's single-writer maintenance contract (a reader
+  // glimpsing the old pointer re-resolves a still-intact epoch; grace
+  // GC keeps it), and a deployment wanting strict atomicity fronts the
+  // pointer with its own commit layer.
+  private def artifactHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fcFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileContext = {
+    val uri = p.toUri
+    if (uri.getScheme == null)
+      org.apache.hadoop.fs.FileContext.getFileContext(artifactHadoopConf())
+    else org.apache.hadoop.fs.FileContext.getFileContext(uri, artifactHadoopConf())
   }
 
-  private def genNumberOf(dir: String): Long = {
-    val f = new java.io.File(dir, "GEN")
-    if (f.exists)
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .trim.stripPrefix("gen-").toLong
-    else 0L
+  /** Contents of a one-line pointer file, or None if absent. */
+  private def readPointer(root: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, name)
+    val fc = fcFor(p)
+    if (!fc.util().exists(p)) None
+    else {
+      val in = fc.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        Some(new String(out.toByteArray, "UTF-8").trim)
+      } finally in.close()
+    }
   }
+
+  /** Recursive delete through the FS API (GC of epochs/generations). */
+  private def deleteDir(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fc = fcFor(p)
+    if (fc.util().exists(p)) { fc.delete(p, true); () }
+  }
+
+  private[graft] def genDirOf(dir: String): String =
+    readPointer(dir, "GEN").map(g => s"$dir/$g").getOrElse(dir)
+
+  private def genNumberOf(dir: String): Long =
+    readPointer(dir, "GEN").map(_.stripPrefix("gen-").toLong).getOrElse(0L)
 
   /** Epoch of a GENERATION root (no generation resolution — internal). */
-  private def rawEpoch(genRoot: String): Long = {
-    val f = new java.io.File(genRoot, "CURRENT")
-    if (f.exists)
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
-    else 0L
-  }
+  private def rawEpoch(genRoot: String): Long =
+    readPointer(genRoot, "CURRENT").map(_.toLong).getOrElse(0L)
 
   private[graft] def currentEpoch(dir: String): Long = rawEpoch(genDirOf(dir))
 
@@ -433,14 +471,19 @@ object PipelineQueries {
     if (epoch == 0L) s"$dir/$name" else s"$dir/${name}_v$epoch"
 
   /** ONE atomic replace of a pointer file — the only mutation a reader
-    * can ever race, for epochs (CURRENT) and generations (GEN) alike. */
+    * can ever race, for epochs (CURRENT) and generations (GEN) alike.
+    * FileContext.rename(OVERWRITE): atomic on HDFS/POSIX; see the
+    * plumbing note above for the object-store caveat. */
   private def publishPointer(root: String, name: String, value: String): Unit = {
-    val cur = new java.io.File(root, name)
-    val tmp = new java.io.File(root, s".${name}_tmp_${ProcessHandle.current().pid()}")
-    java.nio.file.Files.write(tmp.toPath, value.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, cur.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val cur = new org.apache.hadoop.fs.Path(root, name)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".${name}_tmp_${ProcessHandle.current().pid()}")
+    val fc = fcFor(cur)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
   }
 
@@ -670,12 +713,15 @@ object PipelineQueries {
     // the next maintain compacts, the re-derive restores one file per
     // bucket.
     val maxBucketFiles = {
-      val d = new java.io.File(s"$gen/shingles")
-      if (!d.isDirectory) 0
-      else d.listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("shb="))
-        .map(_.listFiles().count(f => f.isFile &&
-          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      val root = new org.apache.hadoop.fs.Path(s"$gen/shingles")
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shb="))
+        .map(d => fs.listStatus(d.getPath).count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        })
         .foldLeft(0)(math.max)
     }
     val drift = newMaxNonhot > meta.cutoff || grownCutoff >= meta.minHotDf ||
@@ -736,10 +782,7 @@ object PipelineQueries {
     // append's grace). Sweep all stale epochs so crash-skipped GCs are
     // recovered on the next append.
     Seq("clusters", "meta").foreach { name =>
-      (0L to next - 2).foreach { e =>
-        val f = new java.io.File(epochDir(gen, name, e))
-        if (f.exists) graft.operators.Dedup.rmdir(f)
-      }
+      (0L to next - 2).foreach(e => deleteDir(epochDir(gen, name, e)))
     }
     phaseLog("publish-gc")
   }
@@ -906,24 +949,27 @@ object PipelineQueries {
     // a crashed prior compaction may have left a partial gen dir —
     // never resolvable (the pointer still names the old generation),
     // so clearing it is invisible too
-    Dedup.rmdir(new java.io.File(nextDir))
+    deleteDir(nextDir)
     buildComponentsArtifactFrom(s, docs, nextDir, nb)
     publishPointer(dir, "GEN", s"gen-$next")
     // GC generations ≥ 2 behind, sweeping stale ones from crash-skipped
     // GCs. Generation 0 is the cold build's ROOT layout: its artifact
     // dirs (all epochs) live at the artifact root itself.
+    val rootP = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootP.getFileSystem(s.sessionState.newHadoopConf())
     (0L to next - 2).foreach { g =>
       if (g == 0L) {
-        Option(new java.io.File(dir).listFiles()).toSeq.flatten
-          .filter { f =>
-            val n = f.getName
+        fs.listStatus(rootP).map(_.getPath.getName)
+          .filter { n =>
             n == "shingles" || n == "sizes" || n == "hot" ||
               n == "clusters" || n.startsWith("clusters_v") ||
               n == "meta" || n.startsWith("meta_v")
-          }.foreach(Dedup.rmdir)
-        new java.io.File(dir, "CURRENT").delete()
-        ()
-      } else Dedup.rmdir(new java.io.File(s"$dir/gen-$g"))
+          }.foreach(n => deleteDir(s"$dir/$n"))
+        if (fs.exists(new org.apache.hadoop.fs.Path(dir, "CURRENT"))) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir, "CURRENT"), false)
+          ()
+        }
+      } else deleteDir(s"$dir/gen-$g")
     }
   }
 

@@ -207,6 +207,38 @@ class ComponentsStagedSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
+  test("the artifact lifecycle works through a scheme-qualified (file:) " +
+      "dir — pointers, GC and fragmentation listing ride the Hadoop FS " +
+      "API, not java.io.File (the hdfs://-readiness pin)") {
+    val local = Files.createTempDirectory("comp-scheme").toString
+    val base = s"file:$local"
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      assert(PipelineQueries.currentEpoch(base) == 0L)
+      // staged append: epoch pointer advances, clusters resolve, the
+      // torn-check manifest validates through the FS API
+      PipelineQueries.appendComponentsArtifact(spark, base,
+        Seq((301L, tail(29) + " extra3")).toDF("doc_id", "text"))
+      assert(PipelineQueries.currentEpoch(base) == 1L)
+      assert(readClusters(base).map(_._1).toSet.contains(301L))
+      // generation flip: compaction publishes gen-1 via the GEN pointer
+      // and GCs nothing yet (grace); a second append continues on gen-1
+      val docs1 = corpusDocs.unionByName(
+        Seq((301L, tail(29) + " extra3")).toDF("doc_id", "text"))
+      PipelineQueries.compactComponentsArtifact(spark, base, docs1)
+      assert(PipelineQueries.currentEpoch(base) == 0L,
+        "fresh generation restarts epochs")
+      PipelineQueries.appendComponentsArtifact(spark, base,
+        Seq((302L, tail(29) + " extra4")).toDF("doc_id", "text"))
+      assert(PipelineQueries.currentEpoch(base) == 1L)
+      val ids = readClusters(base).map(_._1).toSet
+      assert(ids.contains(301L) && ids.contains(302L), s"$ids")
+      // the scheme-qualified dir really was the one written
+      assert(new java.io.File(local, "GEN").exists(),
+        "GEN pointer must land under the local path the file: URI names")
+    } finally Dedup.rmdir(new java.io.File(local))
+  }
+
   /** Spec-side manifest: data-file count + bytes under `dir`, one
     * partition level deep, underscore/dot entries invisible — the same
     * rule StoreManifest applies, derived independently so the meta's
