@@ -52,13 +52,12 @@ object AggState {
 
   /** Live version directory of the state table rooted at `path`, or None
     * before the first committed fold. The `_CURRENT` pointer file names
-    * the committed snapshot (the EmbeddingStore.recluster pattern). */
-  def currentStateDir(path: String): Option[String] = {
-    val cur = new java.io.File(path, "_CURRENT")
-    if (!cur.exists) None
-    else Some(new java.io.File(path,
-      java.nio.file.Files.readString(cur.toPath).trim).getAbsolutePath)
-  }
+    * the committed snapshot (the EmbeddingStore.recluster pattern).
+    * Pointer resolution rides [[FsPointers]] (Hadoop FS API), so a
+    * state table rooted on the cluster FS — the production home of a
+    * foreachBatch sink's state — resolves exactly like a local one. */
+  def currentStateDir(path: String): Option[String] =
+    FsPointers.read(path, "_CURRENT").map(v => s"$path/$v")
 
   /** The committed state (throws before the first fold — callers gate on
     * having run at least one [[maintainParquet]]). */
@@ -91,37 +90,30 @@ object AggState {
     * provides (one query's micro-batches run serially). */
   def maintainParquet(spark: org.apache.spark.sql.SparkSession,
       path: String, increment: DataFrame, batchId: Long): Unit = {
-    val root = new java.io.File(path)
-    root.mkdirs()
-    val committed = {
-      val cur = new java.io.File(root, "_CURRENT")
-      if (cur.exists)
-        Some(java.nio.file.Files.readString(cur.toPath).trim)
-      else None
-    }
+    // everything below rides the Hadoop FS API ([[FsPointers]] + one
+    // FileSystem for the prune listing): a java.io.File formulation
+    // could not see a cluster-FS state root at all — readers would pin
+    // to "no committed state" while folds wrote local orphans
+    val committed = FsPointers.read(path, "_CURRENT")
     val committedId = committed.map(_.stripPrefix("b").toLong)
     if (committedId.exists(_ >= batchId)) return // replayed batch: already folded
     val delta = dailyState(increment)
     val merged = committed match {
-      case Some(dir) =>
-        merge(spark.read.parquet(new java.io.File(root, dir).getAbsolutePath), delta)
+      case Some(dir) => merge(spark.read.parquet(s"$path/$dir"), delta)
       case None => delta
     }
     val newDir = s"b$batchId"
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(new java.io.File(root, newDir).getAbsolutePath)
-    val tmp = new java.io.File(root, "_CURRENT.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, newDir)
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(root, "_CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      .parquet(s"$path/$newDir")
+    FsPointers.publish(path, "_CURRENT", newDir)
     // prune snapshots older than the immediately-previous one (kept for
     // readers that resolved _CURRENT just before the swap)
     val keep = Set(newDir) ++ committed
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-        !keep.contains(f.getName))
-      .foreach(Dedup.rmdir)
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(rootP)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b") &&
+        !keep.contains(st.getPath.getName))
+      .foreach(st => FsPointers.deleteDir(st.getPath.toString))
   }
 }

@@ -405,65 +405,27 @@ object PipelineQueries {
     * [[compactComponentsArtifact]] publishes a new one with the same
     * atomic-pointer discipline appends use for epochs. */
   // ---- artifact filesystem plumbing (round-15): the POINTER/GC/listing
-  // machinery speaks the Hadoop FS API, same as the data it publishes —
-  // a java.io.File implementation silently cannot see an hdfs:// or
+  // machinery speaks the Hadoop FS API via the shared
+  // [[graft.operators.FsPointers]], same as the data it publishes — a
+  // java.io.File implementation silently cannot see an hdfs:// or
   // s3a:// artifact dir at all, while every parquet read/write around it
   // rides Spark's FileSystem. Local paths resolve through the default
   // file:// FS, so nothing changes on local[32]; scheme-ful dirs are
   // spec-pinned (ComponentsStagedSpec's file:-scheme round trip).
-  // FileContext (not FileSystem) for the pointer ops: its
-  // rename(OVERWRITE) is the atomic-replace primitive on HDFS and POSIX,
-  // and its create path writes no checksum sidecars to leak into
-  // listings. On object stores without atomic rename (S3A = copy+delete)
-  // the swap degrades to a sub-second non-atomic window — acceptable
-  // under the store's single-writer maintenance contract (a reader
-  // glimpsing the old pointer re-resolves a still-intact epoch; grace
-  // GC keeps it), and a deployment wanting strict atomicity fronts the
-  // pointer with its own commit layer.
-  private def artifactHadoopConf(): org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-
-  private def fcFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileContext = {
-    val uri = p.toUri
-    if (uri.getScheme == null)
-      org.apache.hadoop.fs.FileContext.getFileContext(artifactHadoopConf())
-    else org.apache.hadoop.fs.FileContext.getFileContext(uri, artifactHadoopConf())
-  }
-
-  /** Contents of a one-line pointer file, or None if absent. */
-  private def readPointer(root: String, name: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(root, name)
-    val fc = fcFor(p)
-    if (!fc.util().exists(p)) None
-    else {
-      val in = fc.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        Some(new String(out.toByteArray, "UTF-8").trim)
-      } finally in.close()
-    }
-  }
-
-  /** Recursive delete through the FS API (GC of epochs/generations). */
-  private def deleteDir(path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fc = fcFor(p)
-    if (fc.util().exists(p)) { fc.delete(p, true); () }
-  }
+  // Atomicity/object-store caveats live on FsPointers.
+  private def deleteDir(path: String): Unit =
+    graft.operators.FsPointers.deleteDir(path)
 
   private[graft] def genDirOf(dir: String): String =
-    readPointer(dir, "GEN").map(g => s"$dir/$g").getOrElse(dir)
+    graft.operators.FsPointers.read(dir, "GEN").map(g => s"$dir/$g").getOrElse(dir)
 
   private def genNumberOf(dir: String): Long =
-    readPointer(dir, "GEN").map(_.stripPrefix("gen-").toLong).getOrElse(0L)
+    graft.operators.FsPointers.read(dir, "GEN")
+      .map(_.stripPrefix("gen-").toLong).getOrElse(0L)
 
   /** Epoch of a GENERATION root (no generation resolution — internal). */
   private def rawEpoch(genRoot: String): Long =
-    readPointer(genRoot, "CURRENT").map(_.toLong).getOrElse(0L)
+    graft.operators.FsPointers.read(genRoot, "CURRENT").map(_.toLong).getOrElse(0L)
 
   private[graft] def currentEpoch(dir: String): Long = rawEpoch(genDirOf(dir))
 
@@ -471,21 +433,9 @@ object PipelineQueries {
     if (epoch == 0L) s"$dir/$name" else s"$dir/${name}_v$epoch"
 
   /** ONE atomic replace of a pointer file — the only mutation a reader
-    * can ever race, for epochs (CURRENT) and generations (GEN) alike.
-    * FileContext.rename(OVERWRITE): atomic on HDFS/POSIX; see the
-    * plumbing note above for the object-store caveat. */
-  private def publishPointer(root: String, name: String, value: String): Unit = {
-    val cur = new org.apache.hadoop.fs.Path(root, name)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".${name}_tmp_${ProcessHandle.current().pid()}")
-    val fc = fcFor(cur)
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    ()
-  }
+    * can ever race, for epochs (CURRENT) and generations (GEN) alike. */
+  private def publishPointer(root: String, name: String, value: String): Unit =
+    graft.operators.FsPointers.publish(root, name, value)
 
   private[graft] def clustersDirOf(dir: String): String = {
     val g = genDirOf(dir)
@@ -965,10 +915,7 @@ object PipelineQueries {
               n == "clusters" || n.startsWith("clusters_v") ||
               n == "meta" || n.startsWith("meta_v")
           }.foreach(n => deleteDir(s"$dir/$n"))
-        if (fs.exists(new org.apache.hadoop.fs.Path(dir, "CURRENT"))) {
-          fs.delete(new org.apache.hadoop.fs.Path(dir, "CURRENT"), false)
-          ()
-        }
+        graft.operators.FsPointers.deleteFile(s"$dir/CURRENT")
       } else deleteDir(s"$dir/gen-$g")
     }
   }
