@@ -242,6 +242,27 @@ object ScaleProbe {
       s.range(1).select(lit(fetched).as("n_fetched"),
         lit(parts.size).as("n_compacted_parts"))
     }),
+    // the corpus store's BULK fetch (round-15): the over-cap id regime
+    // the fetchDocsMaxIds knob routes to the broadcast semi-join — a
+    // backfill-scale candidate set (every corpus doc_id < 100k, forced
+    // over a cap of 50k) against the ×n store. What the curve pins:
+    // the semi-join shape completes in seconds where a 100k-literal
+    // InSet pays a driver analysis cliff, and its cost tracks the
+    // STORE scan (all partitions touched — the honest bulk price),
+    // growing ~linearly per decade, while the 8-id point path above
+    // (cstore_append's fetch phase) stays flat.
+    P("cstore_fetch_bulk", 100, (s, d, n) => {
+      val nb = math.min(4096, 64 * n)
+      val store = corpusStoreOf(s, d, nb)
+      val prev = s.conf.getOption("graft.dedup.fetchDocsMaxIds")
+      s.conf.set("graft.dedup.fetchDocsMaxIds", "50000")
+      try {
+        val got = operators.CorpusStore.fetchDocs(s, store,
+          (0L until 100000L).toSeq).count()
+        s.range(1).select(lit(got).as("n_fetched"))
+      } finally prev.fold(s.conf.unset("graft.dedup.fetchDocsMaxIds"))(
+        s.conf.set("graft.dedup.fetchDocsMaxIds", _))
+    }),
     // compactBandIndex(refreshHotBands = true) at ×n (round-14: the
     // cheap guard refresh) — the scratch is a fresh-build copy (no
     // drift), so both passes time the PURE refresh: one aggregate over

@@ -41,9 +41,14 @@ object StreamIngest {
   def writeEpoch(batch: DataFrame, storePath: String, batchId: Long,
       ts: Timestamp): Unit = {
     val s = batch.sparkSession
-    val root = new java.io.File(storePath)
-    if (root.isDirectory) {
-      val kids = Option(root.list()).getOrElse(Array.empty)
+    // layout guard through the Hadoop FS API: the production store root
+    // is the cluster FS, where a java.io.File probe would silently
+    // no-op (isDirectory false → guard skipped) and let a plain-layout
+    // store be poisoned with epoch dirs
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(root) && fs.getFileStatus(root).isDirectory) {
+      val kids = fs.listStatus(root).map(_.getPath.getName)
       require(!kids.exists(_.startsWith(CertStore.partitionCol + "=")),
         s"$storePath holds a plain (non-epoch) store layout; streaming ingest " +
           "must write to its own epoch-layered store (see writeEpoch docs)")
