@@ -31,12 +31,29 @@ private[graft] object StoreManifest {
     * data files directly at root. */
   def list(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val d = listDetailed(fs, root)
+    (d.files, d.bytes)
+  }
+
+  /** [[list]] plus the per-partition-dir fragmentation maximum —
+    * `maxPerDir` is the largest data-file count among the immediate
+    * partition dirs (0 when there are none). One parallel listing
+    * serves BOTH the torn-append manifest and a store's
+    * file-fragmentation drift check; before round 15 the components
+    * append paid a SECOND, serial O(buckets) listing of the same dirs
+    * for the drift direction-(c) probe — ~minutes per append at 4096
+    * object-storage dirs, on an increment-bounded operation. */
+  final case class Detailed(files: Long, bytes: Long, maxPerDir: Int)
+
+  def listDetailed(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Detailed = {
     import scala.jdk.CollectionConverters._
     def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
     val top = fs.listStatus(root).filter(st => visible(st.getPath.getName))
     val (dirs, rootFiles) = top.partition(_.isDirectory)
     var files = rootFiles.length.toLong
     var bytes = rootFiles.map(_.getLen).sum
+    var maxPerDir = 0
     if (dirs.nonEmpty) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(32, dirs.length))
@@ -52,8 +69,9 @@ private[graft] object StoreManifest {
         }.asJava).asScala.map(_.get()) // rethrows any listing failure
         files += parts.map(_._1).sum
         bytes += parts.map(_._2).sum
+        maxPerDir = parts.map(_._1).foldLeft(0L)(math.max).toInt
       } finally pool.shutdown()
     }
-    (files, bytes)
+    Detailed(files, bytes, maxPerDir)
   }
 }

@@ -531,13 +531,24 @@ object PipelineQueries {
     // re-running it would double-append the increment's index rows and
     // corrupt every later jaccard, so fail loudly instead.
     val sizesDf = s.read.parquet(s"$gen/sizes")
+    // the shingle listing is DETAILED: the same parallel walk that
+    // yields the torn-check manifest also yields the per-bucket
+    // fragmentation max the drift direction-(c) probe needs below —
+    // previously a second, SERIAL O(buckets) listing of the same dirs
+    // (≈ minutes per append at 4096 object-storage dirs)
+    var preMaxBucketFiles: Option[Int] = None
     if (meta.shFiles >= 0L) {
-      val (shHaveF, shHaveB) = dirManifest(s, s"$gen/shingles")
+      val shDetail = {
+        val p = new org.apache.hadoop.fs.Path(s"$gen/shingles")
+        graft.operators.StoreManifest.listDetailed(
+          p.getFileSystem(s.sessionState.newHadoopConf()), p)
+      }
+      preMaxBucketFiles = Some(shDetail.maxPerDir)
       val (szHaveF, szHaveB) = dirManifest(s, s"$gen/sizes")
-      require(shHaveF == meta.shFiles && shHaveB == meta.shBytes &&
+      require(shDetail.files == meta.shFiles && shDetail.bytes == meta.shBytes &&
           szHaveF == meta.szFiles && szHaveB == meta.szBytes,
-        s"torn append detected at $dir: shingle index holds $shHaveF " +
-          s"files / $shHaveB bytes and sizes holds $szHaveF files / " +
+        s"torn append detected at $dir: shingle index holds ${shDetail.files} " +
+          s"files / ${shDetail.bytes} bytes and sizes holds $szHaveF files / " +
           s"$szHaveB bytes but meta records ${meta.shFiles}/${meta.shBytes} " +
           s"and ${meta.szFiles}/${meta.szBytes} — a prior append crashed " +
           "between its index appends and its pointer flip; rebuild the " +
@@ -662,17 +673,14 @@ object PipelineQueries {
     // early trip). Remedy = the runbook's existing one: the flag trips,
     // the next maintain compacts, the re-derive restores one file per
     // bucket.
-    val maxBucketFiles = {
+    // pre-append fragmentation max, from the validate phase's ONE
+    // parallel listing when the manifest path ran; a legacy (idx6-era)
+    // migration append lists here instead, once
+    val maxBucketFiles = preMaxBucketFiles.getOrElse {
       val root = new org.apache.hadoop.fs.Path(s"$gen/shingles")
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(root)) 0
-      else fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shb="))
-        .map(d => fs.listStatus(d.getPath).count { f =>
-          val n = f.getPath.getName
-          f.isFile && !n.startsWith("_") && !n.startsWith(".")
-        })
-        .foldLeft(0)(math.max)
+      else graft.operators.StoreManifest.listDetailed(fs, root).maxPerDir
     }
     val drift = newMaxNonhot > meta.cutoff || grownCutoff >= meta.minHotDf ||
       maxBucketFiles + 1 > maxFilesPerBucket ||
