@@ -780,9 +780,34 @@ object PipelineQueries {
       .distinct().collect().map(_.getInt(0)).toSeq
     val hotBuckets = hot.select(shingleBucket(col("sh"), nBuckets).as("shb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    def bucketScan(bs: Seq[Int]): DataFrame =
-      if (bs.isEmpty) readShingleIndex(s, gen).filter(lit(false))
-      else readShingleIndex(s, gen).filter(col("shb").isin(bs: _*))
+    // touched buckets are opened as DIRECT directory paths, never the
+    // partitioned root with an isin filter: a root read runs partition
+    // DISCOVERY over every bucket dir on every append — the band
+    // index's measured lesson (10.6 s of pure listing for an 8-doc
+    // lookup at 4096 dirs), and the bucket count is exactly the knob
+    // that grows with the corpus. One listStatus of the root (a single
+    // FS call) maps which buckets exist; a saturated set (wide serving
+    // append — coupon-collects every bucket) takes the one-discovery
+    // root read instead, where enumerating 4096 individual paths would
+    // cost more than it saves. Downstream consumes only (doc_id, sh),
+    // so the direct read drops the shb partition column.
+    val existingBuckets: Set[Int] = {
+      val root = new org.apache.hadoop.fs.Path(s"$gen/shingles")
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .listStatus(root).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("shb=")).map(_.stripPrefix("shb=").toInt).toSet
+    }
+    def bucketScan(bs: Seq[Int]): DataFrame = {
+      import org.apache.spark.sql.types._
+      val narrow = StructType(Seq(
+        StructField("doc_id", LongType), StructField("sh", LongType)))
+      val paths = bs.filter(existingBuckets).map(b => s"$gen/shingles/shb=$b")
+      if (bs.size >= nBuckets)
+        readShingleIndex(s, gen).select(col("doc_id"), col("sh"))
+      else if (paths.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], narrow)
+      else s.read.schema(narrow).parquet(paths: _*)
+    }
     System.err.println(s"[components] append: touched-scan " +
       s"${touchedBuckets.size}/$nBuckets buckets, hot-scan " +
       s"${hotBuckets.size}/$nBuckets buckets")
