@@ -53,6 +53,30 @@ class AggStateSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(path).getParentFile)
   }
 
+  test("maintainParquet works through a scheme-qualified (file:) state " +
+      "root — pointer, snapshots and prune ride the Hadoop FS API (the " +
+      "cluster-FS-readiness pin, same class as the components artifact's)") {
+    val local = java.nio.file.Files
+      .createTempDirectory("aggstate_scheme").toString + "/view"
+    val path = s"file:$local"
+    try {
+      for (r <- 0L to 2L)
+        AggState.maintainParquet(spark, path,
+          events.filter(col("event_id") % 3 === r), batchId = r)
+      val maintained = AggState.finish(AggState.readState(spark, path))
+        .orderBy("day", "event_type").collect().toSeq
+      val full = AggState.finish(AggState.dailyState(events))
+        .orderBy("day", "event_type").collect().toSeq
+      assert(maintained === full)
+      // the pointer landed under the local path the file: URI names,
+      // and pruning kept only the last two snapshots
+      assert(new java.io.File(local, "_CURRENT").exists())
+      val snaps = new java.io.File(local).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.getName)
+      assert(snaps.toSet == Set("b1", "b2"), snaps.mkString(","))
+    } finally Dedup.rmdir(new java.io.File(local).getParentFile)
+  }
+
   test("maintainParquet is idempotent under micro-batch replay") {
     val path = java.nio.file.Files
       .createTempDirectory("aggstate_replay").toString + "/view"
