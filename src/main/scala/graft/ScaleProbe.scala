@@ -532,6 +532,29 @@ object ScaleProbe {
       graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc)
       s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
     }),
+    // NARROW append against a HIGH-BUCKET-COUNT (4096) artifact at ×n
+    // (round-15): the geometry where the append's per-bucket terms
+    // actually bite — 64 buckets hides both the partition-discovery
+    // tax the direct-dir scans remove (13 dirs opened vs discovery
+    // over 4096) and the listing fan-out the fused manifest pays once.
+    // The artifact is probe-private, cold-built at nBuckets = 4096
+    // once per scale (the per-artifact bucket-count property in
+    // action); appends chain with fresh disjoint ids.
+    P("artifact_append_narrow_hb", 100, (s, d, n) => {
+      val scratch = hbArtifactOf(s, d)
+      val seq = hbSeq.incrementAndGet()
+      // the hb artifact persists ACROSS JVMs (marker-guarded build), so
+      // the increment-id base folds the pid in — a fresh JVM's restarted
+      // seq counter must not collide with a previous run's appended ids
+      // (the incremental contract requires disjoint doc_ids)
+      val inc = Tables.documents(s, d).filter(col("doc_id") < 5)
+        .withColumn("text",
+          array_join(slice(split(col("text"), " "), 1, 5), " "))
+        .withColumn("doc_id", col("doc_id") + 1000000000000L +
+          ProcessHandle.current().pid() * 1000000L + seq * 10000L)
+      graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc)
+      s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
+    }),
     // drift-triggered COMPACTION at ×n (round-10 verdict ask #3): the
     // full re-derive + staged generation flip, the one maintenance path
     // with no measured curve. Expected ≈ the cold build plus the
@@ -953,6 +976,25 @@ object ScaleProbe {
       copyTree(new java.io.File(src).toPath, new java.io.File(out).toPath)
     }
     out
+  }
+
+  /** Probe-private ×n components artifact at 4096 shingle buckets —
+    * cold-built once per scale (marker-guarded) for the high-bucket
+    * narrow-append curve; appends mutate it directly (nothing else
+    * reads it). */
+  private val hbSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def hbArtifactOf(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(storesDirFor(d),
+      "components_hb4096").getAbsolutePath
+    val marker = new java.io.File(dir, s"_HB_COMPLETE_$Version")
+    if (!marker.exists()) {
+      graft.operators.Dedup.rmdir(new java.io.File(dir))
+      graft.queries.PipelineQueries.buildComponentsArtifactFrom(
+        s, Tables.documents(s, d), dir, 4096)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      ()
+    }
+    dir
   }
 
   /** A PRIVATE copy of the ×n artifact for the compaction probe — same
