@@ -35,6 +35,9 @@ package graft
   *    reads, spec-pinned identical to full-discovery probes.
   *  - `broadcastIncrementShingles = true`: the semi-join pushdown
   *    removes only rows the equi-join was about to drop.
+  *  - `pruneVerifyByCandidates = true` (round 15): the verify inputs
+  *    (hotAll, sizes) semi-joined to the collected candidate ids —
+  *    removes only rows the verify joins were about to drop.
   */
 object Knobs {
   val forced: Boolean = sys.env.get("SPARK_GRAFT_KNOBS").contains("1")

@@ -1036,11 +1036,21 @@ object Dedup {
     * intersection contribution re-added per surfaced pair, jaccard from
     * FULL per-doc sizes. Cost tracks |increment| and the index buckets
     * it touches. doc_ids of the two frames must be disjoint (same
-    * contract as [[incrementalNearDups]]). */
+    * contract as [[incrementalNearDups]]).
+    *
+    * `pruneVerifyByCandidates` (round-15, default off — declared plans
+    * untouched): collect the bounded candidate set once and semi-join
+    * the verify inputs (hotAll, sizes) down to candidate docs before
+    * the heavy shapes — killing the per-append corpus-scale docHot
+    * shuffle on hot-heavy corpora; over-cap candidate sets fall back to
+    * the distributed tail. Output-identical either way (the pruned rows
+    * are exactly those the verify joins drop; spec-pinned). The
+    * artifact append turns it on. */
   def incrementalNgramPairs(increment: DataFrame, corpusShingles0: DataFrame,
       corpusSizes: DataFrame, hotShingles: DataFrame, k: Int = 3,
       threshold: Double = 0.5,
-      broadcastIncrementShingles: Boolean = false): DataFrame = {
+      broadcastIncrementShingles: Boolean = false,
+      pruneVerifyByCandidates: Boolean = false): DataFrame = {
     // normalize to the (doc_id, sh) grain: the persisted index is
     // bucketed by a derived `shb` partition column at rest (layout
     // _idx6), and that column must neither widen the joins below nor
@@ -1087,22 +1097,62 @@ object Dedup {
     // join-back paid three extra candidate-volume shuffles)
     val hotAll = corpusShingles.join(broadcast(hotShingles), Seq("sh"), "left_semi")
       .union(incSh.join(broadcast(hotShingles), Seq("sh"), "left_semi"))
-    val docHot = hotAll.groupBy(col("doc_id"))
-      .agg(collect_list(col("sh")).as("hs"))
     val sizes = corpusSizes.union(incSizes)
-    interRare
-      .join(docHot.as("ha"), col("i") === col("ha.doc_id"), "left")
-      .join(docHot.as("hb"), col("j") === col("hb.doc_id"), "left")
-      .select(col("i"), col("j"),
-        (col("inter_rare") + coalesce(
-          size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("long"),
-          lit(0L))).as("inter"))
-      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
-      .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), col("inter"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+    def verifyTail(inter: DataFrame, hotAllT: DataFrame,
+        sizesT: DataFrame): DataFrame = {
+      val docHot = hotAllT.groupBy(col("doc_id"))
+        .agg(collect_list(col("sh")).as("hs"))
+      inter
+        .join(docHot.as("ha"), col("i") === col("ha.doc_id"), "left")
+        .join(docHot.as("hb"), col("j") === col("hb.doc_id"), "left")
+        .select(col("i"), col("j"),
+          (col("inter_rare") + coalesce(
+            size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("long"),
+            lit(0L))).as("inter"))
+        .join(sizesT.as("sa"), col("i") === col("sa.doc_id"))
+        .join(sizesT.as("sb"), col("j") === col("sb.doc_id"))
+        .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("i"), col("j"), col("inter"), col("jaccard"))
+        .orderBy(col("i"), col("j"))
+    }
+    if (!pruneVerifyByCandidates) verifyTail(interRare, hotAll, sizes)
+    else {
+      // CANDIDATE-PRUNED VERIFY (round-15, the serving-append shape):
+      // the default verify tail pays two corpus-scale terms per call —
+      // docHot's groupBy shuffles EVERY hot corpus row (O(corpus) on a
+      // boilerplate-heavy corpus: the hot probe's measured +2.6 s at
+      // ×100, unbounded at 10¹¹ docs), and the sizes joins carry the
+      // full per-doc table — although only CANDIDATE docs' rows ever
+      // survive the joins. When the candidate set is bounded (the
+      // hourly-append case; cap shared with the stored-verify path),
+      // collect it once, verify against a LocalRelation, and semi-join
+      // hotAll/sizes down to candidate docs BEFORE the heavy shapes —
+      // output-identical by construction (the pruned rows are exactly
+      // those the joins were about to drop; spec-pinned both shapes).
+      // An over-cap candidate set (backfill regime) falls back to the
+      // distributed tail, where candidate-volume terms dwarf these.
+      // The residual corpus term is the sizes/hotAll SCAN feeding the
+      // semi-joins (column-pruned read, no shuffle under the broadcast
+      // id set) — removing the scan too needs id-partitioned sizes at
+      // rest (the CorpusStore treatment), documented in SCALE.md.
+      val s = increment.sparkSession
+      val pairCap = confCap(s, "graft.dedup.candidatePairCollectMaxRows",
+        CandidatePairCollectMaxRows)
+      val head = interRare.head(pairCap.toInt + 1)
+      if (head.length > pairCap) verifyTail(interRare, hotAll, sizes)
+      else {
+        import scala.jdk.CollectionConverters._
+        import s.implicits._
+        val interLocal = s.createDataFrame(head.toSeq.asJava, interRare.schema)
+        val ids = head.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSeq.distinct
+        val idsDf = broadcast(ids.toDF("doc_id"))
+        verifyTail(interLocal,
+          hotAll.join(idsDf, Seq("doc_id"), "left_semi"),
+          sizes.join(idsDf, Seq("doc_id"), "left_semi"))
+      }
+    }
   }
 
   /** Per-document MinHash signature (MinhashK portable hashes). Token and

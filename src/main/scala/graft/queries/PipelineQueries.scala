@@ -487,7 +487,8 @@ object PipelineQueries {
   private[graft] def appendComponentsArtifact(s: SparkSession, dir: String,
       increment: DataFrame,
       broadcastCap: Long = IncrementBroadcastMaxShingleRows,
-      maxFilesPerBucket: Int = MaxShingleFilesPerBucket): Unit = {
+      maxFilesPerBucket: Int = MaxShingleFilesPerBucket,
+      pruneVerify: Boolean = false): Unit = {
     // everything below operates INSIDE the live generation: its index
     // dirs, its epoch pointer. Compaction swaps generations wholesale.
     val gen = genDirOf(dir)
@@ -615,7 +616,7 @@ object PipelineQueries {
     // count below
     val (pairTerm, touchedCorpus) =
       appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown,
-        meta.nBuckets)
+        meta.nBuckets, pruneVerify)
     phaseLog("accounting")
     val newPairs = pairTerm
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -772,7 +773,7 @@ object PipelineQueries {
   private def appendPairTerm(s: SparkSession, gen: String,
       increment: DataFrame, incSh: DataFrame, hot: DataFrame,
       sizesDf: DataFrame, pushdown: Boolean,
-      nBuckets: Int): (DataFrame, DataFrame) = {
+      nBuckets: Int, pruneVerify: Boolean = false): (DataFrame, DataFrame) = {
     val incRareKeys = incSh.join(broadcast(hot), Seq("sh"), "left_anti")
       .select(col("sh")).distinct()
     val touchedBuckets = incRareKeys
@@ -822,7 +823,16 @@ object PipelineQueries {
     val newPairs = Dedup.incrementalNgramPairs(increment,
         touchedCorpus.unionByName(hotCorpus), sizesDf, hot,
         ComponentsK, ComponentsThreshold,
-        broadcastIncrementShingles = false)
+        broadcastIncrementShingles = false,
+        // opt-in scale knob, default OFF: the candidate-pruned verify
+        // removes the per-append docHot shuffle of every hot corpus row
+        // — but the measured local A/B shows the extra materialization
+        // job costs MORE than that shuffle at every probed scale
+        // (SCALE.md round-15 sixth wave: +2.7-4.2 s hot append at
+        // ×10/×100); it pays only when hot-row volume is corpus-scale,
+        // beyond what local decades can show. Same default-off contract
+        // as every knob whose economics invert.
+        pruneVerifyByCandidates = pruneVerify)
       .select(col("i"), col("j"))
     (newPairs, touchedCorpus)
   }
@@ -969,8 +979,10 @@ object PipelineQueries {
       increment: DataFrame, corpusOfRecord: DataFrame,
       broadcastCap: Long = IncrementBroadcastMaxShingleRows,
       compactNBuckets: Int = -1,
-      maxFilesPerBucket: Int = MaxShingleFilesPerBucket): Boolean = {
-    appendComponentsArtifact(s, dir, increment, broadcastCap, maxFilesPerBucket)
+      maxFilesPerBucket: Int = MaxShingleFilesPerBucket,
+      pruneVerify: Boolean = false): Boolean = {
+    appendComponentsArtifact(s, dir, increment, broadcastCap, maxFilesPerBucket,
+      pruneVerify)
     val tripped = readMeta(s, dir).rebuildRecommended
     // compactNBuckets rides through to the compaction (default -1 =
     // preserve the artifact's own count): the drift-triggered rebuild
@@ -2178,8 +2190,12 @@ object PipelineQueries {
       val sizes = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val hot = corpusSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > cutoff).select(col("sh"))
+      // both scale knobs forced under the sweep: the broadcast pushdown
+      // AND the round-15 candidate-pruned verify ride the DuckDB hash
+      // gate in their output-identical configurations
       Dedup.incrementalNgramPairs(inc, corpusSh, sizes, hot, k = 3,
-        threshold = 0.5, broadcastIncrementShingles = true)
+        threshold = 0.5, broadcastIncrementShingles = true,
+        pruneVerifyByCandidates = true)
     }))
 
   private[graft] def knobOracleSql: Map[String, String] = Map(

@@ -116,6 +116,26 @@ class ComponentsIncrSpec extends SparkSpec {
       assert(dflt.nonEmpty)
       assert(pairs(push = true) == dflt,
         "the semi-join pushdown must not change a single pair or value")
+      // round-15 knob on the same fixture: the candidate-pruned verify
+      // (hotAll/sizes semi-joined to collected candidate ids) must be
+      // row-identical too — the hot-contribution pairs make a wrongly
+      // pruned docHot impossible to hide
+      def pruned(cap: String) = {
+        spark.conf.set("graft.dedup.candidatePairCollectMaxRows", cap)
+        try Dedup.incrementalNgramPairs(incrementDocs,
+            spark.read.parquet(s"$base/shingles"),
+            spark.read.parquet(s"$base/sizes"),
+            spark.read.parquet(s"$base/hot"), k = 3, threshold = 0.5,
+            pruneVerifyByCandidates = true)
+          .collect().map(_.toSeq).toSeq
+        finally spark.conf.unset("graft.dedup.candidatePairCollectMaxRows")
+      }
+      assert(pruned((2L * 1000 * 1000).toString) == dflt,
+        "the candidate-pruned verify must not change a single pair or value")
+      // cap = 1 forces the over-cap fallback (backfill regime): the
+      // distributed tail, still identical
+      assert(pruned("1") == dflt,
+        "the over-cap fallback must not change a single pair or value")
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
@@ -131,6 +151,24 @@ class ComponentsIncrSpec extends SparkSpec {
         corpusDocs.unionByName(incrementDocs), cold)
       PipelineQueries.appendComponentsArtifact(spark, base, incrementDocs,
         broadcastCap = 0L)
+      assert(readClusters(base) == readClusters(cold))
+      assert(readNPairs(base) == readNPairs(cold))
+    } finally {
+      Dedup.rmdir(new java.io.File(base))
+      Dedup.rmdir(new java.io.File(cold))
+    }
+  }
+
+  test("append with the candidate-pruned verify (pruneVerify = true, the " +
+      "opt-in hot-volume scale knob) equals cold") {
+    val base = Files.createTempDirectory("comp-incr-prunev").toString
+    val cold = Files.createTempDirectory("comp-incr-prunev-cold").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      PipelineQueries.buildComponentsArtifactFrom(spark,
+        corpusDocs.unionByName(incrementDocs), cold)
+      PipelineQueries.appendComponentsArtifact(spark, base, incrementDocs,
+        pruneVerify = true)
       assert(readClusters(base) == readClusters(cold))
       assert(readNPairs(base) == readNPairs(cold))
     } finally {
