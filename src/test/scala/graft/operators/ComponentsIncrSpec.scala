@@ -239,6 +239,32 @@ class ComponentsIncrSpec extends SparkSpec {
           corpus.unionByName(increment), cold)
         assert(readClusters(base) == readClusters(cold), s"seed $seed: clusters")
         assert(readNPairs(base) == readNPairs(cold), s"seed $seed: n_pairs")
+        // the candidate-pruned verify must hold path equality over
+        // whatever pair set the seed produced (round 15 — the
+        // single-fixture equality elsewhere plus three random draws
+        // here): a FRESH increment of random copies/variants, disjoint
+        // ids, paired against the grown base snapshot both ways
+        val inc2 = (0 until 6).map { i =>
+          val srcToks = corpusToks(1L + rnd.nextInt(50))
+          val text = i % 3 match {
+            case 0 => srcToks.mkString(" ")                       // exact copy
+            case 1 => (srcToks :+ s"z$i").mkString(" ")           // near-dup
+            case _ => srcToks.updated(rnd.nextInt(srcToks.length),
+              s"w$i").mkString(" ")                               // variant
+          }
+          (3001L + i, text)
+        }.toDF("doc_id", "text")
+        val baseGen = PipelineQueries.genDirOf(base)
+        def rePair(prune: Boolean) = Dedup.incrementalNgramPairs(inc2,
+            spark.read.parquet(s"$baseGen/shingles"),
+            spark.read.parquet(s"$baseGen/sizes"),
+            spark.read.parquet(s"$baseGen/hot"), k = 3, threshold = 0.5,
+            pruneVerifyByCandidates = prune)
+          .collect().map(_.toSeq).toSeq
+        val dflt = rePair(prune = false)
+        assert(dflt.nonEmpty, s"seed $seed: fixture must surface pairs")
+        assert(rePair(prune = true) == dflt,
+          s"seed $seed: pruned verify diverged")
       } finally {
         Dedup.rmdir(new java.io.File(base))
         Dedup.rmdir(new java.io.File(cold))
