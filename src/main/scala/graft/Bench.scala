@@ -594,9 +594,13 @@ object Bench {
     // fit the 2000-char window, so some ≥0.5 s entries still evict; the
     // rule guarantees they are the FASTEST ones and the eviction is
     // logged loudly. bench_full.json always carries everything.
+    // one decimal under 10 s (the driver uses nothing finer; floors ride
+    // bench_full's raw values) — saves ~15-20% of the printed map, so
+    // more of the ≥0.5 s declared set survives the 2000-char window
     def fmt(v: Double): String = {
-      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-      if (s.endsWith(".00")) s.dropRight(1) else s // keep one decimal: 5.0
+      val s = BigDecimal(v).setScale(if (v < 10) 1 else 2,
+        BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.endsWith(".00")) s.dropRight(1) else s // keep one decimal: 15.0
     }
     val budget = 1850
     def render(entries: Seq[(String, Double)]): String = {
@@ -607,11 +611,29 @@ object Bench {
     // floor-gated names ride the floor file (one source of truth; an
     // unreadable file degrades to value-ordering, never a crash)
     val floorGated: Set[String] = try {
+      // parse ONLY the floors_sec object: Jackson (already on the Spark
+      // classpath for LogList) walks the real JSON, so a "floors_sec"
+      // mention inside _comment or a section appended after the object
+      // can never mispopulate the protected set (r15 ADVICE)
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("tools/bench_floor.json")), "UTF-8")
-      val obj = txt.substring(txt.indexOf("\"floors_sec\""))
-      "\"([^\"]+)\"\\s*:".r.findAllMatchIn(obj).map(_.group(1)).toSet - "floors_sec"
-    } catch { case _: Throwable => Set.empty[String] }
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt).path("floors_sec")
+      if (!node.isObject) {
+        System.err.println("[bench] tools/bench_floor.json has no " +
+          "floors_sec object; eviction falls back to value ordering")
+        Set.empty[String]
+      } else {
+        val it = node.fieldNames()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not read tools/bench_floor.json " +
+        s"(${e.getMessage}); eviction falls back to value ordering")
+      Set.empty[String]
+    }
     val declaredNames = names.toSet
     val spreadOf = spreads.toMap
     // kept order = eviction order reversed: drops come from the RIGHT

@@ -358,9 +358,9 @@ object ScaleProbe {
     // into a PRIVATE copy of the ×n index (the probe-shared index must
     // stay immutable for the lookup probes). Expected cost structure:
     // increment banding + ~64 bucket files (increment-sized) + the
-    // footer-only torn-append validation (row-group metadata over the
-    // ×n index — the one corpus-size term; this curve attributes
-    // whether footer volume ever matters).
+    // listing-manifest torn-append validation (one file listing over
+    // the touched buckets since bidx3 — O(dirs), corpus-size-free;
+    // this curve attributes whether listing volume ever matters).
     P("band_index_append", 100, (s, d, n) => {
       val scratch = bandAppendScratchOf(s, d)
       val seq = bandAppendSeq.incrementAndGet()
@@ -542,16 +542,15 @@ object ScaleProbe {
     // action); appends chain with fresh disjoint ids.
     P("artifact_append_narrow_hb", 100, (s, d, n) => {
       val scratch = hbArtifactOf(s, d)
-      val seq = hbSeq.incrementAndGet()
       // the hb artifact persists ACROSS JVMs (marker-guarded build), so
-      // the increment-id base folds the pid in — a fresh JVM's restarted
-      // seq counter must not collide with a previous run's appended ids
-      // (the incremental contract requires disjoint doc_ids)
+      // the increment-id base comes from a counter persisted WITH the
+      // artifact (see hbNextBase) — state that cannot repeat, unlike
+      // the old pid-folded base (r15 ADVICE: pid reuse could collide)
+      val base = hbNextBase(scratch)
       val inc = Tables.documents(s, d).filter(col("doc_id") < 5)
         .withColumn("text",
           array_join(slice(split(col("text"), " "), 1, 5), " "))
-        .withColumn("doc_id", col("doc_id") + 1000000000000L +
-          ProcessHandle.current().pid() * 1000000L + seq * 10000L)
+        .withColumn("doc_id", col("doc_id") + base)
       graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc)
       s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
     }),
@@ -867,20 +866,27 @@ object ScaleProbe {
       "batchsize" -> "512",
       "maxentriespertrigger" -> "4104")
     val ts = () => java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
-    val t0 = System.nanoTime()
-    val q = ct.StreamIngest.start(s, opts, store, ckpt, ts,
-      org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    q.awaitTermination()
-    val dt = (System.nanoTime() - t0) / 1e9
-    val rows = ct.CertStore.read(s, store).count()
-    val entries = nLogs * perLog
-    System.err.println(
-      f"[ingest probe] dsv2    x$n: $entries entries -> $rows rows in " +
-        f"$dt%.1f s = ${rows / dt}%.0f rows/s (${entries / dt}%.0f entries/s, " +
-        f"${q.recentProgress.length} micro-batches in recentProgress)")
-    operators.Dedup.rmdir(new java.io.File(store))
-    operators.Dedup.rmdir(new java.io.File(ckpt))
-    s.range(1).select(lit(rows).as("rows_appended"))
+    // unregister in finally: each pass registers under a unique key, so
+    // without removal a long sweep JVM retains every pass's fixture
+    // closures forever (r15 ADVICE)
+    try {
+      val t0 = System.nanoTime()
+      val q = ct.StreamIngest.start(s, opts, store, ckpt, ts,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = ct.CertStore.read(s, store).count()
+      val entries = nLogs * perLog
+      System.err.println(
+        f"[ingest probe] dsv2    x$n: $entries entries -> $rows rows in " +
+          f"$dt%.1f s = ${rows / dt}%.0f rows/s (${entries / dt}%.0f entries/s, " +
+          f"${q.recentProgress.length} micro-batches in recentProgress)")
+      s.range(1).select(lit(rows).as("rows_appended"))
+    } finally {
+      graft.ct.source.CtMicroBatchSource.unregister(key)
+      operators.Dedup.rmdir(new java.io.File(store))
+      operators.Dedup.rmdir(new java.io.File(ckpt))
+    }
   }
 
   /** Synthetic cert_domains rows for the CT-store compaction probe:
@@ -982,7 +988,26 @@ object ScaleProbe {
     * cold-built once per scale (marker-guarded) for the high-bucket
     * narrow-append curve; appends mutate it directly (nothing else
     * reads it). */
-  private val hbSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Allocate an id block for an hb append that can NEVER repeat across
+    * JVMs: a counter file persisted next to the artifact's marker is
+    * bumped BEFORE the ids are used (allocate-then-append — a crash
+    * mid-append burns the block instead of re-issuing it). Replaces the
+    * pid-folded base (r15 ADVICE): OS pid reuse (pid_max is 32768 in
+    * many containers) could re-issue identical doc_ids across bench
+    * runs, violating the disjoint-id incremental contract. The 2e12
+    * offset clears every id a legacy pid-based run could have issued
+    * (≤ 1e12 + 32768·1e6 + seq·1e4 ≪ 2e12); rebuilds rmdir the counter
+    * with the artifact, which is correct (fresh artifact, no old ids). */
+  private def hbNextBase(dir: String): Long = {
+    val f = new java.io.File(dir, "_HB_ID_COUNTER")
+    val prev =
+      if (f.exists())
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+      else 0L
+    java.nio.file.Files.write(f.toPath,
+      String.valueOf(prev + 1).getBytes("UTF-8"))
+    2000000000000L + prev * 10000L
+  }
   private def hbArtifactOf(s: SparkSession, d: String): String = {
     val dir = new java.io.File(storesDirFor(d),
       "components_hb4096").getAbsolutePath

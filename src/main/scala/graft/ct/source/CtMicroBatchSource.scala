@@ -228,6 +228,10 @@ object CtMicroBatchSource {
     * HTTP API client is constructed, which works on any executor. */
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Ingestor.EntrySource]()
   def register(key: String, src: Ingestor.EntrySource): Unit = registry.put(key, src)
+  /** Remove a registered fixture (callers register per-run unique keys;
+    * without this, a long bench-sweep JVM would retain every run's
+    * fixture closures forever — r15 ADVICE). */
+  def unregister(key: String): Unit = { registry.remove(key); () }
   def resolve(key: Option[String]): Ingestor.EntrySource = key match {
     case Some(k) => Option(registry.get(k)).getOrElse(
       throw new IllegalStateException(s"no registered ct entry source '$k'"))

@@ -1045,7 +1045,9 @@ object Dedup {
     * shuffle on hot-heavy corpora; over-cap candidate sets fall back to
     * the distributed tail. Output-identical either way (the pruned rows
     * are exactly those the verify joins drop; spec-pinned). The
-    * artifact append turns it on. */
+    * artifact append exposes it as an opt-in parameter (default off —
+    * measured a net loss at every locally probable scale, KNOBSWEEP
+    * sixth wave). */
   def incrementalNgramPairs(increment: DataFrame, corpusShingles0: DataFrame,
       corpusSizes: DataFrame, hotShingles: DataFrame, k: Int = 3,
       threshold: Double = 0.5,

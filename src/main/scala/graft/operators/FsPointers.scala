@@ -49,18 +49,27 @@ private[graft] object FsPointers {
   }
 
   /** ONE atomic replace of the pointer file — the only mutation a
-    * reader can ever race (see the object note for the S3A caveat). */
+    * reader can ever race (see the object note for the S3A caveat).
+    * The tmp name carries pid AND nanoTime so two publishing threads in
+    * one JVM can never collide (theoretical under the single-writer
+    * contracts, but free to guard), and a failed rename deletes its tmp
+    * instead of leaving dot-prefixed litter with no GC. */
   def publish(root: String, name: String, value: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(root, name)
     val tmp = new org.apache.hadoop.fs.Path(root,
-      s".${name}_tmp_${ProcessHandle.current().pid()}")
+      s".${name}_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
     val fc = fcFor(cur)
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    ()
+    var renamed = false
+    try {
+      val out = fc.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(value.getBytes("UTF-8")) finally out.close()
+      fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      renamed = true
+    } finally {
+      if (!renamed && fc.util().exists(tmp)) { fc.delete(tmp, false); () }
+    }
   }
 
   /** Recursive delete through the FS API (snapshot/epoch GC). */
