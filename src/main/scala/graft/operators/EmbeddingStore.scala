@@ -38,6 +38,60 @@ object EmbeddingStore {
   val idIndexDir = "_idx"
   private val IdIndexParts = 64L
 
+  /** Cross-table tear receipt (round-15 verdict ask #1): cells and
+    * sidecar are two separate write jobs, so a crash between them used
+    * to leave an id point-lookup silently missing vectors the cell scan
+    * finds — the silent-miss class the band-index/corpus-store receipt
+    * lock ([[Dedup.docReceipt]] required-equal metas) was built to
+    * loud-stop. Each half now carries a one-line receipt file
+    * (`_META_emv1` at the store root and inside `_idx`): row count +
+    * xor of one 64-bit hash per (vec_id, cell) row — commutative,
+    * append-foldable, derivable from either half at rest. Publication
+    * order on a sidecar-maintaining append is store-receipt FIRST, data
+    * jobs, sidecar-receipt LAST, so EVERY crash window leaves the two
+    * receipts unequal and the directRead path fail-stops instead of
+    * silently missing (a reader probing mid-append sees the same
+    * transient mismatch — the stores' single-writer maintenance-window
+    * contract, same as the band-index/corpus-store pair). Receipts ride
+    * [[FsPointers]] (atomic rename publish, Hadoop FS API — an
+    * `hdfs://`-rooted store resolves like a local one). Sidecar-less
+    * stores carry no receipt: a single committer-atomic table needs no
+    * cross-table lock. Reference motivation: the MergeTree part-commit
+    * atomicity the layout mimics (`clickhouse/init.sql:16`). */
+  private val MetaName = "_META_emv1"
+
+  private case class StoreMeta(n: Long, xor: Long)
+
+  /** (count, xor) over canonical `(vec_id long, bucket long)` rows —
+    * the cast is load-bearing: xxhash64 is type-sensitive and the cell
+    * half's partition-dir values are type-INFERRED on read (often int)
+    * while the sidecar stores long. */
+  private def vecReceiptAgg(rows: DataFrame, bucketCol: String): StoreMeta = {
+    val r = rows.agg(count(lit(1)),
+      coalesce(expr(s"bit_xor(xxhash64(cast(vec_id as long), " +
+        s"cast($bucketCol as long)))"), lit(0L))).head()
+    StoreMeta(r.getLong(0), r.getLong(1))
+  }
+
+  private def readMetaAt(root: String): Option[StoreMeta] =
+    FsPointers.read(root, MetaName).map { line =>
+      val p = line.split(" ")
+      require(p.length == 3 && p(0) == "emv1",
+        s"unrecognized embedding-store receipt '$line' at $root")
+      StoreMeta(p(1).toLong, p(2).toLong)
+    }
+
+  private def publishMetaAt(root: String, m: StoreMeta): Unit =
+    FsPointers.publish(root, MetaName, s"emv1 ${m.n} ${m.xor}")
+
+  private def tornStoreError(path: String, detail: String): Nothing =
+    throw new IllegalStateException(
+      s"embedding store at $path: cells and id sidecar describe " +
+        s"different states ($detail) — a torn append left the sidecar " +
+        "out of step with the cells (id lookups would miss or misroute " +
+        "vectors the cell scan holds); rewrite with idIndex = true to " +
+        "rebuild both halves from the store")
+
   /** Write the corpus partitioned by LSH cell (one shuffle on the cell id,
     * large sorted files per cell — the CertStore discipline). With
     * `idIndex` the write also maintains the (vec_id → cell) sidecar that
@@ -74,6 +128,12 @@ object EmbeddingStore {
     // would break directRead on a store whose data never changed.
     if (mode == SaveMode.Overwrite && !idIndex && hadIdx)
       fs.delete(new org.apache.hadoop.fs.Path(path, idIndexDir), true)
+    // a sidecar-less store carries no receipt — drop a stale one with
+    // the sidecar (static Overwrite deletes the dir anyway; dynamic
+    // partitionOverwriteMode would leave it behind)
+    if (mode == SaveMode.Overwrite && !idIndex)
+      FsPointers.deleteFile(
+        new org.apache.hadoop.fs.Path(path, MetaName).toString)
     // Ignore-mode writes onto an EXISTING store are data no-ops; the
     // sidecar writes below must no-op with them, or an idIndex=true
     // Ignore call would write a sidecar of just the ignored increment
@@ -92,6 +152,39 @@ object EmbeddingStore {
     // min(|increment|, 2^p) — increment-bounded by construction
     // (SCALE.md round-13 fourth wave). The stock committer keeps the
     // simpler crash story for free.
+    val idxRoot = new org.apache.hadoop.fs.Path(path, idIndexDir).toString
+    val incIdxRows = embeddings.select(col("vec_id"),
+      V.lshBucket(col("embedding"), nPlanes).as("bucket"))
+    // Receipt fold for a sidecar-maintaining APPEND happens BEFORE any
+    // data job (the publish-first protocol — see MetaName): old receipts
+    // are required equal up front (a pre-existing tear must loud-stop,
+    // not compound), the store's new receipt is published, then cells,
+    // then sidecar, then the sidecar's receipt — every crash window
+    // leaves the two receipts unequal for the directRead guard. A
+    // pre-receipt legacy sidecar migrates in place via one loud
+    // recompute over the store at rest (column-pruned vec_id+cell scan),
+    // the same one-time-migration discipline as the idx6→idx7 artifact.
+    val pendingIdxMeta: Option[StoreMeta] =
+      if (mode == SaveMode.Append && hadIdx) {
+        val inc = vecReceiptAgg(incIdxRows, "bucket")
+        val next = (readMetaAt(path), readMetaAt(idxRoot)) match {
+          case (Some(a), Some(b)) =>
+            if (a != b) tornStoreError(path,
+              s"store receipt n=${a.n} xor=${a.xor} vs sidecar n=${b.n} xor=${b.xor}")
+            StoreMeta(a.n + inc.n, a.xor ^ inc.xor)
+          case (None, None) =>
+            System.err.println(s"[embstore] sidecar at $path carries no " +
+              "receipt (written before emv1) — recomputing from the store " +
+              "at rest, one-time migration")
+            val old = vecReceiptAgg(read(embeddings.sparkSession, path)
+              .select(col("vec_id"), col(partitionCol).as("bucket")), "bucket")
+            StoreMeta(old.n + inc.n, old.xor ^ inc.xor)
+          case (a, _) => tornStoreError(path,
+            s"receipt present on ${if (a.isDefined) "cells only" else "sidecar only"}")
+        }
+        publishMetaAt(path, next) // store receipt FIRST
+        Some(next)
+      } else None
     embeddings
       .withColumn(partitionCol, V.lshBucket(col("embedding"), nPlanes))
       .repartition(col(partitionCol))
@@ -107,18 +200,34 @@ object EmbeddingStore {
         .sortWithinPartitions("vec_id")
         .write.mode(m)
         .partitionBy("idp")
-        .parquet(s"$path/$idIndexDir")
-    val incIdxRows = embeddings.select(col("vec_id"),
-      V.lshBucket(col("embedding"), nPlanes).as("bucket"))
+        .parquet(idxRoot)
     if (mode != SaveMode.Append) {
-      if (idIndex && !ignoredNoop) writeIdx(incIdxRows, mode)
-    } else if (hadIdx) writeIdx(incIdxRows, SaveMode.Append)
-    else if (idIndex)
+      if (idIndex && !ignoredNoop) {
+        // fresh store (Overwrite replaced the dir; ErrorIfExists/Ignore
+        // only reach here on a path that held none): both receipts
+        // describe the one input, published around the sidecar write —
+        // a crash before the sidecar exists degrades directRead to the
+        // safe full-scan shape, so no publish-first step is needed
+        val m = vecReceiptAgg(incIdxRows, "bucket")
+        publishMetaAt(path, m)
+        writeIdx(incIdxRows, mode)
+        publishMetaAt(idxRoot, m)
+      }
+    } else if (hadIdx) {
+      writeIdx(incIdxRows, SaveMode.Append)
+      publishMetaAt(idxRoot, pendingIdxMeta.get) // sidecar receipt LAST
+    } else if (idIndex) {
       // first-idIndex-on-append backfill: the store (which now includes
       // the increment) is read back once; partition-dir bucket values
-      // are type-inferred on read, hence writeIdx's cast to long
-      writeIdx(read(embeddings.sparkSession, path)
-        .select(col("vec_id"), col(partitionCol).as("bucket")), SaveMode.Overwrite)
+      // are type-inferred on read, hence writeIdx's (and the receipt
+      // hash's) cast to long
+      val full = read(embeddings.sparkSession, path)
+        .select(col("vec_id"), col(partitionCol).as("bucket"))
+      val m = vecReceiptAgg(full, "bucket")
+      publishMetaAt(path, m)
+      writeIdx(full, SaveMode.Overwrite)
+      publishMetaAt(idxRoot, m)
+    }
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -217,6 +326,20 @@ object EmbeddingStore {
     // (correct, slower) so the flag is safe on any store.
     val idx = new org.apache.hadoop.fs.Path(path, idIndexDir)
     if (directRead && fs.exists(idx)) {
+      // the cross-table tear guard (see MetaName): the sidecar is only
+      // trusted when both halves' receipts exist and agree — two one-line
+      // FS reads, corpus-size-free. A pre-receipt legacy sidecar (both
+      // absent) is tolerated uncheckable; any append or rewrite upgrades
+      // it. One-sided or unequal receipts are exactly the torn-append
+      // signature and fail-stop instead of silently missing ids.
+      (readMetaAt(path), readMetaAt(idx.toString)) match {
+        case (Some(a), Some(b)) =>
+          if (a != b) tornStoreError(path,
+            s"store receipt n=${a.n} xor=${a.xor} vs sidecar n=${b.n} xor=${b.xor}")
+        case (None, None) => ()
+        case (a, _) => tornStoreError(path,
+          s"receipt present on ${if (a.isDefined) "cells only" else "sidecar only"}")
+      }
       val part = new org.apache.hadoop.fs.Path(idx,
         s"idp=${java.lang.Math.floorMod(queryId, IdIndexParts)}")
       val qBucket = (if (fs.exists(part))
