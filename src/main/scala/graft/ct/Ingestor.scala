@@ -17,6 +17,20 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *
   * The entry source is pluggable: production would wrap the CT HTTP API
   * (get-sth/get-entries, S3-S4); tests inject fixtures (zero-egress).
+  *
+  * DEPLOYMENT ROUTING (measured ×1/×10/×100 backlog, local[32],
+  * SCALE.md round 15): the serial loop lands 2.4-3.0k rows/s (reference
+  * parity — one fetch at a time, driver-side); [[runOnceParallel]]
+  * lands 16k/43k/39k rows/s (driver-pooled fetches, one union append
+  * per round); the DSv2 source ([[StreamIngest]]) lands 14.7k/81k/74k
+  * rows/s — ~2× the parallel loop from ×10 up, because its
+  * partition-per-(log, range) fetches run ON EXECUTORS and scale with
+  * the cluster instead of a driver pool. Deployments route through
+  * [[StreamIngest]]: executor-side transport, checkpointed offsets
+  * (exactly-once via the epoch-overwrite sink), and scheme-qualified
+  * store/checkpoint roots pinned end-to-end (CtDsv2Spec's file:-scheme
+  * lifecycle leg). The loops here remain the small-backlog/dev shapes
+  * and the reference-parity baseline.
   */
 object Ingestor {
 

@@ -23,6 +23,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * `ingestTs` parameterizes the wall clock per micro-batch (determinism
   * rule, SURVEY §7.4).
+  *
+  * THE DEPLOYMENT DEFAULT (round-15/16): this route measured
+  * 14.7k/81k/74k rows/s across ×1/×10/×100 backlogs on local[32] —
+  * ~2× [[Ingestor.runOnceParallel]] from ×10 up — and is the only
+  * ingest shape whose fetches run on executors (partition-per-
+  * (log, range), source/CtMicroBatchSource.scala:172), so it scales
+  * with the cluster rather than a driver thread pool. Row identity
+  * with the serial loop is spec-pinned (CtDsv2Spec). Cluster-FS
+  * portability is pinned too: store root, checkpoint WAL, and the
+  * layout guard below all resolve scheme-qualified URIs through the
+  * Hadoop FS API (CtDsv2Spec's file:-scheme lifecycle leg — the
+  * round-15 FsPointers defect class, kept out by test).
   */
 object StreamIngest {
 
