@@ -254,14 +254,40 @@ object ScaleProbe {
     P("cstore_fetch_bulk", 100, (s, d, n) => {
       val nb = math.min(4096, 64 * n)
       val store = corpusStoreOf(s, d, nb)
+      var t0 = System.nanoTime()
+      def phase(name: String, v: Long): Unit = {
+        System.err.println(f"[cstore bulk] $name%-12s " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($v rows, $nb parts)")
+        t0 = System.nanoTime()
+      }
+      // three SHIPPED regimes of fetchDocs across its two measured
+      // shape switches (round 16, the 2×2 sweep in SCALE.md): 100k ids
+      // = semi-join over the saturation guard's one-discovery root
+      // read; 10k ids = semi-join, guard at ~92% coverage; 2k ids =
+      // InSet over direct dirs (~39% coverage — the pruned point shape
+      // bulk must not lose). Plus the deliberately-naive contrast the
+      // 4096-id cap default now avoids: the 10k-literal InSet, the
+      // skew-twin discipline (17.8 vs 9.3 s at ×100; 116 s at the
+      // 100k the old 100k default allowed).
+      val bulk = operators.CorpusStore.fetchDocs(s, store,
+        (0L until 100000L).toSeq).count()
+      phase("bulk_100k", bulk)
+      val mid = operators.CorpusStore.fetchDocs(s, store,
+        (0L until 10000L).toSeq).count()
+      phase("mid_10k", mid)
+      val low = operators.CorpusStore.fetchDocs(s, store,
+        (0L until 2000L).toSeq).count()
+      phase("low_2k", low)
       val prev = s.conf.getOption("graft.dedup.fetchDocsMaxIds")
-      s.conf.set("graft.dedup.fetchDocsMaxIds", "50000")
-      try {
-        val got = operators.CorpusStore.fetchDocs(s, store,
-          (0L until 100000L).toSeq).count()
-        s.range(1).select(lit(got).as("n_fetched"))
-      } finally prev.fold(s.conf.unset("graft.dedup.fetchDocsMaxIds"))(
-        s.conf.set("graft.dedup.fetchDocsMaxIds", _))
+      s.conf.set("graft.dedup.fetchDocsMaxIds", "10000")
+      val insetNaive = try operators.CorpusStore.fetchDocs(s, store,
+          (0L until 10000L).toSeq).count()
+        finally prev.fold(s.conf.unset("graft.dedup.fetchDocsMaxIds"))(
+          s.conf.set("graft.dedup.fetchDocsMaxIds", _))
+      phase("inset_10k", insetNaive)
+      s.range(1).select(lit(bulk).as("n_fetched"),
+        lit(mid).as("n_fetched_mid"), lit(low).as("n_fetched_low"),
+        lit(insetNaive).as("n_fetched_inset"))
     }),
     // compactBandIndex(refreshHotBands = true) at ×n (round-14: the
     // cheap guard refresh) — the scratch is a fresh-build copy (no

@@ -168,29 +168,35 @@ object CorpusStore {
   def read(s: SparkSession, dir: String): DataFrame =
     readRows(s, dir).select(col("doc_id"), col("text"))
 
-  /** Broadcast-safety cap on [[fetchDocs]]'s literal id predicate: an
-    * InSet with millions of literals is a driver memory/analysis-time
-    * cliff (ADVICE r14 — the stored verify path can hand this method
-    * up to candidatePairCollectMaxRows ≈ 2M distinct ids). At or below
-    * the cap the lookup keeps the point shape (InSet pushed to the
-    * scan, row-group skipping on the doc_id sort); above it the SAME
-    * pruned-dir read is semi-joined against a broadcast LocalRelation
-    * of the ids — still increment-bounded (never a full-store scan;
-    * 8-byte rows ≈ 16 MB broadcast at 2M ids), just without per-row
-    * predicate pushdown. Overridable per session via
+  /** Cap on [[fetchDocs]]'s literal id predicate: at or below it the
+    * lookup keeps the point shape (InSet pushed to the scan, row-group
+    * skipping on the doc_id sort); above it the SAME read is
+    * semi-joined against a broadcast LocalRelation of the ids — never
+    * a full-store predicate pass, and safe up to the 2M ids the stored
+    * verify path can legally hand over (8-byte rows ≈ 16 MB broadcast).
+    * The default is MEASURED, not guessed (round 16, ×100 store at
+    * 4096 idp dirs): the InSet's per-literal cost grows linearly and
+    * crosses the flat semi-join between 2k and 5k literals — 5.0 vs
+    * 5.0 s at 2k ids, 13.8 vs 9.2 at 5k, 17.8 vs 9.3 at 10k, 116 vs
+    * 9.1 at the 100k the old default allowed (the r14 cap guarded the
+    * driver analysis cliff but left the executor-side predicate tax
+    * unmeasured). Overridable per session via
     * `graft.dedup.fetchDocsMaxIds` (same knob/spec pattern as the
     * band/pair collect caps). */
-  private val FetchDocsMaxIds = 100L * 1000
+  private val FetchDocsMaxIds = 4096L
 
   /** Point-fetch `ids` as (doc_id, text): the touched `idp=` directories
     * are derived driver-side from meta's partition count and opened
     * DIRECTLY — never the partitioned root, whose per-query partition
     * discovery grows with the partition count (the measured band-index
-    * lesson: 10.6 s of pure listing at 4096 dirs). Inside a dir the
-    * doc_id predicate is an InSet pushed to the scan, and the files'
-    * doc_id sort makes row-group min/max skip to the touched groups —
-    * or, above [[FetchDocsMaxIds]], a broadcast semi-join over the same
-    * pruned dirs. Absent ids contribute no rows (the semi-join
+    * lesson: 10.6 s of pure listing at 4096 dirs) — until the touched
+    * set covers ≥ half the existing dirs, where one root discovery is
+    * measured cheaper than enumerating thousands of paths (the
+    * saturation guard below). Inside the read the doc_id predicate is
+    * an InSet pushed to the scan, with the files' doc_id sort making
+    * row-group min/max skip to the touched groups — or, above
+    * [[FetchDocsMaxIds]], a broadcast semi-join (the measured winner
+    * from ~5k ids up). Absent ids contribute no rows (the semi-join
     * contract); an empty `ids` returns an empty frame without touching
     * the FS. */
   def fetchDocs(s: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
@@ -212,9 +218,23 @@ object CorpusStore {
       return readRows(s, dir).filter(lit(false))
         .select(col("doc_id"), col("text"))
     import org.apache.spark.sql.types._
-    val pruned = s.read.schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .parquet(dirs: _*)
+    // SATURATION GUARD (round 16 — the appendPairTerm precedent,
+    // measured on THIS store): enumerating thousands of individual dir
+    // paths costs more than one root discovery once the touched set
+    // covers most of the store — at ×100/4096 parts the semi-join read
+    // 9.2 s over ~2.9k direct dirs (70% coverage) and 9.1 s at full
+    // coverage vs 7.7 s via the root, while at 39% coverage the direct
+    // shape still wins 5.0 vs 7.8 (and at POINT volumes it is the whole
+    // store's reason to exist). ≥50% coverage takes the one-discovery
+    // root read; below it the direct dirs stand. On object storage the
+    // inversion is far larger than the measured local-FS 1.2× (each
+    // enumerated path is its own listing round-trip).
+    val pruned =
+      if (2 * dirs.length >= existing.size)
+        readRows(s, dir).select(col("doc_id"), col("text"))
+      else s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(dirs: _*)
     val cap = s.conf.getOption("graft.dedup.fetchDocsMaxIds")
       .map(_.toLong).getOrElse(FetchDocsMaxIds)
     val matched =

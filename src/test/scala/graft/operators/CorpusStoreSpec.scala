@@ -84,6 +84,20 @@ class CorpusStoreSpec extends SparkSpec {
         assert(jDirs == Set("idp=3", "idp=7"),
           s"the over-cap shape must keep the dir pruning, opened $jDirs")
       } finally spark.conf.unset("graft.dedup.fetchDocsMaxIds")
+      // SATURATION guard (round 16): an id set touching >= half the
+      // existing dirs takes ONE root discovery instead of enumerating
+      // the dir paths (measured cheaper from ~50% coverage; at object-
+      // store latencies the inversion is much larger) — rows identical,
+      // absent ids still contribute nothing
+      val sat = CorpusStore.fetchDocs(spark, dir, (1L to 20L) :+ 999L)
+      val satRows = sat.collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSeq.sorted
+      assert(satRows.map(_._1) == (1L to 20L),
+        s"saturated fetch must return every present id: ${satRows.map(_._1)}")
+      val satDirs = sat.inputFiles.map(f =>
+        f.split("/").find(_.startsWith("idp=")).getOrElse("?")).toSet
+      assert(satDirs.size == 8,
+        s"the saturated shape reads the whole store via the root, opened $satDirs")
     } finally Dedup.rmdir(new java.io.File(dir))
   }
 
