@@ -532,7 +532,10 @@ object ScaleProbe {
       val seq = appendSeq.incrementAndGet()
       val inc = Tables.documents(s, d).filter(col("doc_id") < 500)
         .withColumn("doc_id", col("doc_id") + 200000000L + seq * 10000L)
-      graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc)
+      // dev A/B knob for the candidate-pruned verify (the idx8 decision
+      // probe rides this entry on the PROBE_HOT corpora)
+      graft.queries.PipelineQueries.appendComponentsArtifact(s, scratch, inc,
+        pruneVerify = sys.env.getOrElse("SPARK_GRAFT_PRUNE_VERIFY", "0") == "1")
       s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
     }),
     // NARROW append at ×n (round-10 verdict ask #3): a 5-doc increment
@@ -1141,8 +1144,15 @@ object ScaleProbe {
     * their Σdf² re-enters the candidate self-join and was measured to
     * OOM the 8 GB dev heap. The probe wants a bounded hot set, not a
     * planted near-dup suffix. */
+  /** Width knob (round 16, the idx8 decision probe): `SPARK_GRAFT_HOT_BLOCK`
+    * widens the shared block so the hot-ROW volume scales past what the
+    * default 6-token block (4 hot shingles/doc) can reach — the regime
+    * where the verify tail's docHot shuffle and sizes scan would
+    * dominate, if they ever do. Width-≠-6 corpora get their own dirs. */
+  private val HotBlockWidth =
+    sys.env.getOrElse("SPARK_GRAFT_HOT_BLOCK", "6").toInt
   private val HotBlock =
-    (0 until 6).map(i => s"hotshared$i").mkString(" ")
+    (0 until HotBlockWidth).map(i => s"hotshared$i").mkString(" ")
 
   private def replicate(spark: SparkSession, base: String, out: String,
       n: Int, hotBlock: Boolean): Unit = {
@@ -1275,8 +1285,11 @@ object ScaleProbe {
     val tmp = System.getProperty("java.io.tmpdir")
     val hot = sys.env.getOrElse("SPARK_GRAFT_PROBE_HOT", "0") == "1"
     for (n <- scales) {
+      val hotTag =
+        if (!hot) "" else if (HotBlockWidth == 6) "hot_"
+        else s"hot_w${HotBlockWidth}_"
       val dir = new java.io.File(tmp,
-        s"graft_scale_${if (hot) "hot_" else ""}x$n").getAbsolutePath
+        s"graft_scale_${hotTag}x$n").getAbsolutePath
       replicate(spark, base, dir, n, hot)
       // dev-only entry filter for re-timing a single probe without the
       // whole sweep (comma-separated names)

@@ -1045,9 +1045,10 @@ object Dedup {
     * shuffle on hot-heavy corpora; over-cap candidate sets fall back to
     * the distributed tail. Output-identical either way (the pruned rows
     * are exactly those the verify joins drop; spec-pinned). The
-    * artifact append exposes it as an opt-in parameter (default off —
-    * measured a net loss at every locally probable scale, KNOBSWEEP
-    * sixth wave). */
+    * artifact append decides it ADAPTIVELY from the meta-derived
+    * hot-volume lower bound (round 16: a measured loss at 2M hot rows
+    * but a 4× win at 80M — SCALE.md third wave), with an explicit
+    * parameter still forcing it on. */
   def incrementalNgramPairs(increment: DataFrame, corpusShingles0: DataFrame,
       corpusSizes: DataFrame, hotShingles: DataFrame, k: Int = 3,
       threshold: Double = 0.5,

@@ -97,6 +97,21 @@ object PipelineQueries {
     * Spark's own broadcast-join economics. */
   private val IncrementBroadcastMaxShingleRows = 2L * 1000 * 1000
 
+  /** Hot-row volume above which the append turns the candidate-pruned
+    * verify ON adaptively (round 16): the prune trades one extra eager
+    * materialization for removing the verify's O(hot corpus rows)
+    * docHot shuffle, measured to cross from a −2.7 s loss at 2M hot
+    * rows to +10 s at 20M and +70 s at 80M on the ×100 hot corpora
+    * (SCALE.md round-16 third wave; locally calibrated, like every
+    * measured threshold here). Compared against the LOWER bound
+    * |hot| × minHotDf so the adaptive trigger only fires safely inside
+    * the win regime. Overridable per session via
+    * `graft.dedup.pruneVerifyHotRows` (spec hook + deployment tuning). */
+  private val PruneVerifyHotRowsDefault = 10L * 1000 * 1000
+  private def pruneVerifyHotRowsCutoff(s: SparkSession): Long =
+    s.conf.getOption("graft.dedup.pruneVerifyHotRows").map(_.toLong)
+      .getOrElse(PruneVerifyHotRowsDefault)
+
   /** The shingle index is PARTITIONED at rest by `shb = sh mod
     * n_buckets` (layout `_idx7b64`, the 100 TB remedy SCALE.md round 9
     * named): a serving append touches a bounded shingle set, so every
@@ -605,9 +620,29 @@ object PipelineQueries {
     // removes only rows the equi-join drops; ComponentsIncrSpec pins
     // both shapes pair-for-pair).
     val pushdown = incAgg.getLong(1) <= broadcastCap
+    // ADAPTIVE candidate-pruned verify (round 16 — the same
+    // decided-by-measurement discipline as the pushdown above): the
+    // prune removes the verify tail's per-append docHot shuffle of
+    // EVERY hot corpus row at the price of one extra eager
+    // materialization, so it loses at small hot volumes and wins big at
+    // large ones — measured on the ×100 hot corpora: −2.7 s at 2M hot
+    // rows (the sixth wave's default-off evidence), +10 s at 20M,
+    // +70 s at 80M (SCALE.md round-16 third wave). The hot-row volume
+    // is bounded BELOW by |hot| × minHotDf (every hot shingle's df is
+    // ≥ the snapshot floor — one tiny count over the hot sidecar), so
+    // crossing the cutoff with the LOWER bound means the prune is
+    // safely in its win regime; legacy metas (minHotDf sentinel ≤ 0)
+    // and small hot sets keep the measured-loss default. An explicit
+    // pruneVerify = true still forces it on.
+    val hotVolumeLowerBound =
+      if (meta.minHotDf > 0) hot.count() * meta.minHotDf else 0L
+    val effectivePrune = pruneVerify ||
+      hotVolumeLowerBound >= pruneVerifyHotRowsCutoff(s)
     System.err.println(s"[components] append: ${incAgg.getLong(0)} docs / " +
       s"${incAgg.getLong(1)} shingle rows -> " +
-      (if (pushdown) "broadcast pushdown shapes" else "plain shuffle shapes"))
+      (if (pushdown) "broadcast pushdown shapes" else "plain shuffle shapes") +
+      (if (effectivePrune) s" + candidate-pruned verify " +
+        s"(hot-volume lower bound $hotVolumeLowerBound)" else ""))
     // appendPairTerm's driver-side bucket collects run eagerly inside
     // the call; closing the "accounting" phase AFTER it returns keeps
     // their cost attributed to accounting (ADVICE r11 — r11's close
@@ -616,7 +651,7 @@ object PipelineQueries {
     // count below
     val (pairTerm, touchedCorpus) =
       appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown,
-        meta.nBuckets, pruneVerify)
+        meta.nBuckets, effectivePrune)
     phaseLog("accounting")
     val newPairs = pairTerm
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -824,14 +859,14 @@ object PipelineQueries {
         touchedCorpus.unionByName(hotCorpus), sizesDf, hot,
         ComponentsK, ComponentsThreshold,
         broadcastIncrementShingles = false,
-        // opt-in scale knob, default OFF: the candidate-pruned verify
-        // removes the per-append docHot shuffle of every hot corpus row
-        // — but the measured local A/B shows the extra materialization
-        // job costs MORE than that shuffle at every probed scale
-        // (SCALE.md round-15 sixth wave: +2.7-4.2 s hot append at
-        // ×10/×100); it pays only when hot-row volume is corpus-scale,
-        // beyond what local decades can show. Same default-off contract
-        // as every knob whose economics invert.
+        // the candidate-pruned verify removes the per-append docHot
+        // shuffle of every hot corpus row at the price of one extra
+        // eager materialization — a measured LOSS at small hot volumes
+        // (−2.7-4.2 s at 2M hot rows, the r15 sixth wave) and a
+        // measured WIN at large ones (+10 s at 20M, +70 s at 80M, the
+        // r16 third wave), so the append decides ADAPTIVELY from the
+        // meta-derived hot-volume lower bound (see the caller's
+        // effectivePrune); explicit pruneVerify = true still forces it.
         pruneVerifyByCandidates = pruneVerify)
       .select(col("i"), col("j"))
     (newPairs, touchedCorpus)

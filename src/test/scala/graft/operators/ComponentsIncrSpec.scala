@@ -177,6 +177,55 @@ class ComponentsIncrSpec extends SparkSpec {
     }
   }
 
+  test("adaptive candidate-pruned verify: the append turns the prune on " +
+      "by itself when the hot-volume lower bound crosses the cutoff " +
+      "(round 16), output still equal to cold") {
+    val base = Files.createTempDirectory("comp-incr-adapt").toString
+    val cold = Files.createTempDirectory("comp-incr-adapt-cold").toString
+    try {
+      PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+      PipelineQueries.buildComponentsArtifactFrom(spark,
+        corpusDocs.unionByName(incrementDocs), cold)
+      // cutoff forced to 1: the fixture's hot sidecar is non-empty with
+      // minHotDf > 0, so |hot| × minHotDf ≥ 1 fires the adaptive prune
+      // WITHOUT pruneVerify = true — pinned via the append's decision
+      // line, since the output is identical by construction either way
+      spark.conf.set("graft.dedup.pruneVerifyHotRows", "1")
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val realErr = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      try PipelineQueries.appendComponentsArtifact(spark, base, incrementDocs)
+      finally {
+        System.setErr(realErr)
+        spark.conf.unset("graft.dedup.pruneVerifyHotRows")
+        realErr.print(errBuf.toString("UTF-8"))
+      }
+      assert(errBuf.toString("UTF-8").contains("candidate-pruned verify"),
+        "the adaptive trigger must engage at cutoff 1 on a hot-carrying fixture")
+      assert(readClusters(base) == readClusters(cold))
+      assert(readNPairs(base) == readNPairs(cold))
+      // and at the production cutoff the tiny fixture stays in the
+      // measured-loss default: the decision line must NOT claim the prune
+      val base2 = Files.createTempDirectory("comp-incr-adapt2").toString
+      try {
+        PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base2)
+        val errBuf2 = new java.io.ByteArrayOutputStream()
+        System.setErr(new java.io.PrintStream(errBuf2, true, "UTF-8"))
+        try PipelineQueries.appendComponentsArtifact(spark, base2, incrementDocs)
+        finally {
+          System.setErr(realErr)
+          realErr.print(errBuf2.toString("UTF-8"))
+        }
+        assert(!errBuf2.toString("UTF-8").contains("candidate-pruned verify"),
+          "a tiny hot set must keep the measured-loss default off")
+        assert(readClusters(base2) == readClusters(cold))
+      } finally Dedup.rmdir(new java.io.File(base2))
+    } finally {
+      Dedup.rmdir(new java.io.File(base))
+      Dedup.rmdir(new java.io.File(cold))
+    }
+  }
+
   test("appends chain: two successive increments equal one cold union build") {
     val base = Files.createTempDirectory("comp-incr-chain").toString
     val cold = Files.createTempDirectory("comp-incr-chain-cold").toString
