@@ -421,6 +421,75 @@ case class MaxAbsDouble(child: Expression) extends UnaryExpression {
 }
 
 /** Static helpers invoked from generated code (and reusable from eval). */
+/** Count of DISTINCT common elements of two SORTED array<long> columns —
+  * the allocation-free twin of `size(array_intersect(a, b))` for the
+  * dedup hot re-add. `array_intersect` builds a SQLOpenHashSet per ROW;
+  * under candidate-volume rows each carrying two per-doc hot arrays the
+  * per-row set churn OOM'd an 8 GB heap at 160 hot shingles/doc
+  * (SCALE.md round-16 third wave, stack: OpenHashSet.rehash inside the
+  * codegen'd shuffle write). Two pointers with duplicate skipping over
+  * pre-sorted inputs: O(|a|+|b|), zero allocation, codegen'd. Inputs
+  * MUST be ascending-sorted (the docHot builders wrap collect_list in
+  * sort_array — a doc-grain cost, not candidate-grain); duplicates in
+  * either input count once, matching array_intersect's distinct
+  * semantics. */
+case class SortedIntersectCountLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        c += 1
+        while (i < n && x.getLong(i) == xv) i += 1
+        while (j < m && y.getLong(j) == xv) j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.value} = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    ${ev.value}++;
+         |    while ($i < $n && $a.getLong($i) == $xv) { $i++; }
+         |    while ($j < $m && $b.getLong($j) == $xv) { $j++; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayExprs {
   def polyHash(s: UTF8String): Long = {
     val str = s.toString
@@ -588,6 +657,8 @@ object ArrayExprs {
   // the graftbridge shim over the private[sql] ExpressionUtils)
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def dot_double(a: Column, b: Column): Column = column(DotDouble(expression(a), expression(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCountLong(expression(a), expression(b)))
   def dot_long(a: Column, b: Column): Column = column(DotLong(expression(a), expression(b)))
   def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
   def simhash62(c: Column): Column = column(Simhash62(expression(c)))

@@ -987,14 +987,20 @@ object Dedup {
         // the hot-set scale probe (every doc carrying 4 hot shingles:
         // build ×10 23.7 → ~10 s class). Arrays, not bitmasks: the hot
         // set is globally capped at maxHot, not at 64.
+        // sort_array at DOC grain so the per-PAIR intersect is the
+        // allocation-free two-pointer count (SortedIntersectCountLong)
+        // instead of array_intersect's per-row hash set — the set churn
+        // under candidate-volume array rows OOM'd an 8 GB heap at 160
+        // hot shingles/doc (SCALE.md round-16 third wave)
         val docHot = hotSh.groupBy(col("doc_id"))
-          .agg(collect_list(col("sh")).as("hs"))
+          .agg(sort_array(collect_list(col("sh"))).as("hs"))
         interRare
           .join(docHot.as("ha"), col("i") === col("ha.doc_id"), "left")
           .join(docHot.as("hb"), col("j") === col("hb.doc_id"), "left")
           .select(col("i"), col("j"),
             (col("inter_rare") + coalesce(
-              size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("long"),
+              graft.expressions.ArrayExprs.sorted_intersect_count(
+                col("ha.hs"), col("hb.hs")),
               lit(0L))).as("inter"))
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -1103,14 +1109,18 @@ object Dedup {
     val sizes = corpusSizes.union(incSizes)
     def verifyTail(inter: DataFrame, hotAllT: DataFrame,
         sizesT: DataFrame): DataFrame = {
+      // sorted arrays + the two-pointer intersect count: same counts as
+      // array_intersect (distinct semantics), zero per-row allocation —
+      // see the cold guard's docHot for the measured OOM this avoids
       val docHot = hotAllT.groupBy(col("doc_id"))
-        .agg(collect_list(col("sh")).as("hs"))
+        .agg(sort_array(collect_list(col("sh"))).as("hs"))
       inter
         .join(docHot.as("ha"), col("i") === col("ha.doc_id"), "left")
         .join(docHot.as("hb"), col("j") === col("hb.doc_id"), "left")
         .select(col("i"), col("j"),
           (col("inter_rare") + coalesce(
-            size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("long"),
+            graft.expressions.ArrayExprs.sorted_intersect_count(
+              col("ha.hs"), col("hb.hs")),
             lit(0L))).as("inter"))
         .join(sizesT.as("sa"), col("i") === col("sa.doc_id"))
         .join(sizesT.as("sb"), col("j") === col("sb.doc_id"))

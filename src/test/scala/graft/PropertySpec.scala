@@ -93,6 +93,21 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("sortedIntersectCount == distinct set intersection size on " +
+      "sorted arrays (the array_intersect twin, round 16)") = {
+    val longs = Gen.listOf(Gen.choose(-20L, 20L)) // dense range → real overlaps + dups
+    forAll(longs, longs) { (a, b) =>
+      val sa = a.sorted
+      val sb = b.sorted
+      val expr = graft.expressions.SortedIntersectCountLong(
+        BoundReference(0, org.apache.spark.sql.types.ArrayType(LongType), nullable = true),
+        BoundReference(1, org.apache.spark.sql.types.ArrayType(LongType), nullable = true))
+      val got = expr.eval(new GenericInternalRow(Array[Any](
+        new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray))))
+      got == (a.toSet & b.toSet).size.toLong
+    }
+  }
+
   property("mix rate formula never exceeds the budget share; caps when mass fits") = {
     // Sampling.mixToBudget's integer rate: expected kept tokens per
     // stratum (rate·tot/10⁴) never exceed the stratum's budget target,
