@@ -596,6 +596,30 @@ object ScaleProbe {
         s, scratch, Tables.documents(s, d))
       s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(scratch))
     }),
+    // COMPACTION at 4096 buckets (round 16 — the last unmeasured
+    // 4096-dir surface): the narrow-append curve proved the
+    // deployment-geometry read side; this pins the generation flip's
+    // write side — the staged re-derive lands 4096 bucket dirs, the
+    // pointer flips, and grace GC sweeps the 4096-dir previous
+    // generation. A PRIVATE artifact cold-built at 4096 once per scale
+    // (marker-guarded); compactions CHAIN (pass2 = gen-2 with gen-1's
+    // grace sweep in the path — the steady state), corpus-of-record =
+    // the ×n docs themselves, bucket count preserved from meta.
+    P("artifact_compact_hb", 100, (s, d, n) => {
+      val dir = new java.io.File(storesDirFor(d),
+        "components_compact_hb4096").getAbsolutePath
+      val marker = new java.io.File(dir, s"_HBC_COMPLETE_$Version")
+      if (!marker.exists()) {
+        graft.operators.Dedup.rmdir(new java.io.File(dir))
+        graft.queries.PipelineQueries.buildComponentsArtifactFrom(
+          s, Tables.documents(s, d), dir, 4096)
+        java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+        ()
+      }
+      graft.queries.PipelineQueries.compactComponentsArtifact(
+        s, dir, Tables.documents(s, d))
+      s.read.parquet(graft.queries.PipelineQueries.clustersDirOf(dir))
+    }),
     // the at-rest store's SERVING path under the scale rule: the store is
     // written once per scale with p = log2(16n) (cell occupancy held
     // ~125), then probed with knnProbeVector — the pure partition-pruned
