@@ -16,16 +16,28 @@ import org.apache.spark.sql.functions._
 object SkewAgg {
 
   /** Exact `GROUP BY key → count(*), count(DISTINCT x)` computed in two
-    * salted stages so no single reducer ever owns a whole hot key.
+    * stages so no single reducer ever owns a whole hot key.
     *
-    * Stage 1 groups by `(key, salt)` where `salt = hash(x) mod nSalts`:
-    * the hot key's rows spread over `nSalts` tasks. Because the salt is
-    * derived from the DISTINCT column itself, the distinct values of `x`
-    * within a key are PARTITIONED across salts (each value lands in
-    * exactly one salt), so stage 2's `sum` over the per-salt distinct
-    * counts is the exact global distinct count — not an approximation.
-    * Row counts are additive over any partition, so `count(*)` rides
-    * along for free.
+    * Stage 1 groups by `(key, x)` directly — the finest possible salt:
+    * the hot key's rows spread over EVERY reducer by hash of the
+    * distinct value itself, and each distinct `x` within a key lands in
+    * exactly one group, so stage 2's `count(x)` over the per-value rows
+    * is the exact global distinct count (NULL `x` forms its own group,
+    * which `count(x)` skips — the `count_distinct` semantic) and
+    * `sum(n)` the exact row count. Stage 2's partial aggregation folds
+    * each reducer's groups to one row per key map-side, so the second
+    * exchange carries ~|keys|×|partitions| rows, never data volume.
+    *
+    * This replaces the earlier explicit-salt shape (`salt = hash(x) mod
+    * nSalts`, then `count_distinct` per (key, salt)): Catalyst plans a
+    * distinct aggregate as TWO exchanges (hash(key, salt, x) then
+    * hash(key, salt)) plus the outer roll-up's third — grouping by the
+    * value itself keeps the identical first-exchange volume minus the
+    * 8-byte salt column, drops one exchange and three aggregate phases
+    * outright, and skips the per-row xxhash64 salt (optimization round
+    * r16; the guide's §2.4 "remove shuffles outright"). `nSalts` is
+    * retained for source compatibility and ignored — the value grain is
+    * strictly finer than any salt count.
     *
     * Result is bit-identical to the plain single-stage aggregation (the
     * declared query's oracle); the only difference is the shuffle key.
@@ -35,10 +47,9 @@ object SkewAgg {
   def saltedDistinctCount(df: DataFrame, key: String, x: String,
       nSalts: Int = 16): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    df.groupBy(col(key),
-        pmod(xxhash64(col(x)), lit(nSalts.toLong)).as("__salt"))
-      .agg(count(lit(1)).as("__n"), count_distinct(col(x)).as("__nd"))
+    df.groupBy(col(key), col(x))
+      .agg(count(lit(1)).as("__n"))
       .groupBy(col(key))
-      .agg(sum(col("__n")).as("n_rows"), sum(col("__nd")).as("n_distinct"))
+      .agg(sum(col("__n")).as("n_rows"), count(col(x)).as("n_distinct"))
   }
 }
