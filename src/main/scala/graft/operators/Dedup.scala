@@ -164,7 +164,7 @@ object Dedup {
     * change the reported jaccard. inter/|A∪B| from exact bigint counts →
     * deterministic double. */
   private[operators] def verifyJaccard(candidates: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, sorted: Boolean = true): DataFrame = {
     val candDocs = candidates.select(col("i").as("doc_id"))
       .union(candidates.select(col("j"))).distinct()
     val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
@@ -179,7 +179,17 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("na.n") + col("nb.n") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("inter"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+      .orderByIf(sorted, col("i"), col("j"))
+  }
+
+  /** `orderBy` applied only when `sorted` — the deterministic-output
+    * global sort is part of the DECLARED queries' hash-gated contract,
+    * but an edge-set/count consumer (components, pageRank, recall
+    * evals) pays its range exchange + sampling job for nothing, and
+    * the optimizer does not remove it on its own (r16). */
+  implicit private[operators] class OrderByIf(df: DataFrame) {
+    def orderByIf(sorted: Boolean, cols: org.apache.spark.sql.Column*): DataFrame =
+      if (sorted) df.orderBy(cols: _*) else df
   }
 
   /** MinHash LSH band rows of a corpus: (doc_id, band_idx, band_val) —
@@ -905,7 +915,7 @@ object Dedup {
     * precisely because that deviation exists: exactness is the default
     * contract, scale hostility is the caller's call ([[autoDfCutoff]]). */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-      dfCutoff: Option[Long] = None): DataFrame = {
+      dfCutoff: Option[Long] = None, sorted: Boolean = true): DataFrame = {
     // In the GUARDED path the shingle frame feeds an EAGER job (the hot-df
     // collect) plus the self-join, per-doc sizes, and both hot-side
     // probes — persist it so the eager pass doubles as cache fill and the
@@ -928,7 +938,7 @@ object Dedup {
         Option(lastGuardedShingles.getAndSet(p)).foreach(_.unpersist(false))
         p
       } else shRaw
-    pairsFromShingles(sh, threshold, dfCutoff)
+    pairsFromShingles(sh, threshold, dfCutoff, sorted = sorted)
   }
 
   /** [[ngramJaccardPairs]]' pair pipeline over an EXPLICIT shingle frame
@@ -938,7 +948,8 @@ object Dedup {
     * only thing the pair join ever reads). Semantics identical to the
     * docs-frame entry point by construction. */
   private[graft] def pairsFromShingles(sh: DataFrame, threshold: Double,
-      dfCutoff: Option[Long], dfTable: Option[DataFrame] = None): DataFrame = {
+      dfCutoff: Option[Long], dfTable: Option[DataFrame] = None,
+      sorted: Boolean = true): DataFrame = {
     val inter = dfCutoff match {
       case None =>
         sh.as("a").join(sh.as("b"),
@@ -1004,13 +1015,20 @@ object Dedup {
               lit(0L))).as("inter"))
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
+    val out = inter
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
       .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("inter"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+    // `sorted = false` skips the deterministic-output global sort for
+    // consumers that use the pairs as an EDGE SET (the components
+    // artifact's build/append): a range-partitioning exchange costs its
+    // own sampling job per execution on top of the sort (optimization
+    // round r16; guide §2.4 — "an orderBy used only to make output
+    // deterministic"). Declared queries keep the default: their row
+    // order is part of the hash-gated contract.
+    if (sorted) out.orderBy(col("i"), col("j")) else out
   }
 
   /** Public face of [[shingleRows]]: the distinct (doc_id, sh) k-shingle
@@ -1059,7 +1077,8 @@ object Dedup {
       corpusSizes: DataFrame, hotShingles: DataFrame, k: Int = 3,
       threshold: Double = 0.5,
       broadcastIncrementShingles: Boolean = false,
-      pruneVerifyByCandidates: Boolean = false): DataFrame = {
+      pruneVerifyByCandidates: Boolean = false,
+      sorted: Boolean = true): DataFrame = {
     // normalize to the (doc_id, sh) grain: the persisted index is
     // bucketed by a derived `shb` partition column at rest (layout
     // _idx6), and that column must neither widen the joins below nor
@@ -1127,9 +1146,12 @@ object Dedup {
         .withColumn("jaccard", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("i"), col("j"), col("inter"), col("jaccard"))
-        .orderBy(col("i"), col("j"))
     }
-    if (!pruneVerifyByCandidates) verifyTail(interRare, hotAll, sizes)
+    // edge-set consumers (the artifact append) skip the deterministic
+    // global sort — same rationale as [[pairsFromShingles]]' flag
+    def ordered(df: DataFrame): DataFrame =
+      if (sorted) df.orderBy(col("i"), col("j")) else df
+    if (!pruneVerifyByCandidates) ordered(verifyTail(interRare, hotAll, sizes))
     else {
       // CANDIDATE-PRUNED VERIFY (round-15, the serving-append shape):
       // the default verify tail pays two corpus-scale terms per call —
@@ -1153,7 +1175,7 @@ object Dedup {
       val pairCap = confCap(s, "graft.dedup.candidatePairCollectMaxRows",
         CandidatePairCollectMaxRows)
       val head = interRare.head(pairCap.toInt + 1)
-      if (head.length > pairCap) verifyTail(interRare, hotAll, sizes)
+      if (head.length > pairCap) ordered(verifyTail(interRare, hotAll, sizes))
       else {
         import scala.jdk.CollectionConverters._
         import s.implicits._
@@ -1161,9 +1183,9 @@ object Dedup {
         val ids = head.iterator
           .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSeq.distinct
         val idsDf = broadcast(ids.toDF("doc_id"))
-        verifyTail(interLocal,
+        ordered(verifyTail(interLocal,
           hotAll.join(idsDf, Seq("doc_id"), "left_semi"),
-          sizes.join(idsDf, Seq("doc_id"), "left_semi"))
+          sizes.join(idsDf, Seq("doc_id"), "left_semi")))
       }
     }
   }
@@ -1189,8 +1211,10 @@ object Dedup {
     * of LSH at scale: verification cost follows the candidate count, not
     * the corpus pair count. Returns verified pairs ≥ threshold (subset of
     * ngramJaccardPairs limited to LSH candidates). */
-  def minhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
-    verifyJaccard(bandCandidates(bandIndex(docs, k)), shingleRows(docs, k), threshold)
+  def minhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      sorted: Boolean = true): DataFrame =
+    verifyJaccard(bandCandidates(bandIndex(docs, k)), shingleRows(docs, k),
+      threshold, sorted = sorted)
 
   /** Candidate (i, j) pairs from the LSH band index: equi-join on
     * (band_idx, band_val), i < j, distinct. THE single definition of
@@ -1213,7 +1237,9 @@ object Dedup {
     * cross-engine hash gate. One extra broadcast-sized join per side on
     * top of [[minhashPairs]]; the zip-compare is codegen'd array work. */
   def minhashEstimates(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(docs, k, threshold)
+    // unsorted: the sig joins below destroy order and the query applies
+    // its own terminal orderBy — the inner sort tail is pure waste (r16)
+    val pairs = minhashPairs(docs, k, threshold, sorted = false)
     val sigs = minhashSignatures(docs, k)
     pairs
       .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_a")), Seq("i"))
@@ -1237,9 +1263,13 @@ object Dedup {
     * All five numbers are deterministic, so the full row sits under the
     * cross-engine hash gate. */
   def minhashEval(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val truth = ngramJaccardPairs(docs, k, threshold)
+    // count-only consumer: the exact pair set's deterministic sort tail
+    // (range exchange + sampling job) buys nothing under agg(count) —
+    // and the optimizer does not remove it on its own (r16)
+    val truth = ngramJaccardPairs(docs, k, threshold, sorted = false)
     val candidates = bandCandidates(bandIndex(docs, k))
-    val verified = verifyJaccard(candidates, shingleRows(docs, k), threshold)
+    val verified = verifyJaccard(candidates, shingleRows(docs, k), threshold,
+      sorted = false) // count-only consumer
     truth.agg(count(lit(1)).as("n_true_pairs"))
       .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(verified.agg(count(lit(1)).as("n_verified")))

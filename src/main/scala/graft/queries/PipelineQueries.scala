@@ -253,7 +253,11 @@ object PipelineQueries {
     phaseLog("df+hot")
     val pairs = Dedup.pairsFromShingles(
         shWritten.select(col("doc_id"), col("sh")), ComponentsThreshold,
-        dfCutoff = Some(cutoff), dfTable = Some(dfT))
+        dfCutoff = Some(cutoff), dfTable = Some(dfT),
+        // edge-set consumer: components() is order-insensitive, so the
+        // declared queries' deterministic global sort (range exchange +
+        // its sampling job) is pure waste here (r16)
+        sorted = false)
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
@@ -867,7 +871,10 @@ object PipelineQueries {
         // r16 third wave), so the append decides ADAPTIVELY from the
         // meta-derived hot-volume lower bound (see the caller's
         // effectivePrune); explicit pruneVerify = true still forces it.
-        pruneVerifyByCandidates = pruneVerify)
+        pruneVerifyByCandidates = pruneVerify,
+        // edge-set consumer (star-edge component merge): skip the
+        // declared queries' deterministic global sort (r16)
+        sorted = false)
       .select(col("i"), col("j"))
     (newPairs, touchedCorpus)
   }
@@ -1670,11 +1677,19 @@ object PipelineQueries {
       graft.operators.Pca.topDirection(Tables.embeddings(s, d), iters = 2)),
 
     // PageRank over the n-gram near-dup graph: centrality as the keeper
-    // signal beyond min-id; edge-join + per-destination nano-unit sums
+    // signal beyond min-id; edge-join + per-destination nano-unit sums.
+    // sorted = false: pageRank consumes the pairs as an EDGE SET and the
+    // lazy pipeline replicates the pair subtree per reference (sym, deg,
+    // per-iteration contribs), so the declared pair query's deterministic
+    // sort tail would execute several times over — EliminateSorts does
+    // NOT remove it under this plan (verified in the r16 before-plan:
+    // rangepartitioning(i, j) appears once per reference). Output is
+    // unchanged: pageRank's nano-unit sums are order-insensitive and it
+    // applies its own terminal orderBy(doc_id).
     "graph_pagerank" -> ((s, d) =>
       graft.operators.GraphOps.pageRank(
         graft.operators.Dedup.ngramJaccardPairs(Tables.documents(s, d),
-          k = 3, threshold = 0.5).select(col("i"), col("j")),
+          k = 3, threshold = 0.5, sorted = false).select(col("i"), col("j")),
         iters = 2)),
 
     // RAG-style overlapping token-window chunking: pure per-row explode,

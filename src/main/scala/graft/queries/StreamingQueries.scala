@@ -524,31 +524,49 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(splitDir)
     val q = src.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val delta = batch.toDF()
           .select(to_date(col("ts")).as("day"), mixed(col("user_id")).as("h"))
           .groupBy(col("day")).agg(kmvSketch(col("h"), kk).as("sk"))
-        val merged =
-          if (new java.io.File(statePath).exists)
-            spark.read.parquet(statePath).as("s")
+        // versioned snapshot dirs + pointer swap (the AggState pattern):
+        // the fold reads the committed snapshot and writes a NEW one, so
+        // no materialize-before-overwrite pass is needed — the in-place
+        // formulation paid a persist+count of the merged state per batch
+        // solely to avoid overwriting the parquet it was lazily reading
+        // (optimization round r16). Replay needs no batchId fence: KMV
+        // union is idempotent set algebra (re-folding a delta is a no-op).
+        val committed = graft.operators.FsPointers.read(statePath, "_CURRENT")
+        val merged = committed match {
+          case Some(dir) =>
+            spark.read.parquet(s"$statePath/$dir").as("s")
               .join(delta.as("d"), Seq("day"), "full")
               .select(col("day"),
                 slice(array_sort(array_union(
                   coalesce(col("s.sk"), array().cast("array<long>")),
                   coalesce(col("d.sk"), array().cast("array<long>")))),
                   1, kk).as("sk"))
-          else delta
-        val m = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        m.count()
-        try m.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
-        finally { m.unpersist(false); () }
+          case None => delta
+        }
+        val newDir = s"b$batchId"
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$statePath/$newDir")
+        graft.operators.FsPointers.publish(statePath, "_CURRENT", newDir)
+        val keep = Set(newDir) ++ committed
+        val rootP = new org.apache.hadoop.fs.Path(statePath)
+        val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(rootP)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("b") &&
+            !keep.contains(st.getPath.getName))
+          .foreach(st => graft.operators.FsPointers.deleteDir(st.getPath.toString))
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
     finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
-    val view = spark.read.parquet(statePath)
+    val view = spark.read.parquet(statePath + "/" +
+        graft.operators.FsPointers.read(statePath, "_CURRENT").getOrElse(
+          sys.error(s"stream_kmv: no committed sketch state under $statePath")))
       .select(col("day"), size(col("sk")).cast("long").as("n_sk"),
         when(size(col("sk")) < kk, size(col("sk")).cast("double"))
           .otherwise(lit((kk - 1).toDouble) /
@@ -591,15 +609,27 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(splitDir)
     val q = src.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val batchCounts = batch.toDF()
           .select(explode(T.tokens(col("text"))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        // versioned snapshot dirs + pointer swap (the AggState pattern):
+        // the fold writes a NEW snapshot instead of overwriting the one
+        // it reads, so the filtered state needs no persist+count
+        // materialization pass per batch (optimization round r16). The
+        // merged frame stays persisted: it has two genuine consumers
+        // (the decrement's top-k collect and the snapshot write).
+        // MG-fold replay is absorbed by the error bound (the summary is
+        // approximate-with-guarantee; the closing exact recount is what
+        // the declared output rides), matching the prior shape.
+        val committed = graft.operators.FsPointers.read(statePath, "_CURRENT")
         val merged =
-          (if (new java.io.File(statePath).exists)
-             spark.read.parquet(statePath).unionByName(batchCounts)
-               .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
-           else batchCounts)
+          (committed match {
+             case Some(dir) =>
+               spark.read.parquet(s"$statePath/$dir").unionByName(batchCounts)
+                 .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+             case None => batchCounts
+           })
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // the compression decrement: the (cap+1)th-largest merged count
         // (0 when ≤ cap counters survive the union) — a VALUE, not a row
@@ -607,19 +637,30 @@ object StreamingQueries {
         val top = merged.orderBy(col("cnt").desc, col("token"))
           .limit(cap + 1).select(col("cnt")).collect()
         val d = if (top.length > cap) top.last.getLong(0) else 0L
-        val state = merged.filter(col("cnt") > lit(d))
+        val newDir = s"b$batchId"
+        try merged.filter(col("cnt") > lit(d))
           .select(col("token"), (col("cnt") - lit(d)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        state.count()
-        try state.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
-        finally { merged.unpersist(false); state.unpersist(false); () }
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$statePath/$newDir")
+        finally { merged.unpersist(false); () }
+        graft.operators.FsPointers.publish(statePath, "_CURRENT", newDir)
+        val keep = Set(newDir) ++ committed
+        val rootP = new org.apache.hadoop.fs.Path(statePath)
+        val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(rootP)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("b") &&
+            !keep.contains(st.getPath.getName))
+          .foreach(st => graft.operators.FsPointers.deleteDir(st.getPath.toString))
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
     finally graft.operators.Dedup.rmdir(new java.io.File(ckpt))
-    val candidates = spark.read.parquet(statePath).select(col("token"))
+    val candidates = spark.read.parquet(statePath + "/" +
+        graft.operators.FsPointers.read(statePath, "_CURRENT").getOrElse(
+          sys.error(s"stream_heavy_hitters: no committed state under $statePath")))
+      .select(col("token"))
     val tokens = graft.Tables.documents(spark, dir)
       .select(explode(T.tokens(col("text"))).as("token"))
     val total = tokens.agg(count(lit(1)).as("n"))
