@@ -185,8 +185,13 @@ object Dedup {
   /** `orderBy` applied only when `sorted` — the deterministic-output
     * global sort is part of the DECLARED queries' hash-gated contract,
     * but an edge-set/count consumer (components, pageRank, recall
-    * evals) pays its range exchange + sampling job for nothing, and
-    * the optimizer does not remove it on its own (r16). */
+    * evals) pays its range exchange + sampling job for nothing. The
+    * optimizer removes SOME of these on its own (EliminateSorts fires
+    * under a direct agg(count)) but not others — not under a persist
+    * boundary (the artifact build/append caches pairs sorted) and not
+    * through pageRank's re-referenced lazy subtree (17 surviving range
+    * exchanges in the r16 before-plan) — so consumers state it
+    * explicitly. */
   implicit private[operators] class OrderByIf(df: DataFrame) {
     def orderByIf(sorted: Boolean, cols: org.apache.spark.sql.Column*): DataFrame =
       if (sorted) df.orderBy(cols: _*) else df
@@ -1238,7 +1243,8 @@ object Dedup {
     * top of [[minhashPairs]]; the zip-compare is codegen'd array work. */
   def minhashEstimates(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     // unsorted: the sig joins below destroy order and the query applies
-    // its own terminal orderBy — the inner sort tail is pure waste (r16)
+    // its own terminal orderBy; EliminateSorts was already removing the
+    // inner sort here (r16 plan dumps) — flag kept for explicitness
     val pairs = minhashPairs(docs, k, threshold, sorted = false)
     val sigs = minhashSignatures(docs, k)
     pairs
@@ -1263,9 +1269,10 @@ object Dedup {
     * All five numbers are deterministic, so the full row sits under the
     * cross-engine hash gate. */
   def minhashEval(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // count-only consumer: the exact pair set's deterministic sort tail
-    // (range exchange + sampling job) buys nothing under agg(count) —
-    // and the optimizer does not remove it on its own (r16)
+    // count-only consumer: EliminateSorts already drops a sort directly
+    // under agg(count) (verified in the r16 plan dumps), so this flag is
+    // explicit-belt-and-braces, not a plan change — unlike the persisted
+    // artifact paths and pageRank, where the sort really executed
     val truth = ngramJaccardPairs(docs, k, threshold, sorted = false)
     val candidates = bandCandidates(bandIndex(docs, k))
     val verified = verifyJaccard(candidates, shingleRows(docs, k), threshold,

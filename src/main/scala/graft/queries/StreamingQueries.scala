@@ -351,6 +351,9 @@ object StreamingQueries {
     * (pinned by BufferedReplaySpec's boundary case; HostileGen plants
     * exactly these rows). On data with no exact-boundary odd-id row the
     * rule no-ops and the split is the plain time slicing. */
+  private[graft] def eventsSplitByTimeForProfile(spark: SparkSession,
+      dir: String): String = eventsSplitByTime(spark, dir)
+
   private def eventsSplitByTime(spark: SparkSession, dir: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     // _v2: the boundary rule changed the fixture's content contract —
