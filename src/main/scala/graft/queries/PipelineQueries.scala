@@ -200,6 +200,38 @@ object PipelineQueries {
     * full rebuild, the compaction step). Raw text is shingled exactly
     * once: the pair build, the sizes table, the hot set and the drift
     * floors all read the WRITTEN index back. */
+  /** Two named long metrics from an `observe()` node, with a bounded
+    * wait and a loud fallback: CollectMetrics values surface through an
+    * async listener after the carrying action completes, so a caller
+    * that just ran the action polls briefly instead of racing
+    * `getOrEmpty` (or hanging forever in `get` if the node's execution
+    * path ever stops reporting — e.g. an exotic cached-plan shape).
+    * The fallback recomputes the same expressions as their own pass —
+    * bit-identical values, just the cost the observe existed to save. */
+  private def observedPair(obs: org.apache.spark.sql.Observation,
+      a: String, b: String, fallback: => (Long, Long)): (Long, Long) = {
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    // getOrEmpty NPEs on the schemaless metrics row an EMPTY observed
+    // input produces (Spark 4.1, Observation.scala:116) — a DEGENERATE
+    // row means the metrics exist but are unreadable, so bail to the
+    // fallback immediately (polling would burn the whole deadline on an
+    // empty increment); None = not yet surfaced, keep polling
+    def read(): Option[Map[String, Any]] =
+      try Some(org.apache.spark.sql.graftbridge.Bridge.observationGetOrEmpty(obs))
+      catch { case _: NullPointerException => None }
+    var m = read()
+    while (m.exists(_.isEmpty) && System.nanoTime() < deadline) {
+      Thread.sleep(20); m = read()
+    }
+    m.filter(_.nonEmpty) match {
+      case Some(mm) => (mm(a).asInstanceOf[Long], mm(b).asInstanceOf[Long])
+      case None =>
+        System.err.println("[components] NOTE: observe() metrics did not " +
+          s"surface for ($a, $b); recomputing with a standalone pass")
+        fallback
+    }
+  }
+
   private[graft] def buildComponentsArtifactFrom(s: SparkSession,
       docs: DataFrame, out: String, nBuckets: Int): Unit = {
     // corpus accounting in ONE pass: the raw doc count (the cutoff
@@ -220,11 +252,6 @@ object PipelineQueries {
         f"[components] build phase $name%-12s ${(now - tPhase) / 1e9}%6.2f s")
       tPhase = now
     }
-    val Array(docsAgg) = docs.agg(count(lit(1)), docReceipt).collect()
-    val nDocsTotal = docsAgg.getLong(0)
-    val docIdXor = docsAgg.getLong(1)
-    val cutoff = Dedup.autoDfCutoffFor(nDocsTotal)
-    phaseLog("receipt")
     // index FIRST: raw text is shingled exactly once; the pair build,
     // sizes and hot set all read the written 8-byte (doc_id, sh) grain.
     // Bucketed by sh (layout _idx7b64) so the append path's corpus-index
@@ -232,13 +259,35 @@ object PipelineQueries {
     // repartition co-locates each bucket into one task so the layout is
     // ~one file per bucket, not tasks×buckets shards — every append
     // re-reads these footers for the torn-append validation.
-    Dedup.shingleIndex(docs, ComponentsK)
+    // The corpus accounting (raw doc count for the cutoff formula +
+    // hashed row receipt) RIDES THIS SCAN via observe() instead of its
+    // own pass — at 100 TB the old standalone docs.agg was one full
+    // extra read of the raw corpus per build (r16; identical values:
+    // same expressions over the same rows, [[observedPair]] falls back
+    // to the standalone aggregate if the metrics don't surface).
+    val receiptObs = org.apache.spark.sql.Observation(
+      s"components_build_receipt_${System.nanoTime()}")
+    Dedup.shingleIndex(
+        docs.observe(receiptObs,
+          count(lit(1)).as("n_docs"), docReceipt.as("doc_xor")),
+        ComponentsK)
       .withColumn("shb", shingleBucket(col("sh"), nBuckets))
       .repartition(col("shb"))
       .write.mode("overwrite").partitionBy("shb").parquet(s"$out/shingles")
-    phaseLog("index-write")
+    val (nDocsTotal, docIdXor) = observedPair(receiptObs, "n_docs", "doc_xor",
+      fallback = { val Array(a) = docs.agg(count(lit(1)), docReceipt).collect()
+        (a.getLong(0), a.getLong(1)) })
+    val cutoff = Dedup.autoDfCutoffFor(nDocsTotal)
+    phaseLog("index-write+receipt")
     val shWritten = readShingleIndex(s, out)
+    // the meta integrity tokens (indexed-doc count, index row count)
+    // ride the sizes write the same way — previously a re-read of the
+    // just-written sizes parquet (O(docs) at scale)
+    val sizesObs = org.apache.spark.sql.Observation(
+      s"components_build_sizes_${System.nanoTime()}")
     shWritten.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .observe(sizesObs, count(lit(1)).as("n_docs_indexed"),
+        coalesce(sum(col("n")), lit(0L)).as("n_shingle_rows"))
       .write.mode("overwrite").parquet(s"$out/sizes")
     phaseLog("sizes")
     // the per-shingle df shuffle runs ONCE: hot/, the pair build's hot-id
@@ -278,8 +327,11 @@ object PipelineQueries {
     //    cold rebuild would use GROWS with appended docs — once it
     //    reaches this floor, cold would DECLASSIFY a snapshot-hot
     //    shingle and discover pairs the fixed cut set never will).
-    val Array(idxAgg) = s.read.parquet(s"$out/sizes")
-      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+    val (nDocsIndexed, nShingleRows) = observedPair(sizesObs,
+      "n_docs_indexed", "n_shingle_rows",
+      fallback = { val Array(a) = s.read.parquet(s"$out/sizes")
+        .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+        (a.getLong(0), a.getLong(1)) })
     val Array(dfAgg) = dfT.agg(
       coalesce(max(when(col("df") <= cutoff, col("df"))), lit(0L)),
       coalesce(min(when(col("df") > cutoff, col("df"))), lit(Long.MaxValue)))
@@ -291,7 +343,7 @@ object PipelineQueries {
     val (shF, shB) = dirManifest(s, s"$out/shingles")
     val (szF, szB) = dirManifest(s, s"$out/sizes")
     writeMeta(s, s"$out/meta", Meta(nPairs, cutoff,
-      idxAgg.getLong(0), idxAgg.getLong(1), dfAgg.getLong(0),
+      nDocsIndexed, nShingleRows, dfAgg.getLong(0),
       nDocsTotal = nDocsTotal, minHotDf = dfAgg.getLong(1),
       rebuildRecommended = false,
       nBuckets = nBuckets, docIdXor = docIdXor,
@@ -605,13 +657,28 @@ object PipelineQueries {
     // folds into meta's corpus-of-record receipt), and its shingle-row
     // count (one bounded aggregate over the increment alone) is the
     // broadcast-safety measurement the plan choices below key off
-    val Array(incDocsAgg) = increment.agg(count(lit(1)), docReceipt).collect()
-    val incDocsTotal = incDocsAgg.getLong(0)
-    val incSh = Dedup.shingleIndex(increment, ComponentsK)
+    // increment accounting rides the increment's OWN shingle scan via
+    // observe() (r16) — the old standalone increment.agg was one extra
+    // full read of the increment per append. The observed frame is the
+    // ONE increment reference everywhere below (incSh here, the pair
+    // term's internal shingleRows): plan-equality is what lets the
+    // CacheManager substitute the persisted incSh blocks inside
+    // incrementalNgramPairs, so both references must carry the same
+    // CollectMetrics node.
+    val incObs = org.apache.spark.sql.Observation(
+      s"components_append_receipt_${System.nanoTime()}")
+    val incrementObs = increment.observe(incObs,
+      count(lit(1)).as("n_docs"), docReceipt.as("doc_xor"))
+    val incSh = Dedup.shingleIndex(incrementObs, ComponentsK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val Array(incAgg) = incSizes
       .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+    // the collect above filled the incSh cache AND carried the observe
+    // node, so the increment receipt is available now
+    val (incDocsTotal, incDocXor) = observedPair(incObs, "n_docs", "doc_xor",
+      fallback = { val Array(a) = increment.agg(count(lit(1)), docReceipt).collect()
+        (a.getLong(0), a.getLong(1)) })
     // ADAPTIVE pushdown (the serving-case economics, decided by
     // measurement instead of a knob): when the increment's shingle rows
     // fit a broadcast (row count bounds the distinct set, 8-byte grain
@@ -654,7 +721,7 @@ object PipelineQueries {
     // re-alignment), while the pair execution itself is lazy until the
     // count below
     val (pairTerm, touchedCorpus) =
-      appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown,
+      appendPairTerm(s, gen, incrementObs, incSh, hot, sizesDf, pushdown,
         meta.nBuckets, effectivePrune)
     phaseLog("accounting")
     val newPairs = pairTerm
@@ -768,7 +835,7 @@ object PipelineQueries {
       // value that validates NOTHING — compaction is the migration
       // path that mints a real receipt (ADVICE r12)
       docIdXor =
-        if (meta.hasReceipt) meta.docIdXor ^ incDocsAgg.getLong(1) else 0L,
+        if (meta.hasReceipt) meta.docIdXor ^ incDocXor else 0L,
       hasReceipt = meta.hasReceipt,
       shFiles = shNewF, shBytes = shNewB,
       szFiles = szNewF, szBytes = szNewB))

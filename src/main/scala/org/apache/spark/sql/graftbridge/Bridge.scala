@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * `private[sql]` in Spark 4; `get` blocks with no timeout, which a
+    * caller that wants a bounded wait + fallback cannot use). */
+  def observationGetOrEmpty(
+      o: org.apache.spark.sql.Observation): Map[String, Any] = o.getOrEmpty
 }
