@@ -536,9 +536,17 @@ object StreamingQueries {
         // no materialize-before-overwrite pass is needed — the in-place
         // formulation paid a persist+count of the merged state per batch
         // solely to avoid overwriting the parquet it was lazily reading
-        // (optimization round r16). Replay needs no batchId fence: KMV
-        // union is idempotent set algebra (re-folding a delta is a no-op).
+        // (optimization round r16). REPLAY FENCE (ADVICE r16): KMV union
+        // is idempotent set algebra, so RE-FOLDING a delta is harmless —
+        // but a replay after _CURRENT was published and before the
+        // streaming checkpoint committed would make committed == newDir,
+        // and the fold would lazily read and Overwrite-write the SAME
+        // parquet dir (the self-clobber the removed persist+count guard
+        // prevented). The pointer says the state already includes this
+        // batch; skip the fold instead of re-writing it.
         val committed = graft.operators.FsPointers.read(statePath, "_CURRENT")
+        val newDir = s"b$batchId"
+        if (!committed.contains(newDir)) {
         val merged = committed match {
           case Some(dir) =>
             spark.read.parquet(s"$statePath/$dir").as("s")
@@ -550,7 +558,6 @@ object StreamingQueries {
                   1, kk).as("sk"))
           case None => delta
         }
-        val newDir = s"b$batchId"
         merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$statePath/$newDir")
         graft.operators.FsPointers.publish(statePath, "_CURRENT", newDir)
@@ -561,6 +568,7 @@ object StreamingQueries {
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("b") &&
             !keep.contains(st.getPath.getName))
           .foreach(st => graft.operators.FsPointers.deleteDir(st.getPath.toString))
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -625,7 +633,14 @@ object StreamingQueries {
         // MG-fold replay is absorbed by the error bound (the summary is
         // approximate-with-guarantee; the closing exact recount is what
         // the declared output rides), matching the prior shape.
+        // REPLAY FENCE (ADVICE r16): if _CURRENT already points at this
+        // batch's dir, the fold ran and published but the streaming
+        // checkpoint didn't commit — re-folding would lazily read and
+        // Overwrite-write the SAME parquet dir (self-clobber). The state
+        // already includes this batch; skip the fold.
         val committed = graft.operators.FsPointers.read(statePath, "_CURRENT")
+        val newDir = s"b$batchId"
+        if (!committed.contains(newDir)) {
         val merged =
           (committed match {
              case Some(dir) =>
@@ -640,7 +655,6 @@ object StreamingQueries {
         val top = merged.orderBy(col("cnt").desc, col("token"))
           .limit(cap + 1).select(col("cnt")).collect()
         val d = if (top.length > cap) top.last.getLong(0) else 0L
-        val newDir = s"b$batchId"
         try merged.filter(col("cnt") > lit(d))
           .select(col("token"), (col("cnt") - lit(d)).as("cnt"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -654,6 +668,7 @@ object StreamingQueries {
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("b") &&
             !keep.contains(st.getPath.getName))
           .foreach(st => graft.operators.FsPointers.deleteDir(st.getPath.toString))
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

@@ -139,6 +139,53 @@ class ComponentsIncrSpec extends SparkSpec {
     } finally Dedup.rmdir(new java.io.File(base))
   }
 
+  test("merge locality: clusters untouched by the increment pass through " +
+      "verbatim (append == cold), both broadcast arms") {
+    // r17: the append's component merge runs union-find over ONLY the
+    // clusters reachable from new pairs and copies the rest through.
+    // This increment touches {1,2} (via 101) and forms {102,103} but
+    // never goes near {10,11} — so the {10,11} rows come out of the
+    // unaffected-cluster passthrough, not a re-merge. A wrong affected
+    // set (missed cluster, or a passthrough row also re-merged into a
+    // duplicate) cannot match the cold rebuild's clusters row set.
+    val inc = Seq(
+      doc(101L, tail(1) + " extra"),  // near-dup of corpus docs 1 and 2
+      doc(102L, tail(301)),           // increment-internal pair with 103
+      doc(103L, tail(301) + " tailbit")
+    ).toDF("doc_id", "text")
+    for (forcePlain <- Seq(false, true)) {
+      val base = Files.createTempDirectory("comp-incr-loc").toString
+      val cold = Files.createTempDirectory("comp-incr-loc-cold").toString
+      // force the locality arm (the adaptive default keeps the flat
+      // merge below 2M bounded edges — this fixture is tiny)
+      spark.conf.set("graft.components.mergeLocalityMinEdges", "0")
+      if (forcePlain) // exercise the non-broadcast merge joins too
+        spark.conf.set("graft.components.mergeBcastMaxPairs", "0")
+      try {
+        PipelineQueries.buildComponentsArtifactFrom(spark, corpusDocs, base)
+        PipelineQueries.buildComponentsArtifactFrom(spark,
+          corpusDocs.unionByName(inc), cold)
+        PipelineQueries.appendComponentsArtifact(spark, base, inc)
+        assert(readClusters(base) == readClusters(cold),
+          s"forcePlain=$forcePlain")
+        assert(readNPairs(base) == readNPairs(cold), s"forcePlain=$forcePlain")
+        val m = readClusters(base).toMap
+        // the untouched cluster survives with its exact label...
+        assert(m(10L) == 10L && m(11L) == 10L, s"got $m")
+        // ...exactly once (a passthrough row duplicated into the merge
+        // would double it in the parquet)
+        val rows = readClusters(base)
+        assert(rows.size == rows.distinct.size, s"duplicate rows in $rows")
+        assert(m(101L) == 1L && m(102L) == 102L && m(103L) == 102L, s"got $m")
+      } finally {
+        spark.conf.unset("graft.components.mergeLocalityMinEdges")
+        spark.conf.unset("graft.components.mergeBcastMaxPairs")
+        Dedup.rmdir(new java.io.File(base))
+        Dedup.rmdir(new java.io.File(cold))
+      }
+    }
+  }
+
   test("append with the plain-shuffle shapes (broadcastCap=0) equals cold") {
     // small increments take the adaptive broadcast pushdown by default,
     // so without this case the append's plain-shuffle branch (the
