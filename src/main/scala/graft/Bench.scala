@@ -176,6 +176,34 @@ object Bench {
       drain(spark.read.parquet(s"$tmp/t").groupBy(col("k"))
         .agg(count(lit(1)).as("n"), sum(col("id")).as("s")))
     } finally graft.operators.Dedup.rmdir(tmp)
+    // components-artifact machinery first-touch (r17): the cold-build
+    // line is the FIRST timed item after prewarm, and on a fresh JVM it
+    // absorbs class-init + C2 compilation of everything the generic
+    // warms above never reach — Observation/CollectMetrics listener
+    // plumbing, StoreManifest's parallel listings, FsPointers'
+    // FileContext rename, the dynamic-partitionBy committer, the staged
+    // epoch + union-find path. A 40-doc build + 8-doc append forces all
+    // of it here (~1-2 s of prewarm wall, excluded from the headline),
+    // so artifact:components times the BUILD, not the JVM's first
+    // encounter with its machinery.
+    val cdir = java.nio.file.Files.createTempDirectory("graft_prewarm_c").toFile
+    try {
+      // paired texts (each seed appears twice; the append near-dups
+      // them) so pair generation, union-find and the star-edge merge
+      // all execute with real rows, not empty frames
+      def wt(seed: org.apache.spark.sql.Column) =
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit(s"c${i}_"),
+            pmod(seed * lit(2654435761L) + lit(i * 7919), lit(100000L)))): _*)
+      val cdocs = spark.range(40).select(col("id").as("doc_id"),
+        wt(pmod(col("id"), lit(20L))).as("text"))
+      val inc = spark.range(8).select((col("id") + 1000L).as("doc_id"),
+        concat(wt(pmod(col("id"), lit(20L))), lit(" tail")).as("text"))
+      graft.queries.PipelineQueries.buildComponentsArtifactFrom(
+        spark, cdocs, s"$cdir/a")
+      graft.queries.PipelineQueries.appendComponentsArtifact(
+        spark, s"$cdir/a", inc)
+    } finally graft.operators.Dedup.rmdir(cdir)
     // streaming engine first-touch: state-store provider + offset/commit
     // WAL + watermark tracker + memory sink all class-init on the FIRST
     // StreamingQuery of the JVM — without this, whichever stream_* entry
