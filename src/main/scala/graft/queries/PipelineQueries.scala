@@ -682,8 +682,12 @@ object PipelineQueries {
     val incSh = Dedup.shingleIndex(incrementObs, ComponentsK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incSizes = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val Array(incAgg) = incSizes
-      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).collect()
+    // ONE accounting job (r17, guide §1.2 "fewer passes"): the sizes
+    // aggregate, both bucket lists and the hot-row count previously ran
+    // as FOUR driver round-trips; the tagged union executes them as
+    // parallel branches of a single collect (the branches share the
+    // persisted incSh — this job is also its cache fill)
+    val acc = collectAppendAccounting(incSh, incSizes, hot, meta.nBuckets)
     // the collect above filled the incSh cache AND carried the observe
     // node, so the increment receipt is available now
     val (incDocsTotal, incDocXor) = observedPair(incObs, "n_docs", "doc_xor",
@@ -700,7 +704,7 @@ object PipelineQueries {
     // would be the wall. Output is identical either way (the semi-join
     // removes only rows the equi-join drops; ComponentsIncrSpec pins
     // both shapes pair-for-pair).
-    val pushdown = incAgg.getLong(1) <= broadcastCap
+    val pushdown = acc.nIncShingleRows <= broadcastCap
     // ADAPTIVE candidate-pruned verify (round 16 — the same
     // decided-by-measurement discipline as the pushdown above): the
     // prune removes the verify tail's per-append docHot shuffle of
@@ -716,23 +720,21 @@ object PipelineQueries {
     // and small hot sets keep the measured-loss default. An explicit
     // pruneVerify = true still forces it on.
     val hotVolumeLowerBound =
-      if (meta.minHotDf > 0) hot.count() * meta.minHotDf else 0L
+      if (meta.minHotDf > 0) acc.nHotRows * meta.minHotDf else 0L
     val effectivePrune = pruneVerify ||
       hotVolumeLowerBound >= pruneVerifyHotRowsCutoff(s)
-    System.err.println(s"[components] append: ${incAgg.getLong(0)} docs / " +
-      s"${incAgg.getLong(1)} shingle rows -> " +
+    System.err.println(s"[components] append: ${acc.nIncDocs} docs / " +
+      s"${acc.nIncShingleRows} shingle rows -> " +
       (if (pushdown) "broadcast pushdown shapes" else "plain shuffle shapes") +
       (if (effectivePrune) s" + candidate-pruned verify " +
         s"(hot-volume lower bound $hotVolumeLowerBound)" else ""))
-    // appendPairTerm's driver-side bucket collects run eagerly inside
-    // the call; closing the "accounting" phase AFTER it returns keeps
-    // their cost attributed to accounting (ADVICE r11 — r11's close
-    // silently shifted them into "pairs"; SCALE.md notes the r12
-    // re-alignment), while the pair execution itself is lazy until the
-    // count below
+    // the bucket lists rode the fused accounting job above (r17 — the
+    // collects previously ran eagerly inside appendPairTerm; the phase
+    // attribution is unchanged, per ADVICE r11's alignment), while the
+    // pair execution itself is lazy until the count below
     val (pairTerm, touchedCorpus) =
       appendPairTerm(s, gen, incrementObs, incSh, hot, sizesDf, pushdown,
-        meta.nBuckets, effectivePrune)
+        meta.nBuckets, acc.touchedBuckets, acc.hotBuckets, effectivePrune)
     phaseLog("accounting")
     val newPairs = pairTerm
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -898,8 +900,8 @@ object PipelineQueries {
     val (szNewF, szNewB) = dirManifest(s, s"$gen/sizes")
     writeMeta(s, epochDir(gen, "meta", next), Meta(
       nPairs = meta.nPairs + nNew, cutoff = meta.cutoff,
-      nDocsIndexed = meta.nDocsIndexed + incAgg.getLong(0),
-      nShingleRows = meta.nShingleRows + incAgg.getLong(1),
+      nDocsIndexed = meta.nDocsIndexed + acc.nIncDocs,
+      nShingleRows = meta.nShingleRows + acc.nIncShingleRows,
       maxNonhotDf = newMaxNonhot,
       nDocsTotal = newDocsTotal, minHotDf = meta.minHotDf,
       rebuildRecommended = drift,
@@ -951,17 +953,54 @@ object PipelineQueries {
     * the caller unpersists). Factored out of the append so Bench's
     * isolated pair line times THIS shape, not a different plan
     * (ADVICE r10). */
+  /** The append's bounded driver-side accounting as ONE Spark job (r17,
+    * guide §1.2 "fewer passes"): a tagged union of four tiny aggregates
+    * — the increment's (doc count, shingle-row count), the touched
+    * (non-hot) bucket list, the hot bucket list, and the hot-row count
+    * — previously four separate driver round-trips per append. Every
+    * branch is bounded (2 scalar rows + ≤ 2·nBuckets bucket rows), the
+    * branches execute as parallel stages of the one collect, and the
+    * job doubles as the caller's `incSh` cache fill (plus the carrier
+    * of its observe() receipt metrics). */
+  private case class AppendAccounting(nIncDocs: Long, nIncShingleRows: Long,
+      touchedBuckets: Seq[Int], hotBuckets: Seq[Int], nHotRows: Long)
+
+  private def collectAppendAccounting(incSh: DataFrame, incSizes: DataFrame,
+      hot: DataFrame, nBuckets: Int): AppendAccounting = {
+    val rows = incSizes
+        .agg(count(lit(1)).as("a"), coalesce(sum(col("n")), lit(0L)).as("b"))
+        .select(lit(0).as("tag"), col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"))
+      .unionByName(incSh.join(broadcast(hot), Seq("sh"), "left_anti")
+        .select(shingleBucket(col("sh"), nBuckets).as("shb")).distinct()
+        .select(lit(1).as("tag"), col("shb").cast("long").as("a"),
+          lit(0L).as("b")))
+      .unionByName(hot
+        .select(shingleBucket(col("sh"), nBuckets).as("shb")).distinct()
+        .select(lit(2).as("tag"), col("shb").cast("long").as("a"),
+          lit(0L).as("b")))
+      .unionByName(hot.agg(count(lit(1)).as("a"))
+        .select(lit(3).as("tag"), col("a").cast("long").as("a"),
+          lit(0L).as("b")))
+      .collect()
+    val by = rows.groupBy(_.getInt(0))
+    val sz = by(0).head
+    AppendAccounting(sz.getLong(1), sz.getLong(2),
+      by.getOrElse(1, Array.empty).map(_.getLong(1).toInt).toSeq,
+      by.getOrElse(2, Array.empty).map(_.getLong(1).toInt).toSeq,
+      by(3).head.getLong(1))
+  }
+
   private def appendPairTerm(s: SparkSession, gen: String,
       increment: DataFrame, incSh: DataFrame, hot: DataFrame,
-      sizesDf: DataFrame, pushdown: Boolean,
-      nBuckets: Int, pruneVerify: Boolean = false): (DataFrame, DataFrame) = {
+      sizesDf: DataFrame, pushdown: Boolean, nBuckets: Int,
+      touchedBuckets: Seq[Int], hotBuckets: Seq[Int],
+      pruneVerify: Boolean = false): (DataFrame, DataFrame) = {
+    // bucket lists arrive from the caller's ONE fused accounting job
+    // (r17) — this function previously collected them as two more
+    // driver round-trips per append
     val incRareKeys = incSh.join(broadcast(hot), Seq("sh"), "left_anti")
       .select(col("sh")).distinct()
-    val touchedBuckets = incRareKeys
-      .select(shingleBucket(col("sh"), nBuckets).as("shb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val hotBuckets = hot.select(shingleBucket(col("sh"), nBuckets).as("shb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
     // touched buckets are opened as DIRECT directory paths, never the
     // partitioned root with an isin filter: a root read runs partition
     // DISCOVERY over every bucket dir on every append — the band
@@ -1045,12 +1084,16 @@ object PipelineQueries {
     val hot = s.read.parquet(s"$gen/hot")
     val incSh = Dedup.shingleIndex(increment, ComponentsK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same broadcast-safety measurement the append makes: total shingle
-    // rows (bounds the distinct set) against the cap
-    val pushdown = incSh.count() <= broadcastCap
+    // the production append's ONE fused accounting job (r17), which
+    // also carries the same broadcast-safety measurement the append
+    // makes: total shingle rows (bounds the distinct set) vs the cap
+    val acc = collectAppendAccounting(incSh,
+      incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), hot,
+      meta.nBuckets)
+    val pushdown = acc.nIncShingleRows <= broadcastCap
     val (pairs, touchedCorpus) =
       appendPairTerm(s, gen, increment, incSh, hot, sizesDf, pushdown,
-        meta.nBuckets)
+        meta.nBuckets, acc.touchedBuckets, acc.hotBuckets)
     val n = pairs.count()
     touchedCorpus.unpersist(false)
     incSh.unpersist(false)
