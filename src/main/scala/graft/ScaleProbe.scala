@@ -451,6 +451,20 @@ object ScaleProbe {
           .select(col("id").as("i"), (col("id") + 1L).as("j")),
         maxDriverEdges = 0L)
     }),
+    // the append's component merge at large cluster tables (r17): both
+    // arms of mergeAppendClusters priced on a SYNTHESIZED prior-epoch
+    // cluster table (200k·n rows in 4-doc clusters, written once per
+    // scale and reused — the first arm's pass1 carries the one-time
+    // fixture write; read pass2) against a serving-sized 100-pair
+    // increment touching ≤100 clusters. flat = the pre-r17 shape
+    // (whole table as star edges into components(): driver collect
+    // below maxDriverEdges, distributed min-label rounds above — the
+    // ×100 table's 20M star edges cross that bound); local = the
+    // affected-only semi-join + unchanged-row passthrough.
+    P("append_merge_flat", 100, (s, d, n) =>
+      mergeProbe(s, n, locality = false)),
+    P("append_merge_local", 100, (s, d, n) =>
+      mergeProbe(s, n, locality = true)),
     P("stream_sessions", 100, declared("stream_sessions")),
     // streaming family ×10 (round-9 verdict ask #3): the heavy stateful
     // entries replayed over the ×n events corpus — 4 time-ordered
@@ -1270,6 +1284,37 @@ object ScaleProbe {
   private def isolate(): Unit = {
     SparkSession.active.catalog.clearCache()
     System.gc()
+  }
+
+  /** Fixture + arm selector for the append-merge probes: a prior-epoch
+    * clusters table of 200k·n rows (4-doc clusters; cluster_id = the
+    * min doc_id, exactly the artifact's label invariant) merged with a
+    * 100-pair serving increment (100 new doc_ids, each pairing one
+    * existing doc spread across the id range). The conf toggle selects
+    * the arm and is restored after; the merge executes EAGERLY inside
+    * (components() materializes before returning), so [[once]] times
+    * the arm plus the noop sink of the merged table — the same two
+    * consumers the production append's merge+stage-epoch phases pay. */
+  private def mergeProbe(s: SparkSession, n: Int,
+      locality: Boolean): DataFrame = {
+    val rows = 200000L * n
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probe_mergeclusters_x$n").getAbsolutePath
+    if (!new java.io.File(dir, "_SUCCESS").exists) {
+      s.range(rows).select(col("id").as("doc_id"),
+        (col("id") - pmod(col("id"), lit(4L))).as("cluster_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val oldClusters = s.read.parquet(dir)
+    val newPairs = s.range(100).select(
+      pmod(col("id") * lit(99991L), lit(rows)).as("i"),
+      (col("id") + lit(10000000000L)).as("j"))
+    val key = "graft.components.mergeLocalityMinEdges"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, if (locality) "0" else Long.MaxValue.toString)
+    try graft.queries.PipelineQueries.mergeAppendClusters(
+      s, oldClusters, newPairs, nNew = 100L, nPairsPrior = rows / 4 * 3)
+    finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 
   private def once(build: () => DataFrame): Double = {

@@ -741,76 +741,13 @@ object PipelineQueries {
     val nNew = newPairs.count()
     phaseLog("pairs")
     val oldClusters = s.read.parquet(epochDir(gen, "clusters", epoch))
-    // MERGE LOCALITY, ADAPTIVE (r17, guide §2.3/§2.4 — and the same
-    // decided-by-measurement discipline as the pushdown/pruneVerify
-    // knobs above): a component of the union graph (old star edges ∪
-    // new pairs) that contains NO new-pair endpoint is an old cluster
-    // verbatim — the only non-star edges are the new pairs, so
-    // connectivity can enter a cluster only through one of its docs
-    // being an endpoint. So the restricted merge runs components() over
-    // ONLY the affected clusters' star edges plus the new pairs, and
-    // copies every unaffected cluster row through untouched. Labels are
-    // invariant: cluster_id is the component MIN (union-by-min), each
-    // old cluster_id is already the min of its docs, and the affected
-    // subgraph carries ALL docs of every affected cluster, so the
-    // merged min equals the full-merge min.
-    //
-    // The restriction costs ~5 extra small jobs (endpoint distinct,
-    // affected-id semi-join, passthrough anti-join) — measured a LOSS
-    // at sf0.1's tiny cluster tables (merge 0.70 → 1.87 s, stage-epoch
-    // 0.29 → 0.77 s against in-run controls drifting only ~1.2×), and a
-    // structural WIN once the cluster table outgrows the driver
-    // union-find's collect: affected-only edges keep the driver path
-    // viable far past maxDriverEdges-sized tables and keep the
-    // distributed rounds' edge set ∝ increment, not ∝ corpus. So the
-    // append decides from the meta-derived cluster-table UPPER BOUND
-    // (each pair contributes ≤ 2 docs, so cluster rows ≤ 2·n_pairs —
-    // erring toward locality exactly when the table may be large); the
-    // epoch write stays cluster-table-linear either way (staged epochs
-    // are whole tables by design). Equivalence of both arms pinned by
-    // ComponentsIncrSpec (append == cold, chained, randomized, hostile,
-    // plus the r17 untouched-cluster passthrough case run at
-    // mergeLocalityMinEdges=0).
-    val mergeLocalityMinEdges =
-      s.conf.getOption("graft.components.mergeLocalityMinEdges")
-        .map(_.toLong).getOrElse(2000000L)
-    val useLocality = 2L * meta.nPairs + nNew >= mergeLocalityMinEdges
-    // components() fully materializes its result (driver union-find or
-    // its own checkpoint parquet) before returning — the staged epoch
-    // write below reads through nothing it replaces (the locality arm's
-    // passthrough reads the prior epoch's parquet, which GC keeps
-    // intact until two epochs on)
-    val merged = if (!useLocality) {
-      val star = oldClusters
-        .select(col("cluster_id").as("i"), col("doc_id").as("j"))
-      Dedup.components(star.union(newPairs))
-    } else {
-      // endpoint/affected-id sets are bounded by 2·nNew rows, so they
-      // broadcast whenever the increment is serving-sized; a
-      // corpus-scale backfill (nNew past the cap) takes plain shuffle
-      // joins, where the broadcast itself would be the wall. Conf-keyed
-      // (same pattern as graft.dedup.candidatePairCollectMaxRows) so
-      // the spec can force the plain-join arm.
-      val mergeBcastCap =
-        s.conf.getOption("graft.components.mergeBcastMaxPairs")
-          .map(_.toLong).getOrElse(1000000L)
-      def maybeBcast(df: DataFrame): DataFrame =
-        if (nNew <= mergeBcastCap) broadcast(df) else df
-      val endpoints = newPairs.select(col("i").as("doc_id"))
-        .union(newPairs.select(col("j").as("doc_id"))).distinct()
-      val affectedIds = oldClusters
-        .join(maybeBcast(endpoints), Seq("doc_id"), "left_semi")
-        .select(col("cluster_id")).distinct()
-      val affectedStar = oldClusters
-        .join(maybeBcast(affectedIds), Seq("cluster_id"), "left_semi")
-        .select(col("cluster_id").as("i"), col("doc_id").as("j"))
-      val unchanged = oldClusters
-        .join(maybeBcast(affectedIds), Seq("cluster_id"), "left_anti")
-        .select(col("doc_id"), col("cluster_id"))
-      Dedup.components(affectedStar.union(newPairs))
-        .select(col("doc_id"), col("cluster_id"))
-        .unionByName(unchanged)
-    }
+    // components() (inside the merge) fully materializes its result
+    // (driver union-find or its own checkpoint parquet) before
+    // returning — the staged epoch write below reads through nothing it
+    // replaces (the locality arm's passthrough reads the prior epoch's
+    // parquet, which GC keeps intact until two epochs on)
+    val merged = mergeAppendClusters(s, oldClusters, newPairs, nNew,
+      meta.nPairs)
     phaseLog("merge")
     // drift: total df (corpus index + this increment) of every NON-hot
     // shingle the increment touches — computed from the SAME persisted
@@ -953,6 +890,84 @@ object PipelineQueries {
     * the caller unpersists). Factored out of the append so Bench's
     * isolated pair line times THIS shape, not a different plan
     * (ADVICE r10). */
+  /** MERGE LOCALITY, ADAPTIVE (r17, guide §2.3/§2.4 — and the same
+    * decided-by-measurement discipline as the pushdown/pruneVerify
+    * knobs): a component of the union graph (old star edges ∪ new
+    * pairs) that contains NO new-pair endpoint is an old cluster
+    * verbatim — the only non-star edges are the new pairs, so
+    * connectivity can enter a cluster only through one of its docs
+    * being an endpoint. So the restricted merge runs components() over
+    * ONLY the affected clusters' star edges plus the new pairs, and
+    * copies every unaffected cluster row through untouched. Labels are
+    * invariant: cluster_id is the component MIN (union-by-min), each
+    * old cluster_id is already the min of its docs, and the affected
+    * subgraph carries ALL docs of every affected cluster, so the
+    * merged min equals the full-merge min.
+    *
+    * The restriction costs ~5 extra small jobs (endpoint distinct,
+    * affected-id semi-join, passthrough anti-join) — measured a LOSS
+    * at sf0.1's tiny cluster tables (merge 0.70 → 1.87 s, stage-epoch
+    * 0.29 → 0.77 s against in-run controls drifting only ~1.2×), and a
+    * structural WIN once the cluster table outgrows the driver
+    * union-find's collect (ScaleProbe's append_merge_{flat,local} pair
+    * prices both sides): affected-only edges keep the driver path
+    * viable far past maxDriverEdges-sized tables and keep the
+    * distributed rounds' edge set ∝ increment, not ∝ corpus. So the
+    * append decides from the meta-derived cluster-table UPPER BOUND
+    * (each pair contributes ≤ 2 docs, so cluster rows ≤ 2·n_pairs —
+    * erring toward locality exactly when the table may be large); the
+    * epoch write stays cluster-table-linear either way (staged epochs
+    * are whole tables by design). Equivalence of both arms pinned by
+    * ComponentsIncrSpec (append == cold, chained, randomized, hostile,
+    * plus the r17 untouched-cluster passthrough case run at
+    * mergeLocalityMinEdges=0).
+    *
+    * The 500k default sits just above the measured parity point of the
+    * append_merge probe pair (SCALE.md round 17): at 200k cluster rows
+    * (≈300k bounded edges) the arms read 1.48 vs 1.34 s; at 2M rows
+    * flat loses 9× (8.55 vs 0.95 s) and at 20M rows — past
+    * maxDriverEdges, where flat becomes distributed min-label rounds —
+    * 17× (24.96 vs 1.49 s). */
+  private[graft] def mergeAppendClusters(s: SparkSession,
+      oldClusters: DataFrame, newPairs: DataFrame, nNew: Long,
+      nPairsPrior: Long): DataFrame = {
+    val mergeLocalityMinEdges =
+      s.conf.getOption("graft.components.mergeLocalityMinEdges")
+        .map(_.toLong).getOrElse(500000L)
+    val useLocality = 2L * nPairsPrior + nNew >= mergeLocalityMinEdges
+    if (!useLocality) {
+      val star = oldClusters
+        .select(col("cluster_id").as("i"), col("doc_id").as("j"))
+      Dedup.components(star.union(newPairs))
+    } else {
+      // endpoint/affected-id sets are bounded by 2·nNew rows, so they
+      // broadcast whenever the increment is serving-sized; a
+      // corpus-scale backfill (nNew past the cap) takes plain shuffle
+      // joins, where the broadcast itself would be the wall. Conf-keyed
+      // (same pattern as graft.dedup.candidatePairCollectMaxRows) so
+      // the spec can force the plain-join arm.
+      val mergeBcastCap =
+        s.conf.getOption("graft.components.mergeBcastMaxPairs")
+          .map(_.toLong).getOrElse(1000000L)
+      def maybeBcast(df: DataFrame): DataFrame =
+        if (nNew <= mergeBcastCap) broadcast(df) else df
+      val endpoints = newPairs.select(col("i").as("doc_id"))
+        .union(newPairs.select(col("j").as("doc_id"))).distinct()
+      val affectedIds = oldClusters
+        .join(maybeBcast(endpoints), Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      val affectedStar = oldClusters
+        .join(maybeBcast(affectedIds), Seq("cluster_id"), "left_semi")
+        .select(col("cluster_id").as("i"), col("doc_id").as("j"))
+      val unchanged = oldClusters
+        .join(maybeBcast(affectedIds), Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+      Dedup.components(affectedStar.union(newPairs))
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(unchanged)
+    }
+  }
+
   /** The append's bounded driver-side accounting as ONE Spark job (r17,
     * guide §1.2 "fewer passes"): a tagged union of four tiny aggregates
     * — the increment's (doc count, shingle-row count), the touched
